@@ -1,0 +1,24 @@
+"""SQL registration of all ST_/RS_/SD_ functions on a SparkSession.
+
+Analogue of the reference's function-set registration
+(/root/reference/rust/sedona/src/context.rs:200-247): after
+``register_functions(spark)`` both ``spark.sql("SELECT ST_Contains(...)")``
+and the DataFrame API (calling the UDFs from
+sedona_db_spark.functions.scalar) work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def register_functions(spark: SparkSession) -> None:
+    from sedona_db_spark.functions.scalar import UDFS
+    for name, fn in UDFS.items():
+        spark.udf.register(name, fn)
+    try:
+        from sedona_db_spark.raster.functions import RS_UDFS
+        for name, fn in RS_UDFS.items():
+            spark.udf.register(name, fn)
+    except ImportError:
+        pass

@@ -1,0 +1,553 @@
+"""Vectorized pandas-UDF implementations of the ST_ scalar surface.
+
+One pandas UDF per reference function name (public surface enumerated at
+/root/reference/docs/reference/sql/ and registration sites
+rust/sedona-functions/src/register.rs:39-115, c/sedona-geos/src/register.rs).
+All UDFs are Arrow-batched (`pandas_udf`), operate on WKB BinaryType
+columns, and dispatch to the numpy kernels in
+sedona_db_spark.geometry.kernels.
+
+Hot-path discipline (the "zero per-row Python" rule):
+- point batches decode via the vectorized 21-byte view (wkb.wkb_to_points);
+- pairwise predicates group rows by the dimension-side geometry bytes and
+  run ONE vectorized points-vs-geometry kernel per distinct geometry —
+  exactly the shape the spatial join's refine stage produces (many points
+  per repeated polygon), mirroring the reference's prepared-geometry reuse
+  (rust/sedona-common/src/option.rs:256-283).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+)
+
+from sedona_db_spark.geometry import kernels as K
+from sedona_db_spark.geometry import wkb as W
+from sedona_db_spark import grid
+
+
+# ---------------------------------------------------------------------------
+# decode helpers
+# ---------------------------------------------------------------------------
+
+def _decode_series(s: pd.Series) -> list:
+    """Decode a WKB series with per-batch memoization on the raw bytes
+    (dimension-side geometries repeat across rows in join refinement)."""
+    cache: dict[bytes, object] = {}
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        b = bytes(v)
+        g = cache.get(b)
+        if g is None:
+            g = W.decode(b)
+            cache[b] = g
+        out.append(g)
+    return out
+
+
+def _all_points(s: pd.Series) -> bool:
+    return all(v is not None and len(v) == W.POINT_WKB_SIZE and v[0] == 1 for v in s)
+
+
+def _pairwise_bool(s1: pd.Series, s2: pd.Series, fn, point_left_fn=None) -> pd.Series:
+    """Evaluate a binary predicate over row pairs.
+
+    Fast path: when the left side is all 2-D points, group by the right
+    geometry's bytes and run one vectorized points-vs-geom kernel per
+    distinct right geometry.
+    """
+    n = len(s1)
+    out = np.zeros(n, dtype=bool)
+    if point_left_fn is not None and n and _all_points(s1):
+        px, py = W.wkb_to_points(s1)
+        groups: dict[bytes, list[int]] = {}
+        for i, v in enumerate(s2):
+            if v is not None:
+                groups.setdefault(bytes(v), []).append(i)
+        for b, idx in groups.items():
+            g = W.decode(b)
+            ii = np.asarray(idx)
+            out[ii] = point_left_fn(px[ii], py[ii], g)
+        return pd.Series(out)
+    g1 = _decode_series(s1)
+    g2 = _decode_series(s2)
+    for i in range(n):
+        if g1[i] is not None and g2[i] is not None:
+            out[i] = fn(g1[i], g2[i])
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# constructors / parsers / formatters
+# ---------------------------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    wkbs = W.points_to_wkb(x.to_numpy(dtype=np.float64), y.to_numpy(dtype=np.float64))
+    res = pd.Series(wkbs)
+    res[x.isna() | y.isna()] = None
+    return res
+
+
+@pandas_udf(BinaryType())
+def st_geomfromtext(t: pd.Series) -> pd.Series:
+    return t.map(lambda v: None if v is None else W.wkt_to_wkb(v))
+
+
+@pandas_udf(BinaryType())
+def st_geomfromwkb(b: pd.Series) -> pd.Series:
+    # parse + re-encode canonical little-endian ISO WKB (validates)
+    return b.map(lambda v: None if v is None else W.encode(W.decode(bytes(v))))
+
+
+@pandas_udf(StringType())
+def st_astext(b: pd.Series) -> pd.Series:
+    return pd.Series([None if v is None else W.to_wkt(g) for v, g in
+                      zip(b, _decode_series(b))])
+
+
+@pandas_udf(BinaryType())
+def st_asbinary(b: pd.Series) -> pd.Series:
+    return b
+
+
+# ---------------------------------------------------------------------------
+# accessors
+# ---------------------------------------------------------------------------
+
+def _unary_double(fn):
+    def inner(b: pd.Series) -> pd.Series:
+        return pd.Series([np.nan if g is None else fn(g) for g in _decode_series(b)],
+                         dtype=np.float64)
+    return inner
+
+
+@pandas_udf(DoubleType())
+def st_x(b: pd.Series) -> pd.Series:
+    x, _ = W.wkb_to_points(b)
+    return pd.Series(x)
+
+
+@pandas_udf(DoubleType())
+def st_y(b: pd.Series) -> pd.Series:
+    _, y = W.wkb_to_points(b)
+    return pd.Series(y)
+
+
+@pandas_udf(DoubleType())
+def st_xmin(b: pd.Series) -> pd.Series:
+    return pd.Series([K.geom_bbox(g)[0] for g in _decode_series(b)])
+
+
+@pandas_udf(DoubleType())
+def st_ymin(b: pd.Series) -> pd.Series:
+    return pd.Series([K.geom_bbox(g)[1] for g in _decode_series(b)])
+
+
+@pandas_udf(DoubleType())
+def st_xmax(b: pd.Series) -> pd.Series:
+    return pd.Series([K.geom_bbox(g)[2] for g in _decode_series(b)])
+
+
+@pandas_udf(DoubleType())
+def st_ymax(b: pd.Series) -> pd.Series:
+    return pd.Series([K.geom_bbox(g)[3] for g in _decode_series(b)])
+
+
+@pandas_udf(StringType())
+def st_geometrytype(b: pd.Series) -> pd.Series:
+    # reference renders ST_GeometryType as e.g. 'ST_Point'
+    return pd.Series([None if g is None else "ST_" + g[0] for g in _decode_series(b)])
+
+
+@pandas_udf(IntegerType())
+def st_npoints(b: pd.Series) -> pd.Series:
+    return pd.Series([0 if g is None else K.num_points(g) for g in _decode_series(b)],
+                     dtype="int32")
+
+
+@pandas_udf(IntegerType())
+def st_numgeometries(b: pd.Series) -> pd.Series:
+    def ng(g):
+        if g is None:
+            return 0
+        name, p = g
+        if name in ("MultiPolygon", "MultiLineString", "GeometryCollection"):
+            return len(p)
+        if name == "MultiPoint":
+            return len(p)
+        return 1
+    return pd.Series([ng(g) for g in _decode_series(b)], dtype="int32")
+
+
+@pandas_udf(BooleanType())
+def st_isempty(b: pd.Series) -> pd.Series:
+    def empty(g):
+        if g is None:
+            return None
+        c = K._all_coords(g)
+        return c is None or len(c) == 0
+    return pd.Series([empty(g) for g in _decode_series(b)])
+
+
+@pandas_udf(IntegerType())
+def st_dimension(b: pd.Series) -> pd.Series:
+    dim = {"Point": 0, "MultiPoint": 0, "LineString": 1, "MultiLineString": 1,
+           "Polygon": 2, "MultiPolygon": 2}
+    def d(g):
+        if g is None:
+            return 0
+        if g[0] == "GeometryCollection":
+            return max((d(p) for p in g[1]), default=0)
+        return dim[g[0]]
+    return pd.Series([d(g) for g in _decode_series(b)], dtype="int32")
+
+
+@pandas_udf(BinaryType())
+def st_geometryn(b: pd.Series, n: pd.Series) -> pd.Series:
+    def pick(g, i):
+        if g is None or i is None:
+            return None
+        i = int(i) - 1  # 1-based like the reference / PostGIS
+        name, p = g
+        if name == "MultiPolygon":
+            return W.encode(("Polygon", p[i])) if 0 <= i < len(p) else None
+        if name == "MultiLineString":
+            return W.encode(("LineString", p[i])) if 0 <= i < len(p) else None
+        if name == "MultiPoint":
+            return W.encode(("Point", p[i])) if 0 <= i < len(p) else None
+        if name == "GeometryCollection":
+            return W.encode(p[i]) if 0 <= i < len(p) else None
+        return W.encode(g) if i == 0 else None
+    return pd.Series([pick(g, i) for g, i in zip(_decode_series(b), n)])
+
+
+@pandas_udf(BinaryType())
+def st_pointn(b: pd.Series, n: pd.Series) -> pd.Series:
+    def pick(g, i):
+        if g is None or i is None or g[0] != "LineString":
+            return None
+        i = int(i)
+        pts = g[1]
+        if i >= 1 and i <= len(pts):
+            return W.encode(("Point", pts[i - 1]))
+        if -len(pts) <= i <= -1:
+            return W.encode(("Point", pts[i]))
+        return None
+    return pd.Series([pick(g, i) for g, i in zip(_decode_series(b), n)])
+
+
+@pandas_udf(BinaryType())
+def st_startpoint(b: pd.Series) -> pd.Series:
+    return pd.Series([W.encode(("Point", g[1][0])) if g is not None and g[0] == "LineString" and len(g[1]) else None
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_endpoint(b: pd.Series) -> pd.Series:
+    return pd.Series([W.encode(("Point", g[1][-1])) if g is not None and g[0] == "LineString" and len(g[1]) else None
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BooleanType())
+def st_isclosed(b: pd.Series) -> pd.Series:
+    def closed(g):
+        if g is None:
+            return None
+        if g[0] == "LineString":
+            return len(g[1]) > 0 and bool(np.array_equal(g[1][0], g[1][-1]))
+        if g[0] == "MultiLineString":
+            return all(len(l) > 0 and np.array_equal(l[0], l[-1]) for l in g[1])
+        return g[0] in ("Point", "MultiPoint")
+    return pd.Series([closed(g) for g in _decode_series(b)])
+
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+@pandas_udf(DoubleType())
+def st_area(b: pd.Series) -> pd.Series:
+    return pd.Series([np.nan if g is None else K.geom_area(g) for g in _decode_series(b)])
+
+
+@pandas_udf(DoubleType())
+def st_length(b: pd.Series) -> pd.Series:
+    return pd.Series([np.nan if g is None else K.geom_length(g) for g in _decode_series(b)])
+
+
+@pandas_udf(DoubleType())
+def st_perimeter(b: pd.Series) -> pd.Series:
+    return pd.Series([np.nan if g is None else K.geom_perimeter(g) for g in _decode_series(b)])
+
+
+@pandas_udf(DoubleType())
+def st_distance(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    n = len(b1)
+    if n and _all_points(b1):
+        px, py = W.wkb_to_points(b1)
+        if _all_points(b2):
+            qx, qy = W.wkb_to_points(b2)
+            return pd.Series(np.hypot(px - qx, py - qy))
+        out = np.full(n, np.nan)
+        groups: dict[bytes, list[int]] = {}
+        for i, v in enumerate(b2):
+            if v is not None:
+                groups.setdefault(bytes(v), []).append(i)
+        for raw, idx in groups.items():
+            g = W.decode(raw)
+            ii = np.asarray(idx)
+            out[ii] = K.points_to_geom_distance(px[ii], py[ii], g)
+        return pd.Series(out)
+    g1 = _decode_series(b1)
+    g2 = _decode_series(b2)
+    return pd.Series([K.geom_distance(a, c) if a is not None and c is not None else np.nan
+                      for a, c in zip(g1, g2)])
+
+
+# ---------------------------------------------------------------------------
+# predicates
+# ---------------------------------------------------------------------------
+
+@pandas_udf(BooleanType())
+def st_intersects(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_intersects,
+                          point_left_fn=lambda px, py, g: K.points_in_geom(px, py, g))
+
+
+@pandas_udf(BooleanType())
+def st_contains(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_contains)
+
+
+@pandas_udf(BooleanType())
+def st_within(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    def pt_within(px, py, g):
+        if g is None or g[0] not in ("Polygon", "MultiPolygon"):
+            return np.zeros(len(px), dtype=bool)
+        inside = K.points_in_geom(px, py, g)
+        # ST_Within(point, poly) is false for boundary-only points
+        for i in np.nonzero(inside)[0]:
+            if K._on_boundary_only(g, px[i], py[i]):
+                inside[i] = False
+        return inside
+    return _pairwise_bool(b1, b2, K.geom_within, point_left_fn=pt_within)
+
+
+@pandas_udf(BooleanType())
+def st_covers(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_covers)
+
+
+@pandas_udf(BooleanType())
+def st_coveredby(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_covered_by,
+                          point_left_fn=lambda px, py, g: K.points_in_geom(px, py, g))
+
+
+@pandas_udf(BooleanType())
+def st_disjoint(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_disjoint,
+                          point_left_fn=lambda px, py, g: ~K.points_in_geom(px, py, g))
+
+
+@pandas_udf(BooleanType())
+def st_equals(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_equals)
+
+
+@pandas_udf(BooleanType())
+def st_dwithin(b1: pd.Series, b2: pd.Series, d: pd.Series) -> pd.Series:
+    n = len(b1)
+    dist = d.to_numpy(dtype=np.float64)
+    if n and _all_points(b1):
+        px, py = W.wkb_to_points(b1)
+        out = np.zeros(n, dtype=bool)
+        groups: dict[bytes, list[int]] = {}
+        for i, v in enumerate(b2):
+            if v is not None:
+                groups.setdefault(bytes(v), []).append(i)
+        for raw, idx in groups.items():
+            g = W.decode(raw)
+            ii = np.asarray(idx)
+            out[ii] = K.points_to_geom_distance(px[ii], py[ii], g) <= dist[ii]
+        return pd.Series(out)
+    g1 = _decode_series(b1)
+    g2 = _decode_series(b2)
+    return pd.Series([bool(a is not None and c is not None and K.geom_dwithin(a, c, dd))
+                      for a, c, dd in zip(g1, g2, dist)])
+
+
+# ---------------------------------------------------------------------------
+# processing / transforms
+# ---------------------------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def st_envelope(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(K.geom_envelope(g))
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_centroid(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(K.geom_centroid(g))
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_convexhull(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(K.convex_hull(g))
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_buffer(b: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(K.geom_buffer(g, float(dd)))
+                      for g, dd in zip(_decode_series(b), d)])
+
+
+def _map_coords(g, fn):
+    if g is None:
+        return None
+    name, p = g
+    if name == "Point":
+        return (name, fn(np.asarray(p, dtype=np.float64).reshape(1, -1))[0])
+    if name in ("LineString", "MultiPoint"):
+        return (name, fn(p))
+    if name in ("Polygon", "MultiLineString"):
+        return (name, [fn(r) for r in p])
+    if name == "MultiPolygon":
+        return (name, [[fn(r) for r in rings] for rings in p])
+    if name == "GeometryCollection":
+        return (name, [_map_coords(q, fn) for q in p])
+    raise ValueError(name)
+
+
+@pandas_udf(BinaryType())
+def st_flipcoordinates(b: pd.Series) -> pd.Series:
+    def flip(arr):
+        out = arr.copy()
+        out[:, 0], out[:, 1] = arr[:, 1].copy(), arr[:, 0].copy()
+        return out
+    return pd.Series([None if g is None else W.encode(_map_coords(g, flip))
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    out = []
+    for g, tx, ty in zip(_decode_series(b), dx, dy):
+        if g is None:
+            out.append(None)
+            continue
+        def mv(arr, tx=float(tx), ty=float(ty)):
+            o = arr.copy()
+            o[:, 0] += tx
+            o[:, 1] += ty
+            return o
+        out.append(W.encode(_map_coords(g, mv)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_scale(b: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
+    out = []
+    for g, fx, fy in zip(_decode_series(b), sx, sy):
+        if g is None:
+            out.append(None)
+            continue
+        def sc(arr, fx=float(fx), fy=float(fy)):
+            o = arr.copy()
+            o[:, 0] *= fx
+            o[:, 1] *= fy
+            return o
+        out.append(W.encode(_map_coords(g, sc)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_reverse(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(_map_coords(g, lambda a: a[::-1].copy()))
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_force2d(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(_map_coords(g, lambda a: a[:, :2].copy()))
+                      for g in _decode_series(b)])
+
+
+# ---------------------------------------------------------------------------
+# grid / cell helpers (SD_ namespace, mirrors the reference's sd_order key)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def sd_cell_xy(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
+    r = int(res.iloc[0])
+    return pd.Series(grid.cell_ids(lon.to_numpy(np.float64), lat.to_numpy(np.float64), r))
+
+
+@pandas_udf(LongType())
+def sd_cell(b: pd.Series, res: pd.Series) -> pd.Series:
+    x, y = W.wkb_to_points(b)
+    r = int(res.iloc[0])
+    return pd.Series(grid.cell_ids(x, y, r))
+
+
+UDFS = {
+    "ST_Point": st_point,
+    "ST_GeomFromText": st_geomfromtext,
+    "ST_GeomFromWKT": st_geomfromtext,
+    "ST_GeomFromWKB": st_geomfromwkb,
+    "ST_AsText": st_astext,
+    "ST_AsBinary": st_asbinary,
+    "ST_X": st_x,
+    "ST_Y": st_y,
+    "ST_XMin": st_xmin,
+    "ST_YMin": st_ymin,
+    "ST_XMax": st_xmax,
+    "ST_YMax": st_ymax,
+    "ST_GeometryType": st_geometrytype,
+    "ST_NPoints": st_npoints,
+    "ST_NumGeometries": st_numgeometries,
+    "ST_IsEmpty": st_isempty,
+    "ST_Dimension": st_dimension,
+    "ST_GeometryN": st_geometryn,
+    "ST_PointN": st_pointn,
+    "ST_StartPoint": st_startpoint,
+    "ST_EndPoint": st_endpoint,
+    "ST_IsClosed": st_isclosed,
+    "ST_Area": st_area,
+    "ST_Length": st_length,
+    "ST_Perimeter": st_perimeter,
+    "ST_Distance": st_distance,
+    "ST_Intersects": st_intersects,
+    "ST_Contains": st_contains,
+    "ST_Within": st_within,
+    "ST_Covers": st_covers,
+    "ST_CoveredBy": st_coveredby,
+    "ST_Disjoint": st_disjoint,
+    "ST_Equals": st_equals,
+    "ST_DWithin": st_dwithin,
+    "ST_Envelope": st_envelope,
+    "ST_Centroid": st_centroid,
+    "ST_ConvexHull": st_convexhull,
+    "ST_Buffer": st_buffer,
+    "ST_FlipCoordinates": st_flipcoordinates,
+    "ST_Translate": st_translate,
+    "ST_Scale": st_scale,
+    "ST_Reverse": st_reverse,
+    "ST_Force2D": st_force2d,
+    "SD_CellXY": sd_cell_xy,
+    "SD_Cell": sd_cell,
+}

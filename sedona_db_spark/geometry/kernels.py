@@ -1,0 +1,645 @@
+"""Numpy-vectorized geometry kernels over decoded WKB geom tuples.
+
+Re-implements (from public computational-geometry formulas) the measurement
+and predicate semantics of the reference's kernel crates:
+
+- crossing-number point-in-polygon (reference precedent:
+  /root/reference/rust/sedona-geo-generic-alg/src/algorithm/intersects/polygon.rs),
+- shoelace area / centroid / length (rust/sedona-geo/src/ area & centroid
+  kernels), planar euclidean distance (rust/sedona-geo kernels),
+- DE-9IM-lite boolean predicates intersects/contains/within/disjoint/dwithin
+  (c/sedona-geos/src/binary_predicates.rs semantics for the supported type
+  combinations).
+
+Every kernel that touches the scale-out side (points) is vectorized over the
+point batch: for a polygon with V vertices and N probe points, the loop is
+over V (small, dim-side) with numpy ops over N (large).  This mirrors the
+reference's "vectorized kernels, zero per-row interpretation" stance
+(rust/sedona-functions/src/executor.rs:29-67).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sedona_db_spark.geometry import wkb as W
+
+
+# ---------------------------------------------------------------------------
+# Bounding boxes
+# ---------------------------------------------------------------------------
+
+def geom_bbox(g) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of a geom tuple; NaNs for empty."""
+    coords = _all_coords(g)
+    if coords is None or len(coords) == 0:
+        return (np.nan, np.nan, np.nan, np.nan)
+    return (
+        float(np.min(coords[:, 0])),
+        float(np.min(coords[:, 1])),
+        float(np.max(coords[:, 0])),
+        float(np.max(coords[:, 1])),
+    )
+
+
+def _all_coords(g):
+    if g is None:
+        return None
+    name, payload = g
+    if name == "Point":
+        arr = np.asarray(payload, dtype=np.float64).reshape(1, -1)
+        return arr[:0] if np.any(np.isnan(arr[:, :2])) else arr
+    if name in ("LineString", "MultiPoint"):
+        return np.asarray(payload, dtype=np.float64).reshape(-1, payload.shape[1] if len(payload) else 2)
+    if name == "Polygon":
+        return np.vstack(payload) if payload else np.empty((0, 2))
+    if name == "MultiLineString":
+        return np.vstack(payload) if payload else np.empty((0, 2))
+    if name == "MultiPolygon":
+        rings = [r for rings in payload for r in rings]
+        return np.vstack(rings) if rings else np.empty((0, 2))
+    if name == "GeometryCollection":
+        parts = [_all_coords(p) for p in payload]
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return np.empty((0, 2))
+        w = max(p.shape[1] for p in parts)
+        return np.vstack([np.pad(p, ((0, 0), (0, w - p.shape[1]))) for p in parts])
+    raise ValueError(name)
+
+
+def num_points(g) -> int:
+    c = _all_coords(g)
+    return 0 if c is None else len(c)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (crossing number), vectorized over probe points
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray,
+                   boundary_counts: bool = True) -> np.ndarray:
+    """Even-odd crossing-number test of N points against one ring.
+
+    Loops over ring edges (V small), vectorized over the N points.
+    Points exactly on an edge/vertex count as inside when
+    ``boundary_counts`` (matches ST_Intersects/ST_Covers semantics used in
+    spatial joins; ST_ContainsProperly would pass False).
+    """
+    n = len(px)
+    inside = np.zeros(n, dtype=bool)
+    on_edge = np.zeros(n, dtype=bool)
+    rx = ring[:, 0]
+    ry = ring[:, 1]
+    v = len(ring)
+    j = v - 1
+    for i in range(v):
+        x1, y1, x2, y2 = rx[j], ry[j], rx[i], ry[i]
+        # crossing-number toggle
+        cond = ((y1 > py) != (y2 > py))
+        if np.any(cond):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1 + 0.0) + x1
+            inside ^= cond & (px < xint)
+        if boundary_counts:
+            # point on segment [p1,p2]?
+            minx, maxx = min(x1, x2), max(x1, x2)
+            miny, maxy = min(y1, y2), max(y1, y2)
+            cand = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+            if np.any(cand):
+                cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                on_edge |= cand & (np.abs(cross) < 1e-12 * max(1.0, abs(x2 - x1) + abs(y2 - y1)))
+        j = i
+    return inside | on_edge if boundary_counts else inside
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings,
+                      boundary_counts: bool = True) -> np.ndarray:
+    """N points vs one polygon (outer ring + holes), vectorized over points."""
+    if not rings:
+        return np.zeros(len(px), dtype=bool)
+    res = points_in_ring(px, py, rings[0], boundary_counts=False)
+    for hole in rings[1:]:
+        res &= ~points_in_ring(px, py, hole, boundary_counts=False)
+    if boundary_counts:
+        edge = np.zeros(len(px), dtype=bool)
+        for ring in rings:
+            edge |= _points_on_ring_edge(px, py, ring)
+        res |= edge
+    return res
+
+
+def _points_on_ring_edge(px, py, ring):
+    on = np.zeros(len(px), dtype=bool)
+    rx, ry = ring[:, 0], ring[:, 1]
+    j = len(ring) - 1
+    for i in range(len(ring)):
+        x1, y1, x2, y2 = rx[j], ry[j], rx[i], ry[i]
+        minx, maxx = min(x1, x2), max(x1, x2)
+        miny, maxy = min(y1, y2), max(y1, y2)
+        cand = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+        if np.any(cand):
+            cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+            scale = max(1.0, abs(x2 - x1) + abs(y2 - y1))
+            on |= cand & (np.abs(cross) < 1e-12 * scale)
+        j = i
+    return on
+
+
+def points_in_geom(px: np.ndarray, py: np.ndarray, g,
+                   boundary_counts: bool = True) -> np.ndarray:
+    """N points vs one geometry of any type (area containment semantics)."""
+    if g is None:
+        return np.zeros(len(px), dtype=bool)
+    name, payload = g
+    if name == "Polygon":
+        return points_in_polygon(px, py, payload, boundary_counts)
+    if name == "MultiPolygon":
+        res = np.zeros(len(px), dtype=bool)
+        for rings in payload:
+            res |= points_in_polygon(px, py, rings, boundary_counts)
+        return res
+    if name == "Point":
+        return (px == payload[0]) & (py == payload[1])
+    if name == "MultiPoint":
+        res = np.zeros(len(px), dtype=bool)
+        for row in payload:
+            res |= (px == row[0]) & (py == row[1])
+        return res
+    if name in ("LineString", "MultiLineString"):
+        lines = [payload] if name == "LineString" else payload
+        res = np.zeros(len(px), dtype=bool)
+        for line in lines:
+            res |= _points_on_ring_edge(px, py, _as_open_path(line))
+        return res
+    if name == "GeometryCollection":
+        res = np.zeros(len(px), dtype=bool)
+        for part in payload:
+            res |= points_in_geom(px, py, part, boundary_counts)
+        return res
+    raise ValueError(name)
+
+
+def _as_open_path(line):
+    # _points_on_ring_edge closes ring[last]→ring[0]; duplicate endpoint so
+    # the phantom closing edge is degenerate for open linestrings.
+    if len(line) and not np.array_equal(line[0], line[-1]):
+        return np.vstack([line, line[-1:]])
+    return line
+
+
+# ---------------------------------------------------------------------------
+# Distance (planar)
+# ---------------------------------------------------------------------------
+
+def points_seg_dist(px, py, x1, y1, x2, y2) -> np.ndarray:
+    """Vectorized distance of N points to one segment."""
+    dx, dy = x2 - x1, y2 - y1
+    ll = dx * dx + dy * dy
+    if ll == 0:
+        return np.hypot(px - x1, py - y1)
+    t = np.clip(((px - x1) * dx + (py - y1) * dy) / ll, 0.0, 1.0)
+    return np.hypot(px - (x1 + t * dx), py - (y1 + t * dy))
+
+
+def points_to_geom_distance(px: np.ndarray, py: np.ndarray, g) -> np.ndarray:
+    """Vectorized planar distance of N points to one geometry (0 if inside)."""
+    n = len(px)
+    name, payload = g
+    if name == "Point":
+        return np.hypot(px - payload[0], py - payload[1])
+    if name == "MultiPoint":
+        d = np.full(n, np.inf)
+        for row in payload:
+            d = np.minimum(d, np.hypot(px - row[0], py - row[1]))
+        return d
+    if name in ("LineString", "MultiLineString"):
+        lines = [payload] if name == "LineString" else payload
+        d = np.full(n, np.inf)
+        for line in lines:
+            for i in range(len(line) - 1):
+                d = np.minimum(d, points_seg_dist(
+                    px, py, line[i, 0], line[i, 1], line[i + 1, 0], line[i + 1, 1]))
+        return d
+    if name in ("Polygon", "MultiPolygon"):
+        polys = [payload] if name == "Polygon" else payload
+        d = np.full(n, np.inf)
+        inside = np.zeros(n, dtype=bool)
+        for rings in polys:
+            inside |= points_in_polygon(px, py, rings)
+            for ring in rings:
+                for i in range(len(ring)):
+                    j = (i + 1) % len(ring)
+                    d = np.minimum(d, points_seg_dist(
+                        px, py, ring[i, 0], ring[i, 1], ring[j, 0], ring[j, 1]))
+        d[inside] = 0.0
+        return d
+    if name == "GeometryCollection":
+        d = np.full(n, np.inf)
+        for part in payload:
+            d = np.minimum(d, points_to_geom_distance(px, py, part))
+        return d
+    raise ValueError(name)
+
+
+def _seg_seg_dist(a1, a2, b1, b2) -> float:
+    if _segments_intersect(a1, a2, b1, b2):
+        return 0.0
+    d = np.inf
+    for p, (q1, q2) in ((a1, (b1, b2)), (a2, (b1, b2)), (b1, (a1, a2)), (b2, (a1, a2))):
+        d = min(d, float(points_seg_dist(
+            np.array([p[0]]), np.array([p[1]]), q1[0], q1[1], q2[0], q2[1])[0]))
+    return d
+
+
+def geom_distance(g1, g2) -> float:
+    """Planar distance between two geometries (exact for the supported types)."""
+    if g1 is None or g2 is None:
+        return np.nan
+    # point fast paths
+    if g1[0] == "Point":
+        return float(points_to_geom_distance(
+            np.array([g1[1][0]]), np.array([g1[1][1]]), g2)[0])
+    if g2[0] == "Point":
+        return float(points_to_geom_distance(
+            np.array([g2[1][0]]), np.array([g2[1][1]]), g1)[0])
+    if geom_intersects(g1, g2):
+        return 0.0
+    s1, s2 = _segments_of(g1), _segments_of(g2)
+    c1, c2 = _all_coords(g1), _all_coords(g2)
+    d = np.inf
+    for a1, a2 in s1:
+        for b1, b2 in s2:
+            d = min(d, _seg_seg_dist(a1, a2, b1, b2))
+    if not s1 and len(c1):  # multipoint-only vs segments
+        for p in c1:
+            d = min(d, float(points_to_geom_distance(
+                np.array([p[0]]), np.array([p[1]]), g2)[0]))
+    if not s2 and len(c2):
+        for p in c2:
+            d = min(d, float(points_to_geom_distance(
+                np.array([p[0]]), np.array([p[1]]), g1)[0]))
+    return float(d)
+
+
+# ---------------------------------------------------------------------------
+# Measures
+# ---------------------------------------------------------------------------
+
+def _ring_area2(ring: np.ndarray) -> float:
+    """Twice the signed shoelace area of a closed ring."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def geom_area(g) -> float:
+    if g is None:
+        return np.nan
+    name, payload = g
+    if name == "Polygon":
+        if not payload:
+            return 0.0
+        a = abs(_ring_area2(payload[0])) / 2.0
+        for hole in payload[1:]:
+            a -= abs(_ring_area2(hole)) / 2.0
+        return a
+    if name == "MultiPolygon":
+        return sum(geom_area(("Polygon", rings)) for rings in payload)
+    if name == "GeometryCollection":
+        return sum(geom_area(p) for p in payload)
+    return 0.0
+
+
+def _path_length(line: np.ndarray) -> float:
+    if len(line) < 2:
+        return 0.0
+    d = np.diff(line[:, :2], axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def geom_length(g) -> float:
+    if g is None:
+        return np.nan
+    name, payload = g
+    if name == "LineString":
+        return _path_length(payload)
+    if name == "MultiLineString":
+        return sum(_path_length(l) for l in payload)
+    if name == "GeometryCollection":
+        return sum(geom_length(p) for p in payload)
+    return 0.0
+
+
+def geom_perimeter(g) -> float:
+    if g is None:
+        return np.nan
+    name, payload = g
+    if name == "Polygon":
+        return sum(_path_length(np.vstack([r, r[:1]])) for r in payload if len(r))
+    if name == "MultiPolygon":
+        return sum(geom_perimeter(("Polygon", rings)) for rings in payload)
+    if name == "GeometryCollection":
+        return sum(geom_perimeter(p) for p in payload)
+    return 0.0
+
+
+def geom_centroid(g):
+    """Area-weighted centroid (falls back to length/point weighting)."""
+    if g is None:
+        return None
+    name, payload = g
+    if name == "Point":
+        return ("Point", np.asarray(payload[:2], dtype=np.float64))
+    if name in ("Polygon", "MultiPolygon"):
+        # standard signed-shoelace centroid: C = M / (6A), holes subtract
+        polys = [payload] if name == "Polygon" else payload
+        a_sum = mx = my = 0.0
+        for rings in polys:
+            for k, ring in enumerate(rings):
+                x, y = ring[:, 0], ring[:, 1]
+                xn, yn = np.roll(x, -1), np.roll(y, -1)
+                cross = x * yn - xn * y
+                a2 = float(cross.sum())  # 2 * signed ring area
+                if a2 == 0:
+                    continue
+                orient = 1.0 if a2 > 0 else -1.0  # normalize ring to CCW
+                sign = 1.0 if k == 0 else -1.0    # holes subtract
+                a_sum += sign * abs(a2) / 2.0
+                mx += sign * orient * float(((x + xn) * cross).sum()) / 6.0
+                my += sign * orient * float(((y + yn) * cross).sum()) / 6.0
+        if a_sum != 0:
+            return ("Point", np.array([mx / a_sum, my / a_sum]))
+    if name in ("LineString", "MultiLineString"):
+        lines = [payload] if name == "LineString" else payload
+        w = cx = cy = 0.0
+        for line in lines:
+            for i in range(len(line) - 1):
+                seg = np.hypot(*(line[i + 1, :2] - line[i, :2]))
+                mid = (line[i, :2] + line[i + 1, :2]) / 2
+                cx += mid[0] * seg
+                cy += mid[1] * seg
+                w += seg
+        if w > 0:
+            return ("Point", np.array([cx / w, cy / w]))
+    coords = _all_coords(g)
+    if coords is None or not len(coords):
+        return ("Point", np.array([np.nan, np.nan]))
+    return ("Point", coords[:, :2].mean(axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Binary predicates
+# ---------------------------------------------------------------------------
+
+def _segments_of(g):
+    name, payload = g
+    segs = []
+    if name == "LineString":
+        segs = [(payload[i], payload[i + 1]) for i in range(len(payload) - 1)]
+    elif name == "MultiLineString":
+        for l in payload:
+            segs += [(l[i], l[i + 1]) for i in range(len(l) - 1)]
+    elif name == "Polygon":
+        for r in payload:
+            segs += [(r[i], r[(i + 1) % len(r)]) for i in range(len(r))]
+    elif name == "MultiPolygon":
+        for rings in payload:
+            for r in rings:
+                segs += [(r[i], r[(i + 1) % len(r)]) for i in range(len(r))]
+    elif name == "GeometryCollection":
+        for p in payload:
+            segs += _segments_of(p)
+    return segs
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _segments_intersect(a1, a2, b1, b2) -> bool:
+    d1 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+    d2 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+    d3 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+    d4 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+    if ((d1 > 0) != (d2 > 0) or d1 == 0 or d2 == 0) and \
+       ((d3 > 0) != (d4 > 0) or d3 == 0 or d4 == 0):
+        if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:  # collinear
+            def on(p, q, r):
+                return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                        and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+            return on(a1, a2, b1) or on(a1, a2, b2) or on(b1, b2, a1) or on(b1, b2, a2)
+        def strict_on(d, p, q, r):
+            return d == 0 and (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                               and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+        proper = (d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0)
+        touch = (strict_on(d1, b1, b2, a1) or strict_on(d2, b1, b2, a2)
+                 or strict_on(d3, a1, a2, b1) or strict_on(d4, a1, a2, b2))
+        return proper or touch
+    return False
+
+
+def _bbox_disjoint(b1, b2) -> bool:
+    return (b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1])
+
+
+def geom_intersects(g1, g2) -> bool:
+    """DE-9IM 'intersects': boundaries/interiors share at least one point."""
+    if g1 is None or g2 is None:
+        return False
+    if _bbox_disjoint(geom_bbox(g1), geom_bbox(g2)):
+        return False
+    for a, b in ((g1, g2), (g2, g1)):
+        coords = _all_coords(a)
+        if a[0] in ("Point", "MultiPoint") and len(coords):
+            return bool(points_in_geom(coords[:, 0], coords[:, 1], b).any())
+    s1, s2 = _segments_of(g1), _segments_of(g2)
+    for a1, a2 in s1:
+        for b1, b2 in s2:
+            if _segments_intersect(a1, a2, b1, b2):
+                return True
+    # containment without boundary crossing: test a vertex of each in other
+    c1, c2 = _all_coords(g1), _all_coords(g2)
+    if len(c1) and points_in_geom(c1[:1, 0], c1[:1, 1], g2)[0]:
+        return True
+    if len(c2) and points_in_geom(c2[:1, 0], c2[:1, 1], g1)[0]:
+        return True
+    return False
+
+
+def geom_contains(g1, g2) -> bool:
+    """g1 contains g2 (every point of g2 in g1, interiors intersect)."""
+    if g1 is None or g2 is None:
+        return False
+    if g1[0] not in ("Polygon", "MultiPolygon"):
+        if g1[0] == "Point" and g2[0] == "Point":
+            return bool(np.array_equal(g1[1][:2], g2[1][:2]))
+        return False
+    c2 = _all_coords(g2)
+    if c2 is None or not len(c2):
+        return False
+    if not bool(points_in_geom(c2[:, 0], c2[:, 1], g1).all()):
+        return False
+    # vertices inside isn't enough for lines/polygons: edges must not exit.
+    if g2[0] not in ("Point", "MultiPoint"):
+        rings1 = _segments_of(g1)
+        for b1, b2 in _segments_of(g2):
+            mid = ((b1[0] + b2[0]) / 2.0, (b1[1] + b2[1]) / 2.0)
+            if not points_in_geom(np.array([mid[0]]), np.array([mid[1]]), g1)[0]:
+                return False
+            for a1, a2 in rings1:
+                # proper crossing of boundary would leave the polygon
+                d1 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+                d2 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+                d3 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+                d4 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+                if (d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0) and 0 not in (d1, d2, d3, d4):
+                    return False
+    # ST_Contains: interior point required (a point on pure boundary fails)
+    if g2[0] == "Point":
+        return not bool(_on_boundary_only(g1, g2[1][0], g2[1][1]))
+    return True
+
+
+def _on_boundary_only(gpoly, x, y) -> bool:
+    px, py = np.array([x]), np.array([y])
+    polys = [gpoly[1]] if gpoly[0] == "Polygon" else gpoly[1]
+    on_edge = False
+    strictly_in = False
+    for rings in polys:
+        edge = np.zeros(1, dtype=bool)
+        for ring in rings:
+            edge |= _points_on_ring_edge(px, py, ring)
+        interior = points_in_polygon(px, py, rings, boundary_counts=False)[0] and not edge[0]
+        strictly_in |= bool(interior)
+        on_edge |= bool(edge[0])
+    return on_edge and not strictly_in
+
+
+def geom_within(g1, g2) -> bool:
+    return geom_contains(g2, g1)
+
+
+def geom_covers(g1, g2) -> bool:
+    """Like contains but boundary-inclusive (no interior-point requirement)."""
+    if g1 is None or g2 is None:
+        return False
+    if g1[0] in ("Polygon", "MultiPolygon"):
+        c2 = _all_coords(g2)
+        if c2 is None or not len(c2):
+            return False
+        if not bool(points_in_geom(c2[:, 0], c2[:, 1], g1).all()):
+            return False
+        if g2[0] in ("Point", "MultiPoint"):
+            return True
+        return geom_contains(g1, g2) or bool(
+            points_in_geom(c2[:, 0], c2[:, 1], g1).all())
+    if g1[0] == "Point" and g2[0] == "Point":
+        return bool(np.array_equal(g1[1][:2], g2[1][:2]))
+    return False
+
+
+def geom_covered_by(g1, g2) -> bool:
+    return geom_covers(g2, g1)
+
+
+def geom_disjoint(g1, g2) -> bool:
+    return not geom_intersects(g1, g2)
+
+
+def geom_equals(g1, g2) -> bool:
+    """Topological equality approximated as mutual coverage."""
+    if g1 is None or g2 is None:
+        return False
+    if g1[0] == "Point" and g2[0] == "Point":
+        return bool(np.array_equal(g1[1][:2], g2[1][:2]))
+    return geom_covers(g1, g2) and geom_covers(g2, g1)
+
+
+def geom_dwithin(g1, g2, d: float) -> bool:
+    if g1 is None or g2 is None:
+        return False
+    b1, b2 = geom_bbox(g1), geom_bbox(g2)
+    # bbox prefilter with expansion (reference expands build bboxes by d:
+    # rust/sedona-expr/src/spatial_filter.rs try_from_distance_predicate)
+    if (b1[2] + d < b2[0] or b2[2] + d < b1[0]
+            or b1[3] + d < b2[1] or b2[3] + d < b1[1]):
+        return False
+    return geom_distance(g1, g2) <= d
+
+
+PREDICATES = {
+    "intersects": geom_intersects,
+    "contains": geom_contains,
+    "within": geom_within,
+    "covers": geom_covers,
+    "coveredby": geom_covered_by,
+    "disjoint": geom_disjoint,
+    "equals": geom_equals,
+}
+
+
+# ---------------------------------------------------------------------------
+# Envelope / convex hull / simple transforms
+# ---------------------------------------------------------------------------
+
+def geom_envelope(g):
+    xmin, ymin, xmax, ymax = geom_bbox(g)
+    if np.isnan(xmin):
+        return ("Polygon", [])
+    if xmin == xmax and ymin == ymax:
+        return ("Point", np.array([xmin, ymin]))
+    ring = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]])
+    return ("Polygon", [ring])
+
+
+def convex_hull(g):
+    """Monotone-chain convex hull."""
+    coords = _all_coords(g)
+    if coords is None or len(coords) == 0:
+        return ("GeometryCollection", [])
+    pts = np.unique(coords[:, :2], axis=0)
+    if len(pts) == 1:
+        return ("Point", pts[0])
+    if len(pts) == 2:
+        return ("LineString", pts)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+    def half(iterable):
+        h = []
+        for p in iterable:
+            while len(h) >= 2 and _orient(h[-2][0], h[-2][1], h[-1][0], h[-1][1], p[0], p[1]) <= 0:
+                h.pop()
+            h.append(tuple(p))
+        return h
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return ("LineString", np.array(hull))
+    ring = np.array(hull + [hull[0]], dtype=np.float64)
+    return ("Polygon", [ring])
+
+
+def geom_buffer(g, dist: float, quad_segs: int = 8):
+    """Buffer.  Exact for points (regular 4*quad_segs-gon circle approx, the
+    standard public algorithm); for other types: minkowski-ish approximation
+    via buffered convex hull of coords when dist > 0 (documented approximate
+    tier; the reference uses GEOS, c/sedona-geos buffer kernel)."""
+    if g is None:
+        return None
+    if dist == 0:
+        return g
+    name, payload = g
+    k = max(4, 4 * quad_segs)
+    ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+    if name == "Point":
+        ring = np.column_stack([payload[0] + dist * np.cos(ang),
+                                payload[1] + dist * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        return ("Polygon", [ring])
+    coords = _all_coords(g)
+    if coords is None or not len(coords):
+        return ("Polygon", [])
+    # dilate every vertex by a circle, hull the union (approximation)
+    cloud = (coords[:, :2][:, None, :] +
+             dist * np.column_stack([np.cos(ang), np.sin(ang)])[None, :, :]).reshape(-1, 2)
+    return convex_hull(("MultiPoint", cloud))
