@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over sedona_db_spark: ``entry`` runs the flagship
+point-in-polygon spatial-join aggregation on sf0.001; ``queries`` /
+``oracle_sql`` expose every implemented operator with its DuckDB oracle
+(see sedona_db_spark/plans/demo_queries.py).
 """
 
 from __future__ import annotations
@@ -14,25 +13,30 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _prepare(spark: SparkSession) -> None:
+    from sedona_db_spark.session import register_all
+    register_all(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: geocode documents → spatial join into nation
+    rectangles → count per nation (two-phase cell join + refine)."""
+    _prepare(spark)
+    from sedona_db_spark.plans.demo_queries import q_pip_count_by_nation
+    return q_pip_count_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sedona_db_spark.plans.demo_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+        return run
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sedona_db_spark.plans.demo_queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

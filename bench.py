@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "spatial_join_rows_per_sec": ...}
+
+--scaling mode: the north-rule evidence run — the identical spatial-join
+job at two parallelism levels (local[N] and local[4N]) over the same
+input, reporting throughput at both and the scaling efficiency
+(tput_4N / (4 * tput_N)).  Results also land in BASELINE.md's table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+HEADLINE = [
+    # spatial engine
+    "pip_pairs", "pip_count_by_nation", "knn_pairs", "dwithin_pairs",
+    "tile_assignments", "geocode_cells",
+    # training-data ops
+    "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "ann_topk", "token_counts", "quality_scores",
+    # relational core
+    "tpch_pricing", "tpch_revenue_by_nation", "events_window",
+]
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict:
+    from sedona_db_spark.session import get_spark
+    from sedona_db_spark.plans.demo_queries import QUERIES
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + python workers once (excluded from timings)
+    QUERIES["geocode_cells"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship spatial-join throughput: web-pages PIP join at bench scale
+    tput, joined, pjoin_sec = pages_pip_throughput(spark)
+    timings["pages_pip_join"] = round(pjoin_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "spatial_join_rows_per_sec": round(tput),
+        "spatial_join_joined_rows": joined,
+    }
+
+
+def pages_pip_throughput(spark, n_pages: int | None = None):
+    """The BASELINE.json metric: joined rows/sec of the two-phase spatial
+    join between geocoded web pages and a polygon layer."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.webtext import synth_pages, pages_to_points
+    from sedona_db_spark.sources.fixtures import regions_grid
+    from sedona_db_spark.operators import spatial_join
+
+    n_pages = n_pages or int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+    pages = pages_to_points(synth_pages(spark, n_pages)).select("url", "geom")
+    regions = spark.createDataFrame(regions_grid(n_side=8, metro_hotspots=8))
+    # world-spanning region layer so a realistic share of pages match
+    t0 = time.time()
+    joined = spatial_join(pages, regions, "coveredby", "inner",
+                          left_geom="geom", right_geom="geom").count()
+    dt = time.time() - t0
+    return joined / dt, joined, dt
+
+
+def run_scaling(n_low: int, n_high: int) -> dict:
+    """Identical job at local[n_low] vs local[n_high] (north-rule evidence:
+    the sandbox substitute for an N- vs 4N-executor cluster)."""
+    from pyspark.sql import SparkSession
+    from sedona_db_spark.session import get_spark
+
+    results = {}
+    for cpus in (n_low, n_high):
+        spark = get_spark(app_name=f"bench-scale-{cpus}",
+                          master=f"local[{cpus}]", shuffle_partitions=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm-up (JVM + python worker pool), then measured run
+        pages_pip_throughput(spark, n_pages=100_000)
+        tput, joined, dt = pages_pip_throughput(spark)
+        results[cpus] = {"rows_per_sec": round(tput), "sec": round(dt, 3),
+                         "joined_rows": joined}
+        spark.stop()
+        SparkSession._instantiatedSession = None  # allow a fresh master
+    eff = (results[n_high]["rows_per_sec"]
+           / (results[n_low]["rows_per_sec"] * (n_high / n_low)))
+    return {
+        "metric": "spatial_join_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low": {"cpus": n_low, **results[n_low]},
+        "high": {"cpus": n_high, **results[n_high]},
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        out = run_scaling(8, 32)
+    else:
+        out = run_headline(sf_dir, cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,11 +120,15 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, rings,
     res = points_in_ring(px, py, rings[0], boundary_counts=False)
     for hole in rings[1:]:
         res &= ~points_in_ring(px, py, hole, boundary_counts=False)
+    # raw crossing-number counts left/bottom boundaries in and right/top out;
+    # normalize: boundary points are all-in (covers) or all-out (interior)
+    edge = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        edge |= _points_on_ring_edge(px, py, ring)
     if boundary_counts:
-        edge = np.zeros(len(px), dtype=bool)
-        for ring in rings:
-            edge |= _points_on_ring_edge(px, py, ring)
         res |= edge
+    else:
+        res &= ~edge
     return res
 
 

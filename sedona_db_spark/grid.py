@@ -71,6 +71,11 @@ def covering_cells(xmin: float, ymin: float, xmax: float, ymax: float,
     ix1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * n), 0, n - 1))
     iy0 = int(np.clip(np.floor((ymin + 90.0) / 180.0 * n), 0, n - 1))
     iy1 = int(np.clip(np.floor((ymax + 90.0) / 180.0 * n), 0, n - 1))
+    n_cells = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    if n_cells > (1 << 22):
+        raise ValueError(
+            f"covering of bbox ({xmin},{ymin},{xmax},{ymax}) at res {res} "
+            f"would produce {n_cells} cells; choose a coarser resolution")
     ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
     iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(ixs, iys, indexing="ij")
@@ -123,9 +128,11 @@ def cell_expr_sql(lon_expr: str, lat_expr: str, res: int) -> str:
     Iceberg partition-transform expression for cell-clustered tables.
     """
     n = 1 << res
-    ix = (f"least(greatest(cast(floor((({lon_expr}) + 180.0) / 360.0 * {n}) "
-          f"as bigint), 0), {n - 1})")
-    iy = (f"least(greatest(cast(floor((({lat_expr}) + 90.0) / 180.0 * {n}) "
-          f"as bigint), 0), {n - 1})")
+    # CAST(... AS DOUBLE) divisors: bare decimal literals make DuckDB run
+    # the division in DECIMAL, not IEEE double
+    ix = (f"least(greatest(cast(floor((({lon_expr}) + 180.0) "
+          f"/ cast(360 as double) * {n}) as bigint), 0), {n - 1})")
+    iy = (f"least(greatest(cast(floor((({lat_expr}) + 90.0) "
+          f"/ cast(180 as double) * {n}) as bigint), 0), {n - 1})")
     return (f"(cast({res} as bigint) * {1 << _RES_SHIFT} + "
             f"({ix}) * {1 << _X_SHIFT} + ({iy}))")

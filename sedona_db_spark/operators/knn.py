@@ -148,7 +148,17 @@ def knn_join(
         if exhausted:
             done_ids = pending.select(query_id)
         settled = ranked.join(done_ids, on=query_id, how="left_semi")
-        settled_parts.append(settled.where(F.col("__rn") <= k).drop("__rn"))
+        if include_ties:
+            # keep every candidate at distance ≤ the k-th (ties included)
+            kth_all = (settled.where(F.col("__rn") == k)
+                       .select(query_id, F.col("knn_dist").alias("__kth")))
+            settled = (settled.join(kth_all, on=query_id, how="left")
+                       .where(F.col("__kth").isNull()
+                              | (F.col("knn_dist") <= F.col("__kth")))
+                       .drop("__kth"))
+            settled_parts.append(settled.drop("__rn"))
+        else:
+            settled_parts.append(settled.where(F.col("__rn") <= k).drop("__rn"))
         pending = pending.join(done_ids, on=query_id, how="left_anti")
         accumulated = accumulated.join(done_ids, on=query_id, how="left_anti")
         if exhausted or pending.isEmpty():

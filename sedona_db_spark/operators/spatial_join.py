@@ -174,11 +174,22 @@ def spatial_join(
     if predicate == "dwithin" and isinstance(distance, (int, float)):
         pad = float(distance)
 
-    # ---- choose resolution from dimension-side stats ------------------------
+    # non-point left geometries need coverings: detect cheaply via sampling
+    head = left.select(left_geom).head(1)
+    l_is_exploded = bool(
+        head and head[0][0] is not None
+        and len(bytes(head[0][0])) != W.POINT_WKB_SIZE)
+
+    # ---- choose resolution from BOTH sides' bbox statistics -----------------
+    # (a fine res that suits a point side would blow up the covering of an
+    # extended other side; take the coarser of the two caps)
     stats = _bbox_stats(right, rgeom)
     if res is None:
         res = pick_join_res({**stats, "w": stats["w"] + 2 * pad,
                              "h": stats["h"] + 2 * pad})
+        if l_is_exploded:
+            lstats = _bbox_stats(left, left_geom)
+            res = min(res, pick_join_res(lstats))
 
     # ---- phase 1: cell keys -------------------------------------------------
     r_cells = right.withColumn(
@@ -189,15 +200,12 @@ def spatial_join(
 
     # probe side: points get a single vectorized cell; general geometries
     # explode coverings and dedupe via the min-common-cell rule below
-    l_is_exploded = False
-    l_cells = left.withColumn("__cell", _cell_udf(res)(F.col(left_geom)))
-    # non-point left geometries need coverings: detect cheaply via sampling
-    head = left.select(left_geom).head(1)
-    if head and head[0][0] is not None and len(bytes(head[0][0])) != W.POINT_WKB_SIZE:
-        l_is_exploded = True
+    if l_is_exploded:
         l_cells = left.withColumn(
             "__cells_l", _covering_cells_udf(res)(F.col(left_geom))
         ).withColumn("__cell", F.explode("__cells_l")).drop("__cells_l")
+    else:
+        l_cells = left.withColumn("__cell", _cell_udf(res)(F.col(left_geom)))
 
     if salt > 1:
         r_cells = r_cells.withColumn(

@@ -1,0 +1,627 @@
+"""Driver-contract queries: every implemented operator as a (Spark, oracle
+SQL) pair over the shared parquet test tables.
+
+Each entry in QUERIES is a callable (spark, sf_dir) -> DataFrame whose
+result must match ORACLE_SQL[name] run by DuckDB on the same tables —
+row counts, schema, and order-insensitive value hashes.  Geometries for
+the spatial queries are *derived* deterministically from table keys with
+pure arithmetic (documents.doc_id → lon/lat points; nation keys →
+rectangles; tile grid → affine tiles) so a spatial-extension-free DuckDB
+can verify spatial-join semantics exactly with interval arithmetic.
+
+Design notes for exact cross-engine parity:
+- all shared arithmetic is IEEE double with identical operation order;
+- aggregate sums go through DECIMAL (order-independent) then cast to
+  double; dot products go through 1e6-scaled BIGINT (exact);
+- boundary semantics are closed-closed on both sides (coveredby / BETWEEN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from sedona_db_spark import grid
+from sedona_db_spark.textops import analysis as TA
+from sedona_db_spark.textops import dedup as TD
+
+
+# ---------------------------------------------------------------------------
+# shared derivations (MUST stay in sync between Spark and SQL forms)
+# ---------------------------------------------------------------------------
+
+# divide by CAST(... AS DOUBLE): a bare 1000000.0 literal is DECIMAL in
+# DuckDB and the division would come out DECIMAL, not IEEE double
+LON_SQL = ("((doc_id * 2654435761) % 360000000) / CAST(1000000 AS DOUBLE)"
+           " - 180.0")
+LAT_SQL = "((doc_id * 40503) % 170000000) / CAST(1000000 AS DOUBLE) - 85.0"
+
+# nation rectangles: 25 overlapping lon/lat boxes derived from n_nationkey
+RECT = {
+    "lon0": "(-180.0 + n_nationkey * 14.0)",
+    "lon1": "(-180.0 + n_nationkey * 14.0 + 20.0)",
+    "lat0": "(-85.0 + (n_nationkey % 5) * 30.0)",
+    "lat1": "(-85.0 + (n_nationkey % 5) * 30.0 + 38.0)",
+}
+
+# supplier "cities": point centers derived from s_suppkey
+CITY_LON = "(-120.0 + (s_suppkey * 7) % 60)"
+CITY_LAT = "(25.0 + (s_suppkey * 11) % 20)"
+DWITHIN_D = 4.987654321
+
+# tile grid (matches raster.model.make_tiles_df defaults)
+TILE_NX, TILE_NY, TILE_PX = 16, 16, 64
+TILE_BOUNDS = (-120.0, 20.0, -60.0, 50.0)
+TILE_W = (TILE_BOUNDS[2] - TILE_BOUNDS[0]) / TILE_NX   # 3.75
+TILE_H = (TILE_BOUNDS[3] - TILE_BOUNDS[1]) / TILE_NY   # 1.875
+
+CELL_RES = 4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic lon/lat/WKB-point (arithmetic geocode)."""
+    from sedona_db_spark.functions.scalar import st_point
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL))
+    return d.withColumn("geom", st_point(F.col("lon"), F.col("lat")))
+
+
+def nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nations → overlapping WKB rectangles (built via ST_GeomFromText)."""
+    from sedona_db_spark.functions.scalar import st_geomfromtext
+    n = _t(spark, sf_dir, "nation")
+    for k, sql in RECT.items():
+        n = n.withColumn(k, F.expr(sql))
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("lon0").cast("string"), F.lit(" "), F.col("lat0").cast("string"), F.lit(", "),
+        F.col("lon1").cast("string"), F.lit(" "), F.col("lat0").cast("string"), F.lit(", "),
+        F.col("lon1").cast("string"), F.lit(" "), F.col("lat1").cast("string"), F.lit(", "),
+        F.col("lon0").cast("string"), F.lit(" "), F.col("lat1").cast("string"), F.lit(", "),
+        F.col("lon0").cast("string"), F.lit(" "), F.col("lat0").cast("string"),
+        F.lit("))"))
+    return n.withColumn("geom", st_geomfromtext(wkt)).drop(*RECT.keys())
+
+
+def _docs_cte() -> str:
+    return (f"WITH docs AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat "
+            f"FROM documents)")
+
+
+def _rects_cte() -> str:
+    return (f"rects AS (SELECT n_nationkey, n_name, {RECT['lon0']} AS lon0, "
+            f"{RECT['lon1']} AS lon1, {RECT['lat0']} AS lat0, "
+            f"{RECT['lat1']} AS lat1 FROM nation)")
+
+
+# ---------------------------------------------------------------------------
+# 1. geocode + cell encoding
+# ---------------------------------------------------------------------------
+
+def q_geocode_cells(spark, sf_dir):
+    from sedona_db_spark.functions.scalar import sd_cell_xy
+    d = doc_points(spark, sf_dir)
+    return d.select(
+        "doc_id", "lon", "lat",
+        sd_cell_xy(F.col("lon"), F.col("lat"), F.lit(CELL_RES)).alias("cell"))
+
+
+ORACLE_GEOCODE = (
+    f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat, "
+    + grid.cell_expr_sql(LON_SQL, LAT_SQL, CELL_RES) + " AS cell FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# 2/3. point-in-polygon spatial join (pairs + group count)
+# ---------------------------------------------------------------------------
+
+def _pip_join(spark, sf_dir):
+    from sedona_db_spark.operators import spatial_join
+    pts = doc_points(spark, sf_dir)
+    rects = nation_rects(spark, sf_dir)
+    return spatial_join(pts, rects, "coveredby", "inner",
+                        left_geom="geom", right_geom="geom")
+
+
+def q_pip_pairs(spark, sf_dir):
+    return _pip_join(spark, sf_dir).select("doc_id", "n_nationkey")
+
+
+ORACLE_PIP_PAIRS = (
+    _docs_cte() + ", " + _rects_cte() +
+    " SELECT d.doc_id, r.n_nationkey FROM docs d JOIN rects r "
+    "ON d.lon BETWEEN r.lon0 AND r.lon1 AND d.lat BETWEEN r.lat0 AND r.lat1")
+
+
+def q_pip_count_by_nation(spark, sf_dir):
+    return (_pip_join(spark, sf_dir)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+ORACLE_PIP_COUNT = (
+    _docs_cte() + ", " + _rects_cte() +
+    " SELECT r.n_name, count(*) AS cnt FROM docs d JOIN rects r "
+    "ON d.lon BETWEEN r.lon0 AND r.lon1 AND d.lat BETWEEN r.lat0 AND r.lat1 "
+    "GROUP BY r.n_name")
+
+
+# ---------------------------------------------------------------------------
+# 4. distance join (ST_DWithin)
+# ---------------------------------------------------------------------------
+
+def q_dwithin_pairs(spark, sf_dir):
+    from sedona_db_spark.functions.scalar import st_point
+    from sedona_db_spark.operators import spatial_join
+    pts = doc_points(spark, sf_dir)
+    sup = (_t(spark, sf_dir, "supplier")
+           .withColumn("clon", F.expr(CITY_LON))
+           .withColumn("clat", F.expr(CITY_LAT))
+           .withColumn("geom", st_point(F.col("clon"), F.col("clat"))))
+    j = spatial_join(pts, sup, "dwithin", "inner", distance=DWITHIN_D)
+    return j.select("doc_id", "s_suppkey")
+
+
+ORACLE_DWITHIN = (
+    _docs_cte() + f", sup AS (SELECT s_suppkey, {CITY_LON} AS clon, "
+    f"{CITY_LAT} AS clat FROM supplier) "
+    f"SELECT d.doc_id, s.s_suppkey FROM docs d JOIN sup s ON "
+    f"sqrt((d.lon - s.clon) * (d.lon - s.clon) + (d.lat - s.clat) * (d.lat - s.clat)) "
+    f"<= {DWITHIN_D!r}")
+
+
+# ---------------------------------------------------------------------------
+# 5. kNN join
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def q_knn_pairs(spark, sf_dir):
+    from sedona_db_spark.operators import knn_join
+    d = doc_points(spark, sf_dir)
+    q = d.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("q_id"), F.col("geom"))
+    t = d.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("t_id"), F.col("geom"))
+    r = knn_join(q, t, KNN_K, query_id="q_id", target_id="t_id")
+    w = Window.partitionBy("q_id").orderBy(F.col("knn_dist").asc(), F.col("t_id").asc())
+    return r.withColumn("rn", F.row_number().over(w)).select("q_id", "t_id", "rn")
+
+
+ORACLE_KNN = (
+    _docs_cte() +
+    f""", q AS (SELECT doc_id AS q_id, lon, lat FROM docs WHERE doc_id % 20 = 0),
+    t AS (SELECT doc_id AS t_id, lon, lat FROM docs WHERE doc_id % 20 <> 0),
+    pairs AS (
+      SELECT q.q_id, t.t_id,
+             sqrt((q.lon - t.lon) * (q.lon - t.lon)
+                  + (q.lat - t.lat) * (q.lat - t.lat)) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY sqrt((q.lon - t.lon) * (q.lon - t.lon)
+                                              + (q.lat - t.lat) * (q.lat - t.lat)),
+                                         t.t_id) AS rn
+      FROM q CROSS JOIN t)
+    SELECT q_id, t_id, rn FROM pairs WHERE rn <= {KNN_K}""")
+
+
+# ---------------------------------------------------------------------------
+# 6/7. raster: tile↔vector lookup join + affine pixel math
+# ---------------------------------------------------------------------------
+
+def q_tile_assignments(spark, sf_dir):
+    from sedona_db_spark.raster.model import make_tiles_df
+    from sedona_db_spark.raster.functions import rs_intersects
+    tiles = make_tiles_df(spark, TILE_NX, TILE_NY, TILE_PX, TILE_BOUNDS,
+                          with_pixels=False)
+    rects = nation_rects(spark, sf_dir)
+    j = tiles.crossJoin(F.broadcast(rects))
+    return (j.where(rs_intersects(F.col("raster"), F.col("geom")))
+             .select("tile_id", "n_nationkey"))
+
+
+ORACLE_TILES = (
+    "WITH " + _rects_cte() + f""",
+    tiles AS (
+      SELECT tile_id,
+             {TILE_BOUNDS[0]!r} + (tile_id % {TILE_NX}) * {TILE_W!r} AS tx0,
+             {TILE_BOUNDS[0]!r} + (tile_id % {TILE_NX}) * {TILE_W!r} + {TILE_W!r} AS tx1,
+             {TILE_BOUNDS[3]!r} - (tile_id // {TILE_NX}) * {TILE_H!r} - {TILE_H!r} AS ty0,
+             {TILE_BOUNDS[3]!r} - (tile_id // {TILE_NX}) * {TILE_H!r} AS ty1
+      FROM (SELECT unnest(range({TILE_NX * TILE_NY})) AS tile_id))
+    SELECT t.tile_id, r.n_nationkey FROM tiles t JOIN rects r
+    ON t.tx0 <= r.lon1 AND r.lon0 <= t.tx1 AND t.ty0 <= r.lat1 AND r.lat0 <= t.ty1""")
+
+
+PIX_COL, PIX_ROW = 32, 17
+
+
+def q_tile_pixels(spark, sf_dir):
+    from sedona_db_spark.raster.model import make_tiles_df
+    from sedona_db_spark.raster.functions import (
+        rs_rastertoworldcoordx, rs_rastertoworldcoordy, rs_value)
+    tiles = make_tiles_df(spark, TILE_NX, TILE_NY, TILE_PX, TILE_BOUNDS,
+                          with_pixels=True)
+    return tiles.select(
+        "tile_id",
+        rs_rastertoworldcoordx(F.col("raster"), F.lit(PIX_COL), F.lit(PIX_ROW)).alias("px"),
+        rs_rastertoworldcoordy(F.col("raster"), F.lit(PIX_COL), F.lit(PIX_ROW)).alias("py"),
+        rs_value(F.col("raster"), F.lit(PIX_COL), F.lit(PIX_ROW)).alias("pval"))
+
+
+ORACLE_TILE_PIXELS = f"""
+SELECT tile_id,
+       {TILE_BOUNDS[0]!r} + (tile_id % {TILE_NX}) * {TILE_W!r}
+         + ({PIX_COL} - 1) * {TILE_W / TILE_PX!r} AS px,
+       {TILE_BOUNDS[3]!r} - (tile_id // {TILE_NX}) * {TILE_H!r}
+         + ({PIX_ROW} - 1) * {-TILE_H / TILE_PX!r} AS py,
+       CAST((tile_id * 31 + ({PIX_ROW} - 1) * 7 + ({PIX_COL} - 1) * 3) % 256 AS DOUBLE) AS pval
+FROM (SELECT unnest(range({TILE_NX * TILE_NY})) AS tile_id)"""
+
+
+# ---------------------------------------------------------------------------
+# 8. spatial aggregate (envelope per group)
+# ---------------------------------------------------------------------------
+
+def q_envelope_by_lang(spark, sf_dir):
+    from sedona_db_spark.functions.scalar import st_x, st_y
+    d = doc_points(spark, sf_dir)
+    return (d.groupBy("lang")
+            .agg(F.min(st_x(F.col("geom"))).alias("xmin"),
+                 F.min(st_y(F.col("geom"))).alias("ymin"),
+                 F.max(st_x(F.col("geom"))).alias("xmax"),
+                 F.max(st_y(F.col("geom"))).alias("ymax"),
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+ORACLE_ENVELOPE = (
+    f"SELECT lang, min({LON_SQL}) AS xmin, min({LAT_SQL}) AS ymin, "
+    f"max({LON_SQL}) AS xmax, max({LAT_SQL}) AS ymax, count(*) AS cnt "
+    f"FROM documents GROUP BY lang")
+
+
+# ---------------------------------------------------------------------------
+# 9/10. relational core (TPC-H-style; Catalyst built-ins only)
+# ---------------------------------------------------------------------------
+
+def q_tpch_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").alias("sum_qty"),
+                F.expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").alias("sum_base_price"),
+                F.expr("cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double)").alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order")))
+
+
+ORACLE_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(c, o["o_custkey"] == c["c_custkey"])
+             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+             .groupBy("r_name", "n_name")
+             .agg(F.expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").alias("revenue"),
+                  F.count(F.lit(1)).alias("n_orders")))
+
+
+ORACLE_TPCH_REVENUE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name"""
+
+
+# ---------------------------------------------------------------------------
+# 11. window functions over events
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value", 1).over(w).alias("prev_value"))
+
+
+ORACLE_EVENTS_WINDOW = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# 12-15. training-data text ops
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return TD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = ("SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+                      "count(*) AS dup_cnt FROM documents GROUP BY md5(text)")
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TA.token_count(F.col("text")).alias("n_tokens"))
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+FROM documents"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TA.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _occ_sql(needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (f"CAST((length(padded) - length(replace(padded, '{esc}', ''))) "
+            f"/ {len(needle)} AS BIGINT)")
+
+
+def _oracle_lang_id() -> str:
+    score = {lang: " + ".join(_occ_sql(m) for m in ms)
+             for lang, ms in TA.LANG_MARKERS.items()}
+    # first-lang-wins-ties via strict > fold, mirrored exactly
+    sql = "WITH padded_docs AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents), "
+    sql += "scores AS (SELECT doc_id"
+    for lang, s in score.items():
+        sql += f", ({s}) AS s_{lang}"
+    sql += " FROM padded_docs) SELECT doc_id, "
+    expr_best, expr_score = "'und'", "CAST(0 AS BIGINT)"
+    for lang in TA.LANG_MARKERS:
+        expr_best = f"CASE WHEN s_{lang} > {expr_score} THEN '{lang}' ELSE {expr_best} END"
+        expr_score = f"CASE WHEN s_{lang} > {expr_score} THEN s_{lang} ELSE {expr_score} END"
+    sql += f"{expr_best} AS lang_guess FROM scores"
+    return sql
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TA.quality_score(F.col("text")).alias("quality"))
+
+
+def _oracle_quality() -> str:
+    stop = " + ".join(_occ_sql(m) for m in TA.LANG_MARKERS["en"])
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents),
+comp AS (
+  SELECT doc_id,
+         least(n / 500.0, 1.0) AS len_component,
+         CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END AS alpha_ratio,
+         least((CASE WHEN n_tok > 0 THEN CAST(({stop}) AS DOUBLE) / n_tok ELSE 0.0 END) * 5.0,
+               1.0) AS stop_component
+  FROM base)
+SELECT doc_id,
+       len_component * 0.3 + alpha_ratio * 0.4 + stop_component * 0.3 AS quality
+FROM comp"""
+
+
+# ---------------------------------------------------------------------------
+# 16/17. MinHash dedup + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+MINHASH_PERMS = 4
+MINHASH_BANDS = 2
+SHINGLE_N = 3
+JACCARD_T = 0.3
+
+_SHINGLES_CTE = rf"""
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       FROM toks CROSS JOIN unnest(range(1, greatest(len(l) - {SHINGLE_N - 2}, 1))) AS t(i))"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return TD.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                 n=SHINGLE_N, num_perm=MINHASH_PERMS)
+
+
+_ORACLE_MINHASH_SIG = (
+    "WITH " + _SHINGLES_CTE + " SELECT doc_id, "
+    + ", ".join(f"min(md5('perm{p}|' || shingle)) AS mh_{p}"
+                for p in range(MINHASH_PERMS))
+    + " FROM sh GROUP BY doc_id")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return TD.minhash_lsh_candidates(_t(spark, sf_dir, "documents"),
+                                     n=SHINGLE_N, num_perm=MINHASH_PERMS,
+                                     bands=MINHASH_BANDS)
+
+
+def _oracle_minhash_pairs() -> str:
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    band_keys = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh_{b * rows + r}" for r in range(rows)]
+        concat = " || '|' || ".join(cols) if len(cols) > 1 else cols[0]
+        band_keys.append(f"SELECT doc_id, {b} AS band, {concat} AS band_key FROM sig")
+    union = " UNION ALL ".join(band_keys)
+    return (
+        "WITH " + _SHINGLES_CTE + ", sig AS (SELECT doc_id, "
+        + ", ".join(f"min(md5('perm{p}|' || shingle)) AS mh_{p}"
+                    for p in range(MINHASH_PERMS))
+        + f" FROM sh GROUP BY doc_id), keyed AS ({union}) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM keyed a JOIN keyed b ON a.band = b.band "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return TD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                  n=SHINGLE_N, threshold=JACCARD_T)
+
+
+_ORACLE_JACCARD = (
+    "WITH " + _SHINGLES_CTE + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= """ + repr(JACCARD_T))
+
+
+# ---------------------------------------------------------------------------
+# 18. embedding similarity (exact top-k, integer-exact arithmetic)
+# ---------------------------------------------------------------------------
+
+ANN_K = 3
+
+
+def q_ann_topk(spark, sf_dir):
+    from sedona_db_spark.similarity import cosine_topk_bruteforce
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 25 == 0)
+    return cosine_topk_bruteforce(e, q, ANN_K).select("q_id", "t_id", "cosine", "rn")
+
+
+ORACLE_ANN = f"""
+WITH iv AS (SELECT vec_id,
+                   list_transform(embedding, x ->
+                     round(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE))) AS v
+            FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM iv WHERE vec_id % 25 = 0),
+sims AS (SELECT q.q_id, t.vec_id AS t_id,
+                list_inner_product(q.qv, t.v)
+                / (sqrt(list_inner_product(q.qv, q.qv))
+                   * sqrt(list_inner_product(t.v, t.v))) AS cosine
+         FROM q CROSS JOIN iv t WHERE q.q_id <> t.vec_id),
+ranked AS (SELECT q_id, t_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, t_id) AS rn
+           FROM sims)
+SELECT q_id, t_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}"""
+
+
+# ---------------------------------------------------------------------------
+# 19-21. no-oracle ops (rows-only driver check; exact pytest oracles exist)
+# ---------------------------------------------------------------------------
+
+def q_simhash_neardup(spark, sf_dir):
+    return TD.simhash_neardup_pairs(_t(spark, sf_dir, "documents"),
+                                    max_hamming=8, bands=4)
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TA.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from sedona_db_spark.similarity import lsh_ann_topk
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 25 == 0)
+    return lsh_ann_topk(e, q, ANN_K, dim=64, n_planes=6)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from sedona_db_spark.multimodal import extract_media_meta
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"))
+    return extract_media_meta(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 4)))) AS magic,
+       8 AS width, 8 AS height
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "geocode_cells": q_geocode_cells,
+    "pip_pairs": q_pip_pairs,
+    "pip_count_by_nation": q_pip_count_by_nation,
+    "dwithin_pairs": q_dwithin_pairs,
+    "knn_pairs": q_knn_pairs,
+    "tile_assignments": q_tile_assignments,
+    "tile_pixels": q_tile_pixels,
+    "envelope_by_lang": q_envelope_by_lang,
+    "tpch_pricing": q_tpch_pricing,
+    "tpch_revenue_by_nation": q_tpch_revenue_by_nation,
+    "events_window": q_events_window,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "simhash_neardup": q_simhash_neardup,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE_SQL = {
+    "geocode_cells": ORACLE_GEOCODE,
+    "pip_pairs": ORACLE_PIP_PAIRS,
+    "pip_count_by_nation": ORACLE_PIP_COUNT,
+    "dwithin_pairs": ORACLE_DWITHIN,
+    "knn_pairs": ORACLE_KNN,
+    "tile_assignments": ORACLE_TILES,
+    "tile_pixels": ORACLE_TILE_PIXELS,
+    "envelope_by_lang": ORACLE_ENVELOPE,
+    "tpch_pricing": ORACLE_TPCH_PRICING,
+    "tpch_revenue_by_nation": ORACLE_TPCH_REVENUE,
+    "events_window": ORACLE_EVENTS_WINDOW,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "lang_id": _oracle_lang_id(),
+    "quality_scores": _oracle_quality(),
+    "minhash_signatures": _ORACLE_MINHASH_SIG,
+    "minhash_lsh_pairs": _oracle_minhash_pairs(),
+    "ngram_jaccard_pairs": _ORACLE_JACCARD,
+    "ann_topk": ORACLE_ANN,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+    # simhash_neardup / doc_fingerprints / lsh_ann_topk: rows-only
+    # (non-SQL-expressible hashing; exact pytest oracles in tests/)
+}

@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB case: every stage is a shuffle-on-key DataFrame op
+(group-by/join on hash keys) — no driver-side state, no cross joins.
+
+- exact: md5 group-by (map-side combinable).
+- minhash: word-shingle → per-permutation min of md5(salt || shingle) —
+  md5 is JVM-side; a signature is an equi-join/group-by key, so LSH
+  banding = group-by on band columns.  Using lexicographic-min of hex
+  digests (instead of integer hashing) keeps the whole pipeline
+  SQL-expressible for external oracles.
+- simhash: 64-bit weighted token hash sign aggregate (vectorized UDF),
+  near-dup = hamming distance ≤ t on band-partitioned keys.
+- n-gram jaccard: explode shingles → inverted index self-join → pair
+  intersection counts (only over shared shingles; never a cross join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper id (min), duplicate count."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("text_md5")
+    return (df.select(h, F.col(id_col))
+              .groupBy("text_md5")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("dup_cnt")))
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc, all JVM-side (split + posexplode)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.select(F.col(id_col), toks.alias("__toks"))
+    out = out.select(
+        id_col,
+        F.posexplode(F.slice(F.col("__toks"), 1,
+                             F.greatest(F.size("__toks") - (n - 1), F.lit(0)))
+                     ).alias("__pos", "__t0"),
+        F.col("__toks"))
+    shingle = F.concat_ws(" ", *[
+        F.element_at(F.col("__toks"), F.col("__pos") + 1 + i) for i in range(n)])
+    return out.select(id_col, shingle.alias("shingle")).distinct()
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_perm: int = 8) -> DataFrame:
+    """MinHash signature: per 'permutation' p, min(md5(p || shingle))."""
+    sh = word_shingles(df, text_col, id_col, n)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"perm{p}|"), F.col("shingle"))
+                        .cast("binary"))).alias(f"mh_{p}")
+            for p in range(num_perm)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           num_perm: int = 8, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band.
+
+    bands must divide num_perm; band key = concat of its rows' minhashes.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    parts = []
+    for b in range(bands):
+        key = F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)])
+        parts.append(sig.select(F.col(id_col), key.alias("band_key"),
+                                F.lit(b).alias("band")))
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram-shingle Jaccard over the inverted index (no cross join).
+
+    |A∩B| from a self-join on shingle; |A∪B| = |A|+|B|−|A∩B|.  Emits pairs
+    with jaccard ≥ threshold, id_a < id_b.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed("sz", "sz_a"), on="id_a")
+           .join(sizes.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed("sz", "sz_b"), on="id_b")
+           .withColumn("jaccard", F.col("inter")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+@pandas_udf(LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (batch-vectorized).
+
+    Token hash = FNV-1a 64 over utf-8 bytes (numpy per unique token, cached
+    per batch); signature = sign of per-bit weighted sums.
+    """
+    import hashlib
+    out = np.zeros(len(text), dtype=np.uint64)
+    cache: dict[str, int] = {}
+
+    def tok_hash(t: str) -> int:
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            cache[t] = v
+        return v
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, txt in enumerate(text):
+        if not txt:
+            continue
+        toks = txt.split()
+        if not toks:
+            continue
+        hs = np.fromiter((tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        weights = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(weights > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig
+    return pd.Series(out.view(np.int64))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", max_hamming: int = 3,
+                          bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into ``bands`` chunks;
+    any pair within distance < bands shares at least one exact chunk →
+    candidate join on (band, chunk), exact popcount refine.
+    """
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    width = 64 // bands
+    parts = []
+    for b in range(bands):
+        chunk = F.shiftrightunsigned(F.col("sim"), b * width).bitwiseAND(
+            F.lit((1 << width) - 1).cast("long"))
+        parts.append(sig.select(id_col, "sim", F.lit(b).alias("band"),
+                                chunk.alias("chunk")))
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    a, b2 = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.sim").alias("sim_a"),
+                    F.col("b.sim").alias("sim_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", ham)
+                .where(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,89 @@
+"""SQL-registered ST_ function tests (WKT-parameterized golden cases,
+mirroring reference tests/functions/test_functions.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+
+
+CASES = [
+    ("ST_AsText(ST_Point(1.0, 2.0))", "POINT (1 2)"),
+    ("ST_AsText(ST_GeomFromText('LINESTRING (0 0, 1 1)'))", "LINESTRING (0 0, 1 1)"),
+    ("ST_Area(ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))", 16.0),
+    ("ST_Area(ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))'))", 15.0),
+    ("ST_Length(ST_GeomFromText('LINESTRING (0 0, 3 4)'))", 5.0),
+    ("ST_Perimeter(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))", 8.0),
+    ("ST_Distance(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0))", 5.0),
+    ("ST_X(ST_Point(7.5, 1.0))", 7.5),
+    ("ST_Y(ST_Point(7.5, 1.0))", 1.0),
+    ("ST_XMin(ST_GeomFromText('LINESTRING (3 1, -2 8)'))", -2.0),
+    ("ST_XMax(ST_GeomFromText('LINESTRING (3 1, -2 8)'))", 3.0),
+    ("ST_YMin(ST_GeomFromText('LINESTRING (3 1, -2 8)'))", 1.0),
+    ("ST_YMax(ST_GeomFromText('LINESTRING (3 1, -2 8)'))", 8.0),
+    ("ST_GeometryType(ST_Point(0.0, 0.0))", "ST_Point"),
+    ("ST_GeometryType(ST_GeomFromText('MULTIPOLYGON EMPTY'))", "ST_MultiPolygon"),
+    ("ST_NPoints(ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))", 5),
+    ("ST_NumGeometries(ST_GeomFromText('MULTIPOINT ((0 0), (1 1))'))", 2),
+    ("ST_IsEmpty(ST_GeomFromText('POLYGON EMPTY'))", True),
+    ("ST_IsEmpty(ST_Point(0.0, 0.0))", False),
+    ("ST_Dimension(ST_Point(0.0, 0.0))", 0),
+    ("ST_Dimension(ST_GeomFromText('LINESTRING (0 0, 1 1)'))", 1),
+    ("ST_Dimension(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 0))'))", 2),
+    ("ST_Intersects(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), ST_Point(1.0, 1.0))", True),
+    ("ST_Intersects(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), ST_Point(5.0, 5.0))", False),
+    ("ST_Contains(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), ST_Point(0.0, 0.0))", False),
+    ("ST_Covers(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), ST_Point(0.0, 0.0))", True),
+    ("ST_Within(ST_Point(1.0, 1.0), ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))", True),
+    ("ST_DWithin(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0), 5.0)", True),
+    ("ST_DWithin(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0), 4.9)", False),
+    ("ST_AsText(ST_Envelope(ST_GeomFromText('LINESTRING (0 0, 3 4)')))",
+     "POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))"),
+    ("ST_AsText(ST_Centroid(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')))",
+     "POINT (1 1)"),
+    ("ST_AsText(ST_StartPoint(ST_GeomFromText('LINESTRING (9 9, 1 1)')))", "POINT (9 9)"),
+    ("ST_AsText(ST_EndPoint(ST_GeomFromText('LINESTRING (9 9, 1 1)')))", "POINT (1 1)"),
+    ("ST_IsClosed(ST_GeomFromText('LINESTRING (0 0, 1 0, 1 1, 0 0)'))", True),
+    ("ST_IsClosed(ST_GeomFromText('LINESTRING (0 0, 1 0)'))", False),
+    ("ST_AsText(ST_GeometryN(ST_GeomFromText('MULTIPOINT ((4 4), (5 5))'), 2))", "POINT (5 5)"),
+    ("ST_AsText(ST_PointN(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)'), 2))", "POINT (1 1)"),
+    ("ST_AsText(ST_PointN(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)'), -1))", "POINT (2 2)"),
+    ("ST_AsText(ST_FlipCoordinates(ST_Point(1.0, 2.0)))", "POINT (2 1)"),
+    ("ST_AsText(ST_Translate(ST_Point(1.0, 2.0), 10.0, 20.0))", "POINT (11 22)"),
+    ("ST_AsText(ST_Scale(ST_Point(2.0, 3.0), 2.0, -1.0))", "POINT (4 -3)"),
+    ("ST_AsText(ST_Reverse(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)')))",
+     "LINESTRING (2 2, 1 1, 0 0)"),
+    ("ST_Equals(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),"
+     " ST_GeomFromText('POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))'))", True),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES)
+def test_sql_golden(spark, expr, expected):
+    assert one(spark, expr) == expected
+
+
+def test_null_propagation(spark):
+    assert one(spark, "ST_AsText(CAST(NULL AS BINARY))") is None
+    assert one(spark, "ST_Contains(CAST(NULL AS BINARY), ST_Point(1.0, 1.0))") is False
+
+
+def test_asbinary_golden_bytes(spark):
+    v = one(spark, "ST_AsBinary(ST_GeomFromText('POINT (1 1)'))")
+    assert bytes(v) == bytes.fromhex("0101000000000000000000f03f000000000000f03f")
+
+
+def test_geomfromwkb_roundtrip(spark):
+    v = one(spark, "ST_AsText(ST_GeomFromWKB(ST_AsBinary(ST_GeomFromText('LINESTRING (0 0, 2 3)'))))")
+    assert v == "LINESTRING (0 0, 2 3)"
+
+
+def test_convexhull_buffer(spark):
+    a = one(spark, "ST_Area(ST_ConvexHull(ST_GeomFromText("
+                   "'MULTIPOINT ((0 0), (1 0), (1 1), (0 1), (0.5 0.5))')))")
+    assert abs(a - 1.0) < 1e-12
+    a = one(spark, "ST_Area(ST_Buffer(ST_Point(0.0, 0.0), 1.0))")
+    assert 3.0 < a < 3.15

@@ -1,0 +1,119 @@
+"""Geometry kernel unit tests: golden values + property checks."""
+
+import numpy as np
+import pytest
+
+from sedona_db_spark.geometry import kernels as K
+from sedona_db_spark.geometry import wkb as W
+
+
+def g(wkt):
+    return W.from_wkt(wkt)
+
+
+SQ = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+DONUT = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+
+
+def test_area():
+    assert K.geom_area(SQ) == 4.0
+    assert K.geom_area(DONUT) == 15.0
+    assert K.geom_area(g("POINT (1 1)")) == 0.0
+    assert K.geom_area(g("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))")) == 5.0
+
+
+def test_length_perimeter():
+    assert K.geom_length(g("LINESTRING (0 0, 3 4)")) == 5.0
+    assert K.geom_length(g("MULTILINESTRING ((0 0, 1 0), (0 0, 0 2))")) == 3.0
+    assert K.geom_perimeter(SQ) == 8.0
+    assert K.geom_perimeter(DONUT) == 20.0
+
+
+def test_centroid():
+    c = K.geom_centroid(SQ)
+    np.testing.assert_allclose(c[1], [1.0, 1.0])
+    # concave L-shape: area centroid, not vertex mean
+    L = g("POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))")
+    c = K.geom_centroid(L)
+    np.testing.assert_allclose(c[1], [2.5 / 3, 2.5 / 3], atol=1e-12)
+    c = K.geom_centroid(g("LINESTRING (0 0, 2 0)"))
+    np.testing.assert_allclose(c[1], [1.0, 0.0])
+
+
+def test_pip_crossing_number():
+    px = np.array([1.0, 1.5, 3.0, -1.0, 0.0, 1.0])
+    py = np.array([0.5, 1.5, 3.0, 0.0, 0.0, 1.0])
+    # DONUT: (1,0.5) in, (1.5,1.5) in hole → out, (3,3) in, (-1,0) out,
+    # (0,0) boundary → in (intersects semantics), (1,1) hole corner → in
+    r = K.points_in_geom(px, py, DONUT)
+    assert list(r) == [True, False, True, False, True, True]
+
+
+def test_pip_boundary_exclusive():
+    r = K.points_in_polygon(np.array([0.0]), np.array([1.0]), SQ[1],
+                            boundary_counts=False)
+    assert not r[0]
+
+
+def test_distance():
+    assert K.geom_distance(g("POINT (5 2)"), SQ) == 3.0
+    assert K.geom_distance(g("POINT (1 1)"), SQ) == 0.0
+    assert K.geom_distance(g("LINESTRING (3 0, 3 2)"), SQ) == 1.0
+    assert K.geom_distance(g("POINT (0 0)"), g("POINT (3 4)")) == 5.0
+    d = K.geom_distance(g("POLYGON ((5 0, 6 0, 6 1, 5 1, 5 0))"), SQ)
+    assert d == 3.0
+
+
+def test_predicates_matrix():
+    inner = g("POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+    crossing = g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    outside = g("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")
+    assert K.geom_contains(SQ, inner) and K.geom_within(inner, SQ)
+    assert not K.geom_contains(SQ, crossing)
+    assert K.geom_intersects(SQ, crossing)
+    assert not K.geom_intersects(SQ, outside)
+    assert K.geom_disjoint(SQ, outside)
+    assert K.geom_covers(SQ, g("POINT (0 0)"))       # boundary covered
+    assert not K.geom_contains(SQ, g("POINT (0 0)"))  # but not contained
+    assert K.geom_equals(SQ, g("POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))"))
+
+
+def test_touching_polygons_intersect_not_contain():
+    right = g("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")
+    assert K.geom_intersects(SQ, right)
+    assert not K.geom_contains(SQ, right)
+
+
+def test_dwithin():
+    p = g("POINT (5 2)")
+    assert K.geom_dwithin(p, SQ, 3.0)
+    assert not K.geom_dwithin(p, SQ, 2.999999)
+
+
+def test_envelope_hull():
+    env = K.geom_envelope(g("LINESTRING (0 0, 3 4)"))
+    assert K.geom_area(env) == 12.0
+    h = K.convex_hull(g("MULTIPOINT ((0 0), (1 0), (1 1), (0 1), (0.5 0.5))"))
+    assert abs(K.geom_area(h) - 1.0) < 1e-12
+    assert K.geom_envelope(g("POINT (3 3)"))[0] == "Point"
+
+
+def test_bbox():
+    assert K.geom_bbox(DONUT) == (0.0, 0.0, 4.0, 4.0)
+    b = K.geom_bbox(g("POINT EMPTY"))
+    assert all(np.isnan(v) for v in b)
+
+
+def test_empty_inputs():
+    e = g("POLYGON EMPTY")
+    assert K.geom_area(e) == 0.0
+    assert not K.geom_intersects(e, SQ)
+    assert not K.geom_contains(SQ, e)
+    assert K.num_points(e) == 0
+
+
+def test_buffer_point():
+    buf = K.geom_buffer(g("POINT (0 0)"), 1.0)
+    a = K.geom_area(buf)
+    assert 3.0 < a < np.pi  # inscribed 32-gon area < circle
+    assert K.geom_contains(buf, g("POINT (0.9 0)"))

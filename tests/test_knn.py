@@ -1,0 +1,77 @@
+"""kNN join tests vs brute force; contract mirrors the reference's
+test_knnjoin.py:58-70 (exactly n_query × k rows, deterministic tiebreak,
+non-decreasing distances, window-function oracle)."""
+
+import numpy as np
+import pytest
+
+from sedona_db_spark.geometry import wkb as W
+from sedona_db_spark.operators import knn_join
+from sedona_db_spark.sources import fixtures as FX
+
+NQ, NT = 20, 50
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    q = FX.random_points(NQ, seed=42)
+    t = FX.random_points(NT, seed=43)
+    qdf = spark.createDataFrame(q).withColumnRenamed("geometry", "geom")
+    tdf = spark.createDataFrame(t).withColumnRenamed("geometry", "geom")
+    QX, QY = W.wkb_to_points(q.geometry)
+    TX, TY = W.wkb_to_points(t.geometry)
+    return qdf, tdf, QX, QY, TX, TY
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_knn_exact(data, k):
+    qdf, tdf, QX, QY, TX, TY = data
+    rows = knn_join(qdf, tdf, k, query_id="id", target_id="id").collect()
+    assert len(rows) == NQ * k
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["id"], []).append((r["knn_dist"], r["id_t"]))
+    for qi in range(NQ):
+        d = np.hypot(TX - QX[qi], TY - QY[qi])
+        exp = sorted(range(NT), key=lambda j: (d[j], j))[:k]
+        got = sorted(per_q[qi], key=lambda x: (x[0], x[1]))
+        assert [t for _, t in got] == exp
+        dists = [x[0] for x in got]
+        assert dists == sorted(dists)  # non-decreasing per query
+
+
+def test_knn_fewer_targets_than_k(data, spark):
+    qdf, tdf, *_ = data
+    rows = knn_join(qdf, tdf.limit(3), 5, query_id="id", target_id="id").collect()
+    assert len(rows) == NQ * 3
+
+
+def test_knn_forced_coarse_res(data):
+    qdf, tdf, QX, QY, TX, TY = data
+    rows = knn_join(qdf, tdf, 3, query_id="id", target_id="id", res=2).collect()
+    assert len(rows) == NQ * 3
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["id"], []).append(r["id_t"])
+    for qi in range(NQ):
+        d = np.hypot(TX - QX[qi], TY - QY[qi])
+        exp = sorted(range(NT), key=lambda j: (d[j], j))[:3]
+        assert sorted(per_q[qi]) == sorted(exp)
+
+
+def test_knn_include_ties(spark):
+    import pandas as pd
+    # 4 equidistant targets around one query point
+    q = pd.DataFrame({"id": [0], "geom": W.points_to_wkb(
+        np.array([0.0]), np.array([0.0]))})
+    t = pd.DataFrame({"id": [0, 1, 2, 3],
+                      "geom": W.points_to_wkb(np.array([1.0, -1.0, 0.0, 0.0]),
+                                              np.array([0.0, 0.0, 1.0, -1.0]))})
+    qdf = spark.createDataFrame(q)
+    tdf = spark.createDataFrame(t)
+    strict = knn_join(qdf, tdf, 2, query_id="id", target_id="id").collect()
+    assert len(strict) == 2
+    assert sorted(r["id_t"] for r in strict) == [0, 1]  # tiebreak by target id
+    ties = knn_join(qdf, tdf, 2, query_id="id", target_id="id",
+                    include_ties=True).collect()
+    assert len(ties) == 4  # all equidistant rows included

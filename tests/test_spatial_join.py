@@ -1,0 +1,122 @@
+"""Spatial join differential tests vs a brute-force kernel oracle.
+
+Mirrors the reference's dominant test strategy (SURVEY.md §5.2): same
+predicate evaluated through the distributed two-phase join and through a
+direct double loop over the same WKB fixtures; joined row *sets* must match
+exactly (the north rule's "exact match on join output rows").
+Fixture shapes mirror test_sjoin.py:46-49 (100 points seed 42 ×
+100 polygons seed 43, hole_rate 0.5).
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sedona_db_spark.geometry import kernels as K
+from sedona_db_spark.geometry import wkb as W
+from sedona_db_spark.operators import spatial_join
+from sedona_db_spark.sources import fixtures as FX
+
+N_PTS, N_POLY = 100, 100
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    pts = FX.random_points(N_PTS, seed=42)
+    pls = FX.random_polygons(N_POLY, seed=43, num_vertices=(3, 10), hole_rate=0.5)
+    pdf = spark.createDataFrame(pts).withColumnRenamed("geometry", "geom")
+    gdf = spark.createDataFrame(pls).withColumnRenamed("geometry", "geom")
+    P = [W.decode(bytes(b)) for b in pts.geometry]
+    G = [W.decode(bytes(b)) for b in pls.geometry]
+    return pdf, gdf, P, G
+
+
+def brute(P, G, fn):
+    return {(i, j) for i, p in enumerate(P) for j, g in enumerate(G) if fn(p, g)}
+
+
+@pytest.mark.parametrize("pred,fn", [
+    ("intersects", K.geom_intersects),
+    ("within", K.geom_within),
+    ("coveredby", K.geom_covered_by),
+])
+def test_point_poly_inner(data, pred, fn):
+    pdf, gdf, P, G = data
+    got = {(r["id"], r["id_r"]) for r in spatial_join(pdf, gdf, pred).collect()}
+    assert got == brute(P, G, fn)
+
+
+def test_contains_direction(data, spark):
+    pdf, gdf, P, G = data
+    # polygons contain points: left=polygons
+    got = {(r["id"], r["id_r"]) for r in
+           spatial_join(gdf, pdf, "contains").collect()}
+    exp = {(j, i) for (i, j) in brute(P, G, lambda p, g: K.geom_contains(g, p))}
+    assert got == exp
+
+
+def test_dwithin_literal(data):
+    pdf, gdf, P, G = data
+    got = {(r["id"], r["id_r"]) for r in
+           spatial_join(pdf, gdf, "dwithin", distance=0.8).collect()}
+    assert got == brute(P, G, lambda p, g: K.geom_dwithin(p, g, 0.8))
+
+
+def test_join_types(data):
+    pdf, gdf, P, G = data
+    exp_pairs = brute(P, G, K.geom_intersects)
+    exp_ids = {i for i, _ in exp_pairs}
+    semi = {r["id"] for r in spatial_join(pdf, gdf, "intersects", "left_semi").collect()}
+    anti = {r["id"] for r in spatial_join(pdf, gdf, "intersects", "left_anti").collect()}
+    assert semi == exp_ids
+    assert anti == set(range(N_PTS)) - exp_ids
+    left = spatial_join(pdf, gdf, "intersects", "left").collect()
+    assert len(left) == len(exp_pairs) + (N_PTS - len(exp_ids))
+    null_rows = [r for r in left if r["id_r"] is None]
+    assert {r["id"] for r in null_rows} == set(range(N_PTS)) - exp_ids
+    right = spatial_join(pdf, gdf, "intersects", "right").collect()
+    exp_right_ids = {j for _, j in exp_pairs}
+    assert len(right) == len(exp_pairs) + (N_POLY - len(exp_right_ids))
+
+
+def test_poly_poly_exploded_dedup(data, spark):
+    _, gdf, _, G = data
+    g2 = FX.random_polygons(60, seed=99, num_vertices=(3, 8))
+    g2df = spark.createDataFrame(g2).withColumnRenamed("geometry", "geom")
+    G2 = [W.decode(bytes(b)) for b in g2.geometry]
+    rows = spatial_join(g2df, gdf, "intersects").collect()
+    got = [(r["id"], r["id_r"]) for r in rows]
+    assert len(got) == len(set(got)), "duplicate pairs leaked past dedup"
+    assert set(got) == {(i, j) for i, a in enumerate(G2)
+                        for j, b in enumerate(G) if K.geom_intersects(a, b)}
+
+
+def test_salting_preserves_result(data):
+    pdf, gdf, P, G = data
+    base = brute(P, G, K.geom_intersects)
+    got = {(r["id"], r["id_r"]) for r in
+           spatial_join(pdf, gdf, "intersects", salt=4).collect()}
+    assert got == base
+
+
+def test_forced_resolution(data):
+    pdf, gdf, P, G = data
+    base = brute(P, G, K.geom_intersects)
+    for res in (3, 7):
+        got = {(r["id"], r["id_r"]) for r in
+               spatial_join(pdf, gdf, "intersects", res=res).collect()}
+        assert got == base, f"res={res}"
+
+
+def test_no_broadcast_path(data):
+    pdf, gdf, P, G = data
+    got = {(r["id"], r["id_r"]) for r in
+           spatial_join(pdf, gdf, "intersects", broadcast_threshold=0).collect()}
+    assert got == brute(P, G, K.geom_intersects)
+
+
+def test_explain_has_cell_join(data):
+    pdf, gdf, _, _ = data
+    plan = spatial_join(pdf, gdf, "intersects")._jdf.queryExecution().toString()
+    assert "__cell" in plan  # phase-1 equi join on the cell key is in the plan

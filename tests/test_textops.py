@@ -1,0 +1,121 @@
+"""Training-data text ops: exact brute-force oracles for the hash-based
+operators that have no SQL oracle in the driver contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sedona_db_spark.textops import analysis as TA
+from sedona_db_spark.textops import dedup as TD
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_test):
+    return spark.read.parquet(f"{sf_test}/documents.parquet").cache()
+
+
+def _texts(docs):
+    return {r["doc_id"]: r["text"] for r in docs.collect()}
+
+
+def brute_jaccard(t1: str, t2: str, n=3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    a, b = sh(t1), sh(t2)
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def test_ngram_jaccard_exact(docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in TD.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    texts = _texts(docs)
+    exp = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = brute_jaccard(texts[a], texts[b])
+            if j >= 0.3:
+                exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-12
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(docs):
+    """LSH candidates must include every pair a full-signature match implies;
+    sanity: identical texts always collide."""
+    pairs = {(r["id_a"], r["id_b"])
+             for r in TD.minhash_lsh_candidates(docs, num_perm=8, bands=4).collect()}
+    texts = _texts(docs)
+    dup_groups = {}
+    for i, t in texts.items():
+        dup_groups.setdefault(t, []).append(i)
+    for ids in dup_groups.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in pairs
+
+
+def test_exact_dedup_counts(docs):
+    rows = TD.exact_dedup(docs).collect()
+    texts = _texts(docs)
+    assert sum(r["dup_cnt"] for r in rows) == len(texts)
+    assert len(rows) == len(set(texts.values()))
+
+
+def test_simhash_identical_and_disjoint(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta",
+                 "zzz qqq www eee"]})
+    df = spark.createDataFrame(pdf)
+    sigs = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", TD.simhash64(F.col("text")).alias("s")).collect()}
+    assert sigs[0] == sigs[1]
+    ham02 = bin((sigs[0] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    assert ham02 > 10
+
+
+def test_simhash_neardup_pairs_finds_identical(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta",
+                 "zzz qqq www eee"]})
+    df = spark.createDataFrame(pdf)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in TD.simhash_neardup_pairs(df, max_hamming=3).collect()}
+    assert pairs == {(0, 1): 0}
+
+
+def test_fingerprint_deterministic_and_sensitive(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "text": ["abc def", "abc def", "abc deg"]})
+    df = spark.createDataFrame(pdf)
+    fps = [r["f"] for r in df.select(TA.doc_fingerprint(F.col("text")).alias("f"))
+           .collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_token_count_edges(spark):
+    pdf = pd.DataFrame({"text": ["", "   ", "one", " a  b\tc\nd "]})
+    df = spark.createDataFrame(pdf)
+    got = [r["n"] for r in df.select(TA.token_count(F.col("text")).alias("n")).collect()]
+    assert got == [0, 0, 1, 4]
+
+
+def test_lang_id_markers(spark):
+    pdf = pd.DataFrame({"text": [
+        "the cat and the dog of the house",
+        "der Hund und die Katze und der Vogel",
+        "le chat et le chien et les oiseaux",
+        "xyzzy plugh",
+    ]})
+    df = spark.createDataFrame(pdf)
+    got = [r["l"] for r in df.select(TA.lang_id(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "und"]
