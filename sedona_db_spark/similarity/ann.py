@@ -47,6 +47,31 @@ def cosine_sim_col(a: str, b: str) -> F.Column:
                * F.sqrt(_int_norm2(b).cast("double"))))
 
 
+def _prep_int_vecs(df: DataFrame, id_col: str, vec_col: str,
+                   prefix: str, extra: dict | None = None) -> DataFrame:
+    """Project each row to (id, fixed-point int vector, squared norm) ONCE —
+    the per-pair work then reduces to a single zip_with dot fold.  Without
+    this, Catalyst re-evaluates the scale-and-round fold 3× per candidate
+    pair (dot + both norms), a >10× slowdown measured at sf0.1."""
+    iv = ("transform({v}, x -> cast(round(cast(x as double) "
+          "* cast(1000000 as double)) as bigint))").format(v=vec_col)
+    cols = [
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.expr(iv).alias(f"{prefix}_iv"),
+        F.expr(f"aggregate({iv}, 0L, (a, v) -> a + v * v)").alias(f"{prefix}_n2"),
+    ]
+    if extra:
+        cols += [c.alias(n) for n, c in extra.items()]
+    return df.select(*cols)
+
+
+def _pair_cosine() -> F.Column:
+    return (F.expr("aggregate(zip_with(q_iv, t_iv, (x, y) -> x * y), "
+                   "0L, (a, v) -> a + v)").cast("double")
+            / (F.sqrt(F.col("q_n2").cast("double"))
+               * F.sqrt(F.col("t_n2").cast("double"))))
+
+
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            query_id_col: str | None = None) -> DataFrame:
@@ -55,10 +80,10 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
     Returns (q_id, t_id, cosine, rn) with rn ∈ [1, k], tiebreak by t_id.
     """
     qid = query_id_col or id_col
-    q = queries.select(F.col(qid).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    t = corpus.select(F.col(id_col).alias("t_id"), F.col(vec_col).alias("t_vec"))
+    q = _prep_int_vecs(queries, qid, vec_col, "q")
+    t = _prep_int_vecs(corpus, id_col, vec_col, "t")
     joined = t.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col("t_id"))
-    sim = joined.withColumn("cosine", cosine_sim_col("q_vec", "t_vec"))
+    sim = joined.withColumn("cosine", _pair_cosine())
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("t_id").asc())
     return (sim.withColumn("rn", F.row_number().over(w))
                .where(F.col("rn") <= k)
@@ -94,12 +119,12 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
     raise by lowering n_planes or multi-probing (future work).
     """
     bucket = _bucket_udf(dim, n_planes, seed)
-    t = corpus.select(F.col(id_col).alias("t_id"), F.col(vec_col).alias("t_vec"),
-                      bucket(F.col(vec_col)).alias("bucket"))
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                       bucket(F.col(vec_col)).alias("bucket"))
+    t = _prep_int_vecs(corpus, id_col, vec_col, "t",
+                       extra={"bucket": bucket(F.col(vec_col))})
+    q = _prep_int_vecs(queries, id_col, vec_col, "q",
+                       extra={"bucket": bucket(F.col(vec_col))})
     joined = t.join(F.broadcast(q), on="bucket").where(F.col("q_id") != F.col("t_id"))
-    sim = joined.withColumn("cosine", cosine_sim_col("q_vec", "t_vec"))
+    sim = joined.withColumn("cosine", _pair_cosine())
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("t_id").asc())
     return (sim.withColumn("rn", F.row_number().over(w))
                .where(F.col("rn") <= k)
@@ -112,12 +137,14 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float,
                             vec_col: str = "embedding") -> DataFrame:
     """Near-duplicate pairs (cosine ≥ threshold) via LSH bucket self-join."""
     bucket = _bucket_udf(dim, n_planes, seed)
-    t = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                      bucket(F.col(vec_col)).alias("bucket"))
-    a, b = t.alias("a"), t.alias("b")
-    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.vec").alias("va"), F.col("b.vec").alias("vb")))
-    sim = cand.withColumn("cosine", cosine_sim_col("va", "vb"))
-    return sim.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    t = _prep_int_vecs(corpus, id_col, vec_col, "v",
+                       extra={"bucket": bucket(F.col(vec_col))})
+    a = t.select(F.col("v_id").alias("q_id"), F.col("v_iv").alias("q_iv"),
+                 F.col("v_n2").alias("q_n2"), "bucket")
+    b = t.select(F.col("v_id").alias("t_id"), F.col("v_iv").alias("t_iv"),
+                 F.col("v_n2").alias("t_n2"), "bucket")
+    cand = a.join(b, on="bucket").where(F.col("q_id") < F.col("t_id"))
+    sim = cand.withColumn("cosine", _pair_cosine())
+    return (sim.where(F.col("cosine") >= threshold)
+               .select(F.col("q_id").alias("id_a"),
+                       F.col("t_id").alias("id_b"), "cosine"))

@@ -116,7 +116,59 @@ def test_no_broadcast_path(data):
     assert got == brute(P, G, K.geom_intersects)
 
 
-def test_explain_has_cell_join(data):
+def test_left_lonlat_parity(data, spark):
+    pdf, gdf, P, G = data
+    from sedona_db_spark.geometry import wkb as WW
+    import pandas as pd
+    xs = [p[1][0] for p in P]
+    ys = [p[1][1] for p in P]
+    lonlat = spark.createDataFrame(pd.DataFrame({
+        "id": range(len(P)), "lon": xs, "lat": ys}))
+    from sedona_db_spark.functions.scalar import st_point
+    from pyspark.sql import functions as F
+    lonlat = lonlat.withColumn("geom", st_point(F.col("lon"), F.col("lat")))
+    base = brute(P, G, K.geom_intersects)
+    for bt in (200_000, 0):  # broadcast and shuffle paths
+        got = {(r["id"], r["id_r"]) for r in spatial_join(
+            lonlat, gdf, "intersects", left_lonlat=("lon", "lat"),
+            broadcast_threshold=bt).collect()}
+        assert got == base, f"broadcast_threshold={bt}"
+
+
+def test_rect_jvm_fast_path(data, spark):
+    """Axis-aligned dimension layer → all-JVM interval join; results must
+    equal the python-kernel path exactly."""
+    import pandas as pd
+    from sedona_db_spark.sources.fixtures import regions_grid
+    pdf, _, P, _ = data
+    rects = spark.createDataFrame(
+        regions_grid(n_side=6, bounds=(-10.0, -10.0, 10.0, 10.0),
+                     metro_hotspots=0))
+    R = {r["region_id"]: W.decode(bytes(r["geom"])) for r in rects.collect()}
+    for pred, extra in (("coveredby", {}), ("within", {}),
+                        ("dwithin", {"distance": 1.5})):
+        j = spatial_join(pdf, rects, pred, right_geom="geom",
+                         left_geom="geom", **extra)
+        plan = j._jdf.queryExecution().toString()
+        assert "MapInPandas" not in plan, f"{pred} should be JVM-only"
+        got = {(r["id"], r["region_id"]) for r in j.collect()}
+        if pred == "coveredby":
+            fn = lambda p, g: K.geom_covered_by(p, g)
+        elif pred == "within":
+            fn = lambda p, g: K.geom_within(p, g)
+        else:
+            fn = lambda p, g: K.geom_dwithin(p, g, 1.5)
+        exp = {(i, rid) for i, p in enumerate(P) for rid, g in R.items()
+               if fn(p, g)}
+        assert got == exp, pred
+
+
+def test_plan_shapes(data):
     pdf, gdf, _, _ = data
+    # broadcast path: one-pass mapInPandas + broadcast payload join on __ridx
     plan = spatial_join(pdf, gdf, "intersects")._jdf.queryExecution().toString()
-    assert "__cell" in plan  # phase-1 equi join on the cell key is in the plan
+    assert "__ridx" in plan and "MapInPandas" in plan
+    # shuffle path: phase-1 equi join on the __cell key
+    plan2 = spatial_join(pdf, gdf, "intersects",
+                         broadcast_threshold=0)._jdf.queryExecution().toString()
+    assert "__cell" in plan2
