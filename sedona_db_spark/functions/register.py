@@ -14,7 +14,8 @@ from pyspark.sql import SparkSession
 
 def register_functions(spark: SparkSession) -> None:
     from sedona_db_spark.functions.scalar import UDFS
-    for name, fn in UDFS.items():
+    from sedona_db_spark.functions.scalar2 import UDFS2
+    for name, fn in {**UDFS, **UDFS2}.items():
         spark.udf.register(name, fn)
     try:
         from sedona_db_spark.raster.functions import RS_UDFS

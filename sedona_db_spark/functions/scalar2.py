@@ -1,0 +1,456 @@
+"""Second batch of ST_ scalar functions (pandas UDFs over the algos layer).
+
+Covers the remaining reference surface from SURVEY.md §2.3: constructors
+(ST_MakeLine, ST_PointZ), formatters (ST_AsGeoJSON, ST_AsEWKB), accessors
+(ST_Dump, ST_Points, ST_ExteriorRing, ST_InteriorRingN, ST_NumInteriorRings,
+ST_HasZ/HasM/ZMFlag, ST_Z, ST_Boundary), validity (ST_IsValid,
+ST_IsValidReason, ST_IsSimple, ST_IsRing), processing (ST_Simplify,
+ST_SnapToGrid, ST_Intersection, ST_Collect), linear referencing
+(ST_LineInterpolatePoint, ST_LineLocatePoint, ST_ClosestPoint,
+ST_ShortestLine), ST_Azimuth, ST_MaxDistance, CRS (ST_Transform,
+ST_SetSRID, ST_SRID), geography-lite (ST_DistanceSphere), affine
+(ST_Rotate, ST_Affine).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, StringType,
+)
+
+from sedona_db_spark.geometry import algos as A
+from sedona_db_spark.geometry import kernels as K
+from sedona_db_spark.geometry import wkb as W
+from sedona_db_spark.functions.scalar import _decode_series, _map_coords, _all_points
+
+
+# --- constructors -----------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def st_makeline(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        if g1 is None or g2 is None:
+            out.append(None)
+            continue
+        pts = []
+        for g in (g1, g2):
+            if g[0] == "Point":
+                pts.append(np.asarray(g[1][:2]).reshape(1, 2))
+            elif g[0] in ("LineString", "MultiPoint"):
+                pts.append(np.asarray(g[1])[:, :2])
+            else:
+                pts.append(K._all_coords(g)[:, :2])
+        out.append(W.encode(("LineString", np.vstack(pts))))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_pointz(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    out = []
+    for xi, yi, zi in zip(x, y, z):
+        if xi is None or yi is None or zi is None:
+            out.append(None)
+        else:
+            out.append(W.encode(("Point", np.array([xi, yi, zi]))))
+    return pd.Series(out)
+
+
+# --- formatters --------------------------------------------------------------
+
+def _geojson_of(g):
+    name, p = g
+    if name == "Point":
+        return {"type": "Point", "coordinates": [float(v) for v in p]}
+    if name == "LineString":
+        return {"type": "LineString", "coordinates": np.asarray(p).tolist()}
+    if name == "Polygon":
+        return {"type": "Polygon", "coordinates": [np.asarray(r).tolist() for r in p]}
+    if name == "MultiPoint":
+        return {"type": "MultiPoint", "coordinates": np.asarray(p).tolist()}
+    if name == "MultiLineString":
+        return {"type": "MultiLineString",
+                "coordinates": [np.asarray(l).tolist() for l in p]}
+    if name == "MultiPolygon":
+        return {"type": "MultiPolygon",
+                "coordinates": [[np.asarray(r).tolist() for r in rings] for rings in p]}
+    if name == "GeometryCollection":
+        return {"type": "GeometryCollection",
+                "geometries": [_geojson_of(q) for q in p]}
+    raise ValueError(name)
+
+
+@pandas_udf(StringType())
+def st_asgeojson(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else json.dumps(_geojson_of(g), separators=(",", ":"))
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_asewkb(b: pd.Series, srid: pd.Series) -> pd.Series:
+    """EWKB with embedded SRID (reference st_asewkb.rs semantics)."""
+    out = []
+    for v, s in zip(b, srid):
+        if v is None:
+            out.append(None)
+            continue
+        raw = bytes(v)
+        (code,) = struct.unpack_from("<I", raw, 1)
+        ewkb = (raw[:1] + struct.pack("<I", (code % 1000) | 0x20000000)
+                + struct.pack("<I", int(s)) + raw[5:])
+        out.append(ewkb)
+    return pd.Series(out)
+
+
+@pandas_udf(IntegerType())
+def st_srid(b: pd.Series) -> pd.Series:
+    def srid_of(v):
+        if v is None:
+            return 0
+        raw = bytes(v)
+        (code,) = struct.unpack_from("<I" if raw[0] == 1 else ">I", raw, 1)
+        if code & 0x20000000:
+            (s,) = struct.unpack_from("<I" if raw[0] == 1 else ">I", raw, 5)
+            return int(s)
+        return 0
+    return pd.Series([srid_of(v) for v in b], dtype="int32")
+
+
+# --- accessors ---------------------------------------------------------------
+
+@pandas_udf(ArrayType(BinaryType()))
+def st_dump(b: pd.Series) -> pd.Series:
+    """Explode collections into parts (pair with F.explode, mirroring the
+    reference's ST_Dump list-of-struct, st_dump.rs:39-238)."""
+    def parts(g):
+        if g is None:
+            return []
+        name, p = g
+        if name == "MultiPolygon":
+            return [W.encode(("Polygon", rings)) for rings in p]
+        if name == "MultiLineString":
+            return [W.encode(("LineString", l)) for l in p]
+        if name == "MultiPoint":
+            return [W.encode(("Point", row)) for row in p]
+        if name == "GeometryCollection":
+            return [enc for q in p for enc in parts(q)]
+        return [W.encode(g)]
+    return pd.Series([parts(g) for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_points(b: pd.Series) -> pd.Series:
+    def pts(g):
+        if g is None:
+            return None
+        c = K._all_coords(g)
+        return W.encode(("MultiPoint", c if c is not None else np.empty((0, 2))))
+    return pd.Series([pts(g) for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_exteriorring(b: pd.Series) -> pd.Series:
+    return pd.Series([
+        W.encode(("LineString", g[1][0])) if g is not None and g[0] == "Polygon" and g[1]
+        else None for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_interiorringn(b: pd.Series, n: pd.Series) -> pd.Series:
+    out = []
+    for g, i in zip(_decode_series(b), n):
+        if g is None or i is None or g[0] != "Polygon" or int(i) < 1 \
+                or int(i) > len(g[1]) - 1:
+            out.append(None)
+        else:
+            out.append(W.encode(("LineString", g[1][int(i)])))
+    return pd.Series(out)
+
+
+@pandas_udf(IntegerType())
+def st_numinteriorrings(b: pd.Series) -> pd.Series:
+    return pd.Series([max(0, len(g[1]) - 1) if g is not None and g[0] == "Polygon" else 0
+                      for g in _decode_series(b)], dtype="int32")
+
+
+@pandas_udf(BooleanType())
+def st_hasz(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W._geom_ndim(g) >= 3
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(DoubleType())
+def st_z(b: pd.Series) -> pd.Series:
+    return pd.Series([g[1][2] if g is not None and g[0] == "Point" and len(g[1]) > 2
+                      else np.nan for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_boundary(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(A.boundary(g))
+                      for g in _decode_series(b)])
+
+
+# --- validity ----------------------------------------------------------------
+
+@pandas_udf(BooleanType())
+def st_isvalid(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else A.is_valid(g)
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(StringType())
+def st_isvalidreason(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else (A.invalid_reason(g) or "Valid Geometry")
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BooleanType())
+def st_issimple(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else A.is_simple(g)
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BooleanType())
+def st_isring(b: pd.Series) -> pd.Series:
+    def ring(g):
+        if g is None:
+            return None
+        if g[0] != "LineString" or len(g[1]) < 4:
+            return False
+        return bool(np.array_equal(g[1][0], g[1][-1])) and A.is_simple(g)
+    return pd.Series([ring(g) for g in _decode_series(b)])
+
+
+# --- processing ---------------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def st_simplify(b: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(A.simplify(g, float(t)))
+                      for g, t in zip(_decode_series(b), tol)])
+
+
+@pandas_udf(BinaryType())
+def st_snaptogrid(b: pd.Series, size: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(A.snap_to_grid(g, float(s)))
+                      for g, s in zip(_decode_series(b), size)])
+
+
+@pandas_udf(BinaryType())
+def st_intersection(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        if g1 is None or g2 is None:
+            out.append(None)
+        else:
+            out.append(W.encode(A.intersection(g1, g2)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_collect(arr: pd.Series) -> pd.Series:
+    """Finisher for ST_Collect_Agg: collect_list(geom) → multi-geometry
+    (st_collect_agg.rs:46-49 semantics: uniform type → Multi*, else
+    GeometryCollection)."""
+    out = []
+    for lst in arr:
+        if lst is None or len(lst) == 0:
+            out.append(None)
+            continue
+        geoms = [W.decode(bytes(v)) for v in lst if v is not None]
+        geoms = [g for g in geoms if g is not None]
+        names = {g[0] for g in geoms}
+        if names == {"Point"}:
+            out.append(W.encode(("MultiPoint",
+                                 np.vstack([g[1][:2] for g in geoms]))))
+        elif names == {"LineString"}:
+            out.append(W.encode(("MultiLineString", [g[1] for g in geoms])))
+        elif names == {"Polygon"}:
+            out.append(W.encode(("MultiPolygon", [g[1] for g in geoms])))
+        else:
+            out.append(W.encode(("GeometryCollection", geoms)))
+    return pd.Series(out)
+
+
+# --- linear referencing -------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def st_lineinterpolatepoint(b: pd.Series, frac: pd.Series) -> pd.Series:
+    return pd.Series([
+        W.encode(("Point", A.line_interpolate_point(g[1], float(f))))
+        if g is not None and g[0] == "LineString" and len(g[1]) else None
+        for g, f in zip(_decode_series(b), frac)])
+
+
+@pandas_udf(DoubleType())
+def st_linelocatepoint(b: pd.Series, p: pd.Series) -> pd.Series:
+    out = []
+    for g, gp in zip(_decode_series(b), _decode_series(p)):
+        if g is None or gp is None or g[0] != "LineString" or gp[0] != "Point":
+            out.append(np.nan)
+        else:
+            out.append(A.line_locate_point(g[1], gp[1][:2]))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_closestpoint(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        pt = A.closest_point(g1, g2)
+        out.append(None if pt is None else W.encode(("Point", pt)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_shortestline(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        p1 = A.closest_point(g1, g2)
+        p2 = A.closest_point(g2, g1)
+        if p1 is None or p2 is None:
+            out.append(None)
+        else:
+            out.append(W.encode(("LineString", np.vstack([p1, p2]))))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_azimuth(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        if g1 is None or g2 is None or g1[0] != "Point" or g2[0] != "Point" \
+                or np.array_equal(g1[1][:2], g2[1][:2]):
+            out.append(np.nan)
+        else:
+            out.append(A.azimuth(g1[1], g2[1]))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_maxdistance(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        if g1 is None or g2 is None:
+            out.append(np.nan)
+            continue
+        c1 = K._all_coords(g1)
+        c2 = K._all_coords(g2)
+        if c1 is None or c2 is None or not len(c1) or not len(c2):
+            out.append(np.nan)
+            continue
+        d = np.hypot(c1[:, None, 0] - c2[None, :, 0],
+                     c1[:, None, 1] - c2[None, :, 1])
+        out.append(float(d.max()))
+    return pd.Series(out)
+
+
+# --- CRS / geography -----------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def st_transform(b: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    out = []
+    for g, s, d in zip(_decode_series(b), src, dst):
+        if g is None:
+            out.append(None)
+        else:
+            out.append(W.encode(_map_coords(
+                g, lambda a, s=s, d=d: A.transform_coords(a, s, d))))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_distancesphere(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    if len(b1) and _all_points(b1) and _all_points(b2):
+        x1, y1 = W.wkb_to_points(b1)
+        x2, y2 = W.wkb_to_points(b2)
+        return pd.Series(A.haversine_m(x1, y1, x2, y2))
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        if g1 is None or g2 is None or g1[0] != "Point" or g2[0] != "Point":
+            out.append(np.nan)
+        else:
+            out.append(float(A.haversine_m(
+                np.array([g1[1][0]]), np.array([g1[1][1]]),
+                np.array([g2[1][0]]), np.array([g2[1][1]]))[0]))
+    return pd.Series(out)
+
+
+# --- affine --------------------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def st_rotate(b: pd.Series, angle: pd.Series) -> pd.Series:
+    out = []
+    for g, a in zip(_decode_series(b), angle):
+        if g is None:
+            out.append(None)
+            continue
+        c, s = np.cos(float(a)), np.sin(float(a))
+        def rot(arr, c=c, s=s):
+            o = arr.copy()
+            o[:, 0] = c * arr[:, 0] - s * arr[:, 1]
+            o[:, 1] = s * arr[:, 0] + c * arr[:, 1]
+            return o
+        out.append(W.encode(_map_coords(g, rot)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_affine(b: pd.Series, a: pd.Series, bb: pd.Series, d: pd.Series,
+              e: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
+    out = []
+    for g, aa, bbv, dd, ee, xo, yo in zip(_decode_series(b), a, bb, d, e, xoff, yoff):
+        if g is None:
+            out.append(None)
+            continue
+        def aff(arr, aa=float(aa), bbv=float(bbv), dd=float(dd),
+                ee=float(ee), xo=float(xo), yo=float(yo)):
+            o = arr.copy()
+            o[:, 0] = aa * arr[:, 0] + bbv * arr[:, 1] + xo
+            o[:, 1] = dd * arr[:, 0] + ee * arr[:, 1] + yo
+            return o
+        out.append(W.encode(_map_coords(g, aff)))
+    return pd.Series(out)
+
+
+UDFS2 = {
+    "ST_MakeLine": st_makeline,
+    "ST_PointZ": st_pointz,
+    "ST_AsGeoJSON": st_asgeojson,
+    "ST_AsEWKB": st_asewkb,
+    "ST_SRID": st_srid,
+    "ST_Dump": st_dump,
+    "ST_Points": st_points,
+    "ST_ExteriorRing": st_exteriorring,
+    "ST_InteriorRingN": st_interiorringn,
+    "ST_NumInteriorRings": st_numinteriorrings,
+    "ST_HasZ": st_hasz,
+    "ST_Z": st_z,
+    "ST_Boundary": st_boundary,
+    "ST_IsValid": st_isvalid,
+    "ST_IsValidReason": st_isvalidreason,
+    "ST_IsSimple": st_issimple,
+    "ST_IsRing": st_isring,
+    "ST_Simplify": st_simplify,
+    "ST_SimplifyPreserveTopology": st_simplify,  # DP tier (reference: GEOS)
+    "ST_SnapToGrid": st_snaptogrid,
+    "ST_Intersection": st_intersection,
+    "ST_Collect": st_collect,
+    "ST_LineInterpolatePoint": st_lineinterpolatepoint,
+    "ST_LineLocatePoint": st_linelocatepoint,
+    "ST_ClosestPoint": st_closestpoint,
+    "ST_ShortestLine": st_shortestline,
+    "ST_Azimuth": st_azimuth,
+    "ST_MaxDistance": st_maxdistance,
+    "ST_Transform": st_transform,
+    "ST_DistanceSphere": st_distancesphere,
+    "ST_Rotate": st_rotate,
+    "ST_Affine": st_affine,
+}

@@ -1,0 +1,472 @@
+"""Additional geometry algorithms (public textbook implementations).
+
+Simplification (Douglas–Peucker), convex clipping (Sutherland–Hodgman),
+linear referencing (interpolate/locate/closest point), azimuth, validity
+checks, boundary, snap-to-grid, affine transforms, spherical distance
+(haversine) and Web-Mercator reprojection — the numpy backing for the
+second batch of ST_ functions (reference surface: rust/sedona-functions,
+c/sedona-geos, c/sedona-proj kernels; see SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sedona_db_spark.geometry import kernels as K
+from sedona_db_spark.geometry import wkb as W
+
+
+# ---------------------------------------------------------------------------
+# simplification
+# ---------------------------------------------------------------------------
+
+def douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative Douglas–Peucker on an (n, 2+) path."""
+    n = len(pts)
+    if n < 3:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = pts[i0 + 1:i1, :2]
+        d = K.points_seg_dist(seg[:, 0], seg[:, 1],
+                              pts[i0, 0], pts[i0, 1], pts[i1, 0], pts[i1, 1])
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            mid = i0 + 1 + k
+            keep[mid] = True
+            stack.append((i0, mid))
+            stack.append((mid, i1))
+    return pts[keep]
+
+
+def simplify(g, tol: float):
+    if g is None:
+        return None
+    name, p = g
+    if name == "LineString":
+        return (name, douglas_peucker(p, tol))
+    if name == "MultiLineString":
+        return (name, [douglas_peucker(l, tol) for l in p])
+    if name in ("Polygon", "MultiPolygon"):
+        def simp_ring(r):
+            out = douglas_peucker(r, tol)
+            return out if len(out) >= 4 else r
+        if name == "Polygon":
+            return (name, [simp_ring(r) for r in p])
+        return (name, [[simp_ring(r) for r in rings] for rings in p])
+    if name == "GeometryCollection":
+        return (name, [simplify(q, tol) for q in p])
+    return g
+
+
+def snap_to_grid(g, size: float):
+    if g is None or size <= 0:
+        return g
+    def snap(arr):
+        out = arr.copy()
+        out[:, 0] = np.round(arr[:, 0] / size) * size
+        out[:, 1] = np.round(arr[:, 1] / size) * size
+        return out
+    from sedona_db_spark.functions.scalar import _map_coords
+    return _map_coords(g, snap)
+
+
+# ---------------------------------------------------------------------------
+# convex clipping (Sutherland–Hodgman) → ST_Intersection for convex clips
+# ---------------------------------------------------------------------------
+
+def is_convex_ring(ring: np.ndarray) -> bool:
+    r = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    n = len(r)
+    if n < 3:
+        return False
+    sign = 0.0
+    for i in range(n):
+        o = K._orient(r[i][0], r[i][1], r[(i + 1) % n][0], r[(i + 1) % n][1],
+                      r[(i + 2) % n][0], r[(i + 2) % n][1])
+        if o != 0:
+            if sign == 0:
+                sign = o
+            elif (o > 0) != (sign > 0):
+                return False
+    return True
+
+
+def clip_polygon_convex(subject_rings, clip_ring: np.ndarray):
+    """Sutherland–Hodgman: clip subject polygon by a CONVEX ring. Exact for
+    convex clips; returns ring list (may be empty).  Holes in the subject
+    are clipped independently."""
+    r = clip_ring[:-1] if np.array_equal(clip_ring[0], clip_ring[-1]) else clip_ring
+    # ensure CCW
+    if K._ring_area2(np.vstack([r, r[:1]])) < 0:
+        r = r[::-1]
+    out_rings = []
+    for ring in subject_rings:
+        poly = [tuple(p[:2]) for p in (ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring)]
+        n = len(r)
+        for i in range(n):
+            if not poly:
+                break
+            a, b = r[i], r[(i + 1) % n]
+            new_poly = []
+            for j in range(len(poly)):
+                cur = poly[j]
+                prev = poly[j - 1]
+                cur_in = K._orient(a[0], a[1], b[0], b[1], cur[0], cur[1]) >= 0
+                prev_in = K._orient(a[0], a[1], b[0], b[1], prev[0], prev[1]) >= 0
+                if cur_in:
+                    if not prev_in:
+                        new_poly.append(_line_intersect(prev, cur, a, b))
+                    new_poly.append(cur)
+                elif prev_in:
+                    new_poly.append(_line_intersect(prev, cur, a, b))
+            poly = new_poly
+        if len(poly) >= 3:
+            arr = np.array(poly + [poly[0]], dtype=np.float64)
+            out_rings.append(arr)
+    return out_rings
+
+
+def _line_intersect(p1, p2, a, b):
+    x1, y1 = p1[0], p1[1]
+    x2, y2 = p2[0], p2[1]
+    x3, y3 = a[0], a[1]
+    x4, y4 = b[0], b[1]
+    denom = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    if denom == 0:
+        return (x2, y2)
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / denom
+    return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+
+def intersection(g1, g2):
+    """ST_Intersection for the supported combinations:
+
+    - point/multipoint vs anything (membership filter) — exact;
+    - any vs convex polygon (Sutherland–Hodgman clip) — exact;
+    - segments vs polygon for linestrings — exact;
+    general concave∩concave polygon overlay is not implemented (the
+    reference delegates this to GEOS)."""
+    if g1 is None or g2 is None:
+        return None
+    if not K.geom_intersects(g1, g2):
+        return ("GeometryCollection", [])
+    for a, b in ((g1, g2), (g2, g1)):
+        if a[0] in ("Point", "MultiPoint"):
+            coords = K._all_coords(a)
+            m = K.points_in_geom(coords[:, 0], coords[:, 1], b)
+            kept = coords[m]
+            if len(kept) == 0:
+                return ("GeometryCollection", [])
+            if len(kept) == 1:
+                return ("Point", kept[0])
+            return ("MultiPoint", kept)
+    if g1[0] == "LineString" and g2[0] in ("Polygon", "MultiPolygon"):
+        return _clip_line_by_poly(g1[1], g2)
+    if g2[0] == "LineString" and g1[0] in ("Polygon", "MultiPolygon"):
+        return _clip_line_by_poly(g2[1], g1)
+    if g1[0] == "Polygon" and g2[0] == "Polygon":
+        for subject, clip in ((g1, g2), (g2, g1)):
+            if len(clip[1]) == 1 and is_convex_ring(clip[1][0]):
+                rings = clip_polygon_convex(subject[1][:1], clip[1][0])
+                if not rings:
+                    return ("GeometryCollection", [])
+                return ("Polygon", rings)
+    raise NotImplementedError(
+        "ST_Intersection: general concave-polygon overlay not implemented "
+        "(supported: points, lines vs polygons, convex polygon clips)")
+
+
+def _clip_line_by_poly(line: np.ndarray, poly):
+    """Exact line∩polygon: split segments at boundary crossings, keep the
+    inside pieces."""
+    pieces = []
+    cur = []
+    for i in range(len(line) - 1):
+        p, q = line[i, :2], line[i + 1, :2]
+        # gather crossing parameters with every polygon edge
+        ts = [0.0, 1.0]
+        for a, b in K._segments_of(poly):
+            t = _seg_param_intersect(p, q, a, b)
+            if t is not None:
+                ts.append(t)
+        ts = sorted(set(ts))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            mid = p + (q - p) * ((t0 + t1) / 2)
+            if K.points_in_geom(np.array([mid[0]]), np.array([mid[1]]), poly)[0]:
+                s = p + (q - p) * t0
+                e = p + (q - p) * t1
+                if cur and np.allclose(cur[-1], s):
+                    cur.append(e)
+                else:
+                    if len(cur) >= 2:
+                        pieces.append(np.array(cur))
+                    cur = [s, e]
+    if len(cur) >= 2:
+        pieces.append(np.array(cur))
+    if not pieces:
+        return ("GeometryCollection", [])
+    if len(pieces) == 1:
+        return ("LineString", pieces[0])
+    return ("MultiLineString", pieces)
+
+
+def _seg_param_intersect(p, q, a, b):
+    d1 = (q[0] - p[0], q[1] - p[1])
+    d2 = (b[0] - a[0], b[1] - a[1])
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if denom == 0:
+        return None
+    t = ((a[0] - p[0]) * d2[1] - (a[1] - p[1]) * d2[0]) / denom
+    u = ((a[0] - p[0]) * d1[1] - (a[1] - p[1]) * d1[0]) / denom
+    if 0 <= t <= 1 and 0 <= u <= 1:
+        return float(t)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# linear referencing
+# ---------------------------------------------------------------------------
+
+def line_interpolate_point(line: np.ndarray, frac: float) -> np.ndarray:
+    """Point at fraction ``frac`` of the line's length."""
+    seg = np.diff(line[:, :2], axis=0)
+    lens = np.hypot(seg[:, 0], seg[:, 1])
+    total = lens.sum()
+    if total == 0:
+        return line[0, :2]
+    target = np.clip(frac, 0.0, 1.0) * total
+    cum = np.concatenate([[0.0], np.cumsum(lens)])
+    i = int(np.searchsorted(cum, target, side="right") - 1)
+    i = min(i, len(lens) - 1)
+    rem = target - cum[i]
+    t = rem / lens[i] if lens[i] > 0 else 0.0
+    return line[i, :2] + t * seg[i]
+
+
+def line_locate_point(line: np.ndarray, pt: np.ndarray) -> float:
+    """Fraction of the line's length at the closest point to ``pt``."""
+    seg = np.diff(line[:, :2], axis=0)
+    lens = np.hypot(seg[:, 0], seg[:, 1])
+    total = lens.sum()
+    if total == 0:
+        return 0.0
+    best_d = np.inf
+    best_at = 0.0
+    cum = 0.0
+    for i in range(len(seg)):
+        ll = lens[i] ** 2
+        if ll == 0:
+            t = 0.0
+        else:
+            t = np.clip(((pt[0] - line[i, 0]) * seg[i, 0]
+                         + (pt[1] - line[i, 1]) * seg[i, 1]) / ll, 0, 1)
+        proj = line[i, :2] + t * seg[i]
+        d = float(np.hypot(pt[0] - proj[0], pt[1] - proj[1]))
+        if d < best_d:
+            best_d = d
+            best_at = cum + t * lens[i]
+        cum += lens[i]
+    return float(best_at / total)
+
+
+def closest_point(g1, g2) -> np.ndarray | None:
+    """Point on g1 closest to g2 (matches reference ST_ClosestPoint arg
+    order)."""
+    if g1 is None or g2 is None:
+        return None
+    if K.geom_intersects(g1, g2):
+        # any shared point; use a vertex of g1 inside g2 or intersection pt
+        c1 = K._all_coords(g1)
+        if c1 is not None and len(c1):
+            m = K.points_in_geom(c1[:, 0], c1[:, 1], g2)
+            if m.any():
+                return c1[m][0][:2]
+    # sample: closest vertex/segment projection of g1 toward g2's vertices
+    best = None
+    best_d = np.inf
+    c2 = K._all_coords(g2)
+    segs1 = K._segments_of(g1)
+    if segs1:
+        for p in c2:
+            for a, b in segs1:
+                d1 = (b[0] - a[0], b[1] - a[1])
+                ll = d1[0] ** 2 + d1[1] ** 2
+                t = 0.0 if ll == 0 else np.clip(
+                    ((p[0] - a[0]) * d1[0] + (p[1] - a[1]) * d1[1]) / ll, 0, 1)
+                proj = (a[0] + t * d1[0], a[1] + t * d1[1])
+                d = np.hypot(p[0] - proj[0], p[1] - proj[1])
+                if d < best_d:
+                    best_d = d
+                    best = np.array(proj)
+    c1 = K._all_coords(g1)
+    for p in c1:
+        d = K.points_to_geom_distance(np.array([p[0]]), np.array([p[1]]), g2)[0]
+        if d < best_d:
+            best_d = d
+            best = p[:2].copy()
+    return best
+
+
+def azimuth(p1: np.ndarray, p2: np.ndarray) -> float:
+    """North-based clockwise azimuth in radians (PostGIS/reference
+    convention)."""
+    return float(np.arctan2(p2[0] - p1[0], p2[1] - p1[1])) % (2 * np.pi)
+
+
+# ---------------------------------------------------------------------------
+# validity
+# ---------------------------------------------------------------------------
+
+def ring_self_intersects(ring: np.ndarray) -> bool:
+    r = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    n = len(r)
+    for i in range(n):
+        a1, a2 = r[i], r[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue  # adjacent edges share a vertex by construction
+            b1, b2 = r[j], r[(j + 1) % n]
+            if K._segments_intersect(a1, a2, b1, b2):
+                return True
+    return False
+
+
+def is_valid(g) -> bool:
+    reason = invalid_reason(g)
+    return reason is None
+
+
+def invalid_reason(g) -> str | None:
+    if g is None:
+        return None
+    name, p = g
+    if name in ("Polygon", "MultiPolygon"):
+        polys = [p] if name == "Polygon" else p
+        for rings in polys:
+            for ring in rings:
+                if len(ring) and not np.array_equal(ring[0], ring[-1]):
+                    return "Ring not closed"
+                if len(ring) < 4:
+                    if len(ring) > 0:
+                        return "Ring has fewer than 4 points"
+                    continue
+                if ring_self_intersects(ring):
+                    return "Self-intersection"
+            for hole in rings[1:]:
+                hx, hy = hole[:, 0], hole[:, 1]
+                if not K.points_in_ring(hx, hy, rings[0]).all():
+                    return "Hole lies outside shell"
+    if name == "GeometryCollection":
+        for q in p:
+            r = invalid_reason(q)
+            if r:
+                return r
+    return None
+
+
+def path_self_intersects(path: np.ndarray) -> bool:
+    """Self-intersection of an OPEN path (no phantom closing edge)."""
+    n = len(path)
+    for i in range(n - 1):
+        for j in range(i + 1, n - 1):
+            if j == i + 1:
+                continue  # adjacent edges share a vertex
+            if K._segments_intersect(path[i], path[i + 1], path[j], path[j + 1]):
+                return True
+    return False
+
+
+def is_simple(g) -> bool:
+    if g is None:
+        return False
+    name, p = g
+    if name in ("Point",):
+        return True
+    if name == "MultiPoint":
+        return len(np.unique(p[:, :2], axis=0)) == len(p)
+    if name == "LineString":
+        if len(p) <= 2:
+            return True
+        if np.array_equal(p[0], p[-1]):  # closed: test as a ring
+            return not ring_self_intersects(p)
+        return not path_self_intersects(p)
+    return is_valid(g)
+
+
+def boundary(g):
+    if g is None:
+        return None
+    name, p = g
+    if name in ("Point", "MultiPoint"):
+        return ("GeometryCollection", [])
+    if name == "LineString":
+        if len(p) == 0 or np.array_equal(p[0], p[-1]):
+            return ("MultiPoint", np.empty((0, 2)))
+        return ("MultiPoint", np.vstack([p[0, :2], p[-1, :2]]))
+    if name == "Polygon":
+        if len(p) == 1:
+            return ("LineString", p[0])
+        return ("MultiLineString", list(p))
+    if name == "MultiPolygon":
+        rings = [r for rings in p for r in rings]
+        return ("MultiLineString", rings)
+    if name == "MultiLineString":
+        pts = []
+        for l in p:
+            if len(l) and not np.array_equal(l[0], l[-1]):
+                pts += [l[0, :2], l[-1, :2]]
+        return ("MultiPoint", np.array(pts) if pts else np.empty((0, 2)))
+    return ("GeometryCollection", [])
+
+
+# ---------------------------------------------------------------------------
+# spherical / projection
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6371008.8  # mean earth radius (IUGG)
+WGS84_A = 6378137.0
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vectorized great-circle distance in meters (mean-radius sphere)."""
+    la1, lo1, la2, lo2 = map(np.radians, (lat1, lon1, lat2, lon2))
+    dlat = la2 - la1
+    dlon = lo2 - lo1
+    a = np.sin(dlat / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+_CRS_ALIASES = {
+    "EPSG:4326": "4326", "OGC:CRS84": "4326", "CRS84": "4326", "4326": "4326",
+    "EPSG:3857": "3857", "3857": "3857",
+}
+
+
+def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
+    """Reproject (n, 2+) coords. Supported: EPSG:4326/OGC:CRS84 ↔ EPSG:3857
+    (spherical Web-Mercator formulas — the universally published math).
+    The reference delegates general CRS support to PROJ
+    (c/sedona-proj/src/st_transform.rs); here only the web pair is built in."""
+    s = _CRS_ALIASES.get(src.upper() if isinstance(src, str) else src)
+    d = _CRS_ALIASES.get(dst.upper() if isinstance(dst, str) else dst)
+    if s is None or d is None:
+        raise ValueError(f"unsupported CRS pair {src} → {dst} "
+                         "(built-in: EPSG:4326/OGC:CRS84 ↔ EPSG:3857)")
+    out = arr.copy()
+    if s == d:
+        return out
+    if s == "4326" and d == "3857":
+        out[:, 0] = np.radians(arr[:, 0]) * WGS84_A
+        out[:, 1] = np.log(np.tan(np.pi / 4 + np.radians(arr[:, 1]) / 2)) * WGS84_A
+        return out
+    if s == "3857" and d == "4326":
+        out[:, 0] = np.degrees(arr[:, 0] / WGS84_A)
+        out[:, 1] = np.degrees(2 * np.arctan(np.exp(arr[:, 1] / WGS84_A)) - np.pi / 2)
+        return out
+    raise AssertionError

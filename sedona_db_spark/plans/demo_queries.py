@@ -572,6 +572,68 @@ FROM documents"""
 
 
 # ---------------------------------------------------------------------------
+# 22-24. batch-2 scalar functions (quantized outputs: ln/tan/atan2 may
+# differ by ulps across libms, so oracles compare at fixed resolution)
+# ---------------------------------------------------------------------------
+
+def q_transform_3857(spark, sf_dir):
+    from sedona_db_spark.functions.scalar import st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir)
+    t = st_transform(F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:3857"))
+    return d.select(
+        "doc_id",
+        st_x(t).alias("mx"),
+        F.floor(st_y(t)).cast("long").alias("my_m"))
+
+
+ORACLE_TRANSFORM = (
+    _docs_cte() +
+    " SELECT doc_id, radians(lon) * 6378137.0 AS mx, "
+    "CAST(floor(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0) AS BIGINT)"
+    " AS my_m FROM docs")
+
+
+def q_azimuth_to_city(spark, sf_dir):
+    from sedona_db_spark.functions.scalar import st_point
+    from sedona_db_spark.functions.scalar2 import st_azimuth
+    d = doc_points(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    city = st_point(F.lit(-74.0), F.lit(40.7))
+    az = st_azimuth(F.col("geom"), city)
+    return d.select("doc_id",
+                    F.floor(az * 1000).cast("long").alias("az_mrad"))
+
+
+ORACLE_AZIMUTH = (
+    _docs_cte() +
+    " SELECT doc_id, CAST(floor("
+    "((atan2(-74.0 - lon, 40.7 - lat) % (2 * pi()) + 2 * pi()) % (2 * pi()))"
+    " * 1000) AS BIGINT) AS az_mrad FROM docs WHERE doc_id % 10 = 0")
+
+
+def q_sphere_distances(spark, sf_dir):
+    from sedona_db_spark.functions.scalar import st_point
+    from sedona_db_spark.functions.scalar2 import st_distancesphere
+    d = doc_points(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    city = st_point(F.lit(2.35), F.lit(48.85))
+    return d.select(
+        "doc_id",
+        F.floor(st_distancesphere(F.col("geom"), city) / 10.0)
+         .cast("long").alias("dist_10m"))
+
+
+ORACLE_SPHERE = (
+    _docs_cte() + """
+ SELECT doc_id, CAST(floor(
+   2 * 6371008.8 * asin(sqrt(
+     sin(radians(48.85 - lat) / 2) * sin(radians(48.85 - lat) / 2)
+     + cos(radians(lat)) * cos(radians(48.85))
+       * sin(radians(2.35 - lon) / 2) * sin(radians(2.35 - lon) / 2)))
+   / 10.0) AS BIGINT) AS dist_10m
+ FROM docs WHERE doc_id % 10 = 0""")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -595,6 +657,9 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
+    "transform_3857": q_transform_3857,
+    "azimuth_to_city": q_azimuth_to_city,
+    "sphere_distances": q_sphere_distances,
     "simhash_neardup": q_simhash_neardup,
     "doc_fingerprints": q_doc_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
@@ -621,6 +686,9 @@ ORACLE_SQL = {
     "minhash_lsh_pairs": _oracle_minhash_pairs(),
     "ngram_jaccard_pairs": _ORACLE_JACCARD,
     "ann_topk": ORACLE_ANN,
+    "transform_3857": ORACLE_TRANSFORM,
+    "azimuth_to_city": ORACLE_AZIMUTH,
+    "sphere_distances": ORACLE_SPHERE,
     "multimodal_meta": ORACLE_MULTIMODAL,
     # simhash_neardup / doc_fingerprints / lsh_ann_topk: rows-only
     # (non-SQL-expressible hashing; exact pytest oracles in tests/)
