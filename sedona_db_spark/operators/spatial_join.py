@@ -130,7 +130,7 @@ def spatial_join(
     right_geom: str = "geom",
     res: int | None = None,
     broadcast_threshold: int = 200_000,
-    salt: int = 1,
+    salt: int | str = 1,
     extra_condition: Column | None = None,
     left_lonlat: tuple[str, str] | None = None,
 ) -> DataFrame:
@@ -236,7 +236,42 @@ def spatial_join(
     else:
         l_cells = left.withColumn("__cell", _cell_udf(res)(F.col(left_geom)))
 
-    if salt > 1:
+    if salt == "auto":
+        # adaptive hot-cell salting: sample the probe side's cell histogram,
+        # replicate the build rows of hot cells K ways and scatter only the
+        # probe rows that land in them (cold cells pay nothing).  The
+        # sampling mirrors the reference's bbox sampler for KDB partitioning
+        # (rust/sedona-spatial-join/src/partitioning/bbox_sampler.rs).
+        K_SALT = 8
+        HOT_FACTOR = 4.0
+        hist = (l_cells.sample(False, 0.05, seed=7)
+                .groupBy("__cell").count().collect())
+        if hist:
+            mean = sum(r["count"] for r in hist) / len(hist)
+            hot = [r["__cell"] for r in hist if r["count"] > HOT_FACTOR * mean]
+        else:
+            hot = []
+        if hot:
+            spark = left.sparkSession
+            hot_df = F.broadcast(
+                spark.createDataFrame([(int(c),) for c in hot], "__cell long")
+                .withColumn("__hot", F.lit(True)))
+            r_cells = (r_cells.join(hot_df, on="__cell", how="left")
+                       .withColumn("__salt", F.explode(F.when(
+                           F.col("__hot").isNotNull(),
+                           F.array([F.lit(i) for i in range(K_SALT)]))
+                           .otherwise(F.array(F.lit(0)))))
+                       .drop("__hot"))
+            l_cells = (l_cells.join(hot_df, on="__cell", how="left")
+                       .withColumn("__salt", F.when(
+                           F.col("__hot").isNotNull(),
+                           F.pmod(F.xxhash64(F.col(lcols[0])), F.lit(K_SALT))
+                            .cast("int")).otherwise(F.lit(0)))
+                       .drop("__hot"))
+            join_keys = ["__cell", "__salt"]
+        else:
+            join_keys = ["__cell"]
+    elif isinstance(salt, int) and salt > 1:
         r_cells = r_cells.withColumn(
             "__salt", F.explode(F.array([F.lit(i) for i in range(salt)])))
         l_cells = l_cells.withColumn(

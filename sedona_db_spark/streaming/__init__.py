@@ -1,0 +1,3 @@
+from sedona_db_spark.streaming.pipeline import (  # noqa: F401
+    streaming_cell_counts, streaming_geocode,
+)

@@ -100,6 +100,31 @@ def test_salting_preserves_result(data):
     assert got == base
 
 
+def test_auto_salt_on_skewed_data(spark):
+    """Hot-cell adaptive salting must not change the result on a metro-skewed
+    point distribution (40% of points in 8 hot spots)."""
+    import pandas as pd
+    from sedona_db_spark.sources.fixtures import regions_grid
+    rng = __import__("numpy").random.default_rng(3)
+    import numpy as np
+    n = 5000
+    hot = rng.integers(0, 2, n).astype(bool)
+    x = np.where(hot, -74.0 + rng.normal(0, 0.05, n), rng.uniform(-120, -60, n))
+    y = np.where(hot, 40.7 + rng.normal(0, 0.05, n), rng.uniform(20, 50, n))
+    pts = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(n), "geom": W.points_to_wkb(x, y)}))
+    polys = spark.createDataFrame(
+        FX.random_polygons(50, seed=11, bounds=(-120, 20, -60, 50),
+                           size=(1.0, 5.0))).withColumnRenamed("geometry", "geom")
+    base = {(r["id"], r["id_r"]) for r in
+            spatial_join(pts, polys, "intersects",
+                         broadcast_threshold=0).collect()}
+    salted = {(r["id"], r["id_r"]) for r in
+              spatial_join(pts, polys, "intersects", broadcast_threshold=0,
+                           salt="auto").collect()}
+    assert salted == base and len(base) > 0
+
+
 def test_forced_resolution(data):
     pdf, gdf, P, G = data
     base = brute(P, G, K.geom_intersects)
