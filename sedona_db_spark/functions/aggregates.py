@@ -70,3 +70,25 @@ def analyze_agg(df: DataFrame, geom_col: str = "geom",
         F.avg("__np").alias("mean_points_per_geometry"),
         F.sort_array(F.collect_set("__type")).alias("geometry_types"),
     )
+
+
+def union_agg(df: DataFrame, geom_col: str = "geom",
+              group_by: list[str] | None = None) -> DataFrame:
+    """Group-wise ST_Union_Agg via collect_list + n-way slab-overlay union
+    (region-exact; see geometry/overlay.py)."""
+    from sedona_db_spark.functions.scalar4 import st_union_all
+    grouped = df.groupBy(*(group_by or [])).agg(
+        F.collect_list(F.col(geom_col)).alias("__geoms"))
+    return (grouped.withColumn("unioned", st_union_all(F.col("__geoms")))
+                   .drop("__geoms"))
+
+
+def intersection_agg(df: DataFrame, geom_col: str = "geom",
+                     group_by: list[str] | None = None) -> DataFrame:
+    """Group-wise ST_Intersection_Agg (running intersection)."""
+    from sedona_db_spark.functions.scalar4 import st_intersection_all
+    grouped = df.groupBy(*(group_by or [])).agg(
+        F.collect_list(F.col(geom_col)).alias("__geoms"))
+    return (grouped.withColumn("intersected",
+                               st_intersection_all(F.col("__geoms")))
+                   .drop("__geoms"))

@@ -14,8 +14,22 @@ from pyspark.sql import SparkSession
 
 def register_functions(spark: SparkSession) -> None:
     from sedona_db_spark.functions.scalar import UDFS
-    from sedona_db_spark.functions.scalar2 import UDFS2
-    for name, fn in {**UDFS, **UDFS2}.items():
+    from sedona_db_spark.functions.scalar2 import UDFS2, st_snaptogrid
+    from sedona_db_spark.functions.scalar3 import UDFS3
+    from sedona_db_spark.functions.scalar4 import UDFS4
+    for name, fn in {**UDFS, **UDFS2, **UDFS3, **UDFS4}.items():
+        spark.udf.register(name, fn)
+    spark.udf.register("ST_ReducePrecision", st_snaptogrid)
+    # geography-constructor + EWKT/EWKB aliases (planar tier: same storage)
+    aliases = {
+        "ST_GeomFromEWKT": UDFS["ST_GeomFromText"],
+        "ST_GeogFromWKT": UDFS["ST_GeomFromText"],
+        "ST_GeomFromEWKB": UDFS["ST_GeomFromWKB"],
+        "ST_GeogFromWKB": UDFS["ST_GeomFromWKB"],
+        "ST_GeogPoint": UDFS["ST_Point"],
+        "ST_Force3DM": UDFS3["ST_Force3D"],
+    }
+    for name, fn in aliases.items():
         spark.udf.register(name, fn)
     try:
         from sedona_db_spark.raster.functions import RS_UDFS

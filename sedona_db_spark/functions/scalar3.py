@@ -1,0 +1,183 @@
+"""Third batch of ST_ scalar functions: Z/M dimensions, line merging,
+precision, validity repair — completing the SURVEY.md §2.3 coordinate/
+dimension surface (reference files: st_pointzm.rs, st_force_dim.rs,
+st_xyzm_minmax.rs, GEOS linemerge/makevalid kernels)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, IntegerType
+
+from sedona_db_spark.geometry import algos as A
+from sedona_db_spark.geometry import kernels as K
+from sedona_db_spark.geometry import wkb as W
+from sedona_db_spark.functions.scalar import _decode_series
+
+
+@pandas_udf(BinaryType())
+def st_pointzm(x: pd.Series, y: pd.Series, z: pd.Series, m: pd.Series) -> pd.Series:
+    out = []
+    for xi, yi, zi, mi in zip(x, y, z, m):
+        if xi is None or yi is None:
+            out.append(None)
+        else:
+            out.append(W.encode(("Point", np.array([xi, yi, zi or 0.0, mi or 0.0]))))
+    return pd.Series(out)
+
+
+def _force_dim(g, ndim: int, fill: float = 0.0):
+    def fix(arr):
+        cur = arr.shape[1]
+        if cur == ndim:
+            return arr.copy()
+        if cur > ndim:
+            return arr[:, :ndim].copy()
+        padded = np.full((len(arr), ndim), fill)
+        padded[:, :cur] = arr
+        return padded
+    from sedona_db_spark.functions.scalar import _map_coords
+    return _map_coords(g, fix)
+
+
+@pandas_udf(BinaryType())
+def st_force3d(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(_force_dim(g, 3))
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
+def st_force4d(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(_force_dim(g, 4))
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(IntegerType())
+def st_zmflag(b: pd.Series) -> pd.Series:
+    """0=2D, 1=M, 2=Z, 3=ZM (reference st_zmflag semantics).
+
+    ISO WKB can't mark a 3rd dim as M-only; 3-D decodes as Z here."""
+    def flag(g):
+        if g is None:
+            return 0
+        nd = W._geom_ndim(g)
+        return {2: 0, 3: 2, 4: 3}.get(nd, 0)
+    return pd.Series([flag(g) for g in _decode_series(b)], dtype="int32")
+
+
+def _coord_minmax(idx: int, want_max: bool):
+    @pandas_udf(DoubleType())
+    def mm(b: pd.Series) -> pd.Series:
+        out = []
+        for g in _decode_series(b):
+            c = K._all_coords(g) if g is not None else None
+            if c is None or not len(c) or c.shape[1] <= idx:
+                out.append(np.nan)
+            else:
+                out.append(float(c[:, idx].max() if want_max else c[:, idx].min()))
+        return pd.Series(out)
+    return mm
+
+
+st_zmin = _coord_minmax(2, False)
+st_zmax = _coord_minmax(2, True)
+st_mmin = _coord_minmax(3, False)
+st_mmax = _coord_minmax(3, True)
+
+
+@pandas_udf(DoubleType())
+def st_m(b: pd.Series) -> pd.Series:
+    return pd.Series([g[1][3] if g is not None and g[0] == "Point" and len(g[1]) > 3
+                      else np.nan for g in _decode_series(b)])
+
+
+@pandas_udf(BooleanType())
+def st_hasm(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W._geom_ndim(g) >= 4
+                      for g in _decode_series(b)])
+
+
+def line_merge(g):
+    """Chain connected linestrings of a MultiLineString end-to-end
+    (GEOS linemerge semantics for the simple non-branching case)."""
+    if g is None:
+        return None
+    if g[0] != "MultiLineString":
+        return g
+    lines = [l.copy() for l in g[1] if len(l) >= 2]
+    merged = True
+    while merged and len(lines) > 1:
+        merged = False
+        for i in range(len(lines)):
+            for j in range(len(lines)):
+                if i == j:
+                    continue
+                a, b = lines[i], lines[j]
+                if np.array_equal(a[-1, :2], b[0, :2]):
+                    lines[i] = np.vstack([a, b[1:]])
+                elif np.array_equal(a[-1, :2], b[-1, :2]):
+                    lines[i] = np.vstack([a, b[::-1][1:]])
+                elif np.array_equal(a[0, :2], b[-1, :2]):
+                    lines[i] = np.vstack([b, a[1:]])
+                elif np.array_equal(a[0, :2], b[0, :2]):
+                    lines[i] = np.vstack([b[::-1], a[1:]])
+                else:
+                    continue
+                lines.pop(j)
+                merged = True
+                break
+            if merged:
+                break
+    if len(lines) == 1:
+        return ("LineString", lines[0])
+    return ("MultiLineString", lines)
+
+
+@pandas_udf(BinaryType())
+def st_linemerge(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(line_merge(g))
+                      for g in _decode_series(b)])
+
+
+def make_valid(g):
+    """Valid input passes through; an invalid (self-intersecting) polygon
+    falls back to its convex hull — an APPROXIMATE repair tier (the
+    reference's exact repair is GEOS MakeValid); collections repair
+    part-wise."""
+    if g is None:
+        return None
+    if A.is_valid(g):
+        return g
+    if g[0] in ("Polygon", "MultiPolygon"):
+        return K.convex_hull(g)
+    if g[0] == "GeometryCollection":
+        return ("GeometryCollection", [make_valid(q) for q in g[1]])
+    return g
+
+
+@pandas_udf(BinaryType())
+def st_makevalid(b: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(make_valid(g))
+                      for g in _decode_series(b)])
+
+
+UDFS3 = {
+    "ST_PointZM": st_pointzm,
+    "ST_PointM": st_pointzm,  # (x, y, m) callers pass z=0
+    "ST_Force3D": st_force3d,
+    "ST_Force3DZ": st_force3d,
+    "ST_Force4D": st_force4d,
+    "ST_ZMFlag": st_zmflag,
+    "ST_ZMin": st_zmin,
+    "ST_ZMax": st_zmax,
+    "ST_MMin": st_mmin,
+    "ST_MMax": st_mmax,
+    "ST_M": st_m,
+    "ST_HasM": st_hasm,
+    "ST_LineMerge": st_linemerge,
+    "ST_MakeValid": st_makevalid,
+    "ST_ReducePrecision": None,  # alias filled in register (snap_to_grid)
+}
+UDFS3 = {k: v for k, v in UDFS3.items() if v is not None}

@@ -1,0 +1,493 @@
+"""Fourth batch: remaining named predicates + utility/CRS/display surface.
+
+Completes the reference's predicate set (ST_Touches/Crosses/Overlaps,
+c/sedona-geos/src/binary_predicates.rs), geography-constructor aliases
+(planar tier), EWKT/EWKB parsers, CRS tagging via EWKB SRID, ST_Snap,
+ST_RotateX/Y, ST_ConcaveHull (concaveman-style edge-digging approximation),
+ST_MinimumClearance, ST_IsCollection, partial ST_Union/UnaryUnion, and the
+SD_ display/sort helpers (sd_format.rs, sd_order.rs precedents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType, BooleanType, DoubleType, StringType, LongType,
+)
+
+from sedona_db_spark import grid
+from sedona_db_spark.geometry import algos as A
+from sedona_db_spark.geometry import kernels as K
+from sedona_db_spark.geometry import wkb as W
+from sedona_db_spark.functions.scalar import _decode_series, _pairwise_bool
+
+
+@pandas_udf(BooleanType())
+def st_touches(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_touches)
+
+
+@pandas_udf(BooleanType())
+def st_crosses(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_crosses)
+
+
+@pandas_udf(BooleanType())
+def st_overlaps(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    return _pairwise_bool(b1, b2, K.geom_overlaps)
+
+
+@pandas_udf(BooleanType())
+def st_iscollection(b: pd.Series) -> pd.Series:
+    multi = {"MultiPoint", "MultiLineString", "MultiPolygon", "GeometryCollection"}
+    return pd.Series([None if g is None else g[0] in multi
+                      for g in _decode_series(b)])
+
+
+# --- snapping -----------------------------------------------------------------
+
+def _snap(g, ref, tol: float):
+    """Move each vertex of g to the nearest vertex (then edge point) of ref
+    within tol (GEOS ST_Snap semantics for the common case)."""
+    ref_pts = K._all_coords(ref)
+    ref_segs = K._segments_of(ref)
+
+    def snap_arr(arr):
+        out = arr.copy()
+        for i in range(len(arr)):
+            x, y = arr[i, 0], arr[i, 1]
+            best_d = tol
+            best = None
+            for p in ref_pts:
+                d = np.hypot(x - p[0], y - p[1])
+                if d <= best_d:
+                    best_d = d
+                    best = (p[0], p[1])
+            if best is None:
+                for a, b2 in ref_segs:
+                    dx, dy = b2[0] - a[0], b2[1] - a[1]
+                    ll = dx * dx + dy * dy
+                    t = 0.0 if ll == 0 else np.clip(
+                        ((x - a[0]) * dx + (y - a[1]) * dy) / ll, 0, 1)
+                    px, py = a[0] + t * dx, a[1] + t * dy
+                    d = np.hypot(x - px, y - py)
+                    if d <= best_d:
+                        best_d = d
+                        best = (px, py)
+            if best is not None:
+                out[i, 0], out[i, 1] = best
+        return out
+
+    from sedona_db_spark.functions.scalar import _map_coords
+    return _map_coords(g, snap_arr)
+
+
+@pandas_udf(BinaryType())
+def st_snap(b: pd.Series, ref: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for g, r, t in zip(_decode_series(b), _decode_series(ref), tol):
+        if g is None or r is None:
+            out.append(None)
+        else:
+            out.append(W.encode(_snap(g, r, float(t))))
+    return pd.Series(out)
+
+
+# --- 3D rotations ---------------------------------------------------------------
+
+def _rot3(axis: int):
+    @pandas_udf(BinaryType())
+    def rot(b: pd.Series, angle: pd.Series) -> pd.Series:
+        out = []
+        for g, a in zip(_decode_series(b), angle):
+            if g is None:
+                out.append(None)
+                continue
+            c, s = np.cos(float(a)), np.sin(float(a))
+            def fn(arr, c=c, s=s):
+                o = arr.copy()
+                if arr.shape[1] < 3:
+                    pad = np.zeros((len(arr), 3 - arr.shape[1]))
+                    o = np.hstack([arr, pad])
+                if axis == 0:  # rotate about X: (y, z)
+                    y, z = o[:, 1].copy(), o[:, 2].copy()
+                    o[:, 1] = c * y - s * z
+                    o[:, 2] = s * y + c * z
+                else:          # rotate about Y: (x, z)
+                    x, z = o[:, 0].copy(), o[:, 2].copy()
+                    o[:, 0] = c * x + s * z
+                    o[:, 2] = -s * x + c * z
+                return o
+            from sedona_db_spark.functions.scalar import _map_coords
+            out.append(W.encode(_map_coords(g, fn)))
+        return pd.Series(out)
+    return rot
+
+
+st_rotatex = _rot3(0)
+st_rotatey = _rot3(1)
+
+
+# --- concave hull (edge-digging approximation) ----------------------------------
+
+def concave_hull(g, ratio: float):
+    """ratio=1 → convex hull; smaller ratios dig long hull edges toward the
+    nearest interior point (concaveman-style heuristic; the reference's
+    exact version is GEOS ConcaveHull)."""
+    hull = K.convex_hull(g)
+    if ratio >= 1.0 or hull[0] != "Polygon":
+        return hull
+    pts = np.unique(K._all_coords(g)[:, :2], axis=0)
+    ring = [tuple(p) for p in hull[1][0][:-1]]
+    in_ring = {tuple(np.round(p, 12)) for p in ring}
+    xmin, ymin, xmax, ymax = K.geom_bbox(g)
+    diam = float(np.hypot(xmax - xmin, ymax - ymin))
+    max_len = max(ratio * diam, 1e-12)
+    changed = True
+    guard = 0
+    while changed and guard < 10 * len(pts):
+        changed = False
+        guard += 1
+        for i in range(len(ring)):
+            a = ring[i]
+            b = ring[(i + 1) % len(ring)]
+            elen = np.hypot(b[0] - a[0], b[1] - a[1])
+            if elen <= max_len:
+                continue
+            # nearest unused point to this edge
+            cand = [tuple(p) for p in pts
+                    if tuple(np.round(p, 12)) not in in_ring]
+            if not cand:
+                break
+            carr = np.array(cand)
+            d = K.points_seg_dist(carr[:, 0], carr[:, 1], a[0], a[1], b[0], b[1])
+            k = int(np.argmin(d))
+            if d[k] >= elen:
+                continue
+            ring.insert(i + 1, cand[k])
+            in_ring.add(tuple(np.round(cand[k], 12)))
+            changed = True
+            break
+    arr = np.array(ring + [ring[0]], dtype=np.float64)
+    out = ("Polygon", [arr])
+    return out if not A.ring_self_intersects(arr) else hull
+
+
+@pandas_udf(BinaryType())
+def st_concavehull(b: pd.Series, ratio: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else W.encode(concave_hull(g, float(r)))
+                      for g, r in zip(_decode_series(b), ratio)])
+
+
+# --- minimum clearance -----------------------------------------------------------
+
+def minimum_clearance(g):
+    """Smallest distance between a vertex and a non-incident edge/vertex
+    (brute force; GEOS MinimumClearance in the reference)."""
+    coords = K._all_coords(g)
+    if coords is None or len(coords) < 2:
+        return np.inf
+    segs = K._segments_of(g)
+    best = np.inf
+    pts = coords[:, :2]
+    # vertex-vertex
+    for i in range(len(pts)):
+        d = np.hypot(pts[:, 0] - pts[i, 0], pts[:, 1] - pts[i, 1])
+        d[i] = np.inf
+        same = (d == 0)
+        d[same] = np.inf
+        best = min(best, float(d.min()))
+    # vertex-edge (non-incident)
+    for a, b2 in segs:
+        d = K.points_seg_dist(pts[:, 0], pts[:, 1], a[0], a[1], b2[0], b2[1])
+        incident = ((pts[:, 0] == a[0]) & (pts[:, 1] == a[1])) | \
+                   ((pts[:, 0] == b2[0]) & (pts[:, 1] == b2[1]))
+        d[incident] = np.inf
+        if np.isfinite(d).any():
+            best = min(best, float(d[np.isfinite(d)].min()))
+    return best
+
+
+@pandas_udf(DoubleType())
+def st_minimumclearance(b: pd.Series) -> pd.Series:
+    return pd.Series([np.nan if g is None else minimum_clearance(g)
+                      for g in _decode_series(b)])
+
+
+# --- partial unions -----------------------------------------------------------
+
+def union_partial(g1, g2):
+    """Union: disjoint-interior inputs merge structurally (minimal-vertex
+    Multi*); overlapping polygons go through the region-exact slab overlay
+    (geometry/overlay.py)."""
+    if g1 is None:
+        return g2
+    if g2 is None:
+        return g1
+    if K._dim_of(g1) == 2 and K._dim_of(g2) == 2 and K._interiors_intersect(g1, g2):
+        if K.geom_covers(g1, g2):
+            return g1
+        if K.geom_covers(g2, g1):
+            return g2
+        from sedona_db_spark.geometry.overlay import boolean_op
+        return boolean_op(g1, g2, "union")
+    parts = []
+    for g in (g1, g2):
+        if g[0] == "GeometryCollection":
+            parts.extend(g[1])
+        elif g[0] == "MultiPolygon":
+            parts.extend(("Polygon", rings) for rings in g[1])
+        elif g[0] == "MultiLineString":
+            parts.extend(("LineString", l) for l in g[1])
+        elif g[0] == "MultiPoint":
+            parts.extend(("Point", row) for row in g[1])
+        else:
+            parts.append(g)
+    names = {p[0] for p in parts}
+    if names == {"Polygon"}:
+        return ("MultiPolygon", [p[1] for p in parts])
+    if names == {"LineString"}:
+        return ("MultiLineString", [p[1] for p in parts])
+    if names == {"Point"}:
+        return ("MultiPoint", np.vstack([p[1][:2] for p in parts]))
+    return ("GeometryCollection", parts)
+
+
+@pandas_udf(BinaryType())
+def st_union(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        out.append(None if g1 is None and g2 is None
+                   else W.encode(union_partial(g1, g2)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_unaryunion(b: pd.Series) -> pd.Series:
+    def uu(g):
+        if g is None:
+            return None
+        if g[0] in ("MultiPolygon", "GeometryCollection"):
+            parts = ([("Polygon", r) for r in g[1]]
+                     if g[0] == "MultiPolygon" else list(g[1]))
+            acc = None
+            for p in parts:
+                acc = union_partial(acc, p)
+            return acc
+        return g
+    return pd.Series([None if g is None else W.encode(uu(g))
+                      for g in _decode_series(b)])
+
+
+# --- geography / EWKT aliases + CRS ------------------------------------------
+
+@pandas_udf(BinaryType())
+def st_setsrid(b: pd.Series, srid: pd.Series) -> pd.Series:
+    from sedona_db_spark.functions.scalar2 import st_asewkb
+    # re-encode as EWKB carrying the SRID (type-level CRS in the reference;
+    # EWKB is the portable WKB-level equivalent)
+    import struct
+    out = []
+    for v, s in zip(b, srid):
+        if v is None:
+            out.append(None)
+            continue
+        raw = bytes(v)
+        (code,) = struct.unpack_from("<I", raw, 1)
+        base = code & 0xFF if code & 0xE0000000 else code % 1000
+        body = raw[9:] if code & 0x20000000 else raw[5:]
+        out.append(raw[:1] + struct.pack("<I", base | 0x20000000)
+                   + struct.pack("<I", int(s)) + body)
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def st_crs(b: pd.Series) -> pd.Series:
+    import struct
+    def crs_of(v):
+        if v is None:
+            return None
+        raw = bytes(v)
+        (code,) = struct.unpack_from("<I" if raw[0] == 1 else ">I", raw, 1)
+        if code & 0x20000000:
+            (s,) = struct.unpack_from("<I" if raw[0] == 1 else ">I", raw, 5)
+            return f"EPSG:{s}"
+        return "OGC:CRS84"  # engine default CRS (lon/lat)
+    return pd.Series([crs_of(v) for v in b])
+
+
+# --- display / sort helpers (SD_ namespace) -------------------------------------
+
+@pandas_udf(StringType())
+def sd_format(b: pd.Series, width: pd.Series) -> pd.Series:
+    """Width-capped WKT rendering for show() (sd_format.rs:35-40)."""
+    out = []
+    for g, wd in zip(_decode_series(b), width):
+        if g is None:
+            out.append(None)
+            continue
+        t = W.to_wkt(g)
+        wd = int(wd)
+        out.append(t if len(t) <= wd else t[:max(wd - 1, 1)] + "…")
+    return pd.Series(out)
+
+
+@pandas_udf(LongType())
+def sd_order(b: pd.Series) -> pd.Series:
+    """Spatial proxy sort key: fine-grid cell of the first coordinate
+    (sd_order_lnglat.rs:32-60 uses the S2 cell of the first lnglat point)."""
+    out = np.zeros(len(b), dtype=np.int64)
+    for i, g in enumerate(_decode_series(b)):
+        if g is None:
+            continue
+        c = K._all_coords(g)
+        if c is None or not len(c):
+            continue
+        out[i] = grid.cell_id(float(c[0, 0]), float(c[0, 1]), 15)
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_knn(b1: pd.Series, b2: pd.Series, k: pd.Series) -> pd.Series:
+    # join-only marker, exactly like the reference's stub
+    # (rust/sedona-functions/src/st_knn.rs:25-30)
+    raise NotImplementedError(
+        "ST_KNN is a join predicate; use sedona_db_spark.operators.knn_join")
+
+
+UDFS4 = {
+    "ST_Touches": st_touches,
+    "ST_Crosses": st_crosses,
+    "ST_Overlaps": st_overlaps,
+    "ST_IsCollection": st_iscollection,
+    "ST_Snap": st_snap,
+    "ST_RotateX": st_rotatex,
+    "ST_RotateY": st_rotatey,
+    "ST_ConcaveHull": st_concavehull,
+    "ST_MinimumClearance": st_minimumclearance,
+    "ST_Union": st_union,
+    "ST_UnaryUnion": st_unaryunion,
+    "ST_SetSRID": st_setsrid,
+    "ST_SetCRS": st_setsrid,
+    "ST_CRS": st_crs,
+    "SD_Format": sd_format,
+    "SD_Order": sd_order,
+    "ST_KNN": st_knn,
+}
+
+
+# --- general overlay functions (geometry/overlay.py slab decomposition) --------
+
+@pandas_udf(BinaryType())
+def st_difference(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry.overlay import boolean_op
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        if g1 is None:
+            out.append(None)
+        elif g2 is None or not K.geom_intersects(g1, g2):
+            out.append(W.encode(g1))
+        else:
+            out.append(W.encode(boolean_op(g1, g2, "difference")))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_symdifference(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry.overlay import boolean_op
+    out = []
+    for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
+        if g1 is None:
+            out.append(None if g2 is None else W.encode(g2))
+        elif g2 is None:
+            out.append(W.encode(g1))
+        else:
+            out.append(W.encode(boolean_op(g1, g2, "symdifference")))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_union_all(arr: pd.Series) -> pd.Series:
+    """Finisher for ST_Union_Agg: collect_list(geom) → n-way union."""
+    from sedona_db_spark.geometry.overlay import union_all
+    out = []
+    for lst in arr:
+        if lst is None or len(lst) == 0:
+            out.append(None)
+            continue
+        geoms = [W.decode(bytes(v)) for v in lst if v is not None]
+        out.append(W.encode(union_all(geoms)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_intersection_all(arr: pd.Series) -> pd.Series:
+    """Finisher for ST_Intersection_Agg."""
+    from sedona_db_spark.geometry.overlay import intersection_all
+    out = []
+    for lst in arr:
+        if lst is None or len(lst) == 0:
+            out.append(None)
+            continue
+        geoms = [W.decode(bytes(v)) for v in lst if v is not None]
+        out.append(W.encode(intersection_all(geoms)))
+    return pd.Series(out)
+
+
+UDFS4.update({
+    "ST_Difference": st_difference,
+    "ST_SymDifference": st_symdifference,
+    "SD_UnionAll": st_union_all,
+    "SD_IntersectionAll": st_intersection_all,
+})
+
+
+def minimum_clearance_line(g):
+    """The 2-point line realizing the minimum clearance."""
+    coords = K._all_coords(g)
+    if coords is None or len(coords) < 2:
+        return None
+    pts = coords[:, :2]
+    segs = K._segments_of(g)
+    best = np.inf
+    best_pair = None
+    for i in range(len(pts)):
+        d = np.hypot(pts[:, 0] - pts[i, 0], pts[:, 1] - pts[i, 1])
+        d[d == 0] = np.inf
+        j = int(np.argmin(d))
+        if d[j] < best:
+            best = float(d[j])
+            best_pair = (pts[i], pts[j])
+    for a, b2 in segs:
+        d = K.points_seg_dist(pts[:, 0], pts[:, 1], a[0], a[1], b2[0], b2[1])
+        incident = ((pts[:, 0] == a[0]) & (pts[:, 1] == a[1])) | \
+                   ((pts[:, 0] == b2[0]) & (pts[:, 1] == b2[1]))
+        d[incident] = np.inf
+        if np.isfinite(d).any():
+            i = int(np.nanargmin(d))
+            if d[i] < best:
+                best = float(d[i])
+                # project the vertex onto the segment
+                dx, dy = b2[0] - a[0], b2[1] - a[1]
+                ll = dx * dx + dy * dy
+                t = 0.0 if ll == 0 else np.clip(
+                    ((pts[i, 0] - a[0]) * dx + (pts[i, 1] - a[1]) * dy) / ll, 0, 1)
+                best_pair = (pts[i], np.array([a[0] + t * dx, a[1] + t * dy]))
+    if best_pair is None:
+        return None
+    return ("LineString", np.vstack(best_pair))
+
+
+@pandas_udf(BinaryType())
+def st_minimumclearanceline(b: pd.Series) -> pd.Series:
+    out = []
+    for g in _decode_series(b):
+        line = None if g is None else minimum_clearance_line(g)
+        out.append(None if line is None else W.encode(line))
+    return pd.Series(out)
+
+
+UDFS4["ST_MinimumClearanceLine"] = st_minimumclearanceline

@@ -171,15 +171,20 @@ def intersection(g1, g2):
     if g2[0] == "LineString" and g1[0] in ("Polygon", "MultiPolygon"):
         return _clip_line_by_poly(g2[1], g1)
     if g1[0] == "Polygon" and g2[0] == "Polygon":
+        # convex clip: Sutherland–Hodgman gives the minimal-vertex result
         for subject, clip in ((g1, g2), (g2, g1)):
-            if len(clip[1]) == 1 and is_convex_ring(clip[1][0]):
+            if len(subject[1]) == 1 and len(clip[1]) == 1 \
+                    and is_convex_ring(clip[1][0]):
                 rings = clip_polygon_convex(subject[1][:1], clip[1][0])
                 if not rings:
                     return ("GeometryCollection", [])
                 return ("Polygon", rings)
+    if g1[0] in ("Polygon", "MultiPolygon") and g2[0] in ("Polygon", "MultiPolygon"):
+        # general overlay: region-exact slab decomposition
+        from sedona_db_spark.geometry.overlay import boolean_op
+        return boolean_op(g1, g2, "intersection")
     raise NotImplementedError(
-        "ST_Intersection: general concave-polygon overlay not implemented "
-        "(supported: points, lines vs polygons, convex polygon clips)")
+        f"ST_Intersection: unsupported type combination {g1[0]} × {g2[0]}")
 
 
 def _clip_line_by_poly(line: np.ndarray, poly):

@@ -647,3 +647,204 @@ def geom_buffer(g, dist: float, quad_segs: int = 8):
     cloud = (coords[:, :2][:, None, :] +
              dist * np.column_stack([np.cos(ang), np.sin(ang)])[None, :, :]).reshape(-1, 2)
     return convex_hull(("MultiPoint", cloud))
+
+
+# ---------------------------------------------------------------------------
+# interior-intersection analysis → touches / crosses / overlaps
+# ---------------------------------------------------------------------------
+
+def _dim_of(g) -> int:
+    name = g[0]
+    if name in ("Point", "MultiPoint"):
+        return 0
+    if name in ("LineString", "MultiLineString"):
+        return 1
+    if name in ("Polygon", "MultiPolygon"):
+        return 2
+    return max((_dim_of(p) for p in g[1]), default=0)
+
+
+def _proper_cross(a1, a2, b1, b2) -> bool:
+    d1 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+    d2 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+    d3 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+    d4 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+    return (d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0) \
+        and 0 not in (d1, d2, d3, d4)
+
+
+def _collinear_overlap(a1, a2, b1, b2) -> bool:
+    """Segments share a sub-segment of positive length."""
+    if _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1]) != 0:
+        return False
+    if _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1]) != 0:
+        return False
+    # project onto the dominant axis
+    ax = 0 if abs(a2[0] - a1[0]) >= abs(a2[1] - a1[1]) else 1
+    lo1, hi1 = sorted((a1[ax], a2[ax]))
+    lo2, hi2 = sorted((b1[ax], b2[ax]))
+    return min(hi1, hi2) > max(lo1, lo2)
+
+
+def _point_strictly_inside(x, y, g) -> bool:
+    if g[0] == "Polygon":
+        return bool(points_in_polygon(np.array([x]), np.array([y]), g[1],
+                                      boundary_counts=False)[0])
+    if g[0] == "MultiPolygon":
+        return any(points_in_polygon(np.array([x]), np.array([y]), rings,
+                                     boundary_counts=False)[0]
+                   for rings in g[1])
+    return False
+
+
+def _interiors_intersect(g1, g2) -> bool:
+    d1, d2 = _dim_of(g1), _dim_of(g2)
+    if d1 > d2 or (d1 == d2 and g1[0] > g2[0]):
+        g1, g2, d1, d2 = g2, g1, d2, d1
+    # now d1 <= d2
+    if d1 == 0:
+        coords = _all_coords(g1)
+        if d2 == 0:
+            c2 = _all_coords(g2)
+            return any(any(np.array_equal(p[:2], q[:2]) for q in c2) for p in coords)
+        if d2 == 2:
+            return any(_point_strictly_inside(p[0], p[1], g2) for p in coords)
+        # point vs line interior: on line but not an endpoint
+        for p in coords:
+            on = points_in_geom(np.array([p[0]]), np.array([p[1]]), g2)[0]
+            if on and not _is_line_endpoint(p, g2):
+                return True
+        return False
+    if d1 == 1 and d2 == 1:
+        s1, s2 = _segments_of(g1), _segments_of(g2)
+        for a1, a2 in s1:
+            for b1, b2 in s2:
+                if _proper_cross(a1, a2, b1, b2) or _collinear_overlap(a1, a2, b1, b2):
+                    return True
+        # endpoint of one in the INTERIOR of the other still counts
+        for pt_g, line_g in ((g1, g2), (g2, g1)):
+            for p in _all_coords(pt_g):
+                if points_in_geom(np.array([p[0]]), np.array([p[1]]), line_g)[0] \
+                        and not _is_line_endpoint(p, line_g) \
+                        and not _is_line_endpoint(p, pt_g):
+                    return True
+        return False
+    if d1 == 1 and d2 == 2:
+        # any sub-segment midpoint strictly inside the polygon
+        for a1, a2 in _segments_of(g1):
+            ts = [0.0, 1.0]
+            for b1, b2 in _segments_of(g2):
+                t = _seg_intersection_param(a1, a2, b1, b2)
+                if t is not None:
+                    ts.append(t)
+            ts = sorted(set(ts))
+            for t0, t1 in zip(ts[:-1], ts[1:]):
+                mx = a1[0] + (a2[0] - a1[0]) * (t0 + t1) / 2
+                my = a1[1] + (a2[1] - a1[1]) * (t0 + t1) / 2
+                if _point_strictly_inside(mx, my, g2):
+                    return True
+        return False
+    if d1 == 2 and d2 == 2:
+        s1, s2 = _segments_of(g1), _segments_of(g2)
+        for a1, a2 in s1:
+            for b1, b2 in s2:
+                if _proper_cross(a1, a2, b1, b2):
+                    return True
+        for pa, pb in ((g1, g2), (g2, g1)):
+            for p in _all_coords(pa):
+                if _point_strictly_inside(p[0], p[1], pb):
+                    return True
+        # identical polygons: no proper cross, no strict-inside vertices
+        return geom_equals(g1, g2)
+    return False
+
+
+def _seg_intersection_param(p, q, a, b):
+    d1 = (q[0] - p[0], q[1] - p[1])
+    d2 = (b[0] - a[0], b[1] - a[1])
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if denom == 0:
+        return None
+    t = ((a[0] - p[0]) * d2[1] - (a[1] - p[1]) * d2[0]) / denom
+    u = ((a[0] - p[0]) * d1[1] - (a[1] - p[1]) * d1[0]) / denom
+    if 0 <= t <= 1 and 0 <= u <= 1:
+        return float(t)
+    return None
+
+
+def _is_line_endpoint(p, g) -> bool:
+    lines = [g[1]] if g[0] == "LineString" else (g[1] if g[0] == "MultiLineString" else [])
+    for l in lines:
+        if len(l) and (np.array_equal(p[:2], l[0, :2]) or np.array_equal(p[:2], l[-1, :2])):
+            return True
+    return False
+
+
+def geom_touches(g1, g2) -> bool:
+    """Geometries intersect but their interiors do not (DE-9IM touches)."""
+    if g1 is None or g2 is None:
+        return False
+    return geom_intersects(g1, g2) and not _interiors_intersect(g1, g2)
+
+
+def geom_crosses(g1, g2) -> bool:
+    if g1 is None or g2 is None:
+        return False
+    d1, d2 = _dim_of(g1), _dim_of(g2)
+    if d1 == 1 and d2 == 1:
+        # interiors share a point but not a sub-segment
+        s1, s2 = _segments_of(g1), _segments_of(g2)
+        crossed = False
+        for a1, a2 in s1:
+            for b1, b2 in s2:
+                if _collinear_overlap(a1, a2, b1, b2):
+                    return False
+                if _proper_cross(a1, a2, b1, b2):
+                    crossed = True
+        return crossed
+    if {d1, d2} == {1, 2}:
+        line, poly = (g1, g2) if d1 == 1 else (g2, g1)
+        if not _interiors_intersect(line, poly):
+            return False
+        # some part of the line must lie outside the polygon
+        coords = _all_coords(line)
+        outside = any(not points_in_geom(np.array([p[0]]), np.array([p[1]]),
+                                         poly)[0] for p in coords)
+        return outside
+    if d1 == 0 and d2 >= 1:
+        coords = _all_coords(g1)
+        inside = [bool(points_in_geom(np.array([p[0]]), np.array([p[1]]), g2)[0])
+                  for p in coords]
+        return any(inside) and not all(inside)
+    if d2 == 0 and d1 >= 1:
+        return geom_crosses(g2, g1)
+    return False
+
+
+def geom_overlaps(g1, g2) -> bool:
+    if g1 is None or g2 is None:
+        return False
+    d1, d2 = _dim_of(g1), _dim_of(g2)
+    if d1 != d2:
+        return False
+    if not _interiors_intersect(g1, g2):
+        return False
+    if d1 == 1:
+        # must share dim-1 intersection: a collinear sub-segment
+        shared = any(_collinear_overlap(a1, a2, b1, b2)
+                     for a1, a2 in _segments_of(g1)
+                     for b1, b2 in _segments_of(g2))
+        if not shared:
+            return False
+    if d1 == 0:
+        c1 = {tuple(p[:2]) for p in _all_coords(g1)}
+        c2 = {tuple(p[:2]) for p in _all_coords(g2)}
+        return bool(c1 & c2) and bool(c1 - c2) and bool(c2 - c1)
+    return not geom_covers(g1, g2) and not geom_covers(g2, g1)
+
+
+PREDICATES.update({
+    "touches": geom_touches,
+    "crosses": geom_crosses,
+    "overlaps": geom_overlaps,
+})

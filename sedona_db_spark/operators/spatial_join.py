@@ -84,6 +84,27 @@ def _covering_cells_udf(res: int, pad: float = 0.0):
     return cover
 
 
+def _covering_cells_padcol_udf(res: int):
+    """Covering cells with a per-row pad column (dwithin distance_side=build:
+    each build row's bbox expands by its own distance)."""
+    @pandas_udf(ArrayType(LongType()))
+    def cover(b: pd.Series, pad: pd.Series) -> pd.Series:
+        out = []
+        for v, p in zip(b, pad):
+            if v is None:
+                out.append([])
+                continue
+            xmin, ymin, xmax, ymax = K.geom_bbox(W.decode(bytes(v)))
+            if np.isnan(xmin):
+                out.append([])
+                continue
+            d = float(p) if p is not None else 0.0
+            out.append(grid.covering_cells(
+                xmin - d, ymin - d, xmax + d, ymax + d, res).tolist())
+        return pd.Series(out)
+    return cover
+
+
 def _cell_udf(res: int):
     @pandas_udf(LongType())
     def cell(b: pd.Series) -> pd.Series:
@@ -149,6 +170,12 @@ def spatial_join(
         raise ValueError("dwithin requires distance")
     if predicate != "dwithin" and distance is not None:
         raise ValueError("distance only valid for dwithin")
+    # distance may be a literal or the NAME of a right-side column (the
+    # reference's distance_side=build case, spatial_predicate.rs:44-110);
+    # per-probe-row distances would need probe-side covering explosion and
+    # are not supported yet
+    if predicate == "dwithin" and not isinstance(distance, (int, float, str)):
+        raise ValueError("distance must be a number or a right-side column name")
     if how not in JOIN_TYPES:
         raise ValueError(f"how must be one of {JOIN_TYPES}")
 
@@ -160,6 +187,11 @@ def spatial_join(
 
     lcols = list(left.columns)
     rcols = list(right.columns)
+    dist_col = None
+    if isinstance(distance, str):
+        if distance not in rmap:
+            raise ValueError(f"distance column {distance!r} not in right side")
+        dist_col = rmap[distance]
 
     # ---- handedness: non-inner joins preserve the outer side ---------------
     if how == "right":
@@ -174,6 +206,10 @@ def spatial_join(
     pad = 0.0
     if predicate == "dwithin" and isinstance(distance, (int, float)):
         pad = float(distance)
+    elif dist_col is not None:
+        # stats-only pad: the max distance bounds every row's expansion
+        mx = right.agg(F.max(F.col(dist_col))).collect()[0][0]
+        pad = float(mx or 0.0)
 
     # non-point left geometries need coverings: detect cheaply via sampling
     if left_lonlat is not None:
@@ -209,13 +245,19 @@ def spatial_join(
             and predicate in ("intersects", "coveredby", "within", "dwithin")):
         matched = _broadcast_point_join(
             left, right, predicate, distance, left_geom, rgeom, res, pad,
-            left_lonlat=left_lonlat)
+            left_lonlat=left_lonlat, dist_col=dist_col)
         return _finish_join_type(left, matched, how, lcols, rcols)
 
     # ---- phase 1: cell keys -------------------------------------------------
-    r_cells = right.withColumn(
-        "__cells_r", _covering_cells_udf(res, pad)(F.col(rgeom))
-    ).withColumn("__cell", F.explode("__cells_r")).drop("__cells_r")
+    if dist_col is not None:
+        r_cells = right.withColumn(
+            "__cells_r", _covering_cells_padcol_udf(res)(F.col(rgeom),
+                                                         F.col(dist_col))
+        ).withColumn("__cell", F.explode("__cells_r")).drop("__cells_r")
+    else:
+        r_cells = right.withColumn(
+            "__cells_r", _covering_cells_udf(res, pad)(F.col(rgeom))
+        ).withColumn("__cell", F.explode("__cells_r")).drop("__cells_r")
 
     # probe side: points get a single vectorized cell; general geometries
     # explode coverings and dedupe via the min-common-cell rule below
@@ -318,7 +360,12 @@ def spatial_join(
         "equals": S.st_equals,
     }
     if predicate == "dwithin":
-        dcol = F.lit(float(distance)) if isinstance(distance, (int, float)) else distance
+        if dist_col is not None:
+            dcol = F.col(dist_col)
+        elif isinstance(distance, (int, float)):
+            dcol = F.lit(float(distance))
+        else:
+            dcol = distance
         cond = S.st_dwithin(F.col(left_geom), F.col(rgeom), dcol)
     else:
         cond = refine_fn[predicate](F.col(left_geom), F.col(rgeom))
@@ -353,7 +400,8 @@ def _finish_join_type(left: DataFrame, matched: DataFrame, how: str,
 def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                           distance, left_geom: str, rgeom: str,
                           res: int, pad: float,
-                          left_lonlat: tuple[str, str] | None = None) -> DataFrame:
+                          left_lonlat: tuple[str, str] | None = None,
+                          dist_col: str | None = None) -> DataFrame:
     """One-pass broadcast join: collect + cell-index the dimension side,
     stream the point side through mapInPandas, emit matches only.
 
@@ -365,11 +413,17 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     rrows = right.collect()
     r_wkbs = [bytes(r[rgeom]) if r[rgeom] is not None else None for r in rrows]
     r_geoms = [None if b is None else W.decode(b) for b in r_wkbs]
+    r_pads = None
+    if dist_col is not None:
+        r_pads = [float(r[dist_col]) if r[dist_col] is not None else 0.0
+                  for r in rrows]
 
     # rectangle fast path: an axis-aligned dimension layer (tile grids, bbox
     # coverings — the raster-lookup shape) refines with pure JVM interval
     # arithmetic: the whole join is codegen, zero Python anywhere.
-    if all(g is None or _is_axis_rect(g) for g in r_geoms) and any(r_geoms):
+    if (dist_col is None
+            and all(g is None or _is_axis_rect(g) for g in r_geoms)
+            and any(r_geoms)):
         return _rect_jvm_join(left, right, rrows, r_geoms, predicate,
                               distance, left_geom, res, pad, left_lonlat)
 
@@ -380,8 +434,9 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
         xmin, ymin, xmax, ymax = K.geom_bbox(g)
         if np.isnan(xmin):
             continue
-        for c in grid.covering_cells(xmin - pad, ymin - pad,
-                                     xmax + pad, ymax + pad, res):
+        p_i = r_pads[i] if r_pads is not None else pad
+        for c in grid.covering_cells(xmin - p_i, ymin - p_i,
+                                     xmax + p_i, ymax + p_i, res):
             cellmap.setdefault(int(c), []).append(i)
     cellmap = {c: np.asarray(v, dtype=np.int64) for c, v in cellmap.items()}
     dist = float(distance) if isinstance(distance, (int, float)) else None
@@ -391,10 +446,10 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     lonlat = left_lonlat
     pred = predicate
     # ship the index once per executor (not per task) via a broadcast var
-    bc = left.sparkSession.sparkContext.broadcast((r_wkbs, cellmap))
+    bc = left.sparkSession.sparkContext.broadcast((r_wkbs, cellmap, r_pads))
 
     def gen(batches):
-        wkbs, cmap = bc.value
+        wkbs, cmap, pads = bc.value
         geoms: list = [None] * len(wkbs)
 
         def geom_of(i: int):
@@ -428,7 +483,8 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                 for ri in cand:
                     g = geom_of(int(ri))
                     if pred == "dwithin":
-                        m = K.points_to_geom_distance(rx, ry, g) <= dist
+                        d_i = pads[int(ri)] if pads is not None else dist
+                        m = K.points_to_geom_distance(rx, ry, g) <= d_i
                     elif pred == "within":
                         m = _points_strictly_within(rx, ry, g)
                     else:  # intersects / coveredby ≡ boundary-inclusive PIP

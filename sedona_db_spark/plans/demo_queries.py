@@ -351,6 +351,30 @@ SELECT user_id, event_id,
 FROM events"""
 
 
+def q_sessionize(spark, sf_dir):
+    from sedona_db_spark.operators.sessionize import session_stats
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30.0, order_tiebreak="event_id")
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch(max(ts)) - epoch(min(ts)) AS span_sec
+FROM sessions GROUP BY user_id, session_id"""
+
+
 # ---------------------------------------------------------------------------
 # 12-15. training-data text ops
 # ---------------------------------------------------------------------------
@@ -649,6 +673,7 @@ QUERIES = {
     "tpch_pricing": q_tpch_pricing,
     "tpch_revenue_by_nation": q_tpch_revenue_by_nation,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -678,6 +703,7 @@ ORACLE_SQL = {
     "tpch_pricing": ORACLE_TPCH_PRICING,
     "tpch_revenue_by_nation": ORACLE_TPCH_REVENUE,
     "events_window": ORACLE_EVENTS_WINDOW,
+    "sessionize": ORACLE_SESSIONIZE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "lang_id": _oracle_lang_id(),

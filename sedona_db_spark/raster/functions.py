@@ -22,6 +22,7 @@ from pyspark.sql.types import (
     BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
 )
 
+from sedona_db_spark.raster.model import RASTER_TYPE
 from sedona_db_spark.geometry import kernels as K
 from sedona_db_spark.geometry import wkb as W
 
@@ -274,3 +275,135 @@ RS_UDFS = {
     "RS_Within": rs_within,
     "RS_Value": rs_value,
 }
+
+
+# --- band accessors (rs_band_accessors.rs, rs_bandpath.rs) -------------------
+
+def _band0_meta(r: pd.DataFrame, i: int):
+    bands = r["bands"].iloc[i]
+    if not bands:
+        return None
+    b0 = bands[0]
+    return b0["metadata"] if isinstance(b0, dict) else b0[0]
+
+
+@pandas_udf(IntegerType())
+def rs_bandpixeltype(r: pd.DataFrame) -> pd.Series:
+    out = []
+    for i in range(len(r)):
+        m = _band0_meta(r, i)
+        out.append(None if m is None else int(m["datatype"] if isinstance(m, dict) else m[2]))
+    return pd.Series(out, dtype="Int32")
+
+
+@pandas_udf(DoubleType())
+def rs_bandnodatavalue(r: pd.DataFrame) -> pd.Series:
+    import struct as _s
+    out = []
+    for i in range(len(r)):
+        m = _band0_meta(r, i)
+        nd = None if m is None else (m["nodatavalue"] if isinstance(m, dict) else m[0])
+        if nd is None or len(nd) == 0:
+            out.append(np.nan)
+        elif len(nd) == 8:
+            out.append(_s.unpack("<d", bytes(nd))[0])
+        else:
+            out.append(float(bytes(nd)[0]))
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def rs_bandpath(r: pd.DataFrame) -> pd.Series:
+    out = []
+    for i in range(len(r)):
+        m = _band0_meta(r, i)
+        out.append(None if m is None else (m["outdb_url"] if isinstance(m, dict) else m[3]))
+    return pd.Series(out)
+
+
+# --- CRS / georeference -------------------------------------------------------
+
+@pandas_udf(IntegerType())
+def rs_srid(r: pd.DataFrame) -> pd.Series:
+    def srid_of(c):
+        if c and c.upper().startswith("EPSG:"):
+            try:
+                return int(c.split(":")[1])
+            except ValueError:
+                return 0
+        return 0  # OGC:CRS84 and friends → 0 like the reference default
+    return pd.Series([srid_of(c) for c in r["crs"]], dtype="int32")
+
+
+@pandas_udf(StringType())
+def rs_georeference(r: pd.DataFrame) -> pd.Series:
+    """GDAL-style six-number geotransform string (rs_geotransform.rs)."""
+    m = _meta(r)
+    out = []
+    for i in range(len(m)):
+        out.append("%f \n%f \n%f \n%f \n%f \n%f" % (
+            m["scale_x"].iloc[i], m["skew_y"].iloc[i], m["skew_x"].iloc[i],
+            m["scale_y"].iloc[i], m["upperleft_x"].iloc[i], m["upperleft_y"].iloc[i]))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def rs_rotation(r: pd.DataFrame) -> pd.Series:
+    m = _meta(r)
+    return pd.Series(np.arctan2(m["skew_y"].to_numpy(np.float64),
+                                m["scale_x"].to_numpy(np.float64)))
+
+
+@pandas_udf(BinaryType())
+def rs_convexhull(r: pd.DataFrame) -> pd.Series:
+    # axis-aligned tiles: hull == envelope (rs_convexhull.rs semantics)
+    xmin, ymin, xmax, ymax = _extent(r)
+    out = []
+    for a, b, c, d in zip(xmin, ymin, xmax, ymax):
+        ring = np.array([[a, b], [c, b], [c, d], [a, d], [a, b]])
+        out.append(W.encode(("Polygon", [ring])))
+    return pd.Series(out)
+
+
+RS_UDFS.update({
+    "RS_BandPixelType": rs_bandpixeltype,
+    "RS_BandNoDataValue": rs_bandnodatavalue,
+    "RS_BandPath": rs_bandpath,
+    "RS_SRID": rs_srid,
+    "RS_GeoReference": rs_georeference,
+    "RS_Rotation": rs_rotation,
+    "RS_ConvexHull": rs_convexhull,
+})
+
+
+@pandas_udf(RASTER_TYPE)
+def rs_setcrs(r: pd.DataFrame, crs: pd.Series) -> pd.DataFrame:
+    out = r.copy()
+    out["crs"] = crs.astype(str)
+    return out
+
+
+@pandas_udf(RASTER_TYPE)
+def rs_setsrid(r: pd.DataFrame, srid: pd.Series) -> pd.DataFrame:
+    out = r.copy()
+    out["crs"] = ["EPSG:%d" % int(s) for s in srid]
+    return out
+
+
+@pandas_udf(RASTER_TYPE)
+def rs_example(width: pd.Series, height: pd.Series) -> pd.DataFrame:
+    """Demo raster generator (rs_example.rs analogue): unit-scaled tile at
+    the origin with a deterministic gradient band."""
+    from sedona_db_spark.raster.model import make_tile
+    rows = []
+    for w, h in zip(width, height):
+        t = make_tile(0, 0.0, float(h), 1.0, -1.0, int(w), int(h))
+        rows.append(t["raster"])
+    return pd.DataFrame(rows)
+
+
+RS_UDFS.update({
+    "RS_SetCRS": rs_setcrs,
+    "RS_SetSRID": rs_setsrid,
+    "RS_Example": rs_example,
+})

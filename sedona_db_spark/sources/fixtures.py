@@ -49,14 +49,32 @@ def random_polygons(n: int, seed: int = 43, num_vertices=(3, 10),
         cy = rng.uniform(ymin, ymax)
         v = int(rng.integers(max(3, num_vertices[0]), num_vertices[1] + 1))
         base_r = rng.uniform(size[0], size[1])
-        angles = np.sort(rng.uniform(0, 2 * np.pi, v))
+        # jittered even sectors: consecutive angular gaps stay < π (a star
+        # ring self-intersects when a gap exceeds π — the chord crosses the
+        # far sectors), and no degenerate slivers
+        angles = 2 * np.pi * (np.arange(v) + rng.uniform(0.3, 0.7, v)) / v
         radii = base_r * rng.uniform(0.5, 1.0, v)
         rings = [_star_ring(cx, cy, radii, angles)]
         if rng.uniform() < hole_rate:
             hv = int(rng.integers(3, 7))
-            hang = np.sort(rng.uniform(0, 2 * np.pi, hv))[::-1]  # CW hole
-            hr = radii.min() * rng.uniform(0.2, 0.45, hv)
-            rings.append(_star_ring(cx, cy, hr, hang))
+            # CW hole with the same bounded-gap sector construction
+            hang = (2 * np.pi * (np.arange(hv) + rng.uniform(0.3, 0.7, hv)) / hv)[::-1]
+            scale = rng.uniform(0.2, 0.45, hv)
+            # clustered shell angles make thin polygons that miss the center;
+            # only carve a hole when the center is strictly interior, sized
+            # by its clearance to the shell boundary (keeps polygons valid)
+            from sedona_db_spark.geometry import kernels as _K
+            shell = rings[0]
+            inside = _K.points_in_polygon(
+                np.array([cx]), np.array([cy]), [shell],
+                boundary_counts=False)[0]
+            if inside:
+                clearance = float(_K.points_to_geom_distance(
+                    np.array([cx]), np.array([cy]),
+                    ("LineString", shell))[0])
+                hr = clearance * scale
+                if clearance > 1e-9:
+                    rings.append(_star_ring(cx, cy, hr, hang))
         rows.append(W.encode(("Polygon", rings)))
     rng2 = np.random.default_rng(seed + 1)
     return pd.DataFrame({

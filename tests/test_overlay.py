@@ -1,0 +1,99 @@
+"""General polygon overlay: identity + sampled-membership property tests,
+plus the SQL surface (ST_Difference/SymDifference/Union/aggregates)."""
+
+import numpy as np
+import pytest
+
+from sedona_db_spark.geometry import kernels as K
+from sedona_db_spark.geometry import wkb as W
+from sedona_db_spark.geometry.algos import boundary
+from sedona_db_spark.geometry.overlay import boolean_op, union_all
+from sedona_db_spark.sources.fixtures import random_polygons
+
+
+@pytest.fixture(scope="module")
+def geoms():
+    polys = random_polygons(24, seed=21, num_vertices=(3, 9), hole_rate=0.3)
+    return [W.decode(bytes(b)) for b in polys.geometry]
+
+
+def test_overlay_identities_and_membership(geoms):
+    rng = np.random.default_rng(5)
+    area = K.geom_area
+    for t in range(25):
+        a = geoms[rng.integers(len(geoms))]
+        b = geoms[rng.integers(len(geoms))]
+        aU = boolean_op(a, b, "union")
+        aI = boolean_op(a, b, "intersection")
+        aD = boolean_op(a, b, "difference")
+        aS = boolean_op(a, b, "symdifference")
+        assert abs(area(aU) - (area(a) + area(b) - area(aI))) < 1e-9
+        assert abs(area(aD) - (area(a) - area(aI))) < 1e-9
+        assert abs(area(aS) - (area(aU) - area(aI))) < 1e-9
+        bb, bb2 = K.geom_bbox(a), K.geom_bbox(b)
+        px = rng.uniform(min(bb[0], bb2[0]) - 0.5, max(bb[2], bb2[2]) + 0.5, 150)
+        py = rng.uniform(min(bb[1], bb2[1]) - 0.5, max(bb[3], bb2[3]) + 0.5, 150)
+        inA = K.points_in_geom(px, py, a, boundary_counts=False)
+        inB = K.points_in_geom(px, py, b, boundary_counts=False)
+        ba, bbd = boundary(a), boundary(b)
+        for res, fn in ((aU, lambda x, y: x | y), (aI, lambda x, y: x & y),
+                        (aD, lambda x, y: x & ~y), (aS, lambda x, y: x ^ y)):
+            got = K.points_in_geom(px, py, res)
+            mism = got != fn(inA, inB)
+            if mism.any():
+                da = K.points_to_geom_distance(px[mism], py[mism], ba)
+                db = K.points_to_geom_distance(px[mism], py[mism], bbd)
+                assert (np.minimum(da, db) <= 1e-9).all()
+
+
+def test_union_all_membership(geoms):
+    U = union_all(geoms[:6])
+    rng = np.random.default_rng(9)
+    px = rng.uniform(-10, 10, 3000)
+    py = rng.uniform(-10, 10, 3000)
+    inU = K.points_in_geom(px, py, U)
+    inAny = np.zeros(len(px), dtype=bool)
+    for g in geoms[:6]:
+        inAny |= K.points_in_geom(px, py, g)
+    assert (inU == inAny).mean() > 0.999
+
+
+def test_sql_overlay_surface(spark):
+    def one(expr):
+        return spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+    sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    sq2 = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    a = one(f"ST_Area(ST_Union(ST_GeomFromText('{sq}'), ST_GeomFromText('{sq2}')))")
+    assert a == pytest.approx(7.0)
+    a = one(f"ST_Area(ST_Difference(ST_GeomFromText('{sq}'), ST_GeomFromText('{sq2}')))")
+    assert a == pytest.approx(3.0)
+    a = one(f"ST_Area(ST_SymDifference(ST_GeomFromText('{sq}'), ST_GeomFromText('{sq2}')))")
+    assert a == pytest.approx(6.0)
+    a = one(f"ST_Area(ST_Intersection(ST_GeomFromText('{sq}'), ST_GeomFromText('{sq2}')))")
+    assert a == pytest.approx(1.0)
+    # concave x concave via the general path
+    star1 = "POLYGON ((0 0, 4 1, 8 0, 6 4, 8 8, 4 6, 0 8, 2 4, 0 0))"
+    star2 = "POLYGON ((3 3, 11 3, 11 6, 3 6, 3 3))"
+    ai = one(f"ST_Area(ST_Intersection(ST_GeomFromText('{star1}'), ST_GeomFromText('{star2}')))")
+    au = one(f"ST_Area(ST_Union(ST_GeomFromText('{star1}'), ST_GeomFromText('{star2}')))")
+    a1 = one(f"ST_Area(ST_GeomFromText('{star1}'))")
+    a2 = one(f"ST_Area(ST_GeomFromText('{star2}'))")
+    assert au == pytest.approx(a1 + a2 - ai, abs=1e-9)
+
+
+def test_union_intersection_agg(spark, geoms):
+    from sedona_db_spark.functions.aggregates import union_agg, intersection_agg
+    import pandas as pd
+    rows = pd.DataFrame({
+        "grp": [0, 0, 0, 1, 1],
+        "geom": [W.encode(g) for g in geoms[:5]],
+    })
+    df = spark.createDataFrame(rows)
+    u = {r["grp"]: W.decode(bytes(r["unioned"]))
+         for r in union_agg(df, group_by=["grp"]).collect()}
+    # group-0 union area == exact n-way union of the first three
+    exp = K.geom_area(union_all(geoms[:3]))
+    assert K.geom_area(u[0]) == pytest.approx(exp, abs=1e-9)
+    i = {r["grp"]: W.decode(bytes(r["intersected"]))
+         for r in intersection_agg(df, group_by=["grp"]).collect()}
+    assert K.geom_area(i[0]) >= 0.0

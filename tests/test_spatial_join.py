@@ -56,6 +56,21 @@ def test_contains_direction(data, spark):
     assert got == exp
 
 
+def test_dwithin_column_distance(data):
+    """distance as a right-side column: each polygon row's own radius
+    (reference distance_side=build, spatial_predicate.rs:44-110)."""
+    pdf, gdf, P, G = data
+    # gdf has a 'dist' column in [0, 2)
+    dists = {r["id"]: r["dist"] for r in gdf.select("id", "dist").collect()}
+    exp = {(i, j) for i, p in enumerate(P) for j, g in enumerate(G)
+           if K.geom_dwithin(p, g, dists[j])}
+    for bt in (200_000, 0):  # broadcast and shuffle paths
+        got = {(r["id"], r["id_r"]) for r in spatial_join(
+            pdf, gdf, "dwithin", distance="dist",
+            broadcast_threshold=bt).collect()}
+        assert got == exp, f"broadcast_threshold={bt}"
+
+
 def test_dwithin_literal(data):
     pdf, gdf, P, G = data
     got = {(r["id"], r["id_r"]) for r in
