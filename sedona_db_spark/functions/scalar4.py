@@ -491,3 +491,61 @@ def st_minimumclearanceline(b: pd.Series) -> pd.Series:
 
 
 UDFS4["ST_MinimumClearanceLine"] = st_minimumclearanceline
+
+
+@pandas_udf(StringType())
+def st_relate(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry.relate import relate_matrix
+    return pd.Series([relate_matrix(g1, g2) for g1, g2 in
+                      zip(_decode_series(b1), _decode_series(b2))])
+
+
+@pandas_udf(BooleanType())
+def st_relate_pattern(b1: pd.Series, b2: pd.Series, pat: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry.relate import relate_pattern
+    return pd.Series([
+        None if g1 is None or g2 is None else relate_pattern(g1, g2, p)
+        for g1, g2, p in zip(_decode_series(b1), _decode_series(b2), pat)])
+
+
+UDFS4["ST_Relate"] = st_relate
+UDFS4["ST_RelateMatch"] = st_relate_pattern
+
+
+@pandas_udf(BinaryType())
+def st_polygonize(arr: pd.Series) -> pd.Series:
+    """ST_Polygonize over an array of linestrings: merge connected lines;
+    closed simple rings become polygons (simple tier — full planar noding
+    of arbitrary edge soups is GEOS territory)."""
+    from sedona_db_spark.functions.scalar3 import line_merge
+    out = []
+    for lst in arr:
+        if lst is None or len(lst) == 0:
+            out.append(W.encode(("GeometryCollection", [])))
+            continue
+        lines = []
+        for v in lst:
+            g = W.decode(bytes(v)) if v is not None else None
+            if g is None:
+                continue
+            if g[0] == "LineString":
+                lines.append(g[1])
+            elif g[0] == "MultiLineString":
+                lines.extend(g[1])
+        merged = line_merge(("MultiLineString", lines))
+        parts = [merged[1]] if merged[0] == "LineString" else merged[1]
+        polys = []
+        for path in parts:
+            if len(path) >= 4 and np.array_equal(path[0], path[-1]) \
+                    and not A.ring_self_intersects(path):
+                polys.append([path])
+        if not polys:
+            out.append(W.encode(("GeometryCollection", [])))
+        elif len(polys) == 1:
+            out.append(W.encode(("Polygon", polys[0])))
+        else:
+            out.append(W.encode(("MultiPolygon", polys)))
+    return pd.Series(out)
+
+
+UDFS4["ST_Polygonize"] = st_polygonize

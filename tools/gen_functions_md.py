@@ -37,13 +37,12 @@ NOTES = {
     "st_crs": "EPSG:<srid> from EWKB, else engine default OGC:CRS84",
     "st_distancesphere": "haversine on the IUGG mean sphere",
     "rs_bandnodatavalue": "band 1; 8-byte little-endian double or single byte",
+    "st_relate": "DE-9IM for all Point/Line/Polygon combos (golden-tested); exotic collection mixes unverified",
+    "st_polygonize": "merge-connected-rings tier (full planar noding of edge soups is GEOS territory)",
+    "st_polygonize_agg": "via collect_list + ST_Polygonize",
 }
 
-MISSING = {
-    "st_relate": "full DE-9IM matrix strings (all named predicates ARE implemented)",
-    "st_polygonize": "needs planar noding (GEOS)",
-    "st_polygonize_agg": "needs planar noding (GEOS)",
-}
+MISSING = {}
 
 OPERATOR_EQUIVALENT = {
     "st_knn": "operators.knn_join",
@@ -70,7 +69,8 @@ def main():
                    "st_geomfromewkb", "st_geogfromwkb", "st_geogpoint",
                    "st_force3dm"}
     agg_helpers = {"st_envelope_agg", "st_collect_agg", "st_analyze_agg",
-                   "st_union_agg", "st_intersection_agg"}
+                   "st_union_agg", "st_intersection_agg",
+                   "st_polygonize_agg"}
 
     names = sorted(
         f[:-4] for f in os.listdir(REF_DOCS)
