@@ -168,6 +168,14 @@ def knn_join(
     out = settled_parts[0]
     for part in settled_parts[1:]:
         out = out.unionByName(part)
+    # the result no longer references the cached candidate accumulators;
+    # let them go so long-lived sessions don't pin executor storage.
+    # (materialize first: the union above still reads them lazily)
+    out = out.persist()
+    out.count()
+    t_cells.unpersist()
+    if accumulated is not None:
+        accumulated.unpersist()
 
     if include_ties:
         w = Window.partitionBy(query_id).orderBy(F.col("knn_dist").asc(), F.col(tid).asc())

@@ -577,6 +577,13 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(e, q, ANN_K, dim=64, n_planes=6)
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    from sedona_db_spark.similarity import ivf_ann_topk
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 25 == 0)
+    return ivf_ann_topk(e, q, ANN_K, dim=64, n_centroids=16, n_probe=4)
+
+
 def q_multimodal_meta(spark, sf_dir):
     from sedona_db_spark.multimodal import extract_media_meta
     d = _t(spark, sf_dir, "documents")
@@ -658,6 +665,39 @@ ORACLE_SPHERE = (
 
 
 # ---------------------------------------------------------------------------
+# 25. polygon overlay (union/intersection/difference areas, exact oracle)
+# ---------------------------------------------------------------------------
+
+OVL_DX, OVL_DY = 10.0, 19.0  # shift making the pair overlap partially
+
+
+def q_overlay_rect_areas(spark, sf_dir):
+    """Per nation: boolean-op areas of (rect, rect shifted by (10, 19)).
+
+    Axis-aligned inputs keep every overlay coordinate an exact double, so
+    the slab-decomposition areas match closed-form inclusion-exclusion."""
+    from sedona_db_spark.functions.scalar import st_area
+    from sedona_db_spark.functions.scalar2 import st_intersection, st_translate
+    from sedona_db_spark.functions.scalar4 import st_union, st_difference
+    r = nation_rects(spark, sf_dir)
+    shifted = st_translate(F.col("geom"), F.lit(OVL_DX), F.lit(OVL_DY))
+    return r.select(
+        "n_nationkey",
+        st_area(st_union(F.col("geom"), shifted)).alias("union_area"),
+        st_area(st_intersection(F.col("geom"), shifted)).alias("inter_area"),
+        st_area(st_difference(F.col("geom"), shifted)).alias("diff_area"))
+
+
+ORACLE_OVERLAY = (
+    "WITH " + _rects_cte() + f"""
+ SELECT n_nationkey,
+        2 * (20.0 * 38.0) - (20.0 - {OVL_DX!r}) * (38.0 - {OVL_DY!r}) AS union_area,
+        (20.0 - {OVL_DX!r}) * (38.0 - {OVL_DY!r}) AS inter_area,
+        20.0 * 38.0 - (20.0 - {OVL_DX!r}) * (38.0 - {OVL_DY!r}) AS diff_area
+ FROM rects""")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -685,9 +725,11 @@ QUERIES = {
     "transform_3857": q_transform_3857,
     "azimuth_to_city": q_azimuth_to_city,
     "sphere_distances": q_sphere_distances,
+    "overlay_rect_areas": q_overlay_rect_areas,
     "simhash_neardup": q_simhash_neardup,
     "doc_fingerprints": q_doc_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -715,6 +757,7 @@ ORACLE_SQL = {
     "transform_3857": ORACLE_TRANSFORM,
     "azimuth_to_city": ORACLE_AZIMUTH,
     "sphere_distances": ORACLE_SPHERE,
+    "overlay_rect_areas": ORACLE_OVERLAY,
     "multimodal_meta": ORACLE_MULTIMODAL,
     # simhash_neardup / doc_fingerprints / lsh_ann_topk: rows-only
     # (non-SQL-expressible hashing; exact pytest oracles in tests/)

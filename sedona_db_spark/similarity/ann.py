@@ -18,7 +18,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _int_dot(a: str, b: str) -> F.Column:
@@ -148,3 +148,54 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float,
     return (sim.where(F.col("cosine") >= threshold)
                .select(F.col("q_id").alias("id_a"),
                        F.col("t_id").alias("id_b"), "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + probe-n-lists search
+# ---------------------------------------------------------------------------
+
+def _ivf_centroids(dim: int, n_centroids: int, seed: int = 13) -> np.ndarray:
+    """Deterministic unit-norm coarse centroids (seeded gaussians; on a real
+    deployment these come from a k-means sample pass)."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_centroids, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def _list_assign_udf(dim: int, n_centroids: int, seed: int, n_probe: int = 1):
+    C = _ivf_centroids(dim, n_centroids, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int64).tolist() for row in order])
+    return assign
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+                 n_centroids: int = 16, n_probe: int = 4, seed: int = 13,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus vectors land in their nearest
+    coarse-centroid list (ONE shuffle on list id); queries probe their
+    ``n_probe`` nearest lists and re-rank candidates by exact fixed-point
+    cosine.  Recall rises with n_probe (n_probe == n_centroids → exact)."""
+    from pyspark.sql import Window
+    assign1 = _list_assign_udf(dim, n_centroids, seed, 1)
+    assignP = _list_assign_udf(dim, n_centroids, seed, n_probe)
+    t = _prep_int_vecs(corpus, id_col, vec_col, "t",
+                       extra={"__lists": assign1(F.col(vec_col))})
+    t = t.withColumn("list_id", F.element_at(F.col("__lists"), 1)).drop("__lists")
+    q = _prep_int_vecs(queries, id_col, vec_col, "q",
+                       extra={"__lists": assignP(F.col(vec_col))})
+    q = q.withColumn("list_id", F.explode(F.col("__lists"))).drop("__lists")
+    joined = t.join(F.broadcast(q), on="list_id").where(F.col("q_id") != F.col("t_id"))
+    sim = joined.withColumn("cosine", _pair_cosine())
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("t_id").asc())
+    return (sim.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") <= k)
+               .select("q_id", "t_id", "cosine", "rn"))

@@ -79,3 +79,26 @@ def test_neardup_pairs_symmetric_threshold(emb):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert r["cosine"] >= 0.9
+
+
+def test_ivf_ann(emb):
+    """IVF: candidates share a probed list; full-probe == exact brute force."""
+    from sedona_db_spark.similarity import ivf_ann_topk
+    from pyspark.sql import functions as F
+    ids, M = _matrix(emb)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    # n_probe == n_centroids → must equal the exact brute force result
+    full = ivf_ann_topk(emb, q, 3, dim=64, n_centroids=8, n_probe=8)
+    exact = _numpy_topk(ids, M, ids % 25 == 0, 3)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["q_id"], []).append((r["rn"], r["t_id"]))
+    assert set(got) == set(exact)
+    for qid, lst in got.items():
+        assert [t for _, t in sorted(lst)] == exact[qid]
+    # partial probe: recall against exact top-1 should be decent
+    part = ivf_ann_topk(emb, q, 1, dim=64, n_centroids=8, n_probe=3)
+    top1 = {r["q_id"]: r["t_id"] for r in part.collect()}
+    hits = sum(1 for qid, lst in exact.items()
+               if top1.get(qid) == lst[0])
+    assert hits / len(exact) >= 0.5
