@@ -676,8 +676,8 @@ def q_overlay_rect_areas(spark, sf_dir):
 
     Axis-aligned inputs keep every overlay coordinate an exact double, so
     the slab-decomposition areas match closed-form inclusion-exclusion."""
-    from sedona_db_spark.functions.scalar import st_area
-    from sedona_db_spark.functions.scalar2 import st_intersection, st_translate
+    from sedona_db_spark.functions.scalar import st_area, st_translate
+    from sedona_db_spark.functions.scalar2 import st_intersection
     from sedona_db_spark.functions.scalar4 import st_union, st_difference
     r = nation_rects(spark, sf_dir)
     shifted = st_translate(F.col("geom"), F.lit(OVL_DX), F.lit(OVL_DY))
