@@ -10,18 +10,18 @@ results ordered by distance.
 Distributed algorithm (the Spark-native analogue of the reference's
 R-tree KNN probe):
 
-1. both sides keyed by grid cell at a resolution sized so the average cell
-   holds ~`target_per_cell` target points;
-2. round t explores Chebyshev rings (prev, R_t] around each *unsettled*
-   query's cell (R doubles each round): a query×ring-cell explode joined
-   to targets on cell — an equi hash join, so targets shuffle once per
-   round at most and AQE balances skew;
-3. a query settles when it has ≥ k candidates whose k-th distance is
-   ≤ R·min(cell_w, cell_h) — the guarantee that no unexplored cell can
-   contain anything closer (same pruning invariant as an R-tree best-first
-   search);
-4. unsettled stragglers (outliers in empty space) eventually widen to the
-   whole grid; the loop is driver-side but every data op is distributed.
+1. both sides keyed by grid cell; the resolution is chosen from a *sampled
+   occupancy histogram* so even the hottest cell (dense metro tiles) holds
+   a bounded number of targets — the adaptive-splitting lever;
+2. round t explores Chebyshev rings (prev, R_t] around each unsettled
+   query's cell: a COGROUP of (query ring-cells × target cells) runs a
+   chunked numpy top-k *inside* each cell and emits at most k rows per
+   (query, cell) — candidate pairs are never materialized as Spark rows,
+   so hot cells cost numpy FLOPs, not shuffle;
+3. a query settles when its k-th accumulated distance is ≤ R·cell_size
+   (no unexplored cell can hold anything closer — the same pruning
+   invariant as an R-tree best-first search);
+4. stragglers widen geometrically until the whole grid is explored.
 
 Final selection is the reference's own oracle formulation:
 ``ROW_NUMBER() OVER (PARTITION BY query ORDER BY dist, target_id) <= k``.
@@ -36,7 +36,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, DoubleType
 
 from sedona_db_spark import grid
 from sedona_db_spark.geometry import wkb as W
@@ -80,6 +80,59 @@ def _ring_cells_udf(res: int, r_lo: int, r_hi: int):
     return rings
 
 
+def _neighbor_cells_col(res: int):
+    """Array of the 9 ring-≤1 neighbor cell ids of ``__tcell`` — pure JVM
+    bit arithmetic (lon wraps, lat clamps to NULL)."""
+    n = 1 << res
+    mask = (1 << 29) - 1
+    c = F.col("__tcell")
+    ix = F.shiftrightunsigned(c, 29).bitwiseAND(F.lit(mask).cast("long"))
+    iy = c.bitwiseAND(F.lit(mask).cast("long"))
+    base = F.lit(res * (1 << 58)).cast("long")
+    cells = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            jx = F.pmod(ix + F.lit(dx), F.lit(n))
+            jy = iy + F.lit(dy)
+            cell = base + jx * F.lit(1 << 29).cast("long") + jy
+            cells.append(F.when((jy >= 0) & (jy < n), cell))
+    # distinct: longitude wrap on coarse grids maps dx=-1 and dx=+1 to the
+    # same cell — a duplicate would emit the same target twice
+    return F.array_distinct(F.array(*cells))
+
+
+def _coarse_key_col(cell_col, shift: int = 3):
+    """Parent-block key of a cell id: (ix >> shift, iy >> shift) packed.
+    Groups ~4^shift fine cells per cogroup task — amortizes the per-group
+    Arrow/pandas fixed cost; fine-cell matching happens in numpy inside."""
+    mask = (1 << 29) - 1
+    ix = F.shiftrightunsigned(cell_col, 29).bitwiseAND(F.lit(mask).cast("long"))
+    iy = cell_col.bitwiseAND(F.lit(mask).cast("long"))
+    return (F.shiftrightunsigned(ix, shift) * F.lit(1 << 32).cast("long")
+            + F.shiftrightunsigned(iy, shift))
+
+
+def _pick_res_by_occupancy(targets: DataFrame, tgeom: str, n_t: int, k: int,
+                           max_cell: int = 150_000) -> int:
+    """Finest resolution whose hottest cell (estimated from a sample) holds
+    ≤ max_cell targets, floored by the mean-occupancy heuristic."""
+    frac = min(1.0, 200_000 / max(n_t, 1))
+    sample = targets.select(tgeom).sample(False, frac, seed=7).collect()
+    xs, ys = W.wkb_to_points([r[0] for r in sample])
+    scale = 1.0 / max(frac, 1e-9)
+    # mean-occupancy floor: ~2k targets per ring-1 neighborhood
+    cells_wanted = max(1, n_t // max(k, 1) // 2)
+    res = min(grid.MAX_RES, max(0, int(math.log(max(cells_wanted, 1), 4))))
+    while res < grid.MAX_RES:
+        cells = grid.cell_ids(xs, ys, res)
+        _, counts = np.unique(cells, return_counts=True)
+        hottest = counts.max() * scale if len(counts) else 0
+        if hottest <= max_cell:
+            break
+        res += 1
+    return res
+
+
 def knn_join(
     queries: DataFrame,
     targets: DataFrame,
@@ -90,7 +143,7 @@ def knn_join(
     target_id: str = "id",
     res: int | None = None,
     include_ties: bool = False,
-    max_rounds: int = 12,
+    max_rounds: int = 16,
 ) -> DataFrame:
     """k nearest targets per query point (planar distance).
 
@@ -106,36 +159,133 @@ def knn_join(
     qcols = list(queries.columns)
     tcols = list(targets.columns)
 
+    n_t = targets.count()
     if res is None:
-        n_t = targets.count()
-        # ~2k targets per ring-1 neighborhood on average under uniformity
-        cells_wanted = max(1, n_t // max(k, 1) // 2)
-        res = min(grid.MAX_RES, max(0, int(math.log(max(cells_wanted, 1), 4))))
+        res = _pick_res_by_occupancy(targets, tgeom, n_t, k)
 
     from sedona_db_spark.operators.spatial_join import _cell_udf
-    t_cells = targets.withColumn("__tcell", _cell_udf(res)(F.col(tgeom)))
-    t_cells = t_cells.persist()
+    # pre-shuffle ONCE on the cogroup key: every round's cogroup reuses the
+    # cached hash partitioning instead of re-shuffling the target table
+    t_cells = (targets.withColumn("__tcell", _cell_udf(res)(F.col(tgeom)))
+               .withColumn("__fcell", F.col("__tcell"))
+               .withColumn("__g", _coarse_key_col(F.col("__tcell")))
+               .repartition(F.col("__g")).persist())
 
-    from sedona_db_spark.functions.scalar import st_distance
+    # per-cell top-k cogroup: emits ≤ k rows per (query, cell); the full
+    # candidate cross product lives only as numpy FLOPs inside the worker
+    result_fields = ([queries.schema[c] for c in qcols]
+                     + [targets.schema[c] for c in tcols]
+                     + [StructField("knn_dist", DoubleType())])
+    from pyspark.sql.types import StructType
+    result_schema = StructType(result_fields)
+
+    def local_topk(qpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        """Per-(coarse-block) top-k: both sides carry their fine cell in
+        ``__fcell``; matching runs per fine cell inside numpy."""
+        if len(qpdf) == 0 or len(tpdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in result_fields])
+        qc = qpdf["__fcell"].to_numpy()
+        tc = tpdf["__fcell"].to_numpy()
+        oq = np.argsort(qc, kind="stable")
+        ot = np.argsort(tc, kind="stable")
+        out_parts = []
+        tq_cells, tq_starts = np.unique(qc[oq], return_index=True)
+        tt_cells, tt_starts = np.unique(tc[ot], return_index=True)
+        t_pos = {int(c): i for i, c in enumerate(tt_cells)}
+        tq_ends = np.r_[tq_starts[1:], len(oq)]
+        tt_ends = np.r_[tt_starts[1:], len(ot)]
+        for ci, cell in enumerate(tq_cells):
+            j = t_pos.get(int(cell))
+            if j is None:
+                continue
+            q_idx = oq[tq_starts[ci]:tq_ends[ci]]
+            t_idx = ot[tt_starts[j]:tt_ends[j]]
+            out_parts.append(_cell_topk(qpdf.iloc[q_idx], tpdf.iloc[t_idx]))
+        if not out_parts:
+            return pd.DataFrame(columns=[f.name for f in result_fields])
+        return pd.concat(out_parts, ignore_index=True)
+
+    def _cell_topk(qpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        qx, qy = W.wkb_to_points(qpdf[query_geom])
+        tx, ty = W.wkb_to_points(tpdf[tgeom])
+        # numpy object arrays: fancy-indexed output assembly is ~10× faster
+        # than pandas .iloc on object (WKB bytes) columns
+        qarr = {c: qpdf[c].to_numpy() for c in qcols}
+        tarr = {c: tpdf[c].to_numpy() for c in tcols}
+        nt = len(tpdf)
+        kk = min(k, nt)
+        all_q: list = []
+        all_t: list = []
+        all_d: list = []
+        CH = 1024
+        for s in range(0, len(qpdf), CH):
+            e = min(s + CH, len(qpdf))
+            d = np.hypot(qx[s:e, None] - tx[None, :], qy[s:e, None] - ty[None, :])
+            if kk < nt:
+                idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                if include_ties:
+                    # a tie at the k-th distance must not be cut at cell level
+                    dk = np.take_along_axis(d, idx, axis=1).max(axis=1, keepdims=True)
+                    rows_q_l, rows_t_l = np.nonzero(d <= dk)
+                    all_q.append(rows_q_l + s)
+                    all_t.append(rows_t_l)
+                    all_d.append(d[rows_q_l, rows_t_l])
+                    continue
+            else:
+                idx = np.broadcast_to(np.arange(nt), (e - s, nt)).copy()
+            rows_q = np.repeat(np.arange(s, e), idx.shape[1])
+            rows_t = idx.ravel()
+            all_q.append(rows_q)
+            all_t.append(rows_t)
+            all_d.append(d[rows_q - s, rows_t])
+        rq = np.concatenate(all_q)
+        rt = np.concatenate(all_t)
+        data = {c: qarr[c][rq] for c in qcols}
+        data.update({c: tarr[c][rt] for c in tcols})
+        data["knn_dist"] = np.concatenate(all_d)
+        return pd.DataFrame(data)
 
     cw = min(grid.cell_width(res), grid.cell_height(res))
     pending = queries
     settled_parts: list[DataFrame] = []
     cand_cols = qcols + tcols + ["knn_dist"]
     accumulated: DataFrame | None = None
-
+    caches: list[DataFrame] = [t_cells]
     n_grid = 1 << res
-    r_prev = -1
+
+    # round 0 optimization: instead of exploding every query to its 9
+    # ring-1 cells (9× query rows, 9× emitted top-ks), explode each TARGET
+    # to its ring-1 neighbor cells ONCE (pure JVM bit arithmetic) — round 0
+    # then cogroups each query's OWN cell against its full neighborhood and
+    # emits exactly ≤k rows per query.
+    t_ring = (t_cells.drop("__fcell", "__g")
+              .withColumn("__fcell", F.explode(_neighbor_cells_col(res)))
+              .where(F.col("__fcell").isNotNull())
+              .withColumn("__g", _coarse_key_col(F.col("__fcell")))
+              .repartition(F.col("__g")).persist())
+    caches.append(t_ring)
+
+    r_prev = 1   # ring ≤ 1 covered by round 0
     r_cur = 1
     for round_no in range(max_rounds):
-        ring = pending.withColumn(
-            "__qcell", F.explode(_ring_cells_udf(res, r_prev, r_cur)(F.col(query_geom))))
-        cand = ring.join(t_cells, ring["__qcell"] == t_cells["__tcell"], "inner")
-        cand = cand.select(
-            *qcols, *tcols,
-            st_distance(F.col(query_geom), F.col(tgeom)).alias("knn_dist"))
+        if round_no == 0:
+            ring = (pending
+                    .withColumn("__fcell", _cell_udf(res)(F.col(query_geom)))
+                    .withColumn("__g", _coarse_key_col(F.col("__fcell"))))
+            cand = (ring.groupBy("__g")
+                    .cogroup(t_ring.groupBy("__g"))
+                    .applyInPandas(local_topk, schema=result_schema))
+        else:
+            ring = (pending
+                    .withColumn("__fcell", F.explode(
+                        _ring_cells_udf(res, r_prev, r_cur)(F.col(query_geom))))
+                    .withColumn("__g", _coarse_key_col(F.col("__fcell"))))
+            cand = (ring.groupBy("__g")
+                    .cogroup(t_cells.groupBy("__g"))
+                    .applyInPandas(local_topk, schema=result_schema))
         accumulated = cand if accumulated is None else accumulated.unionByName(cand)
         accumulated = accumulated.persist()
+        caches.append(accumulated)
 
         # settle check: k-th distance within the explored-safe radius
         safe = r_cur * cw
@@ -163,19 +313,16 @@ def knn_join(
         accumulated = accumulated.join(done_ids, on=query_id, how="left_anti")
         if exhausted or pending.isEmpty():
             break
-        r_prev, r_cur = r_cur, min(max(r_cur * 2, r_cur + 1), n_grid)
+        r_prev, r_cur = r_cur, min(max(r_cur * 4, r_cur + 1), n_grid)
 
     out = settled_parts[0]
     for part in settled_parts[1:]:
         out = out.unionByName(part)
-    # the result no longer references the cached candidate accumulators;
-    # let them go so long-lived sessions don't pin executor storage.
-    # (materialize first: the union above still reads them lazily)
+    # materialize, then release the cached accumulators
     out = out.persist()
     out.count()
-    t_cells.unpersist()
-    if accumulated is not None:
-        accumulated.unpersist()
+    for c in caches:
+        c.unpersist()
 
     if include_ties:
         w = Window.partitionBy(query_id).orderBy(F.col("knn_dist").asc(), F.col(tid).asc())

@@ -23,7 +23,7 @@ NOTES = {
     "st_union_agg": "via functions.aggregates.union_agg (n-way slab overlay)",
     "st_intersection_agg": "via functions.aggregates.intersection_agg",
     "st_transform": "built-in EPSG:4326/OGC:CRS84 ↔ EPSG:3857 (reference: PROJ, any CRS)",
-    "st_buffer": "exact for points (32-gon); hull-dilation approximation otherwise",
+    "st_buffer": "Minkowski-sum buffer via slab-overlay union (exact up to the standard quad_segs disc discretization); erosion for negative d",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); use operators.knn_join",
     "st_geogfromwkb": "alias of ST_GeomFromWKB (planar tier; no spherical kernels)",
     "st_geogfromwkt": "alias of ST_GeomFromText (planar tier)",
