@@ -47,8 +47,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + python workers once (excluded from timings)
+    # warm the JVM + python workers once (excluded from timings); the
+    # pages-PIP warm-up exercises the mapInPandas path the flagship uses
     QUERIES["geocode_cells"](spark, sf_dir).count()
+    pages_pip_throughput(spark, n_pages=100_000)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -665,6 +665,58 @@ ORACLE_SPHERE = (
 
 
 # ---------------------------------------------------------------------------
+# 24b. composite training-data pipeline: quality filter → dedup → stats
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.5
+
+
+def q_training_pipeline(spark, sf_dir):
+    """The end-to-end pipeline shape: score → filter → keep one doc per
+    distinct text → per-language counts + token totals."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.withColumn("quality", TA.quality_score(F.col("text"))) \
+              .where(F.col("quality") >= QUALITY_MIN)
+    keepers = (scored
+               .withColumn("text_md5", F.md5(F.col("text").cast("binary")))
+               .withColumn("__rn", F.row_number().over(
+                   Window.partitionBy("text_md5").orderBy("doc_id")))
+               .where(F.col("__rn") == 1))
+    return (keepers
+            .withColumn("n_tokens", TA.token_count(F.col("text")))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
+def _oracle_training_pipeline() -> str:
+    stop = " + ".join(_occ_sql(m) for m in TA.LANG_MARKERS["en"])
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang, text, n_tok,
+         least(n / 500.0, 1.0) * 0.3
+         + (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END) * 0.4
+         + least((CASE WHEN n_tok > 0 THEN CAST(({stop}) AS DOUBLE) / n_tok
+                  ELSE 0.0 END) * 5.0, 1.0) * 0.3 AS quality
+  FROM base),
+keepers AS (
+  SELECT doc_id, lang, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= {QUALITY_MIN!r})
+SELECT lang, count(*) AS docs,
+       CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens
+FROM keepers WHERE rn = 1 GROUP BY lang"""
+
+
+# ---------------------------------------------------------------------------
 # 25. polygon overlay (union/intersection/difference areas, exact oracle)
 # ---------------------------------------------------------------------------
 
@@ -726,6 +778,7 @@ QUERIES = {
     "azimuth_to_city": q_azimuth_to_city,
     "sphere_distances": q_sphere_distances,
     "overlay_rect_areas": q_overlay_rect_areas,
+    "training_pipeline": q_training_pipeline,
     "simhash_neardup": q_simhash_neardup,
     "doc_fingerprints": q_doc_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
@@ -758,6 +811,7 @@ ORACLE_SQL = {
     "azimuth_to_city": ORACLE_AZIMUTH,
     "sphere_distances": ORACLE_SPHERE,
     "overlay_rect_areas": ORACLE_OVERLAY,
+    "training_pipeline": _oracle_training_pipeline(),
     "multimodal_meta": ORACLE_MULTIMODAL,
     # simhash_neardup / doc_fingerprints / lsh_ann_topk: rows-only
     # (non-SQL-expressible hashing; exact pytest oracles in tests/)

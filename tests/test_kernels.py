@@ -117,3 +117,20 @@ def test_buffer_point():
     a = K.geom_area(buf)
     assert 3.0 < a < np.pi  # inscribed 32-gon area < circle
     assert K.geom_contains(buf, g("POINT (0.9 0)"))
+
+
+def test_buffer_minkowski_exact():
+    """Positive buffer = Minkowski sum (area identity); negative = erosion."""
+    sq = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    b = K.geom_buffer(sq, 1.0)
+    # area = A + perimeter·d + (32-gon disc area)·d²
+    disc32 = 16 * np.sin(2 * np.pi / 32)  # area of unit 32-gon
+    assert abs(K.geom_area(b) - (4 + 8 * 1.0 + disc32)) < 1e-9
+    # membership near the offset boundary
+    assert K.points_in_geom(np.array([2.9]), np.array([1.0]), b)[0]
+    assert not K.points_in_geom(np.array([3.06]), np.array([1.0]), b)[0]
+    eroded = K.geom_buffer(sq, -0.5)
+    assert abs(K.geom_area(eroded) - 1.0) < 0.05
+    line = g("LINESTRING (0 0, 10 0)")
+    lb = K.geom_buffer(line, 0.5)
+    assert abs(K.geom_area(lb) - (10 * 1.0 + disc32 * 0.25)) < 1e-9
