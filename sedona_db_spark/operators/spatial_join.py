@@ -195,12 +195,17 @@ def spatial_join(
 
     # ---- handedness: non-inner joins preserve the outer side ---------------
     if how == "right":
+        if dist_col is not None:
+            raise NotImplementedError(
+                "dwithin with a column distance is not supported for right "
+                "joins (the distance column would land on the probe side)")
         inv = {"contains": "within", "within": "contains",
                "covers": "coveredby", "coveredby": "covers"}
         flipped = spatial_join(
             right, left, inv.get(predicate, predicate), "left",
             distance=distance, left_geom=rgeom, right_geom=left_geom,
-            res=res, broadcast_threshold=broadcast_threshold, salt=salt)
+            res=res, broadcast_threshold=broadcast_threshold, salt=salt,
+            extra_condition=extra_condition)
         return flipped.select(*lcols, *rcols)
 
     pad = 0.0
@@ -326,28 +331,34 @@ def spatial_join(
     cand = l_cells.join(build, on=join_keys, how="inner")
 
     # ---- pair dedup for exploded×exploded -----------------------------------
+    dedup_pairs_after = False
     if l_is_exploded:
-        # emit each pair only in the smallest cell both coverings share
-        @pandas_udf(LongType())
-        def min_common(b1: pd.Series, b2: pd.Series) -> pd.Series:
-            out = np.empty(len(b1), dtype=np.int64)
-            cache: dict[bytes, np.ndarray] = {}
-            def cover(v):
-                raw = bytes(v)
-                c = cache.get(raw)
-                if c is None:
-                    xmin, ymin, xmax, ymax = K.geom_bbox(W.decode(raw))
-                    c = (np.empty(0, dtype=np.int64) if np.isnan(xmin) else
-                         grid.covering_cells(xmin - pad, ymin - pad,
-                                             xmax + pad, ymax + pad, res))
-                    cache[raw] = c
-                return c
-            for i, (v1, v2) in enumerate(zip(b1, b2)):
-                common = np.intersect1d(cover(v1), cover(v2))
-                out[i] = common.min() if len(common) else -1
-            return pd.Series(out)
-        cand = cand.where(
-            F.col("__cell") == min_common(F.col(left_geom), F.col(rgeom)))
+        if pad != 0.0 or dist_col is not None:
+            # padded right covers don't align with the unpadded left covers,
+            # so the min-common-cell rule can name a cell the pair never
+            # joins in; dedupe on row identity after the refine instead
+            dedup_pairs_after = True
+        else:
+            # emit each pair only in the smallest cell both coverings share
+            @pandas_udf(LongType())
+            def min_common(b1: pd.Series, b2: pd.Series) -> pd.Series:
+                out = np.empty(len(b1), dtype=np.int64)
+                cache: dict[bytes, np.ndarray] = {}
+                def cover(v):
+                    raw = bytes(v)
+                    c = cache.get(raw)
+                    if c is None:
+                        xmin, ymin, xmax, ymax = K.geom_bbox(W.decode(raw))
+                        c = (np.empty(0, dtype=np.int64) if np.isnan(xmin) else
+                             grid.covering_cells(xmin, ymin, xmax, ymax, res))
+                        cache[raw] = c
+                    return c
+                for i, (v1, v2) in enumerate(zip(b1, b2)):
+                    common = np.intersect1d(cover(v1), cover(v2))
+                    out[i] = common.min() if len(common) else -1
+                return pd.Series(out)
+            cand = cand.where(
+                F.col("__cell") == min_common(F.col(left_geom), F.col(rgeom)))
 
     # ---- phase 2: exact refinement ------------------------------------------
     from sedona_db_spark.functions import scalar as S
@@ -372,6 +383,8 @@ def spatial_join(
     if extra_condition is not None:
         cond = cond & extra_condition
     matched = cand.where(cond).select(*lcols, *rcols)
+    if dedup_pairs_after:
+        matched = matched.dropDuplicates(lcols + rcols)
     return _finish_join_type(left, matched, how, lcols, rcols)
 
 

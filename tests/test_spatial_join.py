@@ -107,6 +107,22 @@ def test_poly_poly_exploded_dedup(data, spark):
                         for j, b in enumerate(G) if K.geom_intersects(a, b)}
 
 
+def test_dwithin_exploded_left(data, spark):
+    """dwithin with a NON-point (exploded) left side: padded right covers
+    vs unpadded left covers — regression for the min-common-cell dedup."""
+    _, gdf, _, G = data
+    g2 = FX.random_polygons(40, seed=77, num_vertices=(3, 7))
+    g2df = spark.createDataFrame(g2).withColumnRenamed("geometry", "geom")
+    G2 = [W.decode(bytes(b)) for b in g2.geometry]
+    d = 1.3
+    exp = {(i, j) for i, a in enumerate(G2) for j, b in enumerate(G)
+           if K.geom_dwithin(a, b, d)}
+    got_rows = spatial_join(g2df, gdf, "dwithin", distance=d).collect()
+    got = [(r["id"], r["id_r"]) for r in got_rows]
+    assert len(got) == len(set(got)), "duplicate pairs"
+    assert set(got) == exp
+
+
 def test_salting_preserves_result(data):
     pdf, gdf, P, G = data
     base = brute(P, G, K.geom_intersects)
