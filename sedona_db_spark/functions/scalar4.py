@@ -384,12 +384,16 @@ UDFS4 = {
 @pandas_udf(BinaryType())
 def st_difference(b1: pd.Series, b2: pd.Series) -> pd.Series:
     from sedona_db_spark.geometry.overlay import boolean_op
+    from sedona_db_spark.geometry.algos import _clip_line_by_poly
     out = []
     for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
         if g1 is None:
             out.append(None)
         elif g2 is None or not K.geom_intersects(g1, g2):
             out.append(W.encode(g1))
+        elif g1[0] == "LineString" and g2[0] in ("Polygon", "MultiPolygon"):
+            out.append(W.encode(_clip_line_by_poly(g1[1], g2,
+                                                   keep_inside=False)))
         else:
             out.append(W.encode(boolean_op(g1, g2, "difference")))
     return pd.Series(out)

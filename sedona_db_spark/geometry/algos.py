@@ -187,9 +187,9 @@ def intersection(g1, g2):
         f"ST_Intersection: unsupported type combination {g1[0]} × {g2[0]}")
 
 
-def _clip_line_by_poly(line: np.ndarray, poly):
-    """Exact line∩polygon: split segments at boundary crossings, keep the
-    inside pieces."""
+def _clip_line_by_poly(line: np.ndarray, poly, keep_inside: bool = True):
+    """Exact line∩polygon (or line∖polygon with keep_inside=False): split
+    segments at boundary crossings, keep the pieces on the requested side."""
     pieces = []
     cur = []
     for i in range(len(line) - 1):
@@ -203,7 +203,9 @@ def _clip_line_by_poly(line: np.ndarray, poly):
         ts = sorted(set(ts))
         for t0, t1 in zip(ts[:-1], ts[1:]):
             mid = p + (q - p) * ((t0 + t1) / 2)
-            if K.points_in_geom(np.array([mid[0]]), np.array([mid[1]]), poly)[0]:
+            inside = bool(K.points_in_geom(np.array([mid[0]]),
+                                           np.array([mid[1]]), poly)[0])
+            if inside == keep_inside:
                 s = p + (q - p) * t0
                 e = p + (q - p) * t1
                 if cur and np.allclose(cur[-1], s):
