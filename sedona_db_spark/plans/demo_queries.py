@@ -289,7 +289,7 @@ ORACLE_ENVELOPE = (
 
 def q_tpch_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
                 F.expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").alias("sum_qty"),
