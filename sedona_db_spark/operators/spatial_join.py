@@ -60,6 +60,8 @@ JOIN_TYPES = ("inner", "left", "right", "left_semi", "left_anti")
 
 
 def _covering_cells_udf(res: int, pad: float = 0.0):
+    # nondeterministic marker: stops Catalyst from re-evaluating the UDF a
+    # second time under the join-key isnotnull filter it injects
     @pandas_udf(ArrayType(LongType()))
     def cover(b: pd.Series) -> pd.Series:
         out = []
@@ -81,7 +83,7 @@ def _covering_cells_udf(res: int, pad: float = 0.0):
                 cache[raw] = cells
             out.append(cells)
         return pd.Series(out)
-    return cover
+    return cover.asNondeterministic()
 
 
 def _covering_cells_padcol_udf(res: int):
@@ -102,7 +104,7 @@ def _covering_cells_padcol_udf(res: int):
             out.append(grid.covering_cells(
                 xmin - d, ymin - d, xmax + d, ymax + d, res).tolist())
         return pd.Series(out)
-    return cover
+    return cover.asNondeterministic()
 
 
 def _cell_udf(res: int):
@@ -110,22 +112,28 @@ def _cell_udf(res: int):
     def cell(b: pd.Series) -> pd.Series:
         x, y = W.wkb_to_points(b)
         return pd.Series(grid.cell_ids(x, y, res))
-    return cell
+    return cell.asNondeterministic()
 
 
-def _bbox_stats(df: DataFrame, geom_col: str) -> dict:
-    """One small agg over the dimension side: count + mean bbox extent.
+def _bbox_stats(df: DataFrame, geom_col: str, sample_cap: int = 50_000) -> dict:
+    """Build-side statistics: exact count (JVM columnar, cheap) + mean bbox
+    extent from a bounded sample (the bbox UDF is a python pass — never run
+    it over a huge dimension table just for stats).
 
-    Analogue of the reference's build-side AnalyzeAccumulator statistics
-    (rust/sedona-spatial-join/src/index/build_side_collector.rs:31-219).
+    Analogue of the reference's build-side AnalyzeAccumulator + bbox sampler
+    (rust/sedona-spatial-join/src/index/build_side_collector.rs:31-219,
+    partitioning/bbox_sampler.rs).
     """
     from sedona_db_spark.functions.scalar import st_xmin, st_xmax, st_ymin, st_ymax
-    r = df.select(
-        F.count(F.lit(1)).alias("n"),
+    n = df.count()
+    sampled = df.select(geom_col)
+    if n > sample_cap:
+        sampled = sampled.sample(False, sample_cap / n, seed=7)
+    r = sampled.select(
         F.avg(st_xmax(F.col(geom_col)) - st_xmin(F.col(geom_col))).alias("w"),
         F.avg(st_ymax(F.col(geom_col)) - st_ymin(F.col(geom_col))).alias("h"),
     ).collect()[0]
-    return {"n": r["n"] or 0, "w": r["w"] or 0.0, "h": r["h"] or 0.0}
+    return {"n": n, "w": r["w"] or 0.0, "h": r["h"] or 0.0}
 
 
 def pick_join_res(stats: dict, max_cells_per_geom: int = 16) -> int:
