@@ -454,3 +454,45 @@ UDFS2 = {
     "ST_Rotate": st_rotate,
     "ST_Affine": st_affine,
 }
+
+
+def _geom_from_geojson_obj(obj):
+    t = obj.get("type")
+    c = obj.get("coordinates")
+    if t == "Point":
+        return ("Point", np.asarray(c, dtype=np.float64))
+    if t == "LineString":
+        return ("LineString", np.asarray(c, dtype=np.float64))
+    if t == "Polygon":
+        return ("Polygon", [np.asarray(r, dtype=np.float64) for r in c])
+    if t == "MultiPoint":
+        return ("MultiPoint", np.asarray(c, dtype=np.float64))
+    if t == "MultiLineString":
+        return ("MultiLineString", [np.asarray(l, dtype=np.float64) for l in c])
+    if t == "MultiPolygon":
+        return ("MultiPolygon",
+                [[np.asarray(r, dtype=np.float64) for r in rings] for rings in c])
+    if t == "GeometryCollection":
+        return ("GeometryCollection",
+                [_geom_from_geojson_obj(g) for g in obj.get("geometries", [])])
+    raise ValueError(f"unsupported GeoJSON type {t!r}")
+
+
+@pandas_udf(BinaryType())
+def st_geomfromgeojson(s: pd.Series) -> pd.Series:
+    """Parse GeoJSON geometry (or Feature) strings to WKB — the ingest
+    complement of ST_AsGeoJSON (GeoJSON vector ingest is GDAL-backed in the
+    reference, c/sedona-gdal)."""
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        obj = json.loads(v)
+        if obj.get("type") == "Feature":
+            obj = obj.get("geometry") or {}
+        out.append(W.encode(_geom_from_geojson_obj(obj)))
+    return pd.Series(out)
+
+
+UDFS2["ST_GeomFromGeoJSON"] = st_geomfromgeojson

@@ -71,3 +71,21 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     plan = q._jdf.queryExecution().toString()
     assert "PartitionFilters" in plan
     assert q.count() > 0
+
+
+def test_geojson_ingest(spark, tmp_path):
+    import json as _json
+    from sedona_db_spark.sources.geojson import read_geojsonl
+    from sedona_db_spark.geometry import wkb as W
+    p = str(tmp_path / "features.jsonl")
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({
+                "type": "Feature",
+                "properties": {"name": f"f{i}", "v": i},
+                "geometry": {"type": "Point", "coordinates": [float(i), i * 2.0]},
+            }) + "\n")
+    df = read_geojsonl(spark, p)
+    rows = {r["name"]: W.decode(bytes(r["geom"])) for r in df.collect()}
+    assert len(rows) == 5
+    assert list(rows["f3"][1]) == [3.0, 6.0]
