@@ -190,3 +190,53 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", ham)
                 .where(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Cluster ids for the near-duplicate pair graph: iterative min-label
+    propagation (each node adopts the smallest id reachable so far; rounds
+    ≈ graph diameter ≤ log n for typical dup clusters).
+
+    Returns (id, component) — component = min id of the node's cluster.
+    Singleton nodes (no pair) are not emitted; callers union them back as
+    their own component.  All data ops are joins/aggregations (shuffle on
+    node id), no driver-side state beyond the convergence check.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("component", F.col("id")))
+    for _ in range(max_iter):
+        # each node's new label: min over its own and its neighbors' labels
+        neighbor_min = (edges
+                        .join(labels, edges["dst"] == labels["id"])
+                        .groupBy("src")
+                        .agg(F.min("component").alias("nmin")))
+        updated = (labels.join(neighbor_min,
+                               labels["id"] == neighbor_min["src"], "left")
+                   .select(F.col("id"),
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("nmin"), F.col("component"))
+                                   ).alias("component")))
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), on="id")
+                   .where(F.col("u.component") != F.col("l.component"))
+                   .limit(1).count())
+        labels = updated.persist()
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keepers(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Keep one row per near-duplicate cluster (the min id) and every row
+    that is in no cluster — the standard MinHash-dedup finishing move."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = (comp.where(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, on=id_col, how="left_anti")

@@ -119,3 +119,37 @@ def test_lang_id_markers(spark):
     df = spark.createDataFrame(pdf)
     got = [r["l"] for r in df.select(TA.lang_id(F.col("text")).alias("l")).collect()]
     assert got == ["en", "de", "fr", "und"]
+
+
+def test_connected_components_and_keepers(spark):
+    import pandas as pd
+    from sedona_db_spark.textops.dedup import connected_components, dedup_keepers
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [0, 1, 2, 10, 5, 6],
+        "id_b": [1, 2, 3, 11, 6, 7]}))
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 5: 5, 6: 5, 7: 5}
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(12)), "text": ["x"] * 12}))
+    kept = sorted(r["doc_id"] for r in dedup_keepers(docs, pairs).collect())
+    assert kept == [0, 4, 5, 8, 9, 10]
+
+
+def test_minhash_to_clusters_end_to_end(docs, spark):
+    """MinHash LSH pairs → connected components → keepers: identical texts
+    collapse to one representative."""
+    from sedona_db_spark.textops.dedup import (
+        minhash_lsh_candidates, dedup_keepers)
+    pairs = minhash_lsh_candidates(docs, num_perm=8, bands=4)
+    kept = dedup_keepers(docs, pairs)
+    texts = _texts(docs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # identical-text groups keep exactly one member
+    groups = {}
+    for i, t in texts.items():
+        groups.setdefault(t, []).append(i)
+    for ids in groups.values():
+        assert len(set(ids) & kept_ids) >= 1
+        if len(ids) > 1:
+            assert len(set(ids) & kept_ids) < len(ids)
