@@ -141,15 +141,26 @@ def test_minhash_to_clusters_end_to_end(docs, spark):
     collapse to one representative."""
     from sedona_db_spark.textops.dedup import (
         minhash_lsh_candidates, dedup_keepers)
+    from sedona_db_spark.textops.dedup import connected_components
     pairs = minhash_lsh_candidates(docs, num_perm=8, bands=4)
     kept = dedup_keepers(docs, pairs)
-    texts = _texts(docs)
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
-    # identical-text groups keep exactly one member
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    # exactly one keeper per cluster: its min id; all other members dropped
+    clusters = {}
+    for i, c in comp.items():
+        clusters.setdefault(c, []).append(i)
+    for c, members in clusters.items():
+        assert set(members) & kept_ids == {min(members)}
+    # unpaired docs always survive
+    texts = _texts(docs)
+    unpaired = set(texts) - set(comp)
+    assert unpaired <= kept_ids
+    # identical texts are always in one cluster together (never both kept)
     groups = {}
     for i, t in texts.items():
         groups.setdefault(t, []).append(i)
     for ids in groups.values():
-        assert len(set(ids) & kept_ids) >= 1
         if len(ids) > 1:
-            assert len(set(ids) & kept_ids) < len(ids)
+            assert len(set(ids) & kept_ids) <= 1
