@@ -13,8 +13,13 @@ from sedona_db_spark.geometry import algos as A
 from sedona_db_spark.geometry import kernels as K
 from sedona_db_spark.geometry import wkb as W
 
+# quantized to 1e-6 (lon/lat-like precision): hypothesis otherwise explores
+# denormal-range magnitudes (1e-311) where orientation tests underflow to 0
+# and collinearity becomes direction-dependent — outside the engine's
+# documented tolerance envelope
 coord = st.floats(min_value=-1000, max_value=1000,
-                  allow_nan=False, allow_infinity=False)
+                  allow_nan=False, allow_infinity=False).map(
+                      lambda v: round(v, 6))
 
 
 @st.composite
