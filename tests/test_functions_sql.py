@@ -87,3 +87,32 @@ def test_convexhull_buffer(spark):
     assert abs(a - 1.0) < 1e-12
     a = one(spark, "ST_Area(ST_Buffer(ST_Point(0.0, 0.0), 1.0))")
     assert 3.0 < a < 3.15
+
+
+def test_sql_spatial_theta_join(spark):
+    """SQL `JOIN ... ON ST_Contains(...)` (reference test_sjoin.py SQL
+    shapes): Catalyst rewrites the UDF theta join to cross+filter; results
+    must match the kernel oracle.  (Semi/outer joins cannot carry Python
+    UDFs in their ON clause — Spark limitation; use
+    operators.spatial_join(how='left_semi') for those.)"""
+    from sedona_db_spark.sources import fixtures as FX
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.geometry import kernels as K
+    pts = spark.createDataFrame(FX.random_points(50, seed=42)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(20, seed=43)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("sql_pts")
+    pls.createOrReplaceTempView("sql_polys")
+    rows = spark.sql(
+        "SELECT p.id AS pid, q.id AS qid FROM sql_polys p JOIN sql_pts q "
+        "ON ST_Contains(p.geom, q.geom)").collect()
+    P = {r["id"]: W.decode(bytes(r["geom"])) for r in pts.collect()}
+    G = {r["id"]: W.decode(bytes(r["geom"])) for r in pls.collect()}
+    exp = {(gi, pi) for gi, g in G.items() for pi, p in P.items()
+           if K.geom_contains(g, p)}
+    assert {(r["pid"], r["qid"]) for r in rows} == exp
+    # WHERE-clause spatial predicates compose with aggregation
+    cnt = spark.sql(
+        "SELECT count(*) AS c FROM sql_pts q WHERE ST_X(q.geom) > 0").collect()
+    assert cnt[0]["c"] >= 0
