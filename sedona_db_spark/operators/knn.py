@@ -160,6 +160,29 @@ def knn_join(
     tcols = list(targets.columns)
 
     n_t = targets.count()
+
+    # small-corpus shortcut: below ~20k targets the grid machinery's fixed
+    # costs (occupancy sampling, t_cells/t_ring builds, cogroup rounds)
+    # dwarf a broadcast brute force
+    if res is None and n_t <= 20_000:
+        from sedona_db_spark.functions.scalar import st_distance
+        joined = queries.crossJoin(F.broadcast(targets))
+        sim = joined.withColumn(
+            "knn_dist", st_distance(F.col(query_geom), F.col(tgeom)))
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("knn_dist").asc(), F.col(tid).asc())
+        ranked = sim.withColumn("__rn", F.row_number().over(w))
+        if include_ties:
+            kth = (ranked.where(F.col("__rn") == k)
+                   .select(query_id, F.col("knn_dist").alias("__kth")))
+            out = (ranked.join(kth, on=query_id, how="left")
+                   .where(F.col("__kth").isNull()
+                          | (F.col("knn_dist") <= F.col("__kth")))
+                   .drop("__kth"))
+        else:
+            out = ranked.where(F.col("__rn") <= k)
+        return out.select(*qcols, *tcols, "knn_dist")
+
     if res is None:
         res = _pick_res_by_occupancy(targets, tgeom, n_t, k)
 
