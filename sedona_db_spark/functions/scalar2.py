@@ -496,3 +496,23 @@ def st_geomfromgeojson(s: pd.Series) -> pd.Series:
 
 
 UDFS2["ST_GeomFromGeoJSON"] = st_geomfromgeojson
+
+
+@pandas_udf(DoubleType())
+def st_areasphere(b: pd.Series) -> pd.Series:
+    """Geodesic area in m² on the mean sphere (the geography tier of
+    ST_Area; the reference dispatches by edge type, S2-backed)."""
+    return pd.Series([np.nan if g is None else A.spherical_area_m2(g)
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(DoubleType())
+def st_lengthsphere(b: pd.Series) -> pd.Series:
+    """Great-circle length in meters (geography tier of ST_Length)."""
+    return pd.Series([np.nan if g is None else A.spherical_length_m(g)
+                      for g in _decode_series(b)])
+
+
+UDFS2["ST_AreaSphere"] = st_areasphere
+UDFS2["ST_LengthSphere"] = st_lengthsphere
+UDFS2["ST_PerimeterSphere"] = st_lengthsphere

@@ -477,3 +477,67 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
         out[:, 1] = np.degrees(2 * np.arctan(np.exp(arr[:, 1] / WGS84_A)) - np.pi / 2)
         return out
     raise AssertionError
+
+
+# ---------------------------------------------------------------------------
+# spherical (geography-lite) measures
+# ---------------------------------------------------------------------------
+
+def spherical_ring_area_m2(ring: np.ndarray) -> float:
+    """Signed spherical polygon area (steradians × R²) via the classic
+    spherical-excess line integral (Chamberlain & Duquette 2007):
+    A = R²/2 · |Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)| with λ, φ in radians."""
+    lam = np.radians(ring[:, 0])
+    phi = np.radians(ring[:, 1])
+    lam2 = np.roll(lam, -1)
+    phi2 = np.roll(phi, -1)
+    dlam = lam2 - lam
+    # wrap antimeridian-crossing edges to the short way
+    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi, dlam)
+    dlam = np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam)
+    s = np.sum(dlam * (2 + np.sin(phi) + np.sin(phi2)))
+    return float(s) * EARTH_RADIUS_M ** 2 / 2.0
+
+
+def spherical_area_m2(g) -> float:
+    """Geodesic (mean-sphere) area in m² of polygonal geometries."""
+    if g is None:
+        return float("nan")
+    name, p = g
+    if name == "Polygon":
+        if not p:
+            return 0.0
+        a = abs(spherical_ring_area_m2(p[0]))
+        for hole in p[1:]:
+            a -= abs(spherical_ring_area_m2(hole))
+        return a
+    if name == "MultiPolygon":
+        return sum(spherical_area_m2(("Polygon", rings)) for rings in p)
+    if name == "GeometryCollection":
+        return sum(spherical_area_m2(q) for q in p)
+    return 0.0
+
+
+def spherical_length_m(g) -> float:
+    """Great-circle length in meters of linear geometries."""
+    if g is None:
+        return float("nan")
+    name, p = g
+    if name == "LineString":
+        if len(p) < 2:
+            return 0.0
+        return float(np.sum(haversine_m(p[:-1, 0], p[:-1, 1],
+                                        p[1:, 0], p[1:, 1])))
+    if name == "MultiLineString":
+        return sum(spherical_length_m(("LineString", l)) for l in p)
+    if name in ("Polygon", "MultiPolygon"):
+        polys = [p] if name == "Polygon" else p
+        total = 0.0
+        for rings in polys:
+            for r in rings:
+                closed = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+                total += spherical_length_m(("LineString", closed))
+        return total
+    if name == "GeometryCollection":
+        return sum(spherical_length_m(q) for q in p)
+    return 0.0

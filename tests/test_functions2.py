@@ -146,3 +146,25 @@ def test_simplify_preserves_rings():
     sq = W.from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
     out = A.simplify(sq, 10.0)  # tolerance bigger than the ring
     assert len(out[1][0]) >= 4  # ring survives (no degenerate output)
+
+
+def test_spherical_measures(spark):
+    import numpy as np
+    R = 6371008.8
+    # sphere octant: exactly 1/8 of the sphere's surface
+    a = one(spark, "ST_AreaSphere(ST_GeomFromText("
+                   "'POLYGON ((0 0, 90 0, 90 90, 0 90, 0 0))'))")
+    assert a == pytest.approx(4 * np.pi * R * R / 8, rel=1e-12)
+    # 1°×1° equatorial cell ≈ 12,364 km²
+    a = one(spark, "ST_AreaSphere(ST_GeomFromText("
+                   "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))")
+    assert a / 1e6 == pytest.approx(12364, rel=0.01)
+    # quarter of the equator
+    l = one(spark, "ST_LengthSphere(ST_GeomFromText('LINESTRING (0 0, 90 0)'))")
+    assert l == pytest.approx(np.pi * R / 2, abs=1.0)
+    # holes subtract
+    a = one(spark, "ST_AreaSphere(ST_GeomFromText("
+                   "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), (0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))'))")
+    full = one(spark, "ST_AreaSphere(ST_GeomFromText("
+                      "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))")
+    assert 0 < a < full

@@ -25,7 +25,7 @@ NOTES = {
     "st_transform": "built-in EPSG:4326/OGC:CRS84 ↔ EPSG:3857 (reference: PROJ, any CRS)",
     "st_buffer": "Minkowski-sum buffer via slab-overlay union (exact up to the standard quad_segs disc discretization); erosion for negative d",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); use operators.knn_join",
-    "st_geogfromwkb": "alias of ST_GeomFromWKB (planar tier; no spherical kernels)",
+    "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical measures via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere",
     "st_geogfromwkt": "alias of ST_GeomFromText (planar tier)",
     "st_geogpoint": "alias of ST_Point (planar tier)",
     "st_force3dm": "ISO WKB cannot tag M-only; maps to 3-D (Z slot)",
@@ -111,7 +111,7 @@ def main():
         for name, status, note in rows:
             f.write(f"| `{name}` | {status} | {note} |\n")
         f.write("\nBeyond-reference additions: grid cells (`SD_Cell`, "
-                "`SD_CellXY`), `ST_DistanceSphere`, `RS_Value`, spatial-join/"
+                "`SD_CellXY`), `ST_DistanceSphere`/`ST_AreaSphere`/`ST_LengthSphere` (geography-lite), `RS_Value`, `ST_GeomFromGeoJSON`, spatial-join/"
                 "kNN/sessionize operators, dedup (exact, MinHash-LSH, SimHash, "
                 "n-gram Jaccard), embedding ANN, text analysis, multimodal "
                 "metadata, structured-streaming cell counts, resumable "
