@@ -133,11 +133,23 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, rings,
 
 
 def _points_on_ring_edge(px, py, ring):
+    # Ring semantics: the closing edge ring[last]->ring[0] IS a real edge.
+    on = _points_on_path_edge(px, py, ring)
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        on |= _points_on_path_edge(px, py, ring[[-1, 0]])
+    return on
+
+
+def _points_on_path_edge(px, py, path):
+    """Point-on-open-path test: iterates only the len-1 real edges i->i+1.
+
+    Unlike the ring variant there is NO implicit closing edge — a point on
+    the first-to-last chord of an open linestring must NOT test true.
+    """
     on = np.zeros(len(px), dtype=bool)
-    rx, ry = ring[:, 0], ring[:, 1]
-    j = len(ring) - 1
-    for i in range(len(ring)):
-        x1, y1, x2, y2 = rx[j], ry[j], rx[i], ry[i]
+    rx, ry = path[:, 0], path[:, 1]
+    for i in range(len(path) - 1):
+        x1, y1, x2, y2 = rx[i], ry[i], rx[i + 1], ry[i + 1]
         minx, maxx = min(x1, x2), max(x1, x2)
         miny, maxy = min(y1, y2), max(y1, y2)
         cand = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
@@ -145,7 +157,6 @@ def _points_on_ring_edge(px, py, ring):
             cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
             scale = max(1.0, abs(x2 - x1) + abs(y2 - y1))
             on |= cand & (np.abs(cross) < 1e-12 * scale)
-        j = i
     return on
 
 
@@ -173,7 +184,7 @@ def points_in_geom(px: np.ndarray, py: np.ndarray, g,
         lines = [payload] if name == "LineString" else payload
         res = np.zeros(len(px), dtype=bool)
         for line in lines:
-            res |= _points_on_ring_edge(px, py, _as_open_path(line))
+            res |= _points_on_path_edge(px, py, line)
         return res
     if name == "GeometryCollection":
         res = np.zeros(len(px), dtype=bool)
@@ -181,14 +192,6 @@ def points_in_geom(px: np.ndarray, py: np.ndarray, g,
             res |= points_in_geom(px, py, part, boundary_counts)
         return res
     raise ValueError(name)
-
-
-def _as_open_path(line):
-    # _points_on_ring_edge closes ring[last]→ring[0]; duplicate endpoint so
-    # the phantom closing edge is degenerate for open linestrings.
-    if len(line) and not np.array_equal(line[0], line[-1]):
-        return np.vstack([line, line[-1:]])
-    return line
 
 
 # ---------------------------------------------------------------------------
@@ -483,23 +486,34 @@ def geom_contains(g1, g2) -> bool:
     if not bool(points_in_geom(c2[:, 0], c2[:, 1], g1).all()):
         return False
     # vertices inside isn't enough for lines/polygons: edges must not exit.
-    if g2[0] not in ("Point", "MultiPoint"):
-        rings1 = _segments_of(g1)
-        for b1, b2 in _segments_of(g2):
-            mid = ((b1[0] + b2[0]) / 2.0, (b1[1] + b2[1]) / 2.0)
-            if not points_in_geom(np.array([mid[0]]), np.array([mid[1]]), g1)[0]:
-                return False
-            for a1, a2 in rings1:
-                # proper crossing of boundary would leave the polygon
-                d1 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
-                d2 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
-                d3 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
-                d4 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
-                if (d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0) and 0 not in (d1, d2, d3, d4):
-                    return False
+    if g2[0] not in ("Point", "MultiPoint") and not _edges_stay_inside(g1, g2):
+        return False
     # ST_Contains: interior point required (a point on pure boundary fails)
     if g2[0] == "Point":
         return not bool(_on_boundary_only(g1, g2[1][0], g2[1][1]))
+    return True
+
+
+def _edges_stay_inside(g1, g2) -> bool:
+    """True iff every edge of g2 stays within g1 (boundary-inclusive).
+
+    Checks each g2 sub-segment midpoint for containment AND rejects proper
+    crossings of g1's boundary (a crossing means the edge exits the region
+    between two checked midpoints).
+    """
+    rings1 = _segments_of(g1)
+    for b1, b2 in _segments_of(g2):
+        mid = ((b1[0] + b2[0]) / 2.0, (b1[1] + b2[1]) / 2.0)
+        if not points_in_geom(np.array([mid[0]]), np.array([mid[1]]), g1)[0]:
+            return False
+        for a1, a2 in rings1:
+            # proper crossing of boundary would leave the polygon
+            d1 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+            d2 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+            d3 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+            d4 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+            if (d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0) and 0 not in (d1, d2, d3, d4):
+                return False
     return True
 
 
@@ -534,11 +548,55 @@ def geom_covers(g1, g2) -> bool:
             return False
         if g2[0] in ("Point", "MultiPoint"):
             return True
-        return geom_contains(g1, g2) or bool(
-            points_in_geom(c2[:, 0], c2[:, 1], g1).all())
+        # boundary-inclusive edge walk: like geom_contains' segment check but
+        # with no interior-point requirement (covers admits pure-boundary g2)
+        return _edges_stay_inside(g1, g2)
+    if g1[0] in ("LineString", "MultiLineString"):
+        c2 = _all_coords(g2)
+        if c2 is None or not len(c2):
+            return False
+        if not bool(points_in_geom(c2[:, 0], c2[:, 1], g1).all()):
+            return False
+        if g2[0] in ("Point", "MultiPoint"):
+            return True
+        if g2[0] in ("LineString", "MultiLineString"):
+            return _line_covers_line(g1, g2)
+        return False
     if g1[0] == "Point" and g2[0] == "Point":
         return bool(np.array_equal(g1[1][:2], g2[1][:2]))
     return False
+
+
+def _line_covers_line(g1, g2) -> bool:
+    """Exact: every g2 segment is covered by the union of collinear g1
+    segments (1-D interval coverage along the g2 segment's parameter)."""
+    segs1 = _segments_of(g1)
+    for b1, b2 in _segments_of(g2):
+        dx, dy = b2[0] - b1[0], b2[1] - b1[1]
+        ll = dx * dx + dy * dy
+        if ll == 0:
+            continue  # degenerate g2 segment; vertex test already passed
+        intervals = []
+        for a1, a2 in segs1:
+            # both endpoints of the g1 segment must lie on the g2 line
+            if (_orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1]) != 0
+                    or _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1]) != 0):
+                continue
+            t1 = ((a1[0] - b1[0]) * dx + (a1[1] - b1[1]) * dy) / ll
+            t2 = ((a2[0] - b1[0]) * dx + (a2[1] - b1[1]) * dy) / ll
+            lo, hi = (t1, t2) if t1 <= t2 else (t2, t1)
+            if hi < 0 or lo > 1:
+                continue
+            intervals.append((max(lo, 0.0), min(hi, 1.0)))
+        intervals.sort()
+        covered = 0.0
+        for lo, hi in intervals:
+            if lo > covered + 1e-12:
+                return False
+            covered = max(covered, hi)
+        if covered < 1.0 - 1e-12:
+            return False
+    return True
 
 
 def geom_covered_by(g1, g2) -> bool:

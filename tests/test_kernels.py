@@ -134,3 +134,50 @@ def test_buffer_minkowski_exact():
     line = g("LINESTRING (0 0, 10 0)")
     lb = K.geom_buffer(line, 0.5)
     assert abs(K.geom_area(lb) - (10 * 1.0 + disc32 * 0.25)) < 1e-9
+
+
+def test_point_on_open_linestring_no_phantom_chord():
+    """Regression (round-1 VERDICT bug #1): a point on the first-to-last
+    chord of an OPEN linestring must NOT test as on-the-line."""
+    line = g("LINESTRING (1 0, 0 1, -1 0)")
+    pt = g("POINT (0 0)")
+    assert not K.geom_intersects(pt, line)
+    assert not K.geom_intersects(line, pt)
+    assert K.geom_disjoint(pt, line)
+    assert abs(K.geom_distance(pt, line) - np.sqrt(0.5)) < 1e-12
+    # points genuinely on the line still test true
+    assert K.geom_intersects(g("POINT (0.5 0.5)"), line)
+    assert K.geom_intersects(g("POINT (1 0)"), line)
+    # closed rings DO include the closing edge
+    ring = g("LINESTRING (1 0, 0 1, -1 0, 1 0)")
+    assert K.geom_intersects(pt, ring)
+
+
+def test_covers_rejects_boundary_crossing_line():
+    """Regression (round-1 ADVICE): covers(concave poly, line crossing the
+    notch) must be False even though all line vertices are inside."""
+    u = g("POLYGON ((0 0, 5 0, 5 5, 4 5, 4 1, 1 1, 1 5, 0 5, 0 0))")
+    line = g("LINESTRING (0.5 4, 4.5 4)")  # crosses the notch
+    assert not K.geom_covers(u, line)
+    assert not K.geom_contains(u, line)
+    inside = g("LINESTRING (0.2 0.5, 4.8 0.5)")  # stays in the base
+    assert K.geom_covers(u, inside)
+    assert K.geom_contains(u, inside)
+    # boundary-lying line: covers yes, contains no interior requirement issue
+    edge_line = g("LINESTRING (1 0, 4 0)")
+    assert K.geom_covers(u, edge_line)
+
+
+def test_line_covers_point_and_line():
+    line = g("LINESTRING (0 0, 1 0, 1 1)")
+    assert K.geom_covers(line, g("POINT (0.5 0)"))
+    assert K.geom_covers(line, g("POINT (1 0.5)"))
+    assert not K.geom_covers(line, g("POINT (2 0)"))
+    assert K.geom_covers(line, g("LINESTRING (0.2 0, 0.8 0)"))
+    assert K.geom_covers(line, g("LINESTRING (0.5 0, 1 0, 1 0.5)"))
+    assert not K.geom_covers(line, g("LINESTRING (0.5 0, 1.5 0)"))
+    # gap in a multiline: endpoints+midpoint could lie on parts, still False
+    ml = g("MULTILINESTRING ((0 0, 0.4 0), (0.45 0, 0.55 0), (0.6 0, 1 0))")
+    assert not K.geom_covers(ml, g("LINESTRING (0 0, 1 0)"))
+    assert K.geom_covers(g("MULTILINESTRING ((0 0, 0.6 0), (0.4 0, 1 0))"),
+                         g("LINESTRING (0 0, 1 0)"))

@@ -228,3 +228,104 @@ def test_plan_shapes(data):
     plan2 = spatial_join(pdf, gdf, "intersects",
                          broadcast_threshold=0)._jdf.queryExecution().toString()
     assert "__cell" in plan2
+
+
+def test_full_and_mark_join_types(data):
+    pdf, gdf, P, G = data
+    exp_pairs = brute(P, G, K.geom_intersects)
+    lids = {i for i, _ in exp_pairs}
+    rids = {j for _, j in exp_pairs}
+    full = spatial_join(pdf, gdf, "intersects", "full").collect()
+    assert len(full) == (len(exp_pairs) + (N_PTS - len(lids))
+                         + (N_POLY - len(rids)))
+    assert {r["id_r"] for r in full if r["id"] is None} == set(range(N_POLY)) - rids
+    assert {r["id"] for r in full if r["id_r"] is None} == set(range(N_PTS)) - lids
+    mark = spatial_join(pdf, gdf, "intersects", "mark").collect()
+    assert len(mark) == N_PTS
+    assert {r["id"] for r in mark if r["mark"]} == lids
+
+
+def test_join_types_null_safe(spark):
+    """Regression (round-1 ADVICE high): matched left rows with a NULL in a
+    payload column must classify as matched in left/semi/anti/mark."""
+    import pandas as pd
+    pts = FX.random_points(30, seed=42)
+    pdf_pd = pd.DataFrame({"id": pts.id, "geom": pts.geometry,
+                           "tag": [None if i % 3 == 0 else f"t{i}"
+                                   for i in range(30)]})
+    pls = FX.random_polygons(20, seed=43, num_vertices=(3, 8))
+    spdf = spark.createDataFrame(pdf_pd)
+    gdf = spark.createDataFrame(pls).withColumnRenamed("geometry", "geom")
+    P = [W.decode(bytes(b)) for b in pts.geometry]
+    G = [W.decode(bytes(b)) for b in pls.geometry]
+    exp = brute(P, G, K.geom_intersects)
+    lids = {i for i, _ in exp}
+    semi = {r["id"] for r in spatial_join(spdf, gdf, "intersects", "left_semi").collect()}
+    anti = {r["id"] for r in spatial_join(spdf, gdf, "intersects", "left_anti").collect()}
+    assert semi == lids and anti == set(range(30)) - lids
+    left = spatial_join(spdf, gdf, "intersects", "left").collect()
+    assert len(left) == len(exp) + (30 - len(lids))
+    matched_null_tag = [r for r in left if r["tag"] is None and r["id"] in lids]
+    assert all(r["id_r"] is not None for r in matched_null_tag), \
+        "null-payload matched rows must not reappear as unmatched"
+    mark = {r["id"]: r["mark"] for r in
+            spatial_join(spdf, gdf, "intersects", "mark").collect()}
+    assert {i for i, m in mark.items() if m} == lids
+
+
+@pytest.mark.parametrize("pred,fn", [
+    ("touches", "st_touches"),
+    ("crosses", "st_crosses"),
+    ("overlaps", "st_overlaps"),
+])
+def test_relation_predicates_vs_brute(spark, pred, fn):
+    """touches/crosses/overlaps joins vs brute-force DE-9IM relate oracle."""
+    from sedona_db_spark.geometry import relate as R
+    pls_a = FX.random_polygons(40, seed=7, num_vertices=(3, 7))
+    lines = FX.random_linestrings(40, seed=8)
+    adf = spark.createDataFrame(pls_a).withColumnRenamed("geometry", "geom")
+    ldf = spark.createDataFrame(lines).withColumnRenamed("geometry", "geom")
+    A = [W.decode(bytes(b)) for b in pls_a.geometry]
+    L = [W.decode(bytes(b)) for b in lines.geometry]
+    kern = {"touches": K.geom_touches, "crosses": K.geom_crosses,
+            "overlaps": K.geom_overlaps}[pred]
+    exp = {(i, j) for i, a in enumerate(A) for j, b in enumerate(L)
+           if kern(a, b)}
+    got = {(r["id"], r["id_r"]) for r in
+           spatial_join(adf, ldf, pred).collect()}
+    assert got == exp
+
+
+def test_relate_pattern_join(spark):
+    from sedona_db_spark.geometry import relate as R
+    pls_a = FX.random_polygons(30, seed=11, num_vertices=(3, 7))
+    pls_b = FX.random_polygons(30, seed=12, num_vertices=(3, 7))
+    adf = spark.createDataFrame(pls_a).withColumnRenamed("geometry", "geom")
+    bdf = spark.createDataFrame(pls_b).withColumnRenamed("geometry", "geom")
+    A = [W.decode(bytes(b)) for b in pls_a.geometry]
+    B = [W.decode(bytes(b)) for b in pls_b.geometry]
+    pat = "T********"  # interiors intersect
+    exp = {(i, j) for i, a in enumerate(A) for j, b in enumerate(B)
+           if R.relate_pattern(a, b, pat)}
+    got = {(r["id"], r["id_r"]) for r in
+           spatial_join(adf, bdf, "relate", pattern=pat).collect()}
+    assert got == exp
+    with pytest.raises(ValueError):
+        spatial_join(adf, bdf, "relate", pattern="FF*FF****")
+
+
+def test_inner_duplicate_rows_not_collapsed(spark):
+    """Regression (round-1 ADVICE medium): two identical left rows in the
+    padded exploded-left dwithin path must yield two output pairs."""
+    import pandas as pd
+    pls = FX.random_polygons(10, seed=21, num_vertices=(3, 6))
+    dup = pd.concat([pls.iloc[:3]] * 2, ignore_index=True)  # value-identical
+    dupdf = spark.createDataFrame(
+        pd.DataFrame({"geom": dup.geometry}))  # no id col: rows identical
+    gdf = spark.createDataFrame(pls).withColumnRenamed("geometry", "geom")
+    G = [W.decode(bytes(b)) for b in pls.geometry]
+    D = [W.decode(bytes(b)) for b in dup.geometry]
+    d = 0.9
+    exp = sum(1 for a in D for b in G if K.geom_dwithin(a, b, d))
+    got = spatial_join(dupdf, gdf, "dwithin", distance=d).count()
+    assert got == exp
