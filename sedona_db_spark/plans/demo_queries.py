@@ -33,7 +33,11 @@ from sedona_db_spark.textops import dedup as TD
 # DuckDB and the division would come out DECIMAL, not IEEE double
 LON_SQL = ("((doc_id * 2654435761) % 360000000) / CAST(1000000 AS DOUBLE)"
            " - 180.0")
-LAT_SQL = "((doc_id * 40503) % 170000000) / CAST(1000000 AS DOUBLE) - 85.0"
+# 1664525 (Numerical Recipes LCG multiplier): mixes the full [-85, 85]
+# range even for the 500 doc_ids at sf0.01 (the round-1 constant 40503 left
+# every sf0.01 doc below lat -64 → the dwithin oracle matched vacuously);
+# stays far from int64 overflow under ANSI mode for any realistic doc_id
+LAT_SQL = "((doc_id * 1664525) % 170000000) / CAST(1000000 AS DOUBLE) - 85.0"
 
 # nation rectangles: 25 overlapping lon/lat boxes derived from n_nationkey
 RECT = {
