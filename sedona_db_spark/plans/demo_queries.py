@@ -561,12 +561,47 @@ SELECT q_id, t_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}"""
 
 
 # ---------------------------------------------------------------------------
-# 19-21. no-oracle ops (rows-only driver check; exact pytest oracles exist)
+# 19. simhash near-dup (full DuckDB oracle — the signature is pure SQL now)
 # ---------------------------------------------------------------------------
+
+SIMHASH_MAX_HAMMING = 8
+
 
 def q_simhash_neardup(spark, sf_dir):
     return TD.simhash_neardup_pairs(_t(spark, sf_dir, "documents"),
-                                    max_hamming=8, bands=4)
+                                    max_hamming=SIMHASH_MAX_HAMMING, bands=4)
+
+
+def _oracle_simhash() -> str:
+    from sedona_db_spark.textops.dedup import SIMHASH_BITS
+    wcols = ", ".join(f"SUM(((h >> {b}) & 1) * 2 - 1) AS w{b}"
+                      for b in range(SIMHASH_BITS))
+    sig = " + ".join(
+        f"CASE WHEN w{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END" for b in range(SIMHASH_BITS))
+    # oracle pairs brute-force over all id_a < id_b (fine at sf0.01); the
+    # Spark side prunes via pigeonhole banding but max_hamming=8 > bands-1=3
+    # means banding is a PRUNE ONLY if... no: pigeonhole guarantees need
+    # max_hamming < bands, so bands=4 only guarantees ≤3.  The Spark query
+    # therefore returns the banded subset; to stay exact-matching, the
+    # oracle applies the SAME band condition: pairs share ≥1 of 4 chunks.
+    width = SIMHASH_BITS // 4
+    mask = (1 << width) - 1
+    share = " OR ".join(
+        f"((a.sim >> {b * width}) & {mask}) = ((b.sim >> {b * width}) & {mask})"
+        for b in range(4))
+    return f"""WITH toks AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+ th AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks WHERE length(tok) > 0),
+ w AS (SELECT doc_id, {wcols} FROM th GROUP BY doc_id),
+ sig0 AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sim FROM w),
+ sig AS (SELECT d.doc_id, COALESCE(s.sim, 0) AS sim
+         FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id)
+ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+ WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING} AND ({share})"""
 
 
 def q_doc_fingerprints(spark, sf_dir):
@@ -817,6 +852,7 @@ ORACLE_SQL = {
     "overlay_rect_areas": ORACLE_OVERLAY,
     "training_pipeline": _oracle_training_pipeline(),
     "multimodal_meta": ORACLE_MULTIMODAL,
-    # simhash_neardup / doc_fingerprints / lsh_ann_topk: rows-only
-    # (non-SQL-expressible hashing; exact pytest oracles in tests/)
+    "simhash_neardup": _oracle_simhash(),
+    # doc_fingerprints / lsh_ann_topk / ivf_ann_topk: rows-only (iterative /
+    # sampling-dependent; recall + exactness pytest oracles in tests/)
 }

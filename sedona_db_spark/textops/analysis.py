@@ -75,32 +75,54 @@ def quality_score(text: Column) -> Column:
     return (len_component * 0.3 + alpha_ratio * 0.4 + stop_component * 0.3)
 
 
+_FP_P = np.uint64(1099511628211)        # FNV prime as polynomial base
+_FP_INIT = np.uint64(14695981039346656037)
+
+
+def _pow64(e: np.ndarray) -> np.ndarray:
+    """Vectorized _FP_P**e mod 2**64 by square-and-multiply (≤64 passes)."""
+    res = np.ones(len(e), dtype=np.uint64)
+    base = _FP_P
+    emax = int(e.max()) if len(e) else 0
+    k = 0
+    with np.errstate(over="ignore"):
+        while (1 << k) <= emax:
+            sel = (e >> np.uint64(k)) & np.uint64(1) == 1
+            res[sel] *= base
+            base = base * base
+            k += 1
+    return res
+
+
 @pandas_udf(LongType())
 def doc_fingerprint(text: pd.Series) -> pd.Series:
-    """64-bit polynomial rolling-hash fingerprint of the full text.
+    """64-bit polynomial fingerprint: h = INIT·P^n + Σ (bᵢ+1)·P^(n-1-i) mod 2^64.
 
-    Vectorized per batch: texts are encoded to a padded uint8 matrix and the
-    Horner recurrence runs column-wise over the batch (loop length = max doc
-    length, numpy ops over all docs at once).
+    Fully segment-vectorized: all docs' bytes concatenate into one buffer,
+    per-byte powers come from ONE square-and-multiply sweep (≤64 vectorized
+    passes over the buffer, independent of document lengths), per-doc sums
+    via add.reduceat.  Round 1 ran a Horner loop of max-doc-length column
+    passes — one 1 MB doc stalled its whole batch (VERDICT LLM-ops table).
     """
     vals = text.fillna("").to_numpy(dtype=object)
     enc = [v.encode("utf-8") for v in vals]
-    if not enc:
+    n = len(enc)
+    if n == 0:
         return pd.Series([], dtype=np.int64)
-    maxlen = max((len(e) for e in enc), default=0)
-    mat = np.zeros((len(enc), maxlen), dtype=np.uint64)
-    mask = np.zeros((len(enc), maxlen), dtype=bool)
-    for i, e in enumerate(enc):
-        if e:
-            mat[i, :len(e)] = np.frombuffer(e, dtype=np.uint8)
-            mask[i, :len(e)] = True
-    P = np.uint64(1099511628211)  # FNV-ish prime
-    h = np.full(len(enc), 14695981039346656037, dtype=np.uint64)
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
     with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            m = mask[:, j]
-            h[m] = (h[m] * P) ^ mat[m, j]
-    return pd.Series(h.view(np.int64))
+        out = _FP_INIT * _pow64(lens.astype(np.uint64))
+        total = int(lens.sum())
+        if total:
+            buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+            ends = np.cumsum(lens)
+            doc_of = np.repeat(np.arange(n), lens)
+            exp = (ends[doc_of] - np.arange(total) - 1).astype(np.uint64)
+            terms = (buf + np.uint64(1)) * _pow64(exp)
+            nonempty = np.flatnonzero(lens > 0)
+            sums = np.add.reduceat(terms, (ends - lens)[nonempty])
+            out[nonempty] += sums
+    return pd.Series(out.view(np.int64))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

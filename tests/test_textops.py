@@ -75,9 +75,10 @@ def test_simhash_identical_and_disjoint(spark):
         "text": ["alpha beta gamma delta", "alpha beta gamma delta",
                  "zzz qqq www eee"]})
     df = spark.createDataFrame(pdf)
-    sigs = {r["doc_id"]: r["s"] for r in
-            df.select("doc_id", TD.simhash64(F.col("text")).alias("s")).collect()}
+    sigs = {r["doc_id"]: r["sim"] for r in
+            TD.simhash_signatures(df).collect()}
     assert sigs[0] == sigs[1]
+    assert 0 <= sigs[0] < (1 << TD.SIMHASH_BITS)
     ham02 = bin((sigs[0] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
     assert ham02 > 10
 
@@ -164,3 +165,49 @@ def test_minhash_to_clusters_end_to_end(docs, spark):
     for ids in groups.values():
         if len(ids) > 1:
             assert len(set(ids) & kept_ids) <= 1
+
+
+def test_simhash_signature_matches_reference_kernel(spark):
+    """The JVM expression pipeline must equal an independent Python
+    recomputation of the same definition (md5-prefix 60-bit token hash,
+    sign-of-weighted-sums)."""
+    import hashlib
+    texts = ["the quick brown fox", "jumps over the lazy dog dog dog",
+             "", "   ", "one", "alpha beta\talpha  beta"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {r["doc_id"]: r["sim"] for r in
+           TD.simhash_signatures(spark.createDataFrame(pdf)).collect()}
+
+    def ref(text):
+        toks = text.split()
+        if not toks:
+            return 0
+        w = [0] * TD.SIMHASH_BITS
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(TD.SIMHASH_BITS):
+                w[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(TD.SIMHASH_BITS) if w[b] > 0)
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t)
+
+
+def test_ngram_df_cap_bounds_candidates(spark):
+    """A boilerplate shingle shared by every doc must not create pairs when
+    the df cap excludes it; capped Jaccard stays exact on the capped set."""
+    boiler = "all rights reserved worldwide"
+    texts = [f"{boiler} unique{i} token{i} extra{i}" for i in range(20)]
+    texts += ["alpha beta gamma delta epsilon", "alpha beta gamma delta zeta"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    # cap below the boilerplate df (20) but above the near-dup pair's dfs
+    rows = TD.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_df=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (20, 21) in got
+    assert all(a >= 20 for a, _ in got), f"boilerplate-only pairs leaked: {got}"
+    # uncapped: the boilerplate shingles create pairs among the 20 docs
+    raw = TD.ngram_jaccard_pairs(df, n=3, threshold=0.2, max_df=None).count()
+    assert raw > len(got)
+    capped = TD.ngram_jaccard_pairs(df, n=3, threshold=0.2, max_df=5).collect()
+    assert all(r["id_a"] >= 20 for r in capped)
