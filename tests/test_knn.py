@@ -75,3 +75,41 @@ def test_knn_include_ties(spark):
     ties = knn_join(qdf, tdf, 2, query_id="id", target_id="id",
                     include_ties=True).collect()
     assert len(ties) == 4  # all equidistant rows included
+
+
+def test_knn_no_pair_rows_in_plan(data, spark):
+    """The small-corpus path must not materialize candidate pairs as Spark
+    rows: no CartesianProduct / BroadcastNestedLoopJoin in the plan."""
+    qdf, tdf, *_ = data
+    plan = knn_join(qdf, tdf, 3, query_id="id", target_id="id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_knn_non_point_geometries(spark):
+    """Reference accepts any geometry (spatial_predicate.rs:279-283): small
+    products run exact pairwise; huge products raise loudly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from sedona_db_spark.geometry import kernels as K
+    polys = FX.random_polygons(15, seed=9, num_vertices=(3, 7))
+    pts = FX.random_points(10, seed=10)
+    pdf = spark.createDataFrame(pts).withColumnRenamed("geometry", "geom")
+    gdf = spark.createDataFrame(polys).withColumnRenamed("geometry", "geom")
+    rows = knn_join(pdf, gdf, 2, query_id="id", target_id="id").collect()
+    assert len(rows) == 10 * 2
+    P = [W.decode(bytes(b)) for b in pts.geometry]
+    G = [W.decode(bytes(b)) for b in polys.geometry]
+    for r in rows:
+        # distance parity with the kernel oracle
+        assert abs(r["knn_dist"] - K.geom_distance(P[r["id"]], G[r["id_t"]])) < 1e-12
+    # per-query expected ids via brute force (dist, id) ordering
+    import itertools
+    for qid, grp in itertools.groupby(
+            sorted(rows, key=lambda r: (r["id"], r["knn_dist"], r["id_t"])),
+            key=lambda r: r["id"]):
+        got = [r["id_t"] for r in grp]
+        exp = sorted(range(len(G)),
+                     key=lambda j: (K.geom_distance(P[qid], G[j]), j))[:2]
+        assert got == exp
