@@ -613,7 +613,11 @@ def q_lsh_ann_topk(spark, sf_dir):
     from sedona_db_spark.similarity import lsh_ann_topk
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 25 == 0)
-    return lsh_ann_topk(e, q, ANN_K, dim=64, n_planes=6)
+    # wide tables (3 planes × 10 tables): the synthetic embeddings are
+    # near-random (nearest-neighbor cosine ≈ 0.37), so selective tables
+    # would have ~0 recall; measured recall@3 ≥ 0.9 at these params
+    # (tests/test_similarity.py::test_lsh_recall_low_contrast)
+    return lsh_ann_topk(e, q, ANN_K, dim=64, n_planes=3, n_tables=10)
 
 
 def q_ivf_ann_topk(spark, sf_dir):

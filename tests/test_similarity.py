@@ -49,29 +49,76 @@ def test_bruteforce_topk_exact(emb):
         assert [t for _, t in sorted(lst)] == exp[qid]
 
 
-def test_lsh_recall(emb):
-    """Bucketed ANN: each reported neighbor must share the query's bucket
-    and be exactly ranked within it; global recall is approximate."""
+def test_lsh_recall_low_contrast(emb):
+    """Recall@3 vs exact brute force on the (near-random, adversarially
+    low-contrast) driver embeddings: wide-table params (n_planes=3,
+    n_tables=10) must reach >=0.9 recall."""
     ids, M = _matrix(emb)
-    H = _hyperplanes(64, 6, 7)
-    buckets = ((M @ H.T) > 0) @ (1 << np.arange(6))
     q = emb.where(F.col("vec_id") % 25 == 0)
-    rows = lsh_ann_topk(emb, q, 3, dim=64, n_planes=6).collect()
-    bucket_of = dict(zip(ids.tolist(), buckets.tolist()))
+    exact = _numpy_topk(ids, M, ids % 25 == 0, 3)
+    rows = lsh_ann_topk(emb, q, 3, dim=64, n_planes=3, n_tables=10).collect()
+    got = {}
     for r in rows:
-        assert bucket_of[r["q_id"]] == bucket_of[r["t_id"]]
-    # exact top-1 within the same bucket must be found
-    I = np.round(M * 1e6)
-    norms = np.sqrt((I * I).sum(axis=1))
-    got_top1 = {r["q_id"]: r["t_id"] for r in rows if r["rn"] == 1}
+        got.setdefault(r["q_id"], set()).add(r["t_id"])
+    hit = sum(len(set(exp) & got.get(qid, set())) for qid, exp in exact.items())
+    assert hit / (3 * len(exact)) >= 0.9
+
+
+def _clustered(spark, n=1000, n_centers=20, dim=64, noise=0.05, seed=42):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = centers[np.arange(n) % n_centers] + rng.standard_normal((n, dim)) * noise
+    import pandas as pd
+    pdf = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": [row.astype(np.float32).tolist() for row in X]})
+    ids = np.arange(n)
+    return spark.createDataFrame(pdf), ids, X.astype(np.float64)
+
+
+def test_lsh_recall_clustered_selective(spark):
+    """The 100 TB shape: clustered embeddings, SELECTIVE tables (8 planes x
+    8 tables = 256 buckets each) -> recall >= 0.9 while candidate sets stay
+    bounded (the round-1 single-wide-table version was ~(N/B)^2 quadratic)."""
+    df, ids, M = _clustered(spark)
+    q = df.where(F.col("vec_id") % 25 == 0)
+    exact = _numpy_topk(ids, M, ids % 25 == 0, 3)
+    rows = lsh_ann_topk(df, q, 3, dim=64, n_planes=8, n_tables=8).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["q_id"], set()).add(r["t_id"])
+    hit = sum(len(set(exp) & got.get(qid, set())) for qid, exp in exact.items())
+    assert hit / (3 * len(exact)) >= 0.9
+    # candidate boundedness: recompute the engine's own buckets in numpy
+    from sedona_db_spark.similarity.ann import _hyperplanes
+    H = _hyperplanes(64, 8 * 8, 7).reshape(8, 8, 64)
+    w = 1 << np.arange(8)
+    B = np.stack([(t << 8) + (((M @ H[t].T) > 0) @ w) for t in range(8)], axis=1)
+    cands = []
     for qi in np.nonzero(ids % 25 == 0)[0]:
-        same = [j for j in range(len(ids))
-                if j != qi and buckets[j] == buckets[qi]]
-        if not same:
-            continue
-        cos = (I[qi] @ I[same].T) / (norms[qi] * norms[same])
-        best = same[int(np.lexsort((ids[same], -cos))[0])]
-        assert got_top1[ids[qi]] == ids[best]
+        c = set()
+        for t in range(8):
+            c |= set(np.flatnonzero(B[:, t] == B[qi, t]))
+        cands.append(len(c) - 1)
+    assert np.mean(cands) <= 150, f"candidate sets unbounded: {np.mean(cands)}"
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """A degenerate corpus (hundreds of identical vectors) must not produce
+    an unbounded bucket self-join when max_bucket caps it."""
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    hot = np.tile(base, (300, 1))
+    cold = rng.standard_normal((50, 64))
+    X = np.vstack([hot, cold])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(X)),
+                        "embedding": [r.astype(np.float32).tolist() for r in X]})
+    df = spark.createDataFrame(pdf)
+    pairs = embedding_neardup_pairs(df, threshold=0.99, dim=64,
+                                    n_planes=8, n_tables=4, max_bucket=50)
+    n = pairs.count()
+    assert n < 300 * 299 / 2 / 4, f"hot bucket not capped: {n} pairs"
 
 
 def test_neardup_pairs_symmetric_threshold(emb):
@@ -82,12 +129,13 @@ def test_neardup_pairs_symmetric_threshold(emb):
 
 
 def test_ivf_ann(emb):
-    """IVF: candidates share a probed list; full-probe == exact brute force."""
+    """IVF: full-probe == exact brute force; trained-centroid partial probe
+    keeps decent recall even on low-contrast data."""
     from sedona_db_spark.similarity import ivf_ann_topk
     from pyspark.sql import functions as F
     ids, M = _matrix(emb)
     q = emb.where(F.col("vec_id") % 25 == 0)
-    # n_probe == n_centroids → must equal the exact brute force result
+    # n_probe == n_centroids -> must equal the exact brute force result
     full = ivf_ann_topk(emb, q, 3, dim=64, n_centroids=8, n_probe=8)
     exact = _numpy_topk(ids, M, ids % 25 == 0, 3)
     got = {}
@@ -102,3 +150,18 @@ def test_ivf_ann(emb):
     hits = sum(1 for qid, lst in exact.items()
                if top1.get(qid) == lst[0])
     assert hits / len(exact) >= 0.5
+
+
+def test_ivf_trained_centroids_clustered(spark):
+    """Trained (sample k-means) centroids on clustered data: n_probe=4 of
+    20 lists must reach >=0.95 recall@3 (seeded gaussians could not)."""
+    from sedona_db_spark.similarity import ivf_ann_topk
+    df, ids, M = _clustered(spark)
+    q = df.where(F.col("vec_id") % 25 == 0)
+    exact = _numpy_topk(ids, M, ids % 25 == 0, 3)
+    rows = ivf_ann_topk(df, q, 3, dim=64, n_centroids=20, n_probe=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["q_id"], set()).add(r["t_id"])
+    hit = sum(len(set(exp) & got.get(qid, set())) for qid, exp in exact.items())
+    assert hit / (3 * len(exact)) >= 0.95
