@@ -455,28 +455,57 @@ _CRS_ALIASES = {
 }
 
 
+def _crs_code(crs) -> str:
+    if not isinstance(crs, str):
+        crs = str(crs)
+    s = crs.upper()
+    if s.startswith("EPSG:"):
+        s = s[5:]
+    return _CRS_ALIASES.get(s, s)
+
+
 def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
-    """Reproject (n, 2+) coords. Supported: EPSG:4326/OGC:CRS84 ↔ EPSG:3857
-    (spherical Web-Mercator formulas — the universally published math).
-    The reference delegates general CRS support to PROJ
-    (c/sedona-proj/src/st_transform.rs); here only the web pair is built in."""
-    s = _CRS_ALIASES.get(src.upper() if isinstance(src, str) else src)
-    d = _CRS_ALIASES.get(dst.upper() if isinstance(dst, str) else dst)
-    if s is None or d is None:
-        raise ValueError(f"unsupported CRS pair {src} → {dst} "
-                         "(built-in: EPSG:4326/OGC:CRS84 ↔ EPSG:3857)")
+    """Reproject (n, 2+) coords, routed through EPSG:4326 as the hub.
+
+    Supported: EPSG:4326/OGC:CRS84, EPSG:3857 (spherical Web-Mercator),
+    EPSG:326zz/327zz (UTM, ellipsoidal Transverse Mercator), EPSG:2154
+    (Lambert-93), EPSG:3978 (Canada Atlas LCC), EPSG:5070 (CONUS Albers) —
+    all published Snyder closed forms in geometry/proj.py.  The reference
+    supports any CRS via PROJ (c/sedona-proj/src/st_transform.rs:41)."""
+    from sedona_db_spark.geometry import proj as P
+
+    s, d = _crs_code(src), _crs_code(dst)
     out = arr.copy()
     if s == d:
         return out
-    if s == "4326" and d == "3857":
-        out[:, 0] = np.radians(arr[:, 0]) * WGS84_A
-        out[:, 1] = np.log(np.tan(np.pi / 4 + np.radians(arr[:, 1]) / 2)) * WGS84_A
-        return out
-    if s == "3857" and d == "4326":
-        out[:, 0] = np.degrees(arr[:, 0] / WGS84_A)
-        out[:, 1] = np.degrees(2 * np.arctan(np.exp(arr[:, 1] / WGS84_A)) - np.pi / 2)
-        return out
-    raise AssertionError
+    # leg 1: src → lon/lat
+    if s == "4326":
+        lon, lat = arr[:, 0].astype(np.float64), arr[:, 1].astype(np.float64)
+    elif s == "3857":
+        lon = np.degrees(arr[:, 0] / WGS84_A)
+        lat = np.degrees(2 * np.arctan(np.exp(arr[:, 1] / WGS84_A)) - np.pi / 2)
+    else:
+        pr = P.projection_for(s)
+        if pr is None:
+            raise ValueError(
+                f"unsupported CRS {src} (built-in: 4326/CRS84, 3857, "
+                f"326zz/327zz UTM, 2154, 3978, 5070)")
+        lon, lat = pr[1](arr[:, 0], arr[:, 1])
+    # leg 2: lon/lat → dst
+    if d == "4326":
+        x, y = lon, lat
+    elif d == "3857":
+        x = np.radians(lon) * WGS84_A
+        y = np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)) * WGS84_A
+    else:
+        pr = P.projection_for(d)
+        if pr is None:
+            raise ValueError(
+                f"unsupported CRS {dst} (built-in: 4326/CRS84, 3857, "
+                f"326zz/327zz UTM, 2154, 3978, 5070)")
+        x, y = pr[0](lon, lat)
+    out[:, 0], out[:, 1] = x, y
+    return out
 
 
 # ---------------------------------------------------------------------------

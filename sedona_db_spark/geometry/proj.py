@@ -1,0 +1,261 @@
+"""Ellipsoidal map projections: Transverse Mercator / UTM, Lambert
+Conformal Conic (2SP), Albers Equal-Area — forward and inverse.
+
+All formulas are the published closed forms from Snyder, *Map Projections —
+A Working Manual* (USGS Professional Paper 1395, 1987): TM ch. 8, Albers
+ch. 14, LCC ch. 15.  The reference delegates general CRS support to PROJ
+(/root/reference/c/sedona-proj/src/st_transform.rs:41); this sandbox has no
+pyproj, so the projections most real workloads touch are implemented
+directly as vectorized numpy over (n, 2) lon/lat arrays.
+
+Datum note: WGS84 and GRS80 differ by < 0.1 mm in flattening; transforms
+here treat NAD83/GRS80 coordinates as WGS84-compatible (no datum shift),
+matching PROJ's default null transformation for these pairs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+GRS80_F = 1.0 / 298.257222101
+
+
+class Ellipsoid:
+    def __init__(self, a: float, f: float):
+        self.a = a
+        self.f = f
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        self.ep2 = self.e2 / (1 - self.e2)
+
+
+WGS84 = Ellipsoid(WGS84_A, WGS84_F)
+GRS80 = Ellipsoid(WGS84_A, GRS80_F)
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (Snyder 8-9..8-25) — the UTM kernel
+# ---------------------------------------------------------------------------
+
+def _merid_arc(ell: Ellipsoid, phi: np.ndarray) -> np.ndarray:
+    """Meridional arc M(φ) (Snyder 3-21)."""
+    e2, e4, e6 = ell.e2, ell.e2 ** 2, ell.e2 ** 3
+    return ell.a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi))
+
+
+def tmerc_fwd(lon: np.ndarray, lat: np.ndarray, lon0: float, lat0: float,
+              k0: float, fe: float, fn: float,
+              ell: Ellipsoid = WGS84) -> tuple[np.ndarray, np.ndarray]:
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    ep2 = ell.ep2
+    sin_p, cos_p = np.sin(phi), np.cos(phi)
+    N = ell.a / np.sqrt(1 - ell.e2 * sin_p ** 2)
+    T = np.tan(phi) ** 2
+    C = ep2 * cos_p ** 2
+    dlam = lam - math.radians(lon0)
+    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi, dlam)
+    dlam = np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam)
+    A = dlam * cos_p
+    M = _merid_arc(ell, phi)
+    M0 = _merid_arc(ell, np.array([math.radians(lat0)]))[0]
+    x = k0 * N * (A + (1 - T + C) * A ** 3 / 6
+                  + (5 - 18 * T + T ** 2 + 72 * C - 58 * ep2) * A ** 5 / 120) + fe
+    y = k0 * (M - M0 + N * np.tan(phi) * (
+        A ** 2 / 2 + (5 - T + 9 * C + 4 * C ** 2) * A ** 4 / 24
+        + (61 - 58 * T + T ** 2 + 600 * C - 330 * ep2) * A ** 6 / 720)) + fn
+    return x, y
+
+
+def tmerc_inv(x: np.ndarray, y: np.ndarray, lon0: float, lat0: float,
+              k0: float, fe: float, fn: float,
+              ell: Ellipsoid = WGS84) -> tuple[np.ndarray, np.ndarray]:
+    e2, ep2 = ell.e2, ell.ep2
+    M0 = _merid_arc(ell, np.array([math.radians(lat0)]))[0]
+    M = M0 + (np.asarray(y, dtype=np.float64) - fn) / k0
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu = M / (ell.a * (1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256))
+    phi1 = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+    sin1, cos1 = np.sin(phi1), np.cos(phi1)
+    C1 = ep2 * cos1 ** 2
+    T1 = np.tan(phi1) ** 2
+    N1 = ell.a / np.sqrt(1 - e2 * sin1 ** 2)
+    R1 = ell.a * (1 - e2) / (1 - e2 * sin1 ** 2) ** 1.5
+    D = (np.asarray(x, dtype=np.float64) - fe) / (N1 * k0)
+    phi = phi1 - (N1 * np.tan(phi1) / R1) * (
+        D ** 2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1 ** 2 - 9 * ep2) * D ** 4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1 ** 2 - 252 * ep2
+           - 3 * C1 ** 2) * D ** 6 / 720)
+    lam = math.radians(lon0) + (
+        D - (1 + 2 * T1 + C1) * D ** 3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1 ** 2 + 8 * ep2
+           + 24 * T1 ** 2) * D ** 5 / 120) / cos1
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic, 2 standard parallels (Snyder 15-1..15-11)
+# ---------------------------------------------------------------------------
+
+def _lcc_m(ell, phi):
+    return np.cos(phi) / np.sqrt(1 - ell.e2 * np.sin(phi) ** 2)
+
+
+def _lcc_t(ell, phi):
+    e = ell.e
+    sp = np.sin(phi)
+    return (np.tan(np.pi / 4 - phi / 2)
+            / ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+
+
+def _lcc_consts(ell, lat0, sp1, sp2):
+    p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
+    m1 = float(_lcc_m(ell, np.array([p1]))[0])
+    m2 = float(_lcc_m(ell, np.array([p2]))[0])
+    t0 = float(_lcc_t(ell, np.array([p0]))[0])
+    t1 = float(_lcc_t(ell, np.array([p1]))[0])
+    t2 = float(_lcc_t(ell, np.array([p2]))[0])
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    Fc = m1 / (n * t1 ** n)
+    rho0 = ell.a * Fc * t0 ** n
+    return n, Fc, rho0
+
+
+def lcc_fwd(lon, lat, lon0, lat0, sp1, sp2, fe, fn, ell: Ellipsoid = GRS80):
+    n, Fc, rho0 = _lcc_consts(ell, lat0, sp1, sp2)
+    phi = np.radians(lat)
+    t = _lcc_t(ell, phi)
+    rho = ell.a * Fc * t ** n
+    theta = n * (np.radians(lon) - math.radians(lon0))
+    return rho * np.sin(theta) + fe, rho0 - rho * np.cos(theta) + fn
+
+
+def lcc_inv(x, y, lon0, lat0, sp1, sp2, fe, fn, ell: Ellipsoid = GRS80):
+    n, Fc, rho0 = _lcc_consts(ell, lat0, sp1, sp2)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(xp, yp)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    t = (rho / (ell.a * Fc)) ** (1.0 / n)
+    lam = theta / n + math.radians(lon0)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - ell.e * sp) / (1 + ell.e * sp)) ** (ell.e / 2))
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic (Snyder 14-1..14-21)
+# ---------------------------------------------------------------------------
+
+def _albers_q(ell, phi):
+    e, e2 = ell.e, ell.e2
+    sp = np.sin(phi)
+    return (1 - e2) * (sp / (1 - e2 * sp ** 2)
+                       - (1 / (2 * e)) * np.log((1 - e * sp) / (1 + e * sp)))
+
+
+def _albers_consts(ell, lat0, sp1, sp2):
+    p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
+    m1 = float(_lcc_m(ell, np.array([p1]))[0])
+    m2 = float(_lcc_m(ell, np.array([p2]))[0])
+    q0 = float(_albers_q(ell, np.array([p0]))[0])
+    q1 = float(_albers_q(ell, np.array([p1]))[0])
+    q2 = float(_albers_q(ell, np.array([p2]))[0])
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (m1 ** 2 - m2 ** 2) / (q2 - q1)
+    C = m1 ** 2 + n * q1
+    rho0 = ell.a * math.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def albers_fwd(lon, lat, lon0, lat0, sp1, sp2, fe, fn, ell: Ellipsoid = GRS80):
+    n, C, rho0 = _albers_consts(ell, lat0, sp1, sp2)
+    q = _albers_q(ell, np.radians(lat))
+    rho = ell.a * np.sqrt(C - n * q) / n
+    theta = n * (np.radians(lon) - math.radians(lon0))
+    return rho * np.sin(theta) + fe, rho0 - rho * np.cos(theta) + fn
+
+
+def albers_inv(x, y, lon0, lat0, sp1, sp2, fe, fn, ell: Ellipsoid = GRS80):
+    n, C, rho0 = _albers_consts(ell, lat0, sp1, sp2)
+    e, e2 = ell.e, ell.e2
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(xp, yp)
+    q = (C - (rho * n / ell.a) ** 2) / n
+    theta = np.arctan2(xp, yp)
+    lam = theta / n + math.radians(lon0)
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = phi + ((1 - e2 * sp ** 2) ** 2 / (2 * np.cos(phi))) * (
+            q / (1 - e2) - sp / (1 - e2 * sp ** 2)
+            + (1 / (2 * e)) * np.log((1 - e * sp) / (1 + e * sp)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# EPSG registry: code → (fwd, inv) lon/lat ↔ projected
+# ---------------------------------------------------------------------------
+
+def _utm(zone: int, south: bool):
+    lon0 = zone * 6 - 183
+    fn = 10_000_000.0 if south else 0.0
+
+    def fwd(lon, lat):
+        return tmerc_fwd(lon, lat, lon0, 0.0, 0.9996, 500_000.0, fn, WGS84)
+
+    def inv(x, y):
+        return tmerc_inv(x, y, lon0, 0.0, 0.9996, 500_000.0, fn, WGS84)
+    return fwd, inv
+
+
+_NAMED = {
+    # RGF93 / Lambert-93 (France) — EPSG registry parameters
+    "2154": (lambda lon, lat: lcc_fwd(lon, lat, 3.0, 46.5, 49.0, 44.0,
+                                      700_000.0, 6_600_000.0, GRS80),
+             lambda x, y: lcc_inv(x, y, 3.0, 46.5, 49.0, 44.0,
+                                  700_000.0, 6_600_000.0, GRS80)),
+    # NAD83 / Canada Atlas Lambert
+    "3978": (lambda lon, lat: lcc_fwd(lon, lat, -95.0, 49.0, 49.0, 77.0,
+                                      0.0, 0.0, GRS80),
+             lambda x, y: lcc_inv(x, y, -95.0, 49.0, 49.0, 77.0,
+                                  0.0, 0.0, GRS80)),
+    # NAD83 / CONUS Albers
+    "5070": (lambda lon, lat: albers_fwd(lon, lat, -96.0, 23.0, 29.5, 45.5,
+                                         0.0, 0.0, GRS80),
+             lambda x, y: albers_inv(x, y, -96.0, 23.0, 29.5, 45.5,
+                                     0.0, 0.0, GRS80)),
+}
+
+
+def projection_for(code: str):
+    """(fwd, inv) callables for an EPSG code string, or None.
+
+    Supported: 326zz/327zz (UTM N/S on WGS84), 2154, 3978, 5070."""
+    if code in _NAMED:
+        return _NAMED[code]
+    if len(code) == 5 and code[:3] in ("326", "327"):
+        zone = int(code[3:])
+        if 1 <= zone <= 60:
+            return _utm(zone, south=code[:3] == "327")
+    return None

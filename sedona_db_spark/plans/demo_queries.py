@@ -668,6 +668,62 @@ ORACLE_TRANSFORM = (
     " AS my_m FROM docs")
 
 
+def q_transform_utm(spark, sf_dir):
+    """Per-row UTM (each doc in its own zone, N/S hemisphere): exercises
+    the general ellipsoidal ST_Transform tier (geometry/proj.py)."""
+    from sedona_db_spark.functions.scalar import st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir)
+    zone = (F.floor((F.col("lon") + 180.0) / 6.0) + 1).cast("int")
+    dst = F.concat(F.lit("EPSG:"),
+                   F.when(F.col("lat") >= 0, F.lit("326")).otherwise(F.lit("327")),
+                   F.lpad(zone.cast("string"), 2, "0"))
+    t = st_transform(F.col("geom"), F.lit("EPSG:4326"), dst)
+    return d.select(
+        "doc_id", zone.alias("zone"),
+        F.floor(st_x(t)).cast("long").alias("easting_m"),
+        F.floor(st_y(t)).cast("long").alias("northing_m"))
+
+
+def _oracle_transform_utm() -> str:
+    """TM forward series (Snyder ch. 8) in SQL with coefficients baked from
+    the SAME python-double arithmetic as geometry/proj.py (floor-to-meter
+    quantization absorbs libm ulp differences)."""
+    from sedona_db_spark.geometry.proj import WGS84
+    a, e2, ep2 = WGS84.a, WGS84.e2, WGS84.ep2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c1 = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    c2 = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    c3 = 15 * e4 / 256 + 45 * e6 / 1024
+    c4 = 35 * e6 / 3072
+    return (
+        _docs_cte() + f""",
+ z AS (SELECT doc_id, lon, lat,
+       CAST(floor((lon + 180.0) / 6.0) + 1 AS INTEGER) AS zone FROM docs),
+ g AS (SELECT doc_id, zone, radians(lat) AS phi,
+       (radians(lon) - radians(CAST(zone * 6 - 183 AS DOUBLE))) AS dlam
+       FROM z),
+ k AS (SELECT doc_id, zone, phi, dlam,
+       {a!r} / sqrt(1 - {e2!r} * sin(phi) * sin(phi)) AS nn,
+       tan(phi) * tan(phi) AS t,
+       {ep2!r} * cos(phi) * cos(phi) AS c,
+       dlam * cos(phi) AS aa,
+       {a!r} * ({c1!r} * phi - {c2!r} * sin(2 * phi)
+                + {c3!r} * sin(4 * phi) - {c4!r} * sin(6 * phi)) AS m
+       FROM g)
+ SELECT doc_id, zone,
+   CAST(floor(0.9996 * nn * (aa + (1 - t + c) * aa * aa * aa / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * {ep2!r})
+          * aa * aa * aa * aa * aa / 120) + 500000.0) AS BIGINT) AS easting_m,
+   CAST(floor(0.9996 * (m + nn * tan(phi) * (aa * aa / 2
+        + (5 - t + 9 * c + 4 * c * c) * aa * aa * aa * aa / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * {ep2!r})
+          * aa * aa * aa * aa * aa * aa / 720))
+        + CASE WHEN phi >= 0 THEN 0.0 ELSE 10000000.0 END) AS BIGINT)
+     AS northing_m
+ FROM k""")
+
+
 def q_azimuth_to_city(spark, sf_dir):
     from sedona_db_spark.functions.scalar import st_point
     from sedona_db_spark.functions.scalar2 import st_azimuth
@@ -818,6 +874,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "transform_3857": q_transform_3857,
+    "transform_utm": q_transform_utm,
     "azimuth_to_city": q_azimuth_to_city,
     "sphere_distances": q_sphere_distances,
     "overlay_rect_areas": q_overlay_rect_areas,
@@ -851,6 +908,7 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": _ORACLE_JACCARD,
     "ann_topk": ORACLE_ANN,
     "transform_3857": ORACLE_TRANSFORM,
+    "transform_utm": _oracle_transform_utm(),
     "azimuth_to_city": ORACLE_AZIMUTH,
     "sphere_distances": ORACLE_SPHERE,
     "overlay_rect_areas": ORACLE_OVERLAY,

@@ -1,0 +1,136 @@
+"""Projection tests: round-trips + analytic invariants (no pyproj in the
+sandbox, so correctness rests on mathematical identities of each
+projection rather than cross-library goldens)."""
+
+import numpy as np
+import pytest
+
+from sedona_db_spark.geometry import proj as P
+from sedona_db_spark.geometry.algos import transform_coords
+
+
+RNG = np.random.default_rng(11)
+
+
+def _roundtrip(fwd, inv, lon, lat, tol=1e-8):
+    x, y = fwd(lon, lat)
+    lon2, lat2 = inv(x, y)
+    assert np.abs(lon2 - lon).max() < tol
+    assert np.abs(lat2 - lat).max() < tol
+
+
+def test_utm_roundtrip_all_zones():
+    for zone in (1, 18, 33, 60):
+        for code in (f"326{zone:02d}", f"327{zone:02d}"):
+            fwd, inv = P.projection_for(code)
+            lon0 = zone * 6 - 183
+            lon = lon0 + RNG.uniform(-3, 3, 200)
+            lat = RNG.uniform(-80, 84, 200) * (1 if code[2] == "6" else -1)
+            lat = -np.abs(lat) if code.startswith("327") else np.abs(lat)
+            _roundtrip(fwd, inv, lon, lat)
+
+
+def test_utm_analytic_anchors():
+    fwd, _ = P.projection_for("32633")  # zone 33N, lon0=15
+    # central meridian → easting exactly 500000
+    x, y = fwd(np.array([15.0, 15.0]), np.array([0.0, 45.0]))
+    assert abs(x[0] - 500_000.0) < 1e-6
+    assert abs(x[1] - 500_000.0) < 1e-6
+    assert abs(y[0]) < 1e-6  # equator → northing 0
+    # scale on the central meridian = k0: dy/dM = 0.9996
+    _, y1 = fwd(np.array([15.0]), np.array([45.0]))
+    _, y2 = fwd(np.array([15.0]), np.array([45.001]))
+    dM = (P._merid_arc(P.WGS84, np.radians(np.array([45.001])))
+          - P._merid_arc(P.WGS84, np.radians(np.array([45.0]))))[0]
+    assert abs((y2[0] - y1[0]) / dM - 0.9996) < 1e-9
+    # southern-hemisphere false northing
+    fwd_s, _ = P.projection_for("32733")
+    _, ys = fwd_s(np.array([15.0]), np.array([-0.0001]))
+    assert 0 < 10_000_000.0 - ys[0] < 20
+
+
+def test_utm_vs_spherical_tm_sanity():
+    """The ellipsoidal series must stay within a few km of the spherical
+    transverse-Mercator closed form (gross-error detector)."""
+    fwd, _ = P.projection_for("32618")  # zone 18N, lon0=-75
+    lon = np.array([-74.0, -76.5, -75.0])
+    lat = np.array([40.7, 10.0, 60.0])
+    x, y = fwd(lon, lat)
+    R, k0, lon0 = 6371000.0, 0.9996, -75.0
+    B = np.cos(np.radians(lat)) * np.sin(np.radians(lon - lon0))
+    xs = k0 * R / 2 * np.log((1 + B) / (1 - B)) + 500_000
+    ys = k0 * R * (np.arctan2(np.tan(np.radians(lat)),
+                              np.cos(np.radians(lon - lon0))))
+    assert np.abs(x - xs).max() < 5_000
+    assert np.abs(y - ys).max() < 50_000  # meridian arc vs sphere ~0.5%
+
+
+def test_lcc_roundtrip_and_standard_parallel_scale():
+    fwd, inv = P.projection_for("2154")  # Lambert-93
+    lon = RNG.uniform(-4, 8, 200)
+    lat = RNG.uniform(42, 51, 200)
+    _roundtrip(fwd, inv, lon, lat)
+    # scale along a standard parallel (49°N) is exactly 1: projected
+    # distance equals the ellipsoidal parallel-arc length
+    ell = P.GRS80
+    phi = np.radians(49.0)
+    N = ell.a / np.sqrt(1 - ell.e2 * np.sin(phi) ** 2)
+    dlam = 0.001
+    arc = N * np.cos(phi) * np.radians(dlam)
+    x1, y1 = fwd(np.array([3.0]), np.array([49.0]))
+    x2, y2 = fwd(np.array([3.0 + dlam]), np.array([49.0]))
+    got = float(np.hypot(x2 - x1, y2 - y1)[0])
+    assert abs(got - arc) / arc < 1e-9
+
+
+def test_lcc_canada_roundtrip():
+    fwd, inv = P.projection_for("3978")
+    lon = RNG.uniform(-140, -55, 200)
+    lat = RNG.uniform(42, 83, 200)
+    _roundtrip(fwd, inv, lon, lat)
+
+
+def test_albers_roundtrip_and_equal_area():
+    fwd, inv = P.projection_for("5070")
+    lon = RNG.uniform(-124, -67, 200)
+    lat = RNG.uniform(25, 49, 200)
+    _roundtrip(fwd, inv, lon, lat, tol=1e-7)
+    # equal-area: projected shoelace area of a lon/lat rect equals the
+    # ellipsoidal (authalic) area a²·Δλ·(q₂−q₁)/2
+    ell = P.GRS80
+    lo0, lo1, la0, la1 = -100.0, -98.0, 35.0, 37.0
+    q0 = float(P._albers_q(ell, np.radians(np.array([la0])))[0])
+    q1 = float(P._albers_q(ell, np.radians(np.array([la1])))[0])
+    true_area = ell.a ** 2 * np.radians(lo1 - lo0) * (q1 - q0) / 2
+    # dense boundary polygon (curved edges in projected space)
+    n = 400
+    lons = np.r_[np.linspace(lo0, lo1, n), np.full(n, lo1),
+                 np.linspace(lo1, lo0, n), np.full(n, lo0)]
+    lats = np.r_[np.full(n, la0), np.linspace(la0, la1, n),
+                 np.full(n, la1), np.linspace(la1, la0, n)]
+    x, y = fwd(lons, lats)
+    shoelace = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert abs(shoelace - true_area) / true_area < 1e-6
+
+
+def test_transform_coords_routing():
+    # UTM → Lambert-93 via the 4326 hub, and alias/code-form handling
+    arr = np.array([[500_000.0, 5_000_000.0]])
+    out = transform_coords(arr.copy(), "EPSG:32631", "EPSG:2154")
+    back = transform_coords(out, "2154", "epsg:32631")
+    # mm-level: two chained series projections (TM truncation ~1e-4 m)
+    assert np.abs(back - arr).max() < 1e-3
+    with pytest.raises(ValueError):
+        transform_coords(arr, "EPSG:99999", "EPSG:4326")
+    # 3857 hub legs unchanged
+    ll = transform_coords(np.array([[0.0, 0.0]]), "EPSG:3857", "OGC:CRS84")
+    assert np.abs(ll).max() < 1e-12
+
+
+def test_st_transform_sql_utm(spark):
+    rows = spark.sql(
+        "SELECT ST_X(t) AS x, ST_Y(t) AS y FROM (SELECT "
+        "ST_Transform(ST_Point(15.0, 0.0), 'EPSG:4326', 'EPSG:32633') AS t)"
+    ).collect()
+    assert abs(rows[0]["x"] - 500_000.0) < 1e-6
+    assert abs(rows[0]["y"]) < 1e-6
