@@ -28,18 +28,25 @@ BBOX_COLS = ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
 
 def with_covering(df: DataFrame, geom_col: str = "geom",
                   res: int = 7, partition_res: int | None = None) -> DataFrame:
-    """Add bbox covering + cell columns (vectorized; point fast path)."""
+    """Add bbox covering + cell columns.
+
+    The clustering cell comes from the bbox MIDPOINT via pure JVM
+    arithmetic over the just-computed bbox columns — correct for any
+    geometry type (the round-1 point-decoder UDF yielded one garbage cell
+    for every non-point row, destroying the sort clustering)."""
     from sedona_db_spark.functions.scalar import (
         st_xmin, st_ymin, st_xmax, st_ymax)
-    from sedona_db_spark.operators.spatial_join import _cell_udf
     g = F.col(geom_col)
     out = (df.withColumn("bbox_xmin", st_xmin(g))
              .withColumn("bbox_ymin", st_ymin(g))
              .withColumn("bbox_xmax", st_xmax(g))
-             .withColumn("bbox_ymax", st_ymax(g))
-             .withColumn("cell", _cell_udf(res)(g)))
+             .withColumn("bbox_ymax", st_ymax(g)))
+    mid_x = "((bbox_xmin + bbox_xmax) / 2)"
+    mid_y = "((bbox_ymin + bbox_ymax) / 2)"
+    out = out.withColumn("cell", F.expr(grid.cell_expr_sql(mid_x, mid_y, res)))
     if partition_res is not None:
-        out = out.withColumn("pcell", _cell_udf(partition_res)(g))
+        out = out.withColumn(
+            "pcell", F.expr(grid.cell_expr_sql(mid_x, mid_y, partition_res)))
     return out
 
 
@@ -90,3 +97,140 @@ def spatial_read(spark: SparkSession, path: str, bbox: tuple,
                f"{xmin} {ymax}, {xmin} {ymin}))")
         df = df.where(st_intersects(F.col(geom_col), st_geomfromtext(F.lit(wkt))))
     return df
+
+
+# ---------------------------------------------------------------------------
+# GeoParquet 1.1 interop: standard `geo` footer metadata + covering.bbox
+# struct column, so files round-trip with GeoPandas / DuckDB-spatial / the
+# reference (rust/sedona-geoparquet/src/writer.rs:278-414, metadata.rs:285-380)
+# ---------------------------------------------------------------------------
+
+GEOPARQUET_VERSION = "1.1.0"
+
+
+def _geo_metadata_json(geom_col: str, bbox: list, geometry_types: list,
+                       covering_col: str = "bbox") -> str:
+    import json
+    return json.dumps({
+        "version": GEOPARQUET_VERSION,
+        "primary_column": geom_col,
+        "columns": {geom_col: {
+            "encoding": "WKB",
+            "geometry_types": sorted(geometry_types),
+            "bbox": bbox,
+            "covering": {"bbox": {
+                "xmin": [covering_col, "xmin"],
+                "ymin": [covering_col, "ymin"],
+                "xmax": [covering_col, "xmax"],
+                "ymax": [covering_col, "ymax"],
+            }},
+        }},
+    })
+
+
+def write_geoparquet(df: DataFrame, path: str, geom_col: str = "geom",
+                     res: int = 7, files: int | None = None) -> None:
+    """Write spec-compliant GeoParquet 1.1: WKB geometry column, a
+    ``bbox`` struct covering column (xmin/ymin/xmax/ymax — row-group
+    min/max stats on its fields drive external engines' pruning), rows
+    cell-sorted for tight stats, and the ``geo`` footer key.
+
+    Spark's writer cannot attach custom footer key-values, so the footer is
+    stamped in a distributed post-pass (one pyarrow rewrite per file, local
+    filesystems; each task rewrites only its own file).
+    """
+    from sedona_db_spark.functions.scalar import (
+        st_geometrytype, st_xmin, st_ymin, st_xmax, st_ymax)
+    g = F.col(geom_col)
+    out = (df.withColumn("bbox", F.struct(
+                st_xmin(g).alias("xmin"), st_ymin(g).alias("ymin"),
+                st_xmax(g).alias("xmax"), st_ymax(g).alias("ymax")))
+             .withColumn("__cell", F.expr(grid.cell_expr_sql(
+                 "((bbox.xmin + bbox.xmax) / 2)",
+                 "((bbox.ymin + bbox.ymax) / 2)", res))))
+    if files:
+        out = out.repartitionByRange(files, "__cell")
+    out = out.sortWithinPartitions("__cell").drop("__cell")
+    out.write.mode("overwrite").parquet(path)
+
+    # one aggregation pass for the file-level metadata (global bbox + types)
+    stats = df.select(
+        F.min(st_xmin(g)).alias("x0"), F.min(st_ymin(g)).alias("y0"),
+        F.max(st_xmax(g)).alias("x1"), F.max(st_ymax(g)).alias("y1"),
+        F.collect_set(st_geometrytype(g)).alias("types")).collect()[0]
+    types = [t.replace("ST_", "") for t in (stats["types"] or [])]
+    meta = _geo_metadata_json(
+        geom_col, [stats["x0"], stats["y0"], stats["x1"], stats["y1"]], types)
+    _stamp_geo_footer(df.sparkSession, path, meta)
+
+
+def _stamp_geo_footer(spark: SparkSession, path: str, geo_json: str) -> None:
+    """Distributed footer stamp: each task rewrites one parquet file with
+    the `geo` key merged into its schema metadata (pyarrow)."""
+    import os
+    names = [f for f in os.listdir(path)
+             if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    file_paths = [os.path.join(path, f) for f in names]
+
+    def stamp(p: str, geo=geo_json) -> None:
+        import pyarrow.parquet as pq
+        table = pq.read_table(p)
+        md = dict(table.schema.metadata or {})
+        md[b"geo"] = geo.encode("utf-8")
+        pq.write_table(table.replace_schema_metadata(md), p + ".tmp")
+        os.replace(p + ".tmp", p)
+        # hadoop LocalFileSystem keeps .crc sidecars; stale ones fail reads
+        crc = os.path.join(os.path.dirname(p),
+                           "." + os.path.basename(p) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    if len(file_paths) <= 1:
+        for p in file_paths:
+            stamp(p)
+    else:
+        (spark.sparkContext.parallelize(file_paths, len(file_paths))
+         .foreach(stamp))
+
+
+def geoparquet_metadata(path: str) -> dict | None:
+    """Parse the `geo` footer of a GeoParquet dataset (first file wins)."""
+    import json
+    import os
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):
+        cands = sorted(f for f in os.listdir(path)
+                       if f.endswith(".parquet") and not f.startswith(("_", ".")))
+        if not cands:
+            return None
+        path = os.path.join(path, cands[0])
+    md = pq.read_schema(path).metadata or {}
+    raw = md.get(b"geo")
+    return json.loads(raw) if raw else None
+
+
+def read_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Read an (external or self-written) GeoParquet 1.1 dataset.
+
+    Returns (DataFrame, geo metadata dict).  WKB is this engine's native
+    geometry encoding, so the primary column is directly usable by every
+    ST_ function; raises if the footer is missing or a non-WKB encoding is
+    declared."""
+    geo = geoparquet_metadata(path)
+    if geo is None:
+        raise ValueError(f"{path}: no `geo` footer metadata (not GeoParquet)")
+    col = geo["primary_column"]
+    enc = geo["columns"][col].get("encoding", "WKB")
+    if enc.upper() != "WKB":
+        raise ValueError(f"unsupported GeoParquet encoding {enc!r}")
+    return spark.read.parquet(path), geo
+
+
+def covering_bbox_filter(geo: dict, qxmin: float, qymin: float,
+                         qxmax: float, qymax: float) -> Column:
+    """bbox-intersects predicate over the covering declared in the `geo`
+    metadata (struct-field comparisons push down to the parquet scan)."""
+    cov = geo["columns"][geo["primary_column"]]["covering"]["bbox"]
+    c = {k: F.col(".".join(v)) for k, v in cov.items()}
+    return ((c["xmin"] <= qxmax) & (c["xmax"] >= qxmin)
+            & (c["ymin"] <= qymax) & (c["ymax"] >= qymin))

@@ -89,3 +89,90 @@ def test_geojson_ingest(spark, tmp_path):
     rows = {r["name"]: W.decode(bytes(r["geom"])) for r in df.collect()}
     assert len(rows) == 5
     assert list(rows["f3"][1]) == [3.0, 6.0]
+
+
+def test_geoparquet_write_read_roundtrip(spark, tmp_path):
+    """Self-written GeoParquet 1.1: spec-compliant `geo` footer, covering
+    bbox struct, WKB geometry — readable back with metadata intact."""
+    import json
+    import pyarrow.parquet as pq
+    from sedona_db_spark.sources.geostore import (
+        write_geoparquet, read_geoparquet, geoparquet_metadata,
+        covering_bbox_filter)
+    path = str(tmp_path / "gp")
+    pls = FX.random_polygons(80, seed=5, num_vertices=(3, 8))
+    df = spark.createDataFrame(pls).withColumnRenamed("geometry", "geom")
+    # AQE would coalesce this tiny shuffle into one file; pin it off so the
+    # distributed multi-file footer stamp path is exercised
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        write_geoparquet(df, path, files=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # footer: every file carries valid 1.1 metadata
+    import os
+    pfiles = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(pfiles) >= 2
+    for f in pfiles:
+        md = pq.read_schema(os.path.join(path, f)).metadata
+        geo = json.loads(md[b"geo"])
+        assert geo["version"] == "1.1.0"
+        assert geo["primary_column"] == "geom"
+        gcol = geo["columns"]["geom"]
+        assert gcol["encoding"] == "WKB"
+        assert gcol["geometry_types"] == ["Polygon"]
+        assert len(gcol["bbox"]) == 4 and gcol["bbox"][0] <= gcol["bbox"][2]
+        assert gcol["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
+
+    back, geo = read_geoparquet(spark, path)
+    assert back.count() == 80
+    assert "bbox" in back.columns and back.schema["bbox"].dataType.typeName() == "struct"
+    # geometry decodes with our WKB reader
+    G = [W.decode(bytes(r["geom"])) for r in back.limit(5).collect()]
+    assert all(g[0] == "Polygon" for g in G)
+    # covering filter pushes to the scan
+    flt = covering_bbox_filter(geo, 0.0, 0.0, 5.0, 5.0)
+    plan = back.where(flt)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "xmin" in plan
+
+
+def test_geoparquet_external_fixture(spark, tmp_path):
+    """Read a hand-built external GeoParquet file (GeoPandas-style layout:
+    `geometry` primary column, covering struct) written by pyarrow alone."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from sedona_db_spark.sources.geostore import read_geoparquet, covering_bbox_filter
+    from sedona_db_spark.geometry import wkb as WW
+
+    pts = FX.random_points(25, seed=77)
+    wkbs = [bytes(b) for b in pts.geometry]
+    xs, ys = W.wkb_to_points(pts.geometry)
+    table = pa.table({
+        "fid": pa.array(range(25), pa.int64()),
+        "geometry": pa.array(wkbs, pa.binary()),
+        "bbox": pa.StructArray.from_arrays(
+            [pa.array(xs), pa.array(ys), pa.array(xs), pa.array(ys)],
+            names=["xmin", "ymin", "xmax", "ymax"]),
+    })
+    geo = {"version": "1.1.0", "primary_column": "geometry",
+           "columns": {"geometry": {
+               "encoding": "WKB", "geometry_types": ["Point"],
+               "bbox": [float(xs.min()), float(ys.min()),
+                        float(xs.max()), float(ys.max())],
+               "covering": {"bbox": {"xmin": ["bbox", "xmin"],
+                                     "ymin": ["bbox", "ymin"],
+                                     "xmax": ["bbox", "xmax"],
+                                     "ymax": ["bbox", "ymax"]}}}}}
+    f = str(tmp_path / "external.parquet")
+    pq.write_table(table.replace_schema_metadata({b"geo": json.dumps(geo).encode()}), f)
+
+    df, meta = read_geoparquet(spark, f)
+    assert meta["primary_column"] == "geometry"
+    assert df.count() == 25
+    got = {(r["fid"], WW.decode(bytes(r["geometry"]))[1][0]) for r in df.collect()}
+    assert got == {(i, float(xs[i])) for i in range(25)}
+    n_win = df.where(covering_bbox_filter(meta, 0.0, 0.0, 90.0, 90.0)).count()
+    exp = int(((xs >= 0) & (xs <= 90) & (ys >= 0) & (ys <= 90)).sum())
+    assert n_win == exp
