@@ -114,6 +114,54 @@ def _covering_cells_padcol_udf(res: int):
     return cover.asNondeterministic()
 
 
+def _sphere_cap_cover(x: float, y: float, d_m: float, res: int) -> np.ndarray:
+    """Cells intersecting the bounding box of the spherical cap of
+    great-circle radius ``d_m`` around point (x, y).
+
+    Exact cap bbox: Δφ = c (angular radius), Δλ = asin(sin c / cos φ₀);
+    caps containing a pole span all longitudes; antimeridian-crossing
+    boxes split into two coverings (grid cells don't wrap)."""
+    import math
+    from sedona_db_spark.geometry.algos import EARTH_RADIUS_M
+    c = d_m / EARTH_RADIUS_M
+    pad_lat = math.degrees(c)
+    y0, y1 = max(-90.0, y - pad_lat), min(90.0, y + pad_lat)
+    if c >= math.pi or abs(y) + pad_lat >= 90.0 or c >= math.pi / 2:
+        return grid.covering_cells(-180.0, y0, 180.0, y1, res)
+    cphi = math.cos(math.radians(y))
+    s = math.sin(c)
+    if s >= cphi:
+        return grid.covering_cells(-180.0, y0, 180.0, y1, res)
+    pad_lon = math.degrees(math.asin(s / cphi))
+    x0, x1 = x - pad_lon, x + pad_lon
+    segs = []
+    if x0 < -180.0:
+        segs.append((x0 + 360.0, 180.0))
+        x0 = -180.0
+    if x1 > 180.0:
+        segs.append((-180.0, x1 - 360.0))
+        x1 = 180.0
+    segs.append((x0, x1))
+    return np.unique(np.concatenate(
+        [grid.covering_cells(a, y0, b, y1, res) for a, b in segs]))
+
+
+def _covering_cells_sphere_udf(res: int, d_m: float):
+    """Covering cells for point build rows under a great-circle radius."""
+    @pandas_udf(ArrayType(LongType()))
+    def cover(b: pd.Series) -> pd.Series:
+        x, y = W.wkb_to_points(b)
+        out = []
+        for xi, yi in zip(x, y):
+            if np.isnan(xi):
+                out.append([])
+            else:
+                out.append(_sphere_cap_cover(float(xi), float(yi),
+                                             d_m, res).tolist())
+        return pd.Series(out)
+    return cover.asNondeterministic()
+
+
 def _cell_udf(res: int):
     @pandas_udf(LongType())
     def cell(b: pd.Series) -> pd.Series:
@@ -200,10 +248,12 @@ def spatial_join(
                 "join can only enumerate bbox-interacting candidates")
     elif pattern is not None:
         raise ValueError("pattern only valid for predicate='relate'")
-    if predicate == "dwithin" and distance is None:
-        raise ValueError("dwithin requires distance")
-    if predicate != "dwithin" and distance is not None:
-        raise ValueError("distance only valid for dwithin")
+    if predicate in ("dwithin", "dwithin_sphere") and distance is None:
+        raise ValueError(f"{predicate} requires distance")
+    if predicate not in ("dwithin", "dwithin_sphere") and distance is not None:
+        raise ValueError("distance only valid for dwithin/dwithin_sphere")
+    if predicate == "dwithin_sphere" and not isinstance(distance, (int, float)):
+        raise ValueError("dwithin_sphere takes a literal distance in meters")
     # distance may be a literal or the NAME of a right-side column (the
     # reference's distance_side=build case, spatial_predicate.rs:44-110);
     # per-probe-row distances would need probe-side covering explosion and
@@ -246,7 +296,13 @@ def spatial_join(
         return flipped.select(*lcols, *rcols)
 
     pad = 0.0
-    if predicate == "dwithin" and isinstance(distance, (int, float)):
+    if predicate == "dwithin_sphere":
+        # angular (degree) pad for resolution choice; exact per-geometry
+        # spherical-cap coverings happen in the covering step itself
+        import math as _math
+        from sedona_db_spark.geometry.algos import EARTH_RADIUS_M
+        pad = _math.degrees(float(distance) / EARTH_RADIUS_M)
+    elif predicate == "dwithin" and isinstance(distance, (int, float)):
         pad = float(distance)
     elif dist_col is not None:
         # stats-only pad: the max distance bounds every row's expansion
@@ -261,6 +317,16 @@ def spatial_join(
         l_is_exploded = bool(
             head and head[0][0] is not None
             and len(bytes(head[0][0])) != W.POINT_WKB_SIZE)
+
+    if predicate == "dwithin_sphere":
+        rhead = right.select(rgeom).head(1)
+        r_is_point = bool(rhead and rhead[0][0] is not None
+                          and len(bytes(rhead[0][0])) == W.POINT_WKB_SIZE)
+        if l_is_exploded or not r_is_point:
+            raise NotImplementedError(
+                "dwithin_sphere joins support point geometries on both "
+                "sides (geography tier; the reference's S2 kernels cover "
+                "all types, c/sedona-s2geography/src/kernels.rs:27-51)")
 
     # ---- choose resolution from BOTH sides' bbox statistics -----------------
     # (a fine res that suits a point side would blow up the covering of an
@@ -288,7 +354,8 @@ def spatial_join(
     # (rust/sedona-spatial-join/src/index/), and avoids the ArrowEvalPython
     # pass-through row queue that dominates the two-step formulation.
     if (small_build and not l_is_exploded and extra_condition is None
-            and predicate in ("intersects", "coveredby", "within", "dwithin")):
+            and predicate in ("intersects", "coveredby", "within", "dwithin",
+                              "dwithin_sphere")):
         matched = _broadcast_point_join(
             left, right, predicate, distance, left_geom, rgeom, res, pad,
             left_lonlat=left_lonlat, dist_col=dist_col)
@@ -303,7 +370,12 @@ def spatial_join(
         right = right.withColumn("__rid", F.monotonically_increasing_id())
 
     # ---- phase 1: cell keys -------------------------------------------------
-    if dist_col is not None:
+    if predicate == "dwithin_sphere":
+        r_cells = right.withColumn(
+            "__cells_r",
+            _covering_cells_sphere_udf(res, float(distance))(F.col(rgeom))
+        ).withColumn("__cell", F.explode("__cells_r")).drop("__cells_r")
+    elif dist_col is not None:
         r_cells = right.withColumn(
             "__cells_r", _covering_cells_padcol_udf(res)(F.col(rgeom),
                                                          F.col(dist_col))
@@ -431,6 +503,10 @@ def spatial_join(
         else:
             dcol = distance
         cond = S.st_dwithin(F.col(left_geom), F.col(rgeom), dcol)
+    elif predicate == "dwithin_sphere":
+        from sedona_db_spark.functions.scalar2 import st_distancesphere
+        cond = (st_distancesphere(F.col(left_geom), F.col(rgeom))
+                <= F.lit(float(distance)))
     elif predicate == "relate":
         cond = S4.st_relate_pattern(F.col(left_geom), F.col(rgeom),
                                     F.lit(pattern))
@@ -551,12 +627,20 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     for i, g in r_geoms.items():
         if g is None:
             continue
-        xmin, ymin, xmax, ymax = K.geom_bbox(g)
-        if np.isnan(xmin):
-            continue
-        p_i = r_pads[i] if r_pads is not None else pad
-        for c in grid.covering_cells(xmin - p_i, ymin - p_i,
-                                     xmax + p_i, ymax + p_i, res):
+        if predicate == "dwithin_sphere":
+            if g[0] != "Point":
+                raise NotImplementedError(
+                    "dwithin_sphere build side must be points")
+            cover = _sphere_cap_cover(float(g[1][0]), float(g[1][1]),
+                                      float(distance), res)
+        else:
+            xmin, ymin, xmax, ymax = K.geom_bbox(g)
+            if np.isnan(xmin):
+                continue
+            p_i = r_pads[i] if r_pads is not None else pad
+            cover = grid.covering_cells(xmin - p_i, ymin - p_i,
+                                        xmax + p_i, ymax + p_i, res)
+        for c in cover:
             cellmap.setdefault(int(c), []).append(i)
     cellmap = {c: np.asarray(v, dtype=np.int64) for c, v in cellmap.items()}
     dist = float(distance) if isinstance(distance, (int, float)) else None
@@ -602,7 +686,12 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                 rx, ry = px[rows], py[rows]
                 for ri in cand:
                     g = geom_of(int(ri))
-                    if pred == "dwithin":
+                    if pred == "dwithin_sphere":
+                        from sedona_db_spark.geometry.algos import haversine_m
+                        m = haversine_m(rx, ry,
+                                        np.full(len(rx), g[1][0]),
+                                        np.full(len(rx), g[1][1])) <= dist
+                    elif pred == "dwithin":
                         d_i = pads[int(ri)] if pads is not None else dist
                         m = K.points_to_geom_distance(rx, ry, g) <= d_i
                     elif pred == "within":

@@ -177,6 +177,34 @@ ORACLE_DWITHIN = (
     f"<= {DWITHIN_D!r}")
 
 
+SPHERE_D_M = 650_000.0
+
+
+def q_dwithin_sphere_pairs(spark, sf_dir):
+    """Geography-tier distance join: docs within a great-circle radius of
+    supplier cities (spherical-cap covering + haversine refine)."""
+    from sedona_db_spark.functions.scalar import st_point
+    from sedona_db_spark.operators import spatial_join
+    pts = doc_points(spark, sf_dir)
+    sup = (_t(spark, sf_dir, "supplier")
+           .withColumn("clon", F.expr(CITY_LON))
+           .withColumn("clat", F.expr(CITY_LAT))
+           .withColumn("geom", st_point(F.col("clon"), F.col("clat"))))
+    j = spatial_join(pts, sup, "dwithin_sphere", "inner", distance=SPHERE_D_M)
+    return j.select("doc_id", "s_suppkey")
+
+
+ORACLE_DWITHIN_SPHERE = (
+    _docs_cte() + f", sup AS (SELECT s_suppkey, {CITY_LON} AS clon, "
+    f"{CITY_LAT} AS clat FROM supplier) "
+    f"SELECT d.doc_id, s.s_suppkey FROM docs d JOIN sup s ON "
+    f"2 * 6371008.8 * asin(sqrt("
+    f"sin(radians(s.clat - d.lat) / 2) * sin(radians(s.clat - d.lat) / 2) "
+    f"+ cos(radians(d.lat)) * cos(radians(s.clat)) "
+    f"* sin(radians(s.clon - d.lon) / 2) * sin(radians(s.clon - d.lon) / 2)))"
+    f" <= {SPHERE_D_M!r}")
+
+
 # ---------------------------------------------------------------------------
 # 5. kNN join
 # ---------------------------------------------------------------------------
@@ -857,6 +885,7 @@ QUERIES = {
     "pip_pairs": q_pip_pairs,
     "pip_count_by_nation": q_pip_count_by_nation,
     "dwithin_pairs": q_dwithin_pairs,
+    "dwithin_sphere_pairs": q_dwithin_sphere_pairs,
     "knn_pairs": q_knn_pairs,
     "tile_assignments": q_tile_assignments,
     "tile_pixels": q_tile_pixels,
@@ -891,6 +920,7 @@ ORACLE_SQL = {
     "pip_pairs": ORACLE_PIP_PAIRS,
     "pip_count_by_nation": ORACLE_PIP_COUNT,
     "dwithin_pairs": ORACLE_DWITHIN,
+    "dwithin_sphere_pairs": ORACLE_DWITHIN_SPHERE,
     "knn_pairs": ORACLE_KNN,
     "tile_assignments": ORACLE_TILES,
     "tile_pixels": ORACLE_TILE_PIXELS,

@@ -329,3 +329,45 @@ def test_inner_duplicate_rows_not_collapsed(spark):
     exp = sum(1 for a in D for b in G if K.geom_dwithin(a, b, d))
     got = spatial_join(dupdf, gdf, "dwithin", distance=d).count()
     assert got == exp
+
+
+def test_dwithin_sphere_vs_haversine_brute(spark):
+    """Spherical distance join vs brute-force haversine, broadcast AND
+    shuffled paths; antimeridian + near-pole cities included."""
+    import pandas as pd
+    from sedona_db_spark.geometry.algos import haversine_m
+    
+    rng = np.random.default_rng(42)
+    px = rng.uniform(-180, 180, 300)
+    py = rng.uniform(-85, 85, 300)
+    pts = pd.DataFrame({"id": range(300), "geom": [
+        W.encode(("Point", np.array([x, y]))) for x, y in zip(px, py)]})
+    cities = [(179.5, 10.0), (-179.8, 12.0), (0.0, 89.2), (5.0, -88.9),
+              (2.35, 48.85), (-74.0, 40.7), (151.2, -33.9)]
+    cdf_pd = pd.DataFrame({
+        "city_id": range(len(cities)),
+        "geom": [W.encode(W.from_wkt(f"POINT ({x} {y})")) for x, y in cities]})
+    pdf = spark.createDataFrame(pts)
+    cdf = spark.createDataFrame(cdf_pd)
+    D = 1_500_000.0  # 1500 km
+    exp = set()
+    for j, (cx, cy) in enumerate(cities):
+        m = haversine_m(px, py, np.full(len(px), cx), np.full(len(px), cy)) <= D
+        exp |= {(int(i), j) for i in np.flatnonzero(m)}
+    assert exp, "fixture must produce pairs"
+    for bt in (200_000, 0):  # broadcast fast path vs generic shuffle path
+        got = {(r["id"], r["city_id"]) for r in spatial_join(
+            pdf, cdf, "dwithin_sphere", distance=D,
+            broadcast_threshold=bt).collect()}
+        assert got == exp, f"path bt={bt}"
+    # antimeridian coverage: a point 0.4 deg across the seam must match
+    near_seam = spark.createDataFrame(
+        pd.DataFrame({"id": [0], "geom": [W.encode(W.from_wkt("POINT (-179.9 10.0)"))]}))
+    j = spatial_join(near_seam, cdf, "dwithin_sphere", distance=100_000.0)
+    assert {r["city_id"] for r in j.collect()} == {0}
+
+
+def test_dwithin_sphere_rejects_non_points(spark, data):
+    pdf, gdf, _, _ = data
+    with pytest.raises(NotImplementedError):
+        spatial_join(pdf, gdf, "dwithin_sphere", distance=1000.0)
