@@ -10,9 +10,9 @@ finisher UDF:
 - ST_Collect_Agg   → collect_list + ST_Collect finisher (scalar2.st_collect)
 - ST_Analyze_Agg   → cheap per-row scalars aggregated (GeoStatistics:
   rust/sedona-geometry/src/analyze.rs:29-41)
-- ST_Union_Agg / ST_Intersection_Agg / ST_Polygonize_Agg need general
-  polygon overlay (GEOS in the reference) — not implemented; envelope/
-  collect/analyze cover the reference's tested aggregate surface.
+- ST_Union_Agg / ST_Intersection_Agg → collect + slab-overlay fold
+  (geometry/overlay.py); ST_Polygonize via ST_Polygonize over collected
+  parts — all six reference aggregates implemented below.
 """
 
 from __future__ import annotations

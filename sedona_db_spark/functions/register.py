@@ -27,7 +27,6 @@ def register_functions(spark: SparkSession) -> None:
         "ST_GeomFromEWKB": UDFS["ST_GeomFromWKB"],
         "ST_GeogFromWKB": UDFS["ST_GeomFromWKB"],
         "ST_GeogPoint": UDFS["ST_Point"],
-        "ST_Force3DM": UDFS3["ST_Force3D"],
     }
     for name, fn in aliases.items():
         spark.udf.register(name, fn)

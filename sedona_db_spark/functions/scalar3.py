@@ -49,6 +49,14 @@ def st_force3d(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_force3dm(b: pd.Series) -> pd.Series:
+    """Append an M (measure) dimension: ISO WKB type + 2000, not +1000.
+    Round 1 aliased this to st_force3d, which produced Z geometries."""
+    return pd.Series([None if g is None else W.encode(_force_dim(g, 3), m_flag=True)
+                      for g in _decode_series(b)])
+
+
+@pandas_udf(BinaryType())
 def st_force4d(b: pd.Series) -> pd.Series:
     return pd.Series([None if g is None else W.encode(_force_dim(g, 4))
                       for g in _decode_series(b)])
@@ -56,15 +64,14 @@ def st_force4d(b: pd.Series) -> pd.Series:
 
 @pandas_udf(IntegerType())
 def st_zmflag(b: pd.Series) -> pd.Series:
-    """0=2D, 1=M, 2=Z, 3=ZM (reference st_zmflag semantics).
-
-    ISO WKB can't mark a 3rd dim as M-only; 3-D decodes as Z here."""
-    def flag(g):
-        if g is None:
+    """0=2D, 1=M, 2=Z, 3=ZM (reference st_zmflag semantics), read from the
+    top-level WKB type code (ISO +1000/+2000/+3000 or EWKB flags)."""
+    def flag(buf):
+        if buf is None:
             return 0
-        nd = W._geom_ndim(g)
-        return {2: 0, 3: 2, 4: 3}.get(nd, 0)
-    return pd.Series([flag(g) for g in _decode_series(b)], dtype="int32")
+        _, _, has_z, has_m, _, _ = W._read_header(bytes(buf), 0)
+        return (2 if has_z else 0) | (1 if has_m else 0)
+    return pd.Series([flag(v) for v in b], dtype="int32")
 
 
 def _coord_minmax(idx: int, want_max: bool):
@@ -168,6 +175,7 @@ UDFS3 = {
     "ST_PointM": st_pointzm,  # (x, y, m) callers pass z=0
     "ST_Force3D": st_force3d,
     "ST_Force3DZ": st_force3d,
+    "ST_Force3DM": st_force3dm,
     "ST_Force4D": st_force4d,
     "ST_ZMFlag": st_zmflag,
     "ST_ZMin": st_zmin,

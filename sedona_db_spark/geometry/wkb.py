@@ -181,10 +181,10 @@ def decode(buf: bytes | None):
 # Encoder (little-endian ISO WKB, 2-D unless coords carry more dims)
 # ---------------------------------------------------------------------------
 
-def _type_code(name: str, ndim: int) -> int:
+def _type_code(name: str, ndim: int, m_flag: bool = False) -> int:
     code = TYPE_CODES[name]
     if ndim == 3:
-        code += 1000  # treat 3rd dim as Z
+        code += 2000 if m_flag else 1000  # ISO: 1000=Z, 2000=M
     elif ndim == 4:
         code += 3000
     return code
@@ -207,22 +207,26 @@ def _geom_ndim(g) -> int:
     return 2
 
 
-def encode(g) -> bytes | None:
-    """Encode a geom tuple as little-endian ISO WKB."""
+def encode(g, m_flag: bool = False) -> bytes | None:
+    """Encode a geom tuple as little-endian ISO WKB.
+
+    ``m_flag``: mark a 3rd coordinate dimension as M instead of Z
+    (ISO type + 2000) — used by ST_Force3DM."""
     if g is None:
         return None
     name, payload = g
     ndim = _geom_ndim(g)
-    out = [b"\x01", struct.pack("<I", _type_code(name, ndim))]
+    out = [b"\x01", struct.pack("<I", _type_code(name, ndim, m_flag))]
     if name == "Point":
         c = np.asarray(payload, dtype="<f8")
         out.append(c.tobytes())
     elif name in ("LineString", "MultiPoint"):
         arr = np.asarray(payload, dtype="<f8").reshape(-1, ndim)
         if name == "MultiPoint":
-            out = [b"\x01", struct.pack("<II", _type_code(name, ndim), len(arr))]
+            out = [b"\x01", struct.pack("<II", _type_code(name, ndim, m_flag),
+                                        len(arr))]
             for row in arr:
-                out.append(encode(("Point", row)))
+                out.append(encode(("Point", row), m_flag))
         else:
             out.append(struct.pack("<I", len(arr)))
             out.append(arr.tobytes())
@@ -235,15 +239,15 @@ def encode(g) -> bytes | None:
     elif name == "MultiLineString":
         out.append(struct.pack("<I", len(payload)))
         for line in payload:
-            out.append(encode(("LineString", line)))
+            out.append(encode(("LineString", line), m_flag))
     elif name == "MultiPolygon":
         out.append(struct.pack("<I", len(payload)))
         for rings in payload:
-            out.append(encode(("Polygon", rings)))
+            out.append(encode(("Polygon", rings), m_flag))
     elif name == "GeometryCollection":
         out.append(struct.pack("<I", len(payload)))
         for part in payload:
-            out.append(encode(part))
+            out.append(encode(part, m_flag))
     else:
         raise ValueError(f"unsupported geometry {name}")
     return b"".join(out)

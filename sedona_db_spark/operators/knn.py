@@ -211,6 +211,7 @@ def knn_join(
     res: int | None = None,
     include_ties: bool = False,
     max_rounds: int = 16,
+    use_spheroid: bool = False,
 ) -> DataFrame:
     """k nearest targets per query point (planar distance).
 
@@ -219,6 +220,10 @@ def knn_join(
     knn_include_tie_breakers, rust/sedona-common/src/option.rs:78) gives
     exactly k rows per query.
     """
+    if use_spheroid:
+        # arg-surface parity: the reference planner accepts use_spheroid
+        # and errors on true (spatial_predicate.rs:279-283)
+        raise NotImplementedError("spheroid kNN distance is not supported")
     dup = set(queries.columns) & set(targets.columns)
     tmap = {c: (c + "_t" if c in dup else c) for c in targets.columns}
     targets = targets.select([F.col(c).alias(tmap[c]) for c in targets.columns])

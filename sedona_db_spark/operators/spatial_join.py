@@ -212,6 +212,7 @@ def spatial_join(
     predicate: str = "intersects",
     how: str = "inner",
     distance: float | Column | None = None,
+    distance_side: str = "build",
     left_geom: str = "geom",
     right_geom: str = "geom",
     res: int | None = None,
@@ -254,12 +255,15 @@ def spatial_join(
         raise ValueError("distance only valid for dwithin/dwithin_sphere")
     if predicate == "dwithin_sphere" and not isinstance(distance, (int, float)):
         raise ValueError("dwithin_sphere takes a literal distance in meters")
-    # distance may be a literal or the NAME of a right-side column (the
-    # reference's distance_side=build case, spatial_predicate.rs:44-110);
-    # per-probe-row distances would need probe-side covering explosion and
-    # are not supported yet
+    # distance may be a literal or the NAME of a column: on the build
+    # (right) side by default, or the probe (left) side with
+    # distance_side="probe" (reference spatial_predicate.rs:44-110)
     if predicate == "dwithin" and not isinstance(distance, (int, float, str)):
-        raise ValueError("distance must be a number or a right-side column name")
+        raise ValueError("distance must be a number or a column name")
+    if distance_side not in ("build", "probe"):
+        raise ValueError("distance_side must be 'build' or 'probe'")
+    if distance_side == "probe" and not isinstance(distance, str):
+        raise ValueError("distance_side='probe' needs a left column name")
     if how not in JOIN_TYPES:
         raise ValueError(f"how must be one of {JOIN_TYPES}")
 
@@ -272,27 +276,36 @@ def spatial_join(
     lcols = list(left.columns)
     rcols = list(right.columns)
     dist_col = None
+    ldist_col = None
     if isinstance(distance, str):
-        if distance not in rmap:
-            raise ValueError(f"distance column {distance!r} not in right side")
-        dist_col = rmap[distance]
+        if distance_side == "probe":
+            if distance not in left.columns:
+                raise ValueError(f"distance column {distance!r} not in left side")
+            ldist_col = distance
+        else:
+            if distance not in rmap:
+                raise ValueError(f"distance column {distance!r} not in right side")
+            dist_col = rmap[distance]
 
     # ---- handedness: non-inner joins preserve the outer side ---------------
     if how == "right":
         if dist_col is not None:
             raise NotImplementedError(
-                "dwithin with a column distance is not supported for right "
-                "joins (the distance column would land on the probe side)")
+                "dwithin with a build-side column distance is not supported "
+                "for right joins; use distance_side='probe' on the flipped "
+                "call instead")
         inv = {"contains": "within", "within": "contains",
                "covers": "coveredby", "coveredby": "covers"}
         # DE-9IM matrix transposes under argument swap
         flip_pattern = (None if pattern is None else
                         "".join(pattern[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8)))
+        # a probe-side distance column becomes a build-side one after flip
         flipped = spatial_join(
             right, left, inv.get(predicate, predicate), "left",
             distance=distance, left_geom=rgeom, right_geom=left_geom,
             res=res, broadcast_threshold=broadcast_threshold, salt=salt,
-            extra_condition=extra_condition, pattern=flip_pattern)
+            extra_condition=extra_condition, pattern=flip_pattern,
+            distance_side="build")
         return flipped.select(*lcols, *rcols)
 
     pad = 0.0
@@ -307,6 +320,9 @@ def spatial_join(
     elif dist_col is not None:
         # stats-only pad: the max distance bounds every row's expansion
         mx = right.agg(F.max(F.col(dist_col))).collect()[0][0]
+        pad = float(mx or 0.0)
+    elif ldist_col is not None:
+        mx = left.agg(F.max(F.col(ldist_col))).collect()[0][0]
         pad = float(mx or 0.0)
 
     # non-point left geometries need coverings: detect cheaply via sampling
@@ -358,7 +374,7 @@ def spatial_join(
                               "dwithin_sphere")):
         matched = _broadcast_point_join(
             left, right, predicate, distance, left_geom, rgeom, res, pad,
-            left_lonlat=left_lonlat, dist_col=dist_col)
+            left_lonlat=left_lonlat, dist_col=dist_col, ldist_col=ldist_col)
         return _finish_join_type(left, right, matched, how, lcols, rcols)
 
     # padded exploded-left pairs dedupe on synthetic row ids after the refine
@@ -496,7 +512,9 @@ def spatial_join(
         "overlaps": S4.st_overlaps,
     }
     if predicate == "dwithin":
-        if dist_col is not None:
+        if ldist_col is not None:
+            dcol = F.col(ldist_col)
+        elif dist_col is not None:
             dcol = F.col(dist_col)
         elif isinstance(distance, (int, float)):
             dcol = F.lit(float(distance))
@@ -587,7 +605,8 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                           distance, left_geom: str, rgeom: str,
                           res: int, pad: float,
                           left_lonlat: tuple[str, str] | None = None,
-                          dist_col: str | None = None) -> DataFrame:
+                          dist_col: str | None = None,
+                          ldist_col: str | None = None) -> DataFrame:
     """One-pass broadcast join: collect + cell-index the dimension side,
     stream the point side through mapInPandas, emit matches only.
 
@@ -621,7 +640,7 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
             and any(r_geoms.values())):
         return _rect_jvm_join(left, right_i, r_geoms, predicate,
                               distance, left_geom, res, pad, left_lonlat,
-                              rcols=right.columns)
+                              rcols=right.columns, ldist_col=ldist_col)
 
     cellmap: dict[int, list] = {}
     for i, g in r_geoms.items():
@@ -649,6 +668,7 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     geom_col = left_geom
     lonlat = left_lonlat
     pred = predicate
+    ldist = ldist_col  # probe-side per-row distance (build covers use max)
     # ship the index once per executor (not per task) via a broadcast var
     bc = left.sparkSession.sparkContext.broadcast((r_wkbs, cellmap, r_pads))
 
@@ -672,6 +692,8 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                 py = pdf[lonlat[1]].to_numpy(dtype=np.float64)
             else:
                 px, py = W.wkb_to_points(pdf[geom_col])
+            ld = (pdf[ldist].to_numpy(dtype=np.float64)
+                  if ldist is not None else None)
             cells = grid.cell_ids(px, py, res)
             order = np.argsort(cells, kind="stable")
             sc = cells[order]
@@ -692,7 +714,12 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                                         np.full(len(rx), g[1][0]),
                                         np.full(len(rx), g[1][1])) <= dist
                     elif pred == "dwithin":
-                        d_i = pads[int(ri)] if pads is not None else dist
+                        if ld is not None:
+                            d_i = ld[rows]  # per-probe-row distance
+                        elif pads is not None:
+                            d_i = pads[int(ri)]
+                        else:
+                            d_i = dist
                         m = K.points_to_geom_distance(rx, ry, g) <= d_i
                     elif pred == "within":
                         m = _points_strictly_within(rx, ry, g)
@@ -727,7 +754,8 @@ def _is_axis_rect(g) -> bool:
 
 def _rect_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
                    predicate: str, distance, left_geom: str, res: int,
-                   pad: float, left_lonlat, rcols: list) -> DataFrame:
+                   pad: float, left_lonlat, rcols: list,
+                   ldist_col: str | None = None) -> DataFrame:
     """All-JVM broadcast spatial join for axis-aligned dimension layers.
 
     Cell table (cell, __ridx, bounds) broadcast-joined on the cell key,
@@ -773,8 +801,12 @@ def _rect_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
     else:  # dwithin: euclidean distance to the box via coordinate clamping
         dx = F.greatest(F.col("__x0") - plon, plon - F.col("__x1"), F.lit(0.0))
         dy = F.greatest(F.col("__y0") - plat, plat - F.col("__y1"), F.lit(0.0))
-        dcol = (F.lit(float(distance))
-                if isinstance(distance, (int, float)) else distance)
+        if ldist_col is not None:
+            dcol = F.col(ldist_col)  # probe-side per-row distance, JVM-side
+        elif isinstance(distance, (int, float)):
+            dcol = F.lit(float(distance))
+        else:
+            dcol = distance
         cond = F.sqrt(dx * dx + dy * dy) <= dcol
     matched = cand.where(cond)
     return (matched.join(F.broadcast(right_i), on="__ridx")

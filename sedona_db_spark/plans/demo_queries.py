@@ -177,6 +177,79 @@ ORACLE_DWITHIN = (
     f"<= {DWITHIN_D!r}")
 
 
+# edge-sharing 5×5 tile grid from nation keys (20° tiles): adjacent tiles
+# TOUCH (boundary-only intersection) — exercises the relation-predicate join
+TGRID = {
+    "lon0": "(-180.0 + (n_nationkey % 5) * 20.0)",
+    "lon1": "(-180.0 + (n_nationkey % 5) * 20.0 + 20.0)",
+    # floor(), not CAST-to-int: DuckDB rounds on int casts, Spark truncates
+    "lat0": "(-85.0 + floor(n_nationkey / 5) * 20.0)",
+    "lat1": "(-85.0 + floor(n_nationkey / 5) * 20.0 + 20.0)",
+}
+
+
+def _nation_tiles(spark, sf_dir):
+    from sedona_db_spark.functions.scalar import st_geomfromtext
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    for k, sql in TGRID.items():
+        n = n.withColumn(k, F.expr(sql))
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("lon0").cast("string"), F.lit(" "), F.col("lat0").cast("string"), F.lit(", "),
+        F.col("lon1").cast("string"), F.lit(" "), F.col("lat0").cast("string"), F.lit(", "),
+        F.col("lon1").cast("string"), F.lit(" "), F.col("lat1").cast("string"), F.lit(", "),
+        F.col("lon0").cast("string"), F.lit(" "), F.col("lat1").cast("string"), F.lit(", "),
+        F.col("lon0").cast("string"), F.lit(" "), F.col("lat0").cast("string"),
+        F.lit("))"))
+    return n.withColumn("geom", st_geomfromtext(wkt)).drop(*TGRID.keys())
+
+
+def q_touches_pairs(spark, sf_dir):
+    """Relation-predicate spatial join: which tiles touch (share a boundary
+    but no interior) — polygon×polygon, both sides cell-exploded."""
+    from sedona_db_spark.operators import spatial_join
+    a = _nation_tiles(spark, sf_dir)
+    j = spatial_join(a, a, "touches")
+    return (j.where(F.col("n_nationkey") < F.col("n_nationkey_r"))
+             .select(F.col("n_nationkey").alias("k_a"),
+                     F.col("n_nationkey_r").alias("k_b")))
+
+
+def _tgrid_cte(alias: str) -> str:
+    return (f"{alias} AS (SELECT n_nationkey, {TGRID['lon0']} AS lon0, "
+            f"{TGRID['lon1']} AS lon1, {TGRID['lat0']} AS lat0, "
+            f"{TGRID['lat1']} AS lat1 FROM nation)")
+
+
+ORACLE_TOUCHES = (
+    "WITH " + _tgrid_cte("ta") + ", " + _tgrid_cte("tb") +
+    " SELECT a.n_nationkey AS k_a, b.n_nationkey AS k_b"
+    " FROM ta a JOIN tb b ON a.n_nationkey < b.n_nationkey"
+    # closed bboxes intersect …
+    " AND a.lon0 <= b.lon1 AND b.lon0 <= a.lon1"
+    " AND a.lat0 <= b.lat1 AND b.lat0 <= a.lat1"
+    # … but open interiors do not (DE-9IM touches for rectangles)
+    " AND NOT (a.lon0 < b.lon1 AND b.lon0 < a.lon1"
+    "          AND a.lat0 < b.lat1 AND b.lat0 < a.lat1)")
+
+
+def q_pip_exists_mark(spark, sf_dir):
+    """Correlated-EXISTS shape (reference LeftMark join, test_sjoin.py:267):
+    every doc + a boolean — is it covered by any nation rect?"""
+    from sedona_db_spark.operators import spatial_join
+    pts = doc_points(spark, sf_dir)
+    rects = nation_rects(spark, sf_dir)
+    m = spatial_join(pts, rects, "coveredby", "mark")
+    return m.select("doc_id", "mark")
+
+
+ORACLE_PIP_MARK = (
+    _docs_cte() + ", " + _rects_cte() +
+    " SELECT d.doc_id, EXISTS (SELECT 1 FROM rects r"
+    " WHERE d.lon BETWEEN r.lon0 AND r.lon1"
+    " AND d.lat BETWEEN r.lat0 AND r.lat1) AS mark FROM docs d")
+
+
 SPHERE_D_M = 650_000.0
 
 
@@ -884,6 +957,8 @@ QUERIES = {
     "geocode_cells": q_geocode_cells,
     "pip_pairs": q_pip_pairs,
     "pip_count_by_nation": q_pip_count_by_nation,
+    "pip_exists_mark": q_pip_exists_mark,
+    "touches_pairs": q_touches_pairs,
     "dwithin_pairs": q_dwithin_pairs,
     "dwithin_sphere_pairs": q_dwithin_sphere_pairs,
     "knn_pairs": q_knn_pairs,
@@ -919,6 +994,8 @@ ORACLE_SQL = {
     "geocode_cells": ORACLE_GEOCODE,
     "pip_pairs": ORACLE_PIP_PAIRS,
     "pip_count_by_nation": ORACLE_PIP_COUNT,
+    "pip_exists_mark": ORACLE_PIP_MARK,
+    "touches_pairs": ORACLE_TOUCHES,
     "dwithin_pairs": ORACLE_DWITHIN,
     "dwithin_sphere_pairs": ORACLE_DWITHIN_SPHERE,
     "knn_pairs": ORACLE_KNN,

@@ -168,3 +168,18 @@ def test_spherical_measures(spark):
     full = one(spark, "ST_AreaSphere(ST_GeomFromText("
                       "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))")
     assert 0 < a < full
+
+
+def test_force3dm_encodes_m_flag(spark):
+    """Regression (round-1 ADVICE low): ST_Force3DM must add an M dimension
+    (ISO WKB type +2000), not a Z (+1000)."""
+    import struct
+    row = spark.sql(
+        "SELECT ST_Force3DM(ST_Point(1.0, 2.0)) AS m3,"
+        " ST_Force3D(ST_Point(1.0, 2.0)) AS z3,"
+        " ST_ZMFlag(ST_Force3DM(ST_Point(1.0, 2.0))) AS mf,"
+        " ST_ZMFlag(ST_Force3D(ST_Point(1.0, 2.0))) AS zf,"
+        " ST_ZMFlag(ST_Point(1.0, 2.0)) AS df").collect()[0]
+    assert struct.unpack_from("<I", bytes(row["m3"]), 1)[0] == 2001
+    assert struct.unpack_from("<I", bytes(row["z3"]), 1)[0] == 1001
+    assert (row["mf"], row["zf"], row["df"]) == (1, 2, 0)

@@ -371,3 +371,29 @@ def test_dwithin_sphere_rejects_non_points(spark, data):
     pdf, gdf, _, _ = data
     with pytest.raises(NotImplementedError):
         spatial_join(pdf, gdf, "dwithin_sphere", distance=1000.0)
+
+
+def test_dwithin_probe_side_distance(spark, data):
+    """distance_side='probe': each LEFT row carries its own radius
+    (reference spatial_predicate.rs:44-110). Broadcast + shuffled paths."""
+    import pandas as pd
+    _, gdf, _, G = data
+    rng = np.random.default_rng(17)
+    px = rng.uniform(-10, 10, 60)
+    py = rng.uniform(-10, 10, 60)
+    pd_rad = rng.uniform(0.1, 2.5, 60)
+    pdf = spark.createDataFrame(pd.DataFrame({
+        "id": range(60),
+        "geom": [W.encode(("Point", np.array([x, y]))) for x, y in zip(px, py)],
+        "radius": pd_rad}))
+    P = [("Point", np.array([x, y])) for x, y in zip(px, py)]
+    exp = {(i, j) for i, p in enumerate(P) for j, g in enumerate(G)
+           if K.geom_dwithin(p, g, pd_rad[i])}
+    for bt in (200_000, 0):
+        got = {(r["id"], r["id_r"]) for r in spatial_join(
+            pdf, gdf, "dwithin", distance="radius", distance_side="probe",
+            broadcast_threshold=bt).collect()}
+        assert got == exp, f"path bt={bt}"
+    with pytest.raises(ValueError):
+        spatial_join(gdf, pdf, "dwithin", distance="radius",
+                     distance_side="probe")  # radius not on the left side
