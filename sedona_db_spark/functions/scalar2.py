@@ -182,14 +182,21 @@ def st_numinteriorrings(b: pd.Series) -> pd.Series:
 
 @pandas_udf(BooleanType())
 def st_hasz(b: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None else W._geom_ndim(g) >= 3
-                      for g in _decode_series(b)])
+    # header-aware: an M-only 3-D geometry has NO Z
+    return pd.Series([None if v is None else W._read_header(bytes(v), 0)[2]
+                      for v in b])
 
 
 @pandas_udf(DoubleType())
 def st_z(b: pd.Series) -> pd.Series:
-    return pd.Series([g[1][2] if g is not None and g[0] == "Point" and len(g[1]) > 2
-                      else np.nan for g in _decode_series(b)])
+    out = []
+    for v, g in zip(b, _decode_series(b)):
+        if g is None or g[0] != "Point" or len(g[1]) < 3:
+            out.append(np.nan)
+            continue
+        has_z = W._read_header(bytes(v), 0)[2]
+        out.append(float(g[1][2]) if has_z else np.nan)  # M-only: no Z
+    return pd.Series(out)
 
 
 @pandas_udf(BinaryType())

@@ -28,6 +28,19 @@ def st_pointzm(x: pd.Series, y: pd.Series, z: pd.Series, m: pd.Series) -> pd.Ser
     return pd.Series(out)
 
 
+@pandas_udf(BinaryType())
+def st_pointm(x: pd.Series, y: pd.Series, m: pd.Series) -> pd.Series:
+    """POINT M: 3 coordinates with the ISO M type flag (+2000)."""
+    out = []
+    for xi, yi, mi in zip(x, y, m):
+        if xi is None or yi is None:
+            out.append(None)
+        else:
+            out.append(W.encode(("Point", np.array([xi, yi, mi or 0.0])),
+                                m_flag=True))
+    return pd.Series(out)
+
+
 def _force_dim(g, ndim: int, fill: float = 0.0):
     def fix(arr):
         cur = arr.shape[1]
@@ -96,14 +109,23 @@ st_mmax = _coord_minmax(3, True)
 
 @pandas_udf(DoubleType())
 def st_m(b: pd.Series) -> pd.Series:
-    return pd.Series([g[1][3] if g is not None and g[0] == "Point" and len(g[1]) > 3
-                      else np.nan for g in _decode_series(b)])
+    """M coordinate of a point, honoring the header's Z/M flags: M lives at
+    index 2 for M-only points, index 3 for ZM."""
+    out = []
+    for v, g in zip(b, _decode_series(b)):
+        if g is None or g[0] != "Point":
+            out.append(np.nan)
+            continue
+        _, _, has_z, has_m, _, _ = W._read_header(bytes(v), 0)
+        idx = 2 + (1 if has_z else 0)
+        out.append(float(g[1][idx]) if has_m and len(g[1]) > idx else np.nan)
+    return pd.Series(out)
 
 
 @pandas_udf(BooleanType())
 def st_hasm(b: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None else W._geom_ndim(g) >= 4
-                      for g in _decode_series(b)])
+    return pd.Series([None if v is None else W._read_header(bytes(v), 0)[3]
+                      for v in b])
 
 
 def line_merge(g):
@@ -172,7 +194,7 @@ def st_makevalid(b: pd.Series) -> pd.Series:
 
 UDFS3 = {
     "ST_PointZM": st_pointzm,
-    "ST_PointM": st_pointzm,  # (x, y, m) callers pass z=0
+    "ST_PointM": st_pointm,
     "ST_Force3D": st_force3d,
     "ST_Force3DZ": st_force3d,
     "ST_Force3DM": st_force3dm,

@@ -183,3 +183,18 @@ def test_force3dm_encodes_m_flag(spark):
     assert struct.unpack_from("<I", bytes(row["m3"]), 1)[0] == 2001
     assert struct.unpack_from("<I", bytes(row["z3"]), 1)[0] == 1001
     assert (row["mf"], row["zf"], row["df"]) == (1, 2, 0)
+
+
+def test_pointm_zm_accessors(spark):
+    """M/Z accessors honor the WKB header flags: an M-only point has an M
+    at index 2 and NO Z; ZM points carry both."""
+    r = spark.sql(
+        "SELECT ST_M(ST_PointM(1.0,2.0,5.0)) AS m1,"
+        " ST_M(ST_PointZM(1.0,2.0,3.0,5.0)) AS m2,"
+        " ST_Z(ST_PointM(1.0,2.0,5.0)) AS zm,"
+        " ST_Z(ST_PointZ(1.0,2.0,3.0)) AS zz,"
+        " ST_HasM(ST_PointM(1.0,2.0,5.0)) AS hm,"
+        " ST_HasZ(ST_PointM(1.0,2.0,5.0)) AS hz").collect()[0]
+    assert (r["m1"], r["m2"]) == (5.0, 5.0)
+    assert r["zz"] == 3.0 and (r["zm"] is None or r["zm"] != r["zm"])  # NaN
+    assert r["hm"] is True and r["hz"] is False
