@@ -112,12 +112,16 @@ def boolean_op(gA, gB, op: str):
             exmax = np.maximum(e[:, 0], e[:, 2])
             act = (exmin <= x0 + 0.0) & (exmax >= x1) & (e[:, 0] != e[:, 2])
             for x1e, y1e, x2e, y2e in e[act]:
-                t0 = (x0 - x1e) / (x2e - x1e)
-                t1 = (x1 - x1e) / (x2e - x1e)
-                tm = (xm - x1e) / (x2e - x1e)
-                rows.append((y1e + tm * (y2e - y1e),
-                             y1e + t0 * (y2e - y1e),
-                             y1e + t1 * (y2e - y1e), is_a))
+                # endpoint-snapped evaluation: two edges meeting at a vertex
+                # must produce the IDENTICAL float there, or the dissolved
+                # boundary graph fails to close (1-ulp interpolation drift)
+                def yat(xq):
+                    if xq == x1e:
+                        return y1e
+                    if xq == x2e:
+                        return y2e
+                    return y1e + (xq - x1e) / (x2e - x1e) * (y2e - y1e)
+                rows.append((yat(xm), yat(x0), yat(x1), is_a))
         if not rows:
             continue
         rows.sort(key=lambda r: r[0])
@@ -173,6 +177,15 @@ def boolean_op(gA, gB, op: str):
         quads.extend(open_by_right.values())
         open_by_right = new_open
     quads.extend(open_by_right.values())
+
+    # minimal-vertex form: dissolve the tiling into boundary rings (round-2
+    # upgrade; the trapezoid tiling remains the fallback if the boundary
+    # graph fails to close on a degenerate input)
+    from sedona_db_spark.geometry.dissolve import quads_to_polygons
+    try:
+        return quads_to_polygons(quads)
+    except ValueError:
+        pass
 
     polys = []
     for xl, xr, ylo_l, ylo_r, yhi_l, yhi_r in quads:

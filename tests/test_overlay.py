@@ -97,3 +97,59 @@ def test_union_intersection_agg(spark, geoms):
     i = {r["grp"]: W.decode(bytes(r["intersected"]))
          for r in intersection_agg(df, group_by=["grp"]).collect()}
     assert K.geom_area(i[0]) >= 0.0
+
+
+def g(wkt):
+    return W.from_wkt(wkt)
+
+
+def test_dissolve_minimal_vertex_form():
+    """Round-2 upgrade: overlay output is boundary rings with collinear
+    vertices removed, not a trapezoid tiling."""
+    a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    u = boolean_op(a, b, "union")
+    assert u[0] == "Polygon" and len(u[1]) == 1
+    assert len(u[1][0]) == 9  # 8-vertex L-union + closing point
+    i = boolean_op(a, b, "intersection")
+    assert i[0] == "Polygon" and len(i[1][0]) == 5  # square
+    d = boolean_op(a, b, "difference")
+    assert len(d[1][0]) == 7  # 6-vertex L
+
+
+def test_dissolve_hole_reconstruction():
+    big = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    small = g("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")
+    dn = boolean_op(big, small, "difference")
+    assert dn[0] == "Polygon" and len(dn[1]) == 2  # outer + hole
+    assert len(dn[1][0]) == 5 and len(dn[1][1]) == 5
+    assert abs(K.geom_area(dn) - 84.0) < 1e-12
+    # hole of a hole: island inside
+    isl = g("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    back = boolean_op(dn, isl, "union")
+    assert abs(K.geom_area(back) - 88.0) < 1e-12
+    mps = back[1] if back[0] == "MultiPolygon" else [back[1]]
+    assert sum(len(rings) - 1 for rings in mps) >= 1  # hole(s) kept
+
+
+def test_dissolve_membership_parity_random():
+    """Region exactness after dissolve: sampled membership of op(A,B)
+    equals the pointwise boolean of memberships."""
+    rng = np.random.default_rng(5)
+    from sedona_db_spark.sources import fixtures as FX
+    from sedona_db_spark.geometry import wkb as W
+    pls = FX.random_polygons(12, seed=31, num_vertices=(3, 8))
+    G = [W.decode(bytes(v)) for v in pls.geometry]
+    xs = rng.uniform(-12, 12, 4000)
+    ys = rng.uniform(-12, 12, 4000)
+    import itertools
+    for a, b in itertools.islice(itertools.combinations(G, 2), 12):
+        for op, fn in (("union", np.logical_or),
+                       ("intersection", np.logical_and),
+                       ("difference", lambda u, v: u & ~v)):
+            got = boolean_op(a, b, op)
+            ma = K.points_in_geom(xs, ys, a)
+            mb = K.points_in_geom(xs, ys, b)
+            mg = K.points_in_geom(xs, ys, got)
+            mismatch = int((fn(ma, mb) != mg).sum())
+            assert mismatch <= 2, (op, mismatch)  # boundary-sample slack
