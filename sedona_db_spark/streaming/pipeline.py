@@ -39,3 +39,48 @@ def streaming_cell_counts(stream: DataFrame, ts_col: str = "warc_ts",
                         F.col("cell"))
                .agg(F.count(F.lit(1)).alias("cnt"))
                .select(F.col("w.start").alias("window_start"), "cell", "cnt"))
+
+
+def streaming_spatial_join(stream: DataFrame, rects: DataFrame,
+                           url_col: str = "url", res: int = 6) -> DataFrame:
+    """Stream × static-dimension spatial join: geocoded stream rows against
+    a static axis-aligned polygon layer (the nation-rects shape).
+
+    The static side is expanded ONCE at plan-build time into a (cell,
+    bounds, payload) table — one row per covering cell per rectangle —
+    then the unbounded side equi-joins on its point cell (Spark broadcasts
+    the static side per micro-batch) and refines with whole-stage-codegen
+    interval arithmetic.  No Python in the hot path, no stream-side state,
+    fully incremental (append mode).  ``rects`` needs lon0/lon1/lat0/lat1.
+    """
+    geo = streaming_geocode(stream, url_col=url_col, res=res)
+    spark = rects.sparkSession
+    rrows = rects.collect()
+    bounds_cols = ("lon0", "lat0", "lon1", "lat1")
+    payload_cols = [c for c in rects.columns if c not in bounds_cols]
+    pairs = []
+    for r in rrows:
+        for c in grid.covering_cells(r["lon0"], r["lat0"],
+                                     r["lon1"], r["lat1"], res):
+            pairs.append((int(c),) + tuple(r[c2] for c2 in bounds_cols)
+                         + tuple(r[c2] for c2 in payload_cols))
+    schema_cols = ["cell"] + list(bounds_cols) + payload_cols
+    rcells = spark.createDataFrame(pairs, schema_cols)
+    joined = geo.join(F.broadcast(rcells), on="cell")
+    return joined.where(
+        (F.col("lon") >= F.col("lon0")) & (F.col("lon") <= F.col("lon1"))
+        & (F.col("lat") >= F.col("lat0")) & (F.col("lat") <= F.col("lat1"))
+    ).drop(*bounds_cols)
+
+
+def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
+                          ts_col: str = "warc_ts",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same text hash within the
+    watermark horizon (Spark's dropDuplicates state is bounded by the
+    event-time watermark — the streaming analogue of textops.exact_dedup).
+    """
+    hashed = stream.withColumn(
+        "text_md5", F.md5(F.col(text_col).cast("binary")))
+    return (hashed.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(["text_md5"]))

@@ -49,3 +49,65 @@ def test_streaming_geocode_schema(spark, tmp_path):
     geo = streaming_geocode(stream)
     assert geo.isStreaming
     assert {"lon", "lat", "cell"} <= set(geo.columns)
+
+
+def test_streaming_spatial_join_matches_batch(spark, tmp_path):
+    """Stream×static PIP join == batch interval join on the same pages."""
+    from sedona_db_spark.streaming.pipeline import streaming_spatial_join
+    from sedona_db_spark import grid
+    from sedona_db_spark.webtext.pages import geocode_cols
+
+    src = str(tmp_path / "pages_sj")
+    pages = synth_pages(spark, 3000)
+    pages.write.mode("overwrite").parquet(src)
+    rects = spark.createDataFrame(
+        [(k, f"zone{k}",
+          -180.0 + k * 30.0, -60.0 + (k % 3) * 30.0,
+          -180.0 + k * 30.0 + 40.0, -60.0 + (k % 3) * 30.0 + 50.0)
+         for k in range(10)],
+        "rid int, zname string, lon0 double, lat0 double, lon1 double, lat1 double")
+
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    j = streaming_spatial_join(stream, rects, res=5)
+    assert j.isStreaming
+    q = (j.writeStream.format("memory").queryName("sj_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["url"], r["rid"]) for r in
+           spark.sql("SELECT url, rid FROM sj_out").collect()}
+
+    lon, lat = geocode_cols(F.col("url"))
+    batch = (pages.withColumn("lon", lon).withColumn("lat", lat)
+             .crossJoin(rects)
+             .where((F.col("lon") >= F.col("lon0")) & (F.col("lon") <= F.col("lon1"))
+                    & (F.col("lat") >= F.col("lat0")) & (F.col("lat") <= F.col("lat1"))))
+    exp = {(r["url"], r["rid"]) for r in batch.select("url", "rid").collect()}
+    assert got == exp and got
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from sedona_db_spark.streaming.pipeline import streaming_exact_dedup
+    import pandas as pd
+    from datetime import datetime, timedelta
+    src = str(tmp_path / "dedup_src")
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(40)],
+        "warc_ts": [t0 + timedelta(minutes=i) for i in range(40)],
+        "text": [f"body {i % 10}" for i in range(40)],  # 10 distinct texts
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string").parquet(src)
+    dd = streaming_exact_dedup(stream)
+    q = (dd.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT text FROM dedup_out").collect()
+    texts = [r["text"] for r in rows]
+    assert sorted(set(texts)) == sorted(f"body {i}" for i in range(10))
+    assert len(texts) == 10  # one survivor per distinct text in-horizon
