@@ -70,15 +70,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_perm)
-    parts = []
-    for b in range(bands):
-        key = F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}")
-                                 for r in range(rows_per_band)])
-        parts.append(sig.select(F.col(id_col), key.alias("band_key"),
-                                F.lit(b).alias("band")))
-    keyed = parts[0]
-    for p in parts[1:]:
-        keyed = keyed.unionByName(p)
+    # ONE pass over the signatures: explode the band keys with stack()
+    # instead of unioning per-band selects (a union of k selects makes
+    # Catalyst recompute the whole shingle+groupBy subtree k times)
+    pairs_expr = ", ".join(
+        f"{b}, concat_ws('|', " + ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")" for b in range(bands))
+    keyed = sig.selectExpr(
+        id_col, f"stack({bands}, {pairs_expr}) AS (band, band_key)"
+    ).select(id_col, "band_key", "band")
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -183,15 +184,14 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     """
     sig = simhash_signatures(df, text_col, id_col)
     width = SIMHASH_BITS // bands
-    parts = []
-    for b in range(bands):
-        chunk = F.shiftrightunsigned(F.col("sim"), b * width).bitwiseAND(
-            F.lit((1 << width) - 1).cast("long"))
-        parts.append(sig.select(id_col, "sim", F.lit(b).alias("band"),
-                                chunk.alias("chunk")))
-    keyed = parts[0]
-    for p in parts[1:]:
-        keyed = keyed.unionByName(p)
+    mask = (1 << width) - 1
+    # single-pass band explosion via stack() — a union of per-band selects
+    # would recompute the 60-aggregate signature subtree once per band
+    chunks_expr = ", ".join(
+        f"{b}, shiftrightunsigned(sim, {b * width}) & {mask}L"
+        for b in range(bands))
+    keyed = sig.selectExpr(
+        id_col, "sim", f"stack({bands}, {chunks_expr}) AS (band, chunk)")
     a, b2 = keyed.alias("a"), keyed.alias("b")
     cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
