@@ -68,6 +68,53 @@ def main():
         "ArrowEvalPython refine. salt='auto' adds hot-cell replication.",
         simple_plan(j3)))
 
+    j4 = spatial_join(pts, polys, "touches")
+    sections.append((
+        "Relation-predicate join (touches/crosses/overlaps/relate)",
+        "Same partition-refine skeleton: broadcast cell join, DE-9IM "
+        "kernel refine (ArrowEvalPython over candidate pairs only).",
+        simple_plan(j4)))
+
+    import pandas as pd_
+    import numpy as np_
+    from sedona_db_spark.geometry import wkb as W_
+    cities = spark.createDataFrame(pd_.DataFrame({
+        "city_id": range(8),
+        "geom": [W_.encode(("Point", np_.array([i * 20.0 - 70.0, i * 5.0])))
+                 for i in range(8)]}))
+    ptsg = (pages.limit(5000))
+    j5 = spatial_join(ptsg, cities, "dwithin_sphere", distance=500_000.0,
+                      left_lonlat=("lon", "lat"))
+    sections.append((
+        "Geography dwithin join (spherical caps + haversine refine)",
+        "Build side covers its exact spherical-cap bbox (pole/antimeridian "
+        "aware); the probe side joins on its point cell through the same "
+        "one-pass broadcast mapInPandas; payload rejoined JVM-side.",
+        simple_plan(j5)))
+
+    j6 = spatial_join(pages.limit(5000), rects, "coveredby", "mark",
+                      left_lonlat=("lon", "lat"))
+    sections.append((
+        "Mark join (correlated EXISTS)",
+        "The matched set folds back onto the outer side with null-safe "
+        "keyed equality; output is the outer rows + a boolean mark column.",
+        simple_plan(j6)))
+
+    from sedona_db_spark.textops.dedup import simhash_neardup_pairs
+    docs = spark.createDataFrame(pd_.DataFrame({
+        "doc_id": range(200),
+        "text": [f"alpha beta w{i % 37} x{i % 11}" for i in range(200)]}))
+    j7 = simhash_neardup_pairs(docs)
+    plan7 = simple_plan(j7)
+    n_subtrees = plan7.count("length(__tok")
+    sections.append((
+        "SimHash near-dup — all-JVM signature, single-pass banding",
+        "Tokens explode JVM-side (md5-prefix 60-bit hash, 60 map-combinable "
+        "SUMs); stack() emits every band key in one generator pass, so the "
+        f"plan holds exactly {n_subtrees} signature subtrees (one per "
+        "self-join side) instead of bands×2.",
+        plan7))
+
     from sedona_db_spark.sources.geostore import write_geo, read_geo, bbox_filter
     import tempfile
     with tempfile.TemporaryDirectory() as td:
@@ -79,6 +126,21 @@ def main():
             "Storage pruning — bbox covering columns reach the parquet scan",
             "Cell-sorted writes + plain comparison predicates: Catalyst "
             "pushes them into the scan (file + row-group min/max pruning).",
+            "\n".join(pushed)[:800] or plan[:800]))
+
+    from sedona_db_spark.sources.geostore import (
+        write_geoparquet, read_geoparquet, covering_bbox_filter)
+    with tempfile.TemporaryDirectory() as td:
+        write_geoparquet(pts, td + "/gp", res=7)
+        dfgp, geo = read_geoparquet(spark, td + "/gp")
+        q = dfgp.where(covering_bbox_filter(geo, -3, -3, 3, 3))
+        plan = q._jdf.queryExecution().toString()
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        sections.append((
+            "GeoParquet 1.1 covering struct — field stats prune row groups",
+            "The spec covering.bbox struct fields behave like plain "
+            "columns: comparisons push into the scan, so files written for "
+            "external tools keep our pruning too.",
             "\n".join(pushed)[:800] or plan[:800]))
 
     with open("/root/repo/PLANS.md", "w") as f:
