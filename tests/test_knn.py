@@ -88,8 +88,9 @@ def test_knn_no_pair_rows_in_plan(data, spark):
 
 
 def test_knn_non_point_geometries(spark):
-    """Reference accepts any geometry (spatial_predicate.rs:279-283): small
-    products run exact pairwise; huge products raise loudly."""
+    """Reference accepts any geometry (spatial_predicate.rs:279-283):
+    point queries x polygon targets run the GRID path (bbox-center cells,
+    extent-shrunk settle radius, vectorized point-to-geometry refine)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from sedona_db_spark.geometry import kernels as K
@@ -113,3 +114,25 @@ def test_knn_non_point_geometries(spark):
         exp = sorted(range(len(G)),
                      key=lambda j: (K.geom_distance(P[qid], G[j]), j))[:2]
         assert got == exp
+
+
+def test_knn_polygon_targets_grid_path_exact(spark):
+    """Larger point-query x polygon-target kNN through the grid machinery
+    (forced res exercises ring expansion + settle shrinkage) vs brute."""
+    from sedona_db_spark.geometry import kernels as K
+    q = FX.random_points(60, seed=3)
+    t = FX.random_polygons(120, seed=4, num_vertices=(3, 8))
+    qdf = spark.createDataFrame(q).withColumnRenamed("geometry", "geom")
+    tdf = spark.createDataFrame(t).withColumnRenamed("geometry", "geom")
+    P = [W.decode(bytes(b)) for b in q.geometry]
+    G = [W.decode(bytes(b)) for b in t.geometry]
+    rows = knn_join(qdf, tdf, 3, query_id="id", target_id="id",
+                    res=6).collect()
+    assert len(rows) == 60 * 3
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["id"], r["knn_dist"], r["id_t"])):
+        got.setdefault(r["id"], []).append(r["id_t"])
+    for qid, lst in got.items():
+        exp = sorted(range(len(G)),
+                     key=lambda j: (K.geom_distance(P[qid], G[j]), j))[:3]
+        assert lst == exp, qid
