@@ -112,8 +112,10 @@ def st_geomfromwkb(b: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_astext(b: pd.Series) -> pd.Series:
-    return pd.Series([None if v is None else W.to_wkt(g) for v, g in
-                      zip(b, _decode_series(b))])
+    # dimension tokens (Z/M/ZM) come from the raw header, matching the
+    # reference's formatter (test_functions.py:270 "POINT Z (1 2 3)")
+    return pd.Series([None if v is None else W.wkb_to_wkt(bytes(v))
+                      for v in b])
 
 
 @pandas_udf(BinaryType())

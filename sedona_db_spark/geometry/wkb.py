@@ -371,6 +371,7 @@ class _WktParser:
         if mod not in ("Z", "M", "ZM"):
             self.i = save
             mod = ""
+        self.m_only = mod == "M"
         self._skip_ws()
         if self.s[self.i:self.i + 5].upper() == "EMPTY":
             self.i += 5
@@ -468,8 +469,30 @@ def from_wkt(text: str | None):
 
 
 def wkt_to_wkb(text: str | None) -> bytes | None:
-    return encode(from_wkt(text))
+    """WKT → WKB, preserving an M-only dimension token (type + 2000)."""
+    if text is None:
+        return None
+    text = text.strip()
+    if text.upper().startswith("SRID="):
+        text = text.split(";", 1)[1]
+    p = _WktParser(text)
+    g = p.parse()
+    return encode(g, m_flag=getattr(p, "m_only", False))
 
 
 def wkb_to_wkt(buf: bytes | None) -> str | None:
-    return to_wkt(decode(buf))
+    """WKB → WKT with the reference's dimension token (POINT Z (…) /
+    POINT M (…) / POINT ZM (…)), read from the header flags."""
+    if buf is None:
+        return None
+    g, _ = _decode_at(bytes(buf), 0)
+    txt = to_wkt(g)
+    if txt is None or txt.endswith("EMPTY"):
+        return txt
+    _, _, has_z, has_m, _, _ = _read_header(bytes(buf), 0)
+    token = ("ZM" if has_z and has_m else
+             "Z" if has_z else "M" if has_m else "")
+    if token:
+        head, rest = txt.split(" ", 1)
+        txt = f"{head} {token} {rest}"
+    return txt

@@ -17,7 +17,7 @@ def one(spark, expr):
 CASES = [
     ("ST_AsText(ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(1.0, 1.0)))",
      "LINESTRING (0 0, 1 1)"),
-    ("ST_AsText(ST_PointZ(1.0, 2.0, 3.0))", "POINT (1 2 3)"),
+    ("ST_AsText(ST_PointZ(1.0, 2.0, 3.0))", "POINT Z (1 2 3)"),
     ("ST_AsGeoJSON(ST_Point(1.0, 2.0))", '{"type":"Point","coordinates":[1.0,2.0]}'),
     ("ST_SRID(ST_Point(1.0, 2.0))", 0),
     ("ST_SRID(ST_AsEWKB(ST_Point(1.0, 2.0), 4326))", 4326),
