@@ -52,10 +52,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     QUERIES["geocode_cells"](spark, sf_dir).count()
     pages_pip_throughput(spark, n_pages=100_000)
 
-    # two passes, min per query: this sandbox host carries bursty neighbor
-    # load (multi-tenant VM), so a single pass can be 3× off
+    # three passes, min per query: this sandbox host carries bursty
+    # neighbor load (multi-tenant VM), so a single pass can be 3-5× off
+    # and a burst can span two consecutive passes of a short query
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()
@@ -65,11 +66,13 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             spark.catalog.clearCache()
 
     # flagship spatial-join throughput: web-pages PIP join at bench scale
-    # (min of two runs, same noise rationale as above)
+    # (best of three runs — neighbor-load bursts on this multi-tenant host
+    # can inflate a single pass 3-4x; see BASELINE.md noise notes)
     tput, joined, pjoin_sec = pages_pip_throughput(spark)
-    t2, _, s2 = pages_pip_throughput(spark)
-    if t2 > tput:
-        tput, pjoin_sec = t2, s2
+    for _ in range(2):
+        t2, _, s2 = pages_pip_throughput(spark)
+        if t2 > tput:
+            tput, pjoin_sec = t2, s2
     timings["pages_pip_join"] = round(pjoin_sec, 3)
 
     total = round(sum(timings.values()), 3)

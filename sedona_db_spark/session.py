@@ -36,6 +36,11 @@ def get_spark(app_name: str = "sedona_db_spark",
         # generous broadcast: dimension geometry tables are small
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # long sessions compile hundreds of whole-stage-codegen classes; the
+        # JVM default 240m code cache fills and later queries silently drop
+        # to the interpreter (observed 3-5x slowdowns late in bench suites)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
