@@ -337,16 +337,24 @@ def sd_format(b: pd.Series, width: pd.Series) -> pd.Series:
 
 @pandas_udf(LongType())
 def sd_order(b: pd.Series) -> pd.Series:
-    """Spatial proxy sort key: fine-grid cell of the first coordinate
-    (sd_order_lnglat.rs:32-60 uses the S2 cell of the first lnglat point)."""
-    out = np.zeros(len(b), dtype=np.int64)
+    """Spatial sort key: Hilbert-curve position (res 15) of the first
+    coordinate.  The reference uses the S2 cell id of the first lnglat
+    point (sd_order_lnglat.rs:32-60) — S2 positions are Hilbert positions
+    on each cube face, so this matches its locality property exactly
+    (round 1 used row-major cells, which jump at every row boundary)."""
+    xs = np.full(len(b), np.nan)
+    ys = np.full(len(b), np.nan)
     for i, g in enumerate(_decode_series(b)):
         if g is None:
             continue
         c = K._all_coords(g)
         if c is None or not len(c):
             continue
-        out[i] = grid.cell_id(float(c[0, 0]), float(c[0, 1]), 15)
+        xs[i], ys[i] = float(c[0, 0]), float(c[0, 1])
+    ok = ~np.isnan(xs)
+    out = np.zeros(len(b), dtype=np.int64)
+    if ok.any():
+        out[ok] = grid.hilbert_ids(xs[ok], ys[ok], 15)
     return pd.Series(out)
 
 

@@ -60,3 +60,23 @@ def test_sql_expr_matches_numpy():
     sql = grid.cell_expr_sql("lon", "lat", 5)
     got = con.sql(f"SELECT {sql} AS cell FROM pts").df()["cell"].to_numpy()
     np.testing.assert_array_equal(expected, got)
+
+
+def test_hilbert_curve_properties():
+    """sd_order's Hilbert key: bijective and unit-step adjacent (every
+    consecutive curve position is a grid neighbor — the locality property
+    row-major cell ids lack)."""
+    import numpy as np
+    from sedona_db_spark.grid import hilbert_d, hilbert_ids
+    n = 32
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_d(xs.ravel(), ys.ravel(), 5)
+    assert sorted(d.tolist()) == list(range(n * n))
+    pos = {int(v): (int(x), int(y))
+           for v, x, y in zip(d, xs.ravel(), ys.ravel())}
+    assert all(abs(pos[i][0] - pos[i + 1][0])
+               + abs(pos[i][1] - pos[i + 1][1]) == 1
+               for i in range(n * n - 1))
+    # lon/lat wrapper quantizes like cell_ids
+    k = hilbert_ids(np.array([0.0]), np.array([0.0]), 15)
+    assert 0 <= int(k[0]) < (1 << 30)
