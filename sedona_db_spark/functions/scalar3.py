@@ -171,15 +171,21 @@ def st_linemerge(b: pd.Series) -> pd.Series:
 
 
 def make_valid(g):
-    """Valid input passes through; an invalid (self-intersecting) polygon
-    falls back to its convex hull — an APPROXIMATE repair tier (the
-    reference's exact repair is GEOS MakeValid); collections repair
-    part-wise."""
+    """Valid input passes through; an invalid (self-intersecting/bowtie)
+    polygon is rebuilt by even-odd slab decomposition + boundary dissolve
+    (geometry/overlay.py) — the same even-odd region semantics as GEOS
+    MakeValid's default 'linework' mode (a bowtie becomes two triangles);
+    collections repair part-wise.  If the rebuild degenerates (e.g. a
+    zero-area sliver), the convex hull remains the last-resort tier."""
     if g is None:
         return None
     if A.is_valid(g):
         return g
     if g[0] in ("Polygon", "MultiPolygon"):
+        from sedona_db_spark.geometry.overlay import boolean_op
+        rebuilt = boolean_op(g, ("GeometryCollection", []), "union")
+        if rebuilt[0] in ("Polygon", "MultiPolygon"):
+            return rebuilt
         return K.convex_hull(g)
     if g[0] == "GeometryCollection":
         return ("GeometryCollection", [make_valid(q) for q in g[1]])

@@ -93,6 +93,13 @@ def boolean_op(gA, gB, op: str):
             xs.extend(e[:, 0].tolist())
             xs.extend(e[:, 2].tolist())
     xs.extend(_intersection_xs(ea, eb))
+    # SELF-intersections too: invalid (bowtie) inputs cross within one
+    # geometry; without these split points a slab would contain crossing
+    # edges and the even-odd bands would be nonsense (ST_MakeValid path)
+    if len(ea):
+        xs.extend(_intersection_xs(ea, ea))
+    if len(eb):
+        xs.extend(_intersection_xs(eb, eb))
     xs = np.unique(np.asarray(xs, dtype=np.float64))
     if len(xs) < 2:
         return ("GeometryCollection", [])

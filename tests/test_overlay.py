@@ -153,3 +153,19 @@ def test_dissolve_membership_parity_random():
             mg = K.points_in_geom(xs, ys, got)
             mismatch = int((fn(ma, mb) != mg).sum())
             assert mismatch <= 2, (op, mismatch)  # boundary-sample slack
+
+
+def test_makevalid_bowtie_even_odd():
+    """ST_MakeValid rebuilds self-intersecting polygons via even-odd
+    decomposition (GEOS linework semantics): a bowtie -> two triangles."""
+    from sedona_db_spark.functions.scalar3 import make_valid
+    from sedona_db_spark.geometry import algos as A
+    bow = g("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    assert not A.is_valid(bow)
+    v = make_valid(bow)
+    assert v[0] == "MultiPolygon" and len(v[1]) == 2
+    assert A.is_valid(v)
+    assert abs(K.geom_area(v) - 2.0) < 1e-12
+    # valid input passes through untouched
+    sq = g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert make_valid(sq) is sq
