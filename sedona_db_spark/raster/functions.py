@@ -237,7 +237,7 @@ def rs_value(r: pd.DataFrame, col: pd.Series, row: pd.Series) -> pd.Series:
     wv = m["width"].to_numpy(np.int64)
     out = np.full(len(col), np.nan)
     for i, bands in enumerate(r["bands"]):
-        if not bands:
+        if bands is None or len(bands) == 0:
             continue
         b0 = bands[0]
         data = b0["data"] if isinstance(b0, dict) else b0[1]
@@ -281,7 +281,9 @@ RS_UDFS = {
 
 def _band0_meta(r: pd.DataFrame, i: int):
     bands = r["bands"].iloc[i]
-    if not bands:
+    # explicit length check: arrow hands multi-band lists back as numpy
+    # object arrays, whose truth value is ambiguous
+    if bands is None or len(bands) == 0:
         return None
     b0 = bands[0]
     return b0["metadata"] if isinstance(b0, dict) else b0[0]
@@ -302,6 +304,30 @@ def rs_bandnodatavalue(r: pd.DataFrame) -> pd.Series:
     out = []
     for i in range(len(r)):
         m = _band0_meta(r, i)
+        nd = None if m is None else (m["nodatavalue"] if isinstance(m, dict) else m[0])
+        if nd is None or len(nd) == 0:
+            out.append(np.nan)
+        elif len(nd) == 8:
+            out.append(_s.unpack("<d", bytes(nd))[0])
+        else:
+            out.append(float(bytes(nd)[0]))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def rs_bandnodatavalue_band(r: pd.DataFrame, band: pd.Series) -> pd.Series:
+    """Any-band variant (reference RsBandNoDataValueWithBand,
+    rs_band_accessors.rs:185-215): 1-based band index per row, NULL/NaN
+    when out of range or undefined."""
+    import struct as _s
+    out = []
+    for i in range(len(r)):
+        bands = r["bands"].iloc[i]
+        bi = int(band.iloc[i]) if band.iloc[i] is not None else 1
+        if bands is None or bi < 1 or bi > len(bands):
+            out.append(np.nan)
+            continue
+        m = bands[bi - 1]["metadata"] if isinstance(bands[bi - 1], dict) else bands[bi - 1][0]
         nd = None if m is None else (m["nodatavalue"] if isinstance(m, dict) else m[0])
         if nd is None or len(nd) == 0:
             out.append(np.nan)
@@ -368,6 +394,7 @@ def rs_convexhull(r: pd.DataFrame) -> pd.Series:
 RS_UDFS.update({
     "RS_BandPixelType": rs_bandpixeltype,
     "RS_BandNoDataValue": rs_bandnodatavalue,
+    "RS_BandNoDataValueBand": rs_bandnodatavalue_band,
     "RS_BandPath": rs_bandpath,
     "RS_SRID": rs_srid,
     "RS_GeoReference": rs_georeference,

@@ -84,3 +84,37 @@ def test_rs_value_deterministic(tiles):
         RS.rs_value(F.col("raster"), F.lit(3), F.lit(2)).alias("v")).collect()
     for r in rows:
         assert r["v"] == (r["tile_id"] * 31 + 1 * 7 + 2 * 3) % 256
+
+
+def test_band_nodata_any_band(spark):
+    """RS_BandNoDataValueBand: 1-based index into any band (reference
+    RsBandNoDataValueWithBand); out-of-range -> NULL."""
+    import struct
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from sedona_db_spark.raster.model import RASTER_TYPE
+    from pyspark.sql.types import StructType, StructField
+
+    def band(nd_bytes):
+        return {"metadata": {"nodatavalue": nd_bytes, "storage_type": 0,
+                             "datatype": 5, "outdb_url": None,
+                             "outdb_band_id": None},
+                "data": bytes([0] * 4)}
+
+    raster = {
+        "metadata": {"width": 2, "height": 2, "upperleft_x": 0.0,
+                     "upperleft_y": 0.0, "scale_x": 1.0, "scale_y": -1.0,
+                     "skew_x": 0.0, "skew_y": 0.0},
+        "crs": "EPSG:4326",
+        "bands": [band(struct.pack("<d", -9999.0)), band(bytes([7]))],
+    }
+    df = spark.createDataFrame([(raster,)],
+                               StructType([StructField("raster", RASTER_TYPE)]))
+    r = df.select(
+        F.expr("RS_BandNoDataValueBand(raster, 1)").alias("b1"),
+        F.expr("RS_BandNoDataValueBand(raster, 2)").alias("b2"),
+        F.expr("RS_BandNoDataValueBand(raster, 3)").alias("b3"),
+        F.expr("RS_BandNoDataValue(raster)").alias("b_default")).head(1)[0]
+    assert r["b1"] == -9999.0 and r["b_default"] == -9999.0
+    assert r["b2"] == 7.0
+    assert r["b3"] is None
