@@ -375,18 +375,61 @@ def st_transform(b: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_distancesphere(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    """Great-circle distance in meters; point×point is the vectorized
+    haversine fast path, any other combo goes through the spherical
+    kernels (point→arc cross-track, arc×arc, spherical containment)."""
     if len(b1) and _all_points(b1) and _all_points(b2):
         x1, y1 = W.wkb_to_points(b1)
         x2, y2 = W.wkb_to_points(b2)
         return pd.Series(A.haversine_m(x1, y1, x2, y2))
+    from sedona_db_spark.geometry import sphere as SPH
     out = []
     for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
-        if g1 is None or g2 is None or g1[0] != "Point" or g2[0] != "Point":
+        if g1 is None or g2 is None:
             out.append(np.nan)
-        else:
+        elif g1[0] == "Point" and g2[0] == "Point":
             out.append(float(A.haversine_m(
                 np.array([g1[1][0]]), np.array([g1[1][1]]),
                 np.array([g2[1][0]]), np.array([g2[1][1]]))[0]))
+        else:
+            out.append(SPH.geog_distance_m(g1, g2))
+    return pd.Series(out)
+
+
+@pandas_udf(BooleanType())
+def st_intersectssphere(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    """Spherical ST_Intersects: edges are great-circle arcs, polygon
+    interiors are spherical (geography-lite tier of the reference's S2
+    kernels, c/sedona-s2geography/src/kernels.rs:27-51)."""
+    from sedona_db_spark.geometry import sphere as SPH
+    return pd.Series([
+        None if g1 is None or g2 is None else SPH.geog_intersects(g1, g2)
+        for g1, g2 in zip(_decode_series(b1), _decode_series(b2))])
+
+
+@pandas_udf(BooleanType())
+def st_containssphere(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    """Spherical covers-style containment (boundary-inclusive)."""
+    from sedona_db_spark.geometry import sphere as SPH
+    return pd.Series([
+        None if g1 is None or g2 is None else SPH.geog_contains(g1, g2)
+        for g1, g2 in zip(_decode_series(b1), _decode_series(b2))])
+
+
+@pandas_udf(BooleanType())
+def st_dwithinsphere(b1: pd.Series, b2: pd.Series, d: pd.Series) -> pd.Series:
+    """Great-circle distance ≤ d meters (any geometry combination)."""
+    from sedona_db_spark.geometry import sphere as SPH
+    out = []
+    for g1, g2, dd in zip(_decode_series(b1), _decode_series(b2), d):
+        if g1 is None or g2 is None or dd is None:
+            out.append(None)
+        elif g1[0] == "Point" and g2[0] == "Point":
+            out.append(bool(float(A.haversine_m(
+                np.array([g1[1][0]]), np.array([g1[1][1]]),
+                np.array([g2[1][0]]), np.array([g2[1][1]]))[0]) <= float(dd)))
+        else:
+            out.append(bool(SPH.geog_distance_m(g1, g2) <= float(dd)))
     return pd.Series(out)
 
 
@@ -458,6 +501,9 @@ UDFS2 = {
     "ST_MaxDistance": st_maxdistance,
     "ST_Transform": st_transform,
     "ST_DistanceSphere": st_distancesphere,
+    "ST_IntersectsSphere": st_intersectssphere,
+    "ST_ContainsSphere": st_containssphere,
+    "ST_DWithinSphere": st_dwithinsphere,
     "ST_Rotate": st_rotate,
     "ST_Affine": st_affine,
 }

@@ -1,0 +1,237 @@
+"""Spherical (geography) predicate and distance kernels.
+
+Great-circle semantics over lon/lat WKB geometries: edges are minor arcs
+of great circles, polygon interiors are spherical polygons.  The reference
+backs its geography type with S2 kernels
+(/root/reference/c/sedona-s2geography/src/kernels.rs:27-51); these are
+independent implementations of the published unit-vector formulations:
+
+- arc × arc crossing: plane-side sign tests + on-arc verification of the
+  candidate intersection directions (robust for minor arcs);
+- point in spherical polygon: signed-angle winding sum (±2π inside, 0
+  outside), valid for polygons not enclosing the test point's antipode;
+- point → arc distance: cross-track distance clamped to the segment
+  (along-track test), in meters on the mean sphere.
+
+All kernels are numpy-vectorized over one geometry's edges; the pairwise
+UDF layer loops geometries per batch like the planar kernels do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sedona_db_spark.geometry.algos import EARTH_RADIUS_M
+
+
+def unit_vecs(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """(n, 3) unit vectors from degree lon/lat."""
+    lam, phi = np.radians(lon), np.radians(lat)
+    cp = np.cos(phi)
+    return np.stack([cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)], axis=-1)
+
+
+def _norm(v: np.ndarray) -> np.ndarray:
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-300)
+
+
+def arc_angle(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Robust central angle between unit vectors (atan2 form)."""
+    cross = np.linalg.norm(np.cross(u, v), axis=-1)
+    dot = np.sum(u * v, axis=-1)
+    return np.arctan2(cross, dot)
+
+
+def point_arc_dist_m(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Great-circle distance (meters) from points p (n,3) to minor arc a→b."""
+    n = _norm(np.cross(a, b))
+    # along-track: is the closest point of the full circle within the arc?
+    ta = np.cross(n, a)   # tangent at a toward b
+    tb = np.cross(b, n)   # tangent at b toward a
+    within = (p @ ta >= 0) & (p @ tb >= 0)
+    cross_track = np.abs(np.arcsin(np.clip(p @ n, -1.0, 1.0)))
+    d_end = np.minimum(arc_angle(p, a[None, :]), arc_angle(p, b[None, :]))
+    return EARTH_RADIUS_M * np.where(within, cross_track, d_end)
+
+
+def arcs_cross(a, b, c, d) -> bool:
+    """Do minor arcs a→b and c→d share a point (crossing or touching)?"""
+    n1 = np.cross(a, b)
+    n2 = np.cross(c, d)
+    t = np.cross(n1, n2)
+    tl = np.linalg.norm(t)
+    if tl < 1e-15:
+        # coplanar arcs: overlap iff any endpoint lies on the other arc
+        return bool(point_arc_dist_m(np.stack([a, b]), c, d).min() < 1e-3
+                    or point_arc_dist_m(np.stack([c, d]), a, b).min() < 1e-3)
+    t = t / tl
+    for cand in (t, -t):
+        if (_on_arc(cand, a, b, n1) and _on_arc(cand, c, d, n2)):
+            return True
+    return False
+
+
+def _on_arc(t, a, b, n) -> bool:
+    """Is direction t (already on the great circle of n) within minor arc
+    a→b?  Wedge test via tangents (arcs < π)."""
+    return bool(np.dot(t, np.cross(n, a)) >= -1e-15
+                and np.dot(t, np.cross(b, n)) >= -1e-15)
+
+
+def _ring_vecs(ring: np.ndarray) -> np.ndarray:
+    r = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    return unit_vecs(r[:, 0], r[:, 1])
+
+
+def point_in_spherical_ring(p: np.ndarray, ring_v: np.ndarray) -> bool:
+    """Containment of unit vector p in the spherical polygon bounded by
+    ring_v (closed implicitly); boundary points count inside.
+
+    Crossing parity along the minor arc from p to a reference point known
+    to be OUTSIDE: the antipode of the ring's centroid direction.  Assumes
+    the polygon fits in a hemisphere (the standard geography-lite
+    interpretation — BigQuery GEOGRAPHY's smallest-polygon rule makes the
+    same choice); a winding-angle sum cannot distinguish p from its
+    antipode, which broke antipodal test points."""
+    a = ring_v
+    b = np.roll(ring_v, -1, axis=0)
+    # boundary tolerance ~1 mm
+    for i in range(len(a)):
+        if point_arc_dist_m(p[None, :], a[i], b[i])[0] < 1e-3:
+            return True
+    q = -_norm(ring_v.sum(axis=0))
+    if arc_angle(p[None, :], q[None, :])[0] < 1e-12:
+        return False  # p IS the outside reference point
+    crossings = sum(arcs_cross(p, q, a[i], b[i]) for i in range(len(a)))
+    return crossings % 2 == 1
+
+
+def _geom_arcs(g):
+    """List of (a, b) unit-vector pairs for every edge of g (rings closed)."""
+    out = []
+    name, payload = g
+    if name in ("LineString",):
+        v = unit_vecs(payload[:, 0], payload[:, 1])
+        out += [(v[i], v[i + 1]) for i in range(len(v) - 1)]
+    elif name == "MultiLineString":
+        for line in payload:
+            v = unit_vecs(line[:, 0], line[:, 1])
+            out += [(v[i], v[i + 1]) for i in range(len(v) - 1)]
+    elif name == "Polygon":
+        for ring in payload:
+            v = _ring_vecs(ring)
+            out += [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))]
+    elif name == "MultiPolygon":
+        for rings in payload:
+            for ring in rings:
+                v = _ring_vecs(ring)
+                out += [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))]
+    return out
+
+
+def _geom_points(g) -> np.ndarray | None:
+    from sedona_db_spark.geometry import kernels as K
+    c = K._all_coords(g)
+    if c is None or not len(c):
+        return None
+    return unit_vecs(c[:, 0], c[:, 1])
+
+
+def point_in_geog(p: np.ndarray, g) -> bool:
+    """Unit vector p inside/on geometry g under spherical semantics."""
+    name, payload = g
+    if name == "Point":
+        return bool(arc_angle(p[None, :], unit_vecs(
+            np.array([payload[0]]), np.array([payload[1]])))[0] < 1e-12)
+    if name == "MultiPoint":
+        v = unit_vecs(payload[:, 0], payload[:, 1])
+        return bool(arc_angle(np.broadcast_to(p, v.shape), v).min() < 1e-12)
+    if name in ("LineString", "MultiLineString"):
+        return any(point_arc_dist_m(p[None, :], a, b)[0] < 1e-3
+                   for a, b in _geom_arcs(g))
+    if name == "Polygon":
+        rings = payload
+        if not rings:
+            return False
+        if not point_in_spherical_ring(p, _ring_vecs(rings[0])):
+            return False
+        return not any(point_in_spherical_ring(p, _ring_vecs(h))
+                       and not _on_ring_boundary(p, h) for h in rings[1:])
+    if name == "MultiPolygon":
+        return any(point_in_geog(p, ("Polygon", rings)) for rings in payload)
+    if name == "GeometryCollection":
+        return any(point_in_geog(p, q) for q in payload)
+    return False
+
+
+def _on_ring_boundary(p: np.ndarray, ring: np.ndarray) -> bool:
+    v = _ring_vecs(ring)
+    return any(point_arc_dist_m(p[None, :], v[i], v[(i + 1) % len(v)])[0] < 1e-3
+               for i in range(len(v)))
+
+
+def geog_intersects(g1, g2) -> bool:
+    """Spherical ST_Intersects for Point/Line/Polygon combos."""
+    if g1 is None or g2 is None:
+        return False
+    for a, b in ((g1, g2), (g2, g1)):
+        if a[0] in ("Point", "MultiPoint"):
+            pts = _geom_points(a)
+            return pts is not None and any(point_in_geog(p, b) for p in pts)
+    arcs1, arcs2 = _geom_arcs(g1), _geom_arcs(g2)
+    for a, b in arcs1:
+        for c, d in arcs2:
+            if arcs_cross(a, b, c, d):
+                return True
+    # containment without boundary crossing
+    p1, p2 = _geom_points(g1), _geom_points(g2)
+    if p1 is not None and len(p1) and point_in_geog(p1[0], g2):
+        return True
+    if p2 is not None and len(p2) and point_in_geog(p2[0], g1):
+        return True
+    return False
+
+
+def geog_contains(g1, g2) -> bool:
+    """Spherical covers-style containment: every vertex of g2 inside g1
+    and no boundary crossing (boundary-inclusive, i.e. ST_Covers)."""
+    if g1 is None or g2 is None or g1[0] not in ("Polygon", "MultiPolygon"):
+        return False
+    pts = _geom_points(g2)
+    if pts is None or not len(pts):
+        return False
+    if not all(point_in_geog(p, g1) for p in pts):
+        return False
+    if g2[0] in ("Point", "MultiPoint"):
+        return True
+    # edge midpoints must stay inside; boundary arcs must not properly cross
+    for c, d in _geom_arcs(g2):
+        mid = _norm((c + d) / 2.0)
+        if not point_in_geog(mid, g1):
+            return False
+    return True
+
+
+def geog_distance_m(g1, g2) -> float:
+    """Great-circle distance in meters between geometries (0 if they
+    intersect under spherical semantics)."""
+    if g1 is None or g2 is None:
+        return float("nan")
+    if geog_intersects(g1, g2):
+        return 0.0
+    best = np.inf
+    p1, p2 = _geom_points(g1), _geom_points(g2)
+    arcs1, arcs2 = _geom_arcs(g1), _geom_arcs(g2)
+    if p1 is not None and len(p1):
+        for a, b in arcs2:
+            best = min(best, float(point_arc_dist_m(p1, a, b).min()))
+        if p2 is not None and len(p2) and not arcs2:
+            for q in p2:
+                best = min(best, float(
+                    EARTH_RADIUS_M * arc_angle(p1, q[None, :]).min()))
+    if p2 is not None and len(p2):
+        for a, b in arcs1:
+            best = min(best, float(point_arc_dist_m(p2, a, b).min()))
+        if p1 is not None and len(p1) and not arcs1 and not arcs2:
+            pass  # point×point handled above
+    return float(best) if np.isfinite(best) else float("nan")

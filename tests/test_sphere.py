@@ -1,0 +1,108 @@
+"""Spherical (geography) kernel tests: unit-vector predicates vs
+independent haversine/sampling oracles, polar + antimeridian cases."""
+
+import numpy as np
+import pytest
+
+from sedona_db_spark.geometry import sphere as S
+from sedona_db_spark.geometry import wkb as W
+from sedona_db_spark.geometry.algos import EARTH_RADIUS_M, haversine_m
+
+
+def g(wkt):
+    return W.from_wkt(wkt)
+
+
+def uv(lon, lat):
+    return S.unit_vecs(np.array([lon], dtype=float),
+                       np.array([lat], dtype=float))[0]
+
+
+def test_point_arc_distance_matches_haversine_sampling():
+    """Distance to an arc == min over a dense sampling of the arc (within
+    the sampling resolution)."""
+    rng = np.random.default_rng(8)
+    for _ in range(40):
+        lon1, lon2 = rng.uniform(-179, 179, 2)
+        lat1, lat2 = rng.uniform(-80, 80, 2)
+        plon, plat = rng.uniform(-179, 179), rng.uniform(-85, 85)
+        a, b = uv(lon1, lat1), uv(lon2, lat2)
+        p = uv(plon, plat)
+        got = S.point_arc_dist_m(p[None, :], a, b)[0]
+        # sample the arc by slerp
+        t = np.linspace(0, 1, 2001)[:, None]
+        ang = S.arc_angle(a[None, :], b[None, :])[0]
+        if ang < 1e-9:
+            continue
+        pts = (np.sin((1 - t) * ang) * a + np.sin(t * ang) * b) / np.sin(ang)
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        d_samp = EARTH_RADIUS_M * S.arc_angle(
+            np.broadcast_to(p, pts.shape), pts).min()
+        assert got <= d_samp + 1.0
+        assert d_samp - got < EARTH_RADIUS_M * ang / 2000 + 1.0
+
+
+def test_antimeridian_polygon_containment():
+    poly = g("POLYGON ((170 -10, -170 -10, -170 10, 170 10, 170 -10))")
+    assert S.point_in_geog(uv(179.5, 0), poly)
+    assert S.point_in_geog(uv(-179.5, 5), poly)
+    assert not S.point_in_geog(uv(160.0, 0), poly)
+    assert not S.point_in_geog(uv(0.0, 0.0), poly)
+
+
+def test_polar_cap_containment():
+    cap = g("POLYGON ((0 80, 90 80, 180 80, -90 80, 0 80))")
+    assert S.point_in_geog(uv(45.0, 89.0), cap)
+    assert S.point_in_geog(uv(123.0, 89.9), cap)   # near the pole itself
+    assert not S.point_in_geog(uv(45.0, 60.0), cap)
+
+
+def test_polar_arcs_cross_where_planar_says_disjoint():
+    a = g("LINESTRING (0 80, 180 80)")    # passes through the pole
+    b = g("LINESTRING (90 85, -90 85)")   # also through the pole, higher lat
+    assert S.geog_intersects(a, b)
+    from sedona_db_spark.geometry import kernels as K
+    assert not K.geom_intersects(a, b)   # planar chart disagrees — by design
+
+
+def test_small_scale_parity_with_planar():
+    """At small extents spherical and planar predicates agree."""
+    from sedona_db_spark.geometry import kernels as K
+    from sedona_db_spark.sources import fixtures as FX
+    pls = FX.random_polygons(25, seed=3, num_vertices=(3, 7))
+    pts = FX.random_points(40, seed=4)
+    G = [W.decode(bytes(v)) for v in pls.geometry]
+    P = [W.decode(bytes(v)) for v in pts.geometry]
+    mism = 0
+    for p in P:
+        pv = uv(float(p[1][0]), float(p[1][1]))
+        for poly in G:
+            if S.point_in_geog(pv, poly) != K.points_in_geom(
+                    np.array([p[1][0]]), np.array([p[1][1]]), poly)[0]:
+                mism += 1
+    assert mism <= 2  # boundary-adjacent tolerance differences only
+
+
+def test_geog_distance_zero_iff_intersects():
+    a = g("LINESTRING (0 0, 10 10)")
+    b = g("LINESTRING (0 10, 10 0)")
+    assert S.geog_intersects(a, b)
+    assert S.geog_distance_m(a, b) == 0.0
+    c = g("LINESTRING (20 20, 30 30)")
+    d = S.geog_distance_m(a, c)
+    ref = float(haversine_m(np.array([10.0]), np.array([10.0]),
+                            np.array([20.0]), np.array([20.0]))[0])
+    assert 0 < d <= ref + 1.0
+
+
+def test_sphere_sql_surface(spark):
+    r = spark.sql(
+        "SELECT ST_IntersectsSphere(ST_GeomFromText('LINESTRING (0 80, 180 80)'),"
+        " ST_GeomFromText('LINESTRING (90 80, -90 80)')) AS x,"
+        " ST_ContainsSphere(ST_GeomFromText("
+        "'POLYGON ((170 -10, -170 -10, -170 10, 170 10, 170 -10))'),"
+        " ST_Point(179.5, 0.0)) AS c,"
+        " ST_DWithinSphere(ST_Point(90.0, 85.0),"
+        " ST_GeomFromText('LINESTRING (0 80, 180 80)'), 600000.0) AS w"
+    ).collect()[0]
+    assert r["x"] is True and r["c"] is True and r["w"] is True
