@@ -825,6 +825,64 @@ def _oracle_transform_utm() -> str:
  FROM k""")
 
 
+# great-circle arc for the point→arc distance query (NYC → London)
+ARC_WKT = "LINESTRING (-74 40.7, -0.12 51.5)"
+
+
+def q_sphere_line_distance(spark, sf_dir):
+    """Geography point→arc distance (cross-track clamped to the segment):
+    every 10th doc's great-circle distance to the NYC→London arc."""
+    from sedona_db_spark.functions.scalar import st_geomfromtext
+    from sedona_db_spark.functions.scalar2 import st_distancesphere
+    d = doc_points(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    arc = st_geomfromtext(F.lit(ARC_WKT))
+    return d.select(
+        "doc_id",
+        F.floor(st_distancesphere(F.col("geom"), arc) / 10.0)
+         .cast("long").alias("dist_10m"))
+
+
+def _oracle_sphere_line() -> str:
+    """Cross-track/along-track formulas with the arc's unit vectors baked
+    from the SAME numpy doubles the kernel uses (geometry/sphere.py)."""
+    import numpy as np
+    from sedona_db_spark.geometry import sphere as SPH
+    a = SPH.unit_vecs(np.array([-74.0]), np.array([40.7]))[0]
+    b = SPH.unit_vecs(np.array([-0.12]), np.array([51.5]))[0]
+    n = np.cross(a, b)
+    n = n / np.linalg.norm(n)
+    ta, tb = np.cross(n, a), np.cross(b, n)
+    ax, ay, az = (repr(float(v)) for v in a)
+    bx, by, bz = (repr(float(v)) for v in b)
+    nx, ny, nz = (repr(float(v)) for v in n)
+    tax, tay, taz = (repr(float(v)) for v in ta)
+    tbx, tby, tbz = (repr(float(v)) for v in tb)
+    return (
+        _docs_cte() + f""",
+ p AS (SELECT doc_id,
+   cos(radians(lat)) * cos(radians(lon)) AS px,
+   cos(radians(lat)) * sin(radians(lon)) AS py,
+   sin(radians(lat)) AS pz
+   FROM docs WHERE doc_id % 10 = 0),
+ d AS (SELECT doc_id,
+   (px * {tax} + py * {tay} + pz * {taz} >= 0)
+     AND (px * {tbx} + py * {tby} + pz * {tbz} >= 0) AS within,
+   abs(asin(least(greatest(px * {nx} + py * {ny} + pz * {nz}, -1.0), 1.0)))
+     AS ct,
+   atan2(sqrt((py * {az} - pz * {ay}) * (py * {az} - pz * {ay})
+            + (pz * {ax} - px * {az}) * (pz * {ax} - px * {az})
+            + (px * {ay} - py * {ax}) * (px * {ay} - py * {ax})),
+         px * {ax} + py * {ay} + pz * {az}) AS ang_a,
+   atan2(sqrt((py * {bz} - pz * {by}) * (py * {bz} - pz * {by})
+            + (pz * {bx} - px * {bz}) * (pz * {bx} - px * {bz})
+            + (px * {by} - py * {bx}) * (px * {by} - py * {bx})),
+         px * {bx} + py * {by} + pz * {bz}) AS ang_b
+   FROM p)
+ SELECT doc_id, CAST(floor(6371008.8
+   * (CASE WHEN within THEN ct ELSE least(ang_a, ang_b) END) / 10.0)
+   AS BIGINT) AS dist_10m FROM d""")
+
+
 def q_azimuth_to_city(spark, sf_dir):
     from sedona_db_spark.functions.scalar import st_point
     from sedona_db_spark.functions.scalar2 import st_azimuth
@@ -981,6 +1039,7 @@ QUERIES = {
     "transform_utm": q_transform_utm,
     "azimuth_to_city": q_azimuth_to_city,
     "sphere_distances": q_sphere_distances,
+    "sphere_line_distance": q_sphere_line_distance,
     "overlay_rect_areas": q_overlay_rect_areas,
     "training_pipeline": q_training_pipeline,
     "simhash_neardup": q_simhash_neardup,
@@ -1018,6 +1077,7 @@ ORACLE_SQL = {
     "transform_utm": _oracle_transform_utm(),
     "azimuth_to_city": ORACLE_AZIMUTH,
     "sphere_distances": ORACLE_SPHERE,
+    "sphere_line_distance": _oracle_sphere_line(),
     "overlay_rect_areas": ORACLE_OVERLAY,
     "training_pipeline": _oracle_training_pipeline(),
     "multimodal_meta": ORACLE_MULTIMODAL,
