@@ -372,9 +372,16 @@ def spatial_join(
     if (small_build and not l_is_exploded and extra_condition is None
             and predicate in ("intersects", "coveredby", "within", "dwithin",
                               "dwithin_sphere")):
+        # mark/semi/anti/left resolve per-row INSIDE the single pass —
+        # no value-keyed finisher shuffle for the dominant broadcast shape
+        bj_how = how if how in ("inner", "mark", "left_semi", "left_anti",
+                                "left") else "inner"
         matched = _broadcast_point_join(
             left, right, predicate, distance, left_geom, rgeom, res, pad,
-            left_lonlat=left_lonlat, dist_col=dist_col, ldist_col=ldist_col)
+            left_lonlat=left_lonlat, dist_col=dist_col, ldist_col=ldist_col,
+            how=bj_how)
+        if bj_how == how:
+            return matched
         return _finish_join_type(left, right, matched, how, lcols, rcols)
 
     # padded exploded-left pairs dedupe on synthetic row ids after the refine
@@ -606,7 +613,8 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                           res: int, pad: float,
                           left_lonlat: tuple[str, str] | None = None,
                           dist_col: str | None = None,
-                          ldist_col: str | None = None) -> DataFrame:
+                          ldist_col: str | None = None,
+                          how: str = "inner") -> DataFrame:
     """One-pass broadcast join: collect + cell-index the dimension side,
     stream the point side through mapInPandas, emit matches only.
 
@@ -614,7 +622,8 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     via a JVM broadcast hash join on that index — ONLY (idx, geom[, dist])
     is ever collected to the driver, wide dimension payloads stay JVM-side
     (round-1 VERDICT hygiene #9)."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
 
     # pin a row index; persist so the mapping the driver collects and the
     # JVM payload join read the identical id assignment
@@ -640,7 +649,8 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
             and any(r_geoms.values())):
         return _rect_jvm_join(left, right_i, r_geoms, predicate,
                               distance, left_geom, res, pad, left_lonlat,
-                              rcols=right.columns, ldist_col=ldist_col)
+                              rcols=right.columns, ldist_col=ldist_col,
+                              how=how)
 
     cellmap: dict[int, list] = {}
     for i, g in r_geoms.items():
@@ -729,14 +739,53 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                     if len(sel):
                         hit_rows.append(sel)
                         hit_ridx.append(np.full(len(sel), ri, dtype=np.int64))
+            # per-row join-type resolution inside the pass: no finisher
+            # shuffle for mark/semi/anti/left on this path
+            if join_how == "inner":
+                if hit_rows:
+                    li = np.concatenate(hit_rows)
+                    out = pdf.iloc[li].copy()
+                    out["__ridx"] = np.concatenate(hit_ridx)
+                    yield out
+                continue
+            matched = np.zeros(n, dtype=bool)
             if hit_rows:
-                li = np.concatenate(hit_rows)
-                out = pdf.iloc[li].copy()
-                out["__ridx"] = np.concatenate(hit_ridx)
+                matched[np.concatenate(hit_rows)] = True
+            if join_how == "mark":
+                out = pdf.copy()
+                out["mark"] = matched
                 yield out
+            elif join_how == "left_semi":
+                if matched.any():
+                    yield pdf.iloc[np.flatnonzero(matched)]
+            elif join_how == "left_anti":
+                if not matched.all():
+                    yield pdf.iloc[np.flatnonzero(~matched)]
+            else:  # left: matched pairs + unmatched rows with __ridx = -1
+                parts = []
+                if hit_rows:
+                    li = np.concatenate(hit_rows)
+                    p1 = pdf.iloc[li].copy()
+                    p1["__ridx"] = np.concatenate(hit_ridx)
+                    parts.append(p1)
+                if not matched.all():
+                    p0 = pdf.iloc[np.flatnonzero(~matched)].copy()
+                    p0["__ridx"] = np.int64(-1)
+                    parts.append(p0)
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
 
+    join_how = how
+    if how == "mark":
+        out_schema = StructType(left.schema.fields
+                                + [StructField("mark", BooleanType())])
+    elif how in ("left_semi", "left_anti"):
+        out_schema = StructType(left.schema.fields)
     joined = left.mapInPandas(gen, schema=out_schema)
-    return (joined.join(F.broadcast(right_i), on="__ridx")
+    if how in ("mark", "left_semi", "left_anti"):
+        return joined
+    payload_how = "left" if how == "left" else "inner"
+    return (joined.join(F.broadcast(right_i), on="__ridx", how=payload_how)
                   .select(*left.columns, *right.columns))
 
 
@@ -755,14 +804,18 @@ def _is_axis_rect(g) -> bool:
 def _rect_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
                    predicate: str, distance, left_geom: str, res: int,
                    pad: float, left_lonlat, rcols: list,
-                   ldist_col: str | None = None) -> DataFrame:
+                   ldist_col: str | None = None,
+                   how: str = "inner") -> DataFrame:
     """All-JVM broadcast spatial join for axis-aligned dimension layers.
 
     Cell table (cell, __ridx, bounds) broadcast-joined on the cell key,
     interval-arithmetic refine in whole-stage codegen, payload joined back
     by row index (right_i carries __ridx; payload never visits the driver).
     Point-vs-rectangle semantics are exact: intersects/coveredby = closed
-    box, within = open box, dwithin = clamp-distance ≤ d."""
+    box, within = open box, dwithin = clamp-distance ≤ d.
+
+    Join types mark/left_semi/left_anti/left run as JVM semi/anti joins on
+    the same broadcast cell table — still zero Python, no finisher shuffle."""
     import pandas as pd
 
     spark = left.sparkSession
@@ -808,6 +861,28 @@ def _rect_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
         else:
             dcol = distance
         cond = F.sqrt(dx * dx + dy * dy) <= dcol
+    if how in ("left_semi", "left_anti", "mark", "left"):
+        rc = rcells.withColumnRenamed("__cell", "__rcell")
+        jcond = (F.col("__cell") == F.col("__rcell")) & cond
+        if how in ("left_semi", "left_anti"):
+            return (l_cells.join(F.broadcast(rc), jcond, how)
+                    .select(*left.columns))
+        if how == "mark":
+            semi = (l_cells.join(F.broadcast(rc), jcond, "left_semi")
+                    .select(*left.columns).withColumn("mark", F.lit(True)))
+            anti = (l_cells.join(F.broadcast(rc), jcond, "left_anti")
+                    .select(*left.columns).withColumn("mark", F.lit(False)))
+            return semi.unionByName(anti)
+        # left outer: matched pairs ∪ anti rows padded with NULL payload
+        pairs = (cand.where(cond).join(F.broadcast(right_i), on="__ridx")
+                 .select(*left.columns, *rcols))
+        anti = l_cells.join(F.broadcast(rc), jcond, "left_anti") \
+            .select(*left.columns)
+        for c in rcols:
+            anti = anti.withColumn(
+                c, F.lit(None).cast(right_i.schema[c].dataType))
+        return pairs.unionByName(anti)
+
     matched = cand.where(cond)
     return (matched.join(F.broadcast(right_i), on="__ridx")
                    .select(*left.columns, *rcols))

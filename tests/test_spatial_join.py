@@ -397,3 +397,55 @@ def test_dwithin_probe_side_distance(spark, data):
     with pytest.raises(ValueError):
         spatial_join(gdf, pdf, "dwithin", distance="radius",
                      distance_side="probe")  # radius not on the left side
+
+
+def test_rect_path_join_types(spark):
+    """mark/semi/anti/left on the all-JVM rect path (zero Python, no
+    finisher shuffle) vs interval brute force."""
+    import pandas as pd
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-10, 10, 200)
+    lat = rng.uniform(-10, 10, 200)
+    pdf = spark.createDataFrame(pd.DataFrame({
+        "id": range(200),
+        "geom": [W.encode(("Point", np.array([x, y])))
+                 for x, y in zip(lon, lat)]}))
+    rects = [(k, -10.0 + k * 3.0, -5.0, -10.0 + k * 3.0 + 4.0, 5.0)
+             for k in range(5)]
+    rdf = spark.createDataFrame(
+        pd.DataFrame([(k, W.encode(("Polygon", [np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])))
+            for k, x0, y0, x1, y1 in rects], columns=["rid", "geom"]))
+    exp_pairs = {(i, k) for i in range(200) for k, x0, y0, x1, y1 in rects
+                 if x0 <= lon[i] <= x1 and y0 <= lat[i] <= y1}
+    matched_ids = {i for i, _ in exp_pairs}
+    semi = {r["id"] for r in spatial_join(pdf, rdf, "coveredby", "left_semi").collect()}
+    anti = {r["id"] for r in spatial_join(pdf, rdf, "coveredby", "left_anti").collect()}
+    mark = {r["id"]: r["mark"] for r in
+            spatial_join(pdf, rdf, "coveredby", "mark").collect()}
+    left = spatial_join(pdf, rdf, "coveredby", "left").collect()
+    assert semi == matched_ids
+    assert anti == set(range(200)) - matched_ids
+    assert len(mark) == 200 and {i for i, m in mark.items() if m} == matched_ids
+    assert len(left) == len(exp_pairs) + (200 - len(matched_ids))
+    assert {(r["id"], r["rid"]) for r in left if r["rid"] is not None} == exp_pairs
+    # plan shape: no python eval anywhere for semi on the rect path
+    plan = spatial_join(pdf, rdf, "coveredby", "left_semi") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+
+
+def test_broadcast_path_join_types_one_pass(data):
+    """mark/semi/anti on the general broadcast path resolve inside the
+    single mapInPandas pass — no value-keyed finisher join in the plan."""
+    pdf, gdf, P, G = data
+    exp = brute(P, G, K.geom_intersects)
+    lids = {i for i, _ in exp}
+    mark = spatial_join(pdf, gdf, "intersects", "mark")
+    plan = mark._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "__k_" not in plan
+    got = {r["id"]: r["mark"] for r in mark.collect()}
+    assert {i for i, m in got.items() if m} == lids
+    semi = spatial_join(pdf, gdf, "intersects", "left_semi")
+    assert "__k_" not in semi._jdf.queryExecution().executedPlan().toString()
+    assert {r["id"] for r in semi.collect()} == lids
