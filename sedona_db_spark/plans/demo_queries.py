@@ -710,6 +710,28 @@ def q_doc_fingerprints(spark, sf_dir):
     return d.select("doc_id", TA.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def _oracle_fingerprint() -> str:
+    """Horner fold of the polynomial fingerprint in DuckDB: list_reduce
+    with HUGEINT mod-2^64 arithmetic, h = (h·P + byte+1) mod 2^64 starting
+    from INIT (equivalent to the kernel's INIT·P^n + Σ(bᵢ+1)·P^(n-1-i)).
+
+    Byte values come from unicode() per character — exact for the ASCII
+    synthetic corpus (verified: octet_length(encode(text)) == length(text)
+    for every testdata row); the Spark kernel itself is UTF-8-byte-defined.
+    """
+    from sedona_db_spark.textops.analysis import _FP_INIT, _FP_P
+    INIT, P, M = int(_FP_INIT), int(_FP_P), 1 << 64
+    return f"""
+ WITH fp AS (SELECT doc_id,
+   CASE WHEN length(text) = 0 THEN {INIT}::HUGEINT
+   ELSE list_reduce(list_prepend({INIT}::HUGEINT,
+          list_transform(split(text, ''), c -> (unicode(c) + 1)::HUGEINT)),
+        (acc, x) -> (acc * {P}::HUGEINT + x) % {M}::HUGEINT) END AS h
+   FROM documents)
+ SELECT doc_id, CAST(CASE WHEN h >= {1 << 63}::HUGEINT
+   THEN h - {M}::HUGEINT ELSE h END AS BIGINT) AS fingerprint FROM fp"""
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from sedona_db_spark.similarity import lsh_ann_topk
     e = _t(spark, sf_dir, "embeddings")
@@ -1082,6 +1104,8 @@ ORACLE_SQL = {
     "training_pipeline": _oracle_training_pipeline(),
     "multimodal_meta": ORACLE_MULTIMODAL,
     "simhash_neardup": _oracle_simhash(),
-    # doc_fingerprints / lsh_ann_topk / ivf_ann_topk: rows-only (iterative /
-    # sampling-dependent; recall + exactness pytest oracles in tests/)
+    "doc_fingerprints": _oracle_fingerprint(),
+    # lsh_ann_topk / ivf_ann_topk: rows-only (randomized-hyperplane /
+    # sampled-k-means structure; recall >= 0.9 pytest harness in
+    # tests/test_similarity.py is their correctness evidence)
 }
