@@ -12,34 +12,39 @@ import os
 REF_DOCS = "/root/reference/docs/reference/sql"
 
 NOTES = {
+    # ---- ◐ partial: documented approximation or subset -------------------
     "st_concavehull": "edge-digging approximation (reference: GEOS ConcaveHull)",
-    "st_makevalid": "valid→identity; invalid→convex-hull fallback (approx tier)",
     "st_simplifypreservetopology": "Douglas–Peucker tier (reference: GEOS topology-preserving)",
-    "st_union": "region-exact slab-overlay union (trapezoid decomposition, not GEOS minimal-vertex form)",
-    "st_unaryunion": "same region-exact overlay tier",
-    "st_intersection": "exact: points/lines vs polygons, convex clips minimal-form; general polygons via slab overlay",
-    "st_difference": "region-exact slab overlay (trapezoid form)",
-    "st_symdifference": "region-exact slab overlay (trapezoid form)",
-    "st_union_agg": "via functions.aggregates.union_agg (n-way slab overlay)",
-    "st_intersection_agg": "via functions.aggregates.intersection_agg",
-    "st_transform": "built-in EPSG:4326/OGC:CRS84 ↔ EPSG:3857 (reference: PROJ, any CRS)",
+    "st_transform": "4326/CRS84 ↔ 3857, UTM 326zz/327zz (TM series), Lambert-93 2154, Canada LCC 3978, CONUS Albers 5070 — Snyder closed forms, any pair via a 4326 hub (geometry/proj.py); reference: PROJ, any CRS",
     "st_buffer": "Minkowski-sum buffer via slab-overlay union (exact up to the standard quad_segs disc discretization); erosion for negative d",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); use operators.knn_join",
-    "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical measures via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere",
-    "st_geogfromwkt": "alias of ST_GeomFromText (planar tier)",
-    "st_geogpoint": "alias of ST_Point (planar tier)",
-    "st_force3dm": "ISO WKB cannot tag M-only; maps to 3-D (Z slot)",
-    "st_pointm": "3rd/4th dims not distinguishable as M in ISO WKB",
-    "st_zmflag": "M-only flag (1) unreachable through ISO WKB",
-    "sd_order": "fine-grid cell of first coordinate (reference: S2 cell id)",
+    "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical tier via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere (any geometry) + ST_IntersectsSphere/ST_ContainsSphere/ST_DWithinSphere (geometry/sphere.py great-circle kernels)",
+    "st_geogfromwkt": "alias of ST_GeomFromText (same spherical tier as ST_GeogFromWKB)",
+    "st_geogpoint": "alias of ST_Point (same spherical tier)",
     "st_setsrid": "re-encodes as EWKB with embedded SRID (type-level CRS analogue)",
     "st_setcrs": "same mechanism as ST_SetSRID",
     "st_crs": "EPSG:<srid> from EWKB, else engine default OGC:CRS84",
-    "st_distancesphere": "haversine on the IUGG mean sphere",
-    "rs_bandnodatavalue": "band 1; 8-byte little-endian double or single byte",
+    "st_distancesphere": "IUGG mean sphere: point×point haversine fast path; any other combo via great-circle kernels (point→arc cross-track, arc×arc)",
     "st_relate": "DE-9IM for all Point/Line/Polygon combos (golden-tested); exotic collection mixes unverified",
     "st_polygonize": "merge-connected-rings tier (full planar noding of edge soups is GEOS territory)",
     "st_polygonize_agg": "via collect_list + ST_Polygonize",
+}
+
+# names that carry an explanatory note but are FULL tier (round-2 upgrades)
+FULL_NOTES = {
+    "st_union": "slab overlay + boundary dissolve to minimal-vertex rings (round 2; degenerate inputs fall back to the region-exact tiling)",
+    "st_unaryunion": "same dissolve-to-minimal-rings overlay tier",
+    "st_difference": "slab overlay + boundary dissolve to minimal-vertex rings (round 2)",
+    "st_symdifference": "slab overlay + boundary dissolve to minimal-vertex rings (round 2)",
+    "st_intersection": "exact points/lines vs polygons and convex clips; general polygons via slab overlay + dissolve (minimal-vertex output, round 2)",
+    "st_union_agg": "via functions.aggregates.union_agg (n-way slab overlay + dissolve)",
+    "st_intersection_agg": "via functions.aggregates.intersection_agg (n-way overlay + dissolve)",
+    "st_makevalid": "valid→identity; invalid polygons rebuilt by even-odd slab decomposition + dissolve (GEOS linework semantics: bowtie → two triangles); convex hull only as degenerate last resort",
+    "st_force3dm": "appends an M dimension with ISO type +2000 (round-2 fix)",
+    "st_pointm": "3-coordinate point with the ISO M flag (+2000); ST_M/ST_HasM header-aware",
+    "st_zmflag": "reads Z/M from the raw WKB type code (ISO +1000/+2000/+3000 and EWKB flags)",
+    "sd_order": "Hilbert-curve position (res 15) of the first coordinate — the same locality property as the reference's S2 cell ordering (S2 positions are per-face Hilbert positions)",
+    "rs_bandnodatavalue": "1-arg (band 1) + RS_BandNoDataValueBand(raster, band) any-band variant (Spark SQL cannot overload one UDF name by arity; the reference dispatches by kernel, rs_band_accessors.rs:145-215)",
 }
 
 MISSING = {}
@@ -80,13 +85,13 @@ def main():
     rows = []
     n_ok = n_partial = n_missing = 0
     for name in names:
-        note = NOTES.get(name, "")
+        note = NOTES.get(name, "") or FULL_NOTES.get(name, "")
         if name in MISSING:
             status = "✗ missing"
             note = MISSING[name]
             n_missing += 1
         elif name in registered or name in agg_helpers or name in OPERATOR_EQUIVALENT:
-            if note:
+            if name in NOTES:
                 status = "◐ partial"
                 n_partial += 1
             else:
