@@ -184,10 +184,16 @@ def st_numgeometries(b: pd.Series) -> pd.Series:
         if g is None:
             return 0
         name, p = g
-        if name in ("MultiPolygon", "MultiLineString", "GeometryCollection"):
+        if name in ("MultiPolygon", "MultiLineString", "GeometryCollection",
+                    "MultiPoint"):
             return len(p)
-        if name == "MultiPoint":
-            return len(p)
+        # EMPTY single geometries count 0 (reference test_functions.py:2311)
+        if name == "Point":
+            return 0 if np.any(np.isnan(np.asarray(p, dtype=float))) else 1
+        if name == "LineString":
+            return 0 if len(p) == 0 else 1
+        if name == "Polygon":
+            return 0 if not p else 1
         return 1
     return pd.Series([ng(g) for g in _decode_series(b)], dtype="int32")
 
@@ -264,13 +270,28 @@ def st_endpoint(b: pd.Series) -> pd.Series:
 @pandas_udf(BooleanType())
 def st_isclosed(b: pd.Series) -> pd.Series:
     def closed(g):
+        # reference semantics (test_functions.py:2104-2129): empties are NOT
+        # closed; points/polygons are; collections = all parts closed
         if g is None:
             return None
-        if g[0] == "LineString":
-            return len(g[1]) > 0 and bool(np.array_equal(g[1][0], g[1][-1]))
-        if g[0] == "MultiLineString":
-            return all(len(l) > 0 and np.array_equal(l[0], l[-1]) for l in g[1])
-        return g[0] in ("Point", "MultiPoint")
+        name, p = g
+        if name == "LineString":
+            return len(p) > 0 and bool(np.array_equal(p[0], p[-1]))
+        if name == "MultiLineString":
+            return (len(p) > 0
+                    and all(len(l) > 0 and np.array_equal(l[0], l[-1])
+                            for l in p))
+        if name == "Point":
+            return not bool(np.any(np.isnan(np.asarray(p, dtype=float))))
+        if name == "MultiPoint":
+            return len(p) > 0
+        if name == "Polygon":
+            return bool(p)
+        if name == "MultiPolygon":
+            return len(p) > 0
+        if name == "GeometryCollection":
+            return len(p) > 0 and all(closed(q) for q in p)
+        return False
     return pd.Series([closed(g) for g in _decode_series(b)])
 
 

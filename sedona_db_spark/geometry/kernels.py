@@ -649,6 +649,10 @@ def geom_envelope(g):
         return ("Polygon", [])
     if xmin == xmax and ymin == ymax:
         return ("Point", np.array([xmin, ymin]))
+    if xmin == xmax or ymin == ymax:
+        # degenerate bbox: PostGIS/reference return a LINESTRING envelope
+        # (test_functions.py test_st_envelope: LINESTRING (0 0, 0 1))
+        return ("LineString", np.array([[xmin, ymin], [xmax, ymax]]))
     ring = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]])
     return ("Polygon", [ring])
 
