@@ -353,6 +353,14 @@ def invalid_reason(g) -> str | None:
     if g is None:
         return None
     name, p = g
+    if name in ("LineString", "MultiLineString"):
+        # degenerate (zero-length) linestrings are invalid
+        # (reference test_functions.py:923-930)
+        lines = [p] if name == "LineString" else p
+        for line in lines:
+            if len(line) >= 2 and all(
+                    np.array_equal(line[0], line[i]) for i in range(1, len(line))):
+                return "Zero-length linestring"
     if name in ("Polygon", "MultiPolygon"):
         polys = [p] if name == "Polygon" else p
         for rings in polys:
@@ -369,6 +377,15 @@ def invalid_reason(g) -> str | None:
                 hx, hy = hole[:, 0], hole[:, 1]
                 if not K.points_in_ring(hx, hy, rings[0]).all():
                     return "Hole lies outside shell"
+        if name == "MultiPolygon" and len(p) > 1:
+            # parts of a valid MultiPolygon may touch only at points: any
+            # interior overlap is invalid (reference test_functions.py:941-948)
+            for i in range(len(p)):
+                for j in range(i + 1, len(p)):
+                    gi, gj = ("Polygon", p[i]), ("Polygon", p[j])
+                    if K.geom_overlaps(gi, gj) or K.geom_contains(gi, gj) \
+                            or K.geom_contains(gj, gi):
+                        return "MultiPolygon parts overlap"
     if name == "GeometryCollection":
         for q in p:
             r = invalid_reason(q)

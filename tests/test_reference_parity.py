@@ -205,3 +205,49 @@ def test_ref_st_point_accessors(spark):
     assert _one(spark, "ST_X(ST_Point(1.5, 2.5))") == 1.5
     assert _one(spark, "ST_Y(ST_Point(1.5, 2.5))") == 2.5
     assert _one(spark, "ST_AsText(ST_PointZ(1.0, 2.0, 3.0))") == "POINT Z (1 2 3)"
+
+
+# --- ST_IsValid (test_functions.py:907-957) ----------------------------------
+ISVALID_CASES = [
+    ("POINT (0 0)", True),
+    ("POINT EMPTY", True),
+    ("LINESTRING (0 0, 1 1)", True),
+    ("LINESTRING (0 0, 1 1, 1 0, 0 1)", True),
+    ("LINESTRING EMPTY", True),
+    ("LINESTRING (0 0, 0 0)", False),
+    ("LINESTRING (0 0, 0 0, 0 0)", False),
+    ("MULTILINESTRING ((0 0, 0 0), (1 1, 2 2))", False),
+    ("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))", True),
+    ("POLYGON EMPTY", True),
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))", True),
+    ("POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))", False),           # bowtie
+    ("Polygon((0 0, 2 0, 1 1, 2 2, 0 2, 1 1, 0 0))", False),  # figure-8
+    ("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((1 1, 3 1, 3 3, 1 3, 1 1)))",
+     False),  # overlapping parts
+    ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))",
+     True),
+    ("GEOMETRYCOLLECTION (POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0)))", False),
+    ("GEOMETRYCOLLECTION (POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)))", True),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", ISVALID_CASES)
+def test_ref_st_isvalid(spark, wkt, expected):
+    assert _one(spark, f"ST_IsValid(ST_GeomFromText('{wkt}'))") is expected
+
+
+# --- ST_IsSimple (test_functions.py:820-900, selected) ------------------------
+ISSIMPLE_CASES = [
+    ("POINT (1 1)", True),
+    ("MULTIPOLYGON EMPTY", True),
+    ("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))", True),
+    ("GEOMETRYCOLLECTION EMPTY", True),
+    ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0), (0.2 0.2, 0.2 0.8, 0.8 0.8, 0.8 0.2,"
+     " 0.2 0.2))", True),
+    ("LINESTRING (0 0, 1 0, 1 1, 0 1, 0.5 1, 0.5 0)", False),  # self-touch
+]
+
+
+@pytest.mark.parametrize("wkt,expected", ISSIMPLE_CASES)
+def test_ref_st_issimple(spark, wkt, expected):
+    assert _one(spark, f"ST_IsSimple(ST_GeomFromText('{wkt}'))") is expected
