@@ -251,3 +251,92 @@ ISSIMPLE_CASES = [
 @pytest.mark.parametrize("wkt,expected", ISSIMPLE_CASES)
 def test_ref_st_issimple(spark, wkt, expected):
     assert _one(spark, f"ST_IsSimple(ST_GeomFromText('{wkt}'))") is expected
+
+
+# --- ST_Centroid (test_functions.py:745-783) ----------------------------------
+CENTROID_CASES = [
+    ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POINT (0.5 0.5)"),
+    ("MULTIPOINT ((0 0), (1 1))", "POINT (0.5 0.5)"),
+    ("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))", "POINT (1 1)"),
+    ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 0, 1 0, 1 1, 0 1, 0 0)))",
+     "POINT (0.5 0.5)"),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", CENTROID_CASES)
+def test_ref_st_centroid(spark, wkt, expected):
+    assert _one(spark, f"ST_AsText(ST_Centroid(ST_GeomFromText('{wkt}')))") \
+        == expected
+
+
+# --- ST_ConvexHull (test_functions.py:1117-1127): semantic compare -----------
+CONVEXHULL_CASES = [
+    ("POINT (0 0)", "POINT (0 0)"),
+    ("MULTIPOINT (0 0, 1 1)", "LINESTRING (0 0, 1 1)"),
+    ("MULTIPOINT (0 0, 1 1, 1 0)", "POLYGON ((0 0, 1 1, 1 0, 0 0))"),
+    ("MULTIPOINT (0 0, 1 1, 1 0, 0.5 0.25)", "POLYGON ((0 0, 1 1, 1 0, 0 0))"),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", CONVEXHULL_CASES)
+def test_ref_st_convexhull(spark, wkt, expected):
+    if expected.startswith("POLYGON"):
+        assert _one(spark,
+                    f"ST_Equals(ST_ConvexHull(ST_GeomFromText('{wkt}')), "
+                    f"ST_GeomFromText('{expected}'))") is True
+    else:
+        got = _one(spark, f"ST_AsText(ST_ConvexHull(ST_GeomFromText('{wkt}')))")
+        # a 2-point hull may render in either direction
+        assert got == expected or got == "LINESTRING (1 1, 0 0)"
+
+
+# --- ST_IsRing (test_functions.py:2168-2188) ----------------------------------
+ISRING_CASES = [
+    ("LINESTRING(0 0, 0 1, 1 1, 1 0, 0 0)", True),
+    ("LINESTRING(0 0, 1 0, 1 1, 0 0)", True),
+    ("LINESTRING(0 0, 2 2, 1 2, 0 0)", True),
+    ("LINESTRING(0 0, 0 1, 1 0, 1 1, 0 0)", False),  # closed bowtie
+    ("LINESTRING(0 0, 1 1)", False),
+    ("LINESTRING(2 0, 2 2, 3 3)", False),
+    ("LINESTRING EMPTY", False),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", ISRING_CASES)
+def test_ref_st_isring(spark, wkt, expected):
+    assert _one(spark, f"ST_IsRing(ST_GeomFromText('{wkt}'))") is expected
+
+
+# --- ST_LineMerge (test_functions.py:2218-2251) -------------------------------
+LINEMERGE_CASES = [
+    ("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1))", "LINESTRING (0 0, 1 0, 1 1)"),
+    ("MULTILINESTRING ((0 0, 1 0), (1 1, 1 0))", "LINESTRING (0 0, 1 0, 1 1)"),
+    ("MULTILINESTRING ((0 0, 1 0), (8 8, 9 9))",
+     "MULTILINESTRING ((0 0, 1 0), (8 8, 9 9))"),
+    ("LINESTRING (0 0, 1 0)", "LINESTRING (0 0, 1 0)"),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", LINEMERGE_CASES)
+def test_ref_st_linemerge(spark, wkt, expected):
+    assert _one(spark, f"ST_AsText(ST_LineMerge(ST_GeomFromText('{wkt}')))") \
+        == expected
+
+
+# --- ST_UnaryUnion (test_functions.py:1140-1157): semantic compare -----------
+UNARYUNION_CASES = [
+    ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((1 0, 2 0, 2 1, 1 1, 1 0)))",
+     "POLYGON ((0 0, 0 1, 1 1, 2 1, 2 0, 1 0, 0 0))"),
+    ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))",
+     "MULTIPOLYGON (((0 1, 1 1, 1 0, 0 0, 0 1)), ((2 3, 3 3, 3 2, 2 2, 2 3)))"),
+    ("GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)), "
+     "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0)))",
+     "POLYGON ((0 0, 0 1, 1 1, 2 1, 2 0, 1 0, 0 0))"),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", UNARYUNION_CASES)
+def test_ref_st_unaryunion(spark, wkt, expected):
+    assert _one(spark,
+                f"ST_Equals(ST_UnaryUnion(ST_GeomFromText('{wkt}')), "
+                f"ST_GeomFromText('{expected}'))") is True
