@@ -340,3 +340,48 @@ def test_ref_st_unaryunion(spark, wkt, expected):
     assert _one(spark,
                 f"ST_Equals(ST_UnaryUnion(ST_GeomFromText('{wkt}')), "
                 f"ST_GeomFromText('{expected}'))") is True
+
+
+# --- ST_MakeValid (test_functions.py:3055-3116): semantic compare ------------
+MAKEVALID_CASES = [
+    ("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))",
+     "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"),
+    ("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))",  # bowtie
+     "MULTIPOLYGON (((0 2, 1 1, 0 0, 0 2)), ((2 0, 1 1, 2 2, 2 0)))"),
+    ("POLYGON ((0 0, 0 3, 3 3, 3 0, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))",
+     "POLYGON ((0 0, 0 3, 3 3, 3 0, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"),
+    ("LINESTRING (0 0, 1 1, 2 2)", "LINESTRING (0 0, 1 1, 2 2)"),
+    ("MULTIPOLYGON (((0 0, 1 1, 1 0, 0 1, 0 0)), ((2 2, 3 3, 3 2, 2 3, 2 2)))",
+     "MULTIPOLYGON (((0.5 0.5, 0 0, 0 1, 0.5 0.5)), ((0.5 0.5, 1 1, 1 0, "
+     "0.5 0.5)), ((2.5 2.5, 2 2, 2 3, 2.5 2.5)), ((2.5 2.5, 3 3, 3 2, "
+     "2.5 2.5)))"),
+    ("POINT (1 1)", "POINT (1 1)"),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", MAKEVALID_CASES)
+def test_ref_st_makevalid(spark, wkt, expected):
+    if expected.startswith("POINT"):
+        assert _one(spark,
+                    f"ST_AsText(ST_MakeValid(ST_GeomFromText('{wkt}')))") \
+            == expected
+    else:
+        assert _one(spark,
+                    f"ST_Equals(ST_MakeValid(ST_GeomFromText('{wkt}')), "
+                    f"ST_GeomFromText('{expected}'))") is True
+
+
+# --- ST_ZMFlag (test_functions.py:3612-3638, non-EMPTY subset) ----------------
+ZMFLAG_CASES = [
+    ("POINT Z (0 0 0)", 2),
+    ("POINT M (0 0 0)", 1),
+    ("POINT ZM (0 0 0 0)", 3),
+    ("LINESTRING Z (0 0 0, 1 1 1)", 2),
+    ("MULTIPOINT Z ((0 0 0))", 2),
+    ("GEOMETRYCOLLECTION (POINT Z (0 0 0))", 2),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", ZMFLAG_CASES)
+def test_ref_st_zmflag(spark, wkt, expected):
+    assert _one(spark, f"ST_ZMFlag(ST_GeomFromText('{wkt}'))") == expected
