@@ -242,29 +242,45 @@ def st_geometryn(b: pd.Series, n: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_pointn(b: pd.Series, n: pd.Series) -> pd.Series:
-    def pick(g, i):
+    def pick(v, g, i):
         if g is None or i is None or g[0] != "LineString":
             return None
         i = int(i)
         pts = g[1]
+        # preserve the source's M flag on the extracted point
+        m = W._read_header(bytes(v), 0)[3]
         if i >= 1 and i <= len(pts):
-            return W.encode(("Point", pts[i - 1]))
+            return W.encode(("Point", pts[i - 1]), m_flag=m)
         if -len(pts) <= i <= -1:
-            return W.encode(("Point", pts[i]))
+            return W.encode(("Point", pts[i]), m_flag=m)
         return None
-    return pd.Series([pick(g, i) for g, i in zip(_decode_series(b), n)])
+    return pd.Series([pick(v, g, i)
+                      for v, g, i in zip(b, _decode_series(b), n)])
 
 
 @pandas_udf(BinaryType())
 def st_startpoint(b: pd.Series) -> pd.Series:
-    return pd.Series([W.encode(("Point", g[1][0])) if g is not None and g[0] == "LineString" and len(g[1]) else None
-                      for g in _decode_series(b)])
+    # reference semantics (test_functions.py:2583-2607): first coordinate of
+    # ANY non-empty geometry, preserving the M flag
+    def first(v, g):
+        if g is None:
+            return None
+        c = K._all_coords(g)
+        if c is None or not len(c) or np.any(np.isnan(c[0])):
+            return None
+        return W.encode(("Point", c[0]), m_flag=W._read_header(bytes(v), 0)[3])
+    return pd.Series([first(v, g) for v, g in zip(b, _decode_series(b))])
 
 
 @pandas_udf(BinaryType())
 def st_endpoint(b: pd.Series) -> pd.Series:
-    return pd.Series([W.encode(("Point", g[1][-1])) if g is not None and g[0] == "LineString" and len(g[1]) else None
-                      for g in _decode_series(b)])
+    # reference/PostGIS: LineString ONLY (asymmetric with StartPoint)
+    def last(v, g):
+        if g is None or g[0] != "LineString" or not len(g[1]):
+            return None
+        return W.encode(("Point", g[1][-1]),
+                        m_flag=W._read_header(bytes(v), 0)[3])
+    return pd.Series([last(v, g) for v, g in zip(b, _decode_series(b))])
 
 
 @pandas_udf(BooleanType())

@@ -385,3 +385,52 @@ ZMFLAG_CASES = [
 @pytest.mark.parametrize("wkt,expected", ZMFLAG_CASES)
 def test_ref_st_zmflag(spark, wkt, expected):
     assert _one(spark, f"ST_ZMFlag(ST_GeomFromText('{wkt}'))") == expected
+
+
+# --- ST_PointN (test_functions.py:2536-2571) ----------------------------------
+POINTN_CASES = [
+    ("LINESTRING (1 2, 3 4, 5 6)", 1, "POINT (1 2)"),
+    ("LINESTRING (1 2, 3 4, 5 6)", 2, "POINT (3 4)"),
+    ("LINESTRING (1 2, 3 4, 5 6)", -1, "POINT (5 6)"),
+    ("LINESTRING Z (1 2 3, 3 4 5, 5 6 7)", 2, "POINT Z (3 4 5)"),
+    ("LINESTRING (1 2, 3 4, 5 6)", 0, None),
+    ("LINESTRING (1 2, 3 4, 5 6)", 4, None),
+    ("LINESTRING (1 2, 3 4, 5 6)", -4, None),
+    ("POINT (1 2)", 1, None),
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 1, None),
+    ("LINESTRING EMPTY", 1, None),
+]
+
+
+@pytest.mark.parametrize("wkt,n,expected", POINTN_CASES)
+def test_ref_st_pointn(spark, wkt, n, expected):
+    got = _one(spark, f"ST_AsText(ST_PointN(ST_GeomFromText('{wkt}'), {n}))")
+    assert got == expected
+
+
+# --- ST_StartPoint / ST_EndPoint (test_functions.py:2583-2636) ----------------
+STARTEND_CASES = [
+    ("LINESTRING (1 2, 3 4, 5 6)", "POINT (1 2)", "POINT (5 6)"),
+    ("LINESTRING Z (1 2 3, 3 4 5, 5 6 7)", "POINT Z (1 2 3)", "POINT Z (5 6 7)"),
+    ("LINESTRING M (1 2 3, 3 4 5, 5 6 7)", "POINT M (1 2 3)", "POINT M (5 6 7)"),
+    ("LINESTRING ZM (1 2 3 4, 3 4 5 6, 5 6 7 8)",
+     "POINT ZM (1 2 3 4)", "POINT ZM (5 6 7 8)"),
+    ("POINT (1 2)", "POINT (1 2)", None),
+    ("LINESTRING EMPTY", None, None),
+]
+
+
+@pytest.mark.parametrize("wkt,exp_start,exp_end", STARTEND_CASES)
+def test_ref_st_start_end_point(spark, wkt, exp_start, exp_end):
+    assert _one(spark,
+                f"ST_AsText(ST_StartPoint(ST_GeomFromText('{wkt}')))") == exp_start
+    assert _one(spark,
+                f"ST_AsText(ST_EndPoint(ST_GeomFromText('{wkt}')))") == exp_end
+
+
+# --- ST_PointZM (test_functions.py:2644-2658) ----------------------------------
+def test_ref_st_pointzm(spark):
+    assert _one(spark, "ST_AsText(ST_PointZM(1.0, 1.0, 1.0, 1.0))") \
+        == "POINT ZM (1 1 1 1)"
+    assert _one(spark, "ST_AsText(ST_PointZM(10.0, -1.5, 1.0, 1.0))") \
+        == "POINT ZM (10 -1.5 1 1)"
