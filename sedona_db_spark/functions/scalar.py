@@ -179,6 +179,35 @@ def st_npoints(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(IntegerType())
+def st_numpoints(b: pd.Series) -> pd.Series:
+    """PostGIS/reference semantics (test_functions.py:3688-3711): vertex
+    count of a LINESTRING only; NULL for every other geometry type."""
+    def np_of(g):
+        if g is None or g[0] != "LineString":
+            return None
+        return len(g[1])
+    return pd.Series([np_of(g) for g in _decode_series(b)], dtype="Int32")
+
+
+@pandas_udf(IntegerType())
+def st_nrings(b: pd.Series) -> pd.Series:
+    """Total ring count across all polygonal parts (recursive through
+    collections; reference test_functions.py:3720-3757)."""
+    def nr(g):
+        if g is None:
+            return None
+        name, p = g
+        if name == "Polygon":
+            return len(p)
+        if name == "MultiPolygon":
+            return sum(len(rings) for rings in p)
+        if name == "GeometryCollection":
+            return sum(nr(q) or 0 for q in p)
+        return 0
+    return pd.Series([nr(g) for g in _decode_series(b)], dtype="Int32")
+
+
+@pandas_udf(IntegerType())
 def st_numgeometries(b: pd.Series) -> pd.Series:
     def ng(g):
         if g is None:
@@ -558,6 +587,8 @@ UDFS = {
     "ST_YMax": st_ymax,
     "ST_GeometryType": st_geometrytype,
     "ST_NPoints": st_npoints,
+    "ST_NumPoints": st_numpoints,
+    "ST_NRings": st_nrings,
     "ST_NumGeometries": st_numgeometries,
     "ST_IsEmpty": st_isempty,
     "ST_Dimension": st_dimension,

@@ -434,3 +434,67 @@ def test_ref_st_pointzm(spark):
         == "POINT ZM (1 1 1 1)"
     assert _one(spark, "ST_AsText(ST_PointZM(10.0, -1.5, 1.0, 1.0))") \
         == "POINT ZM (10 -1.5 1 1)"
+
+
+# --- ST_NumPoints (test_functions.py:3688-3711) --------------------------------
+NUMPOINTS_CASES = [
+    ("LINESTRING EMPTY", 0),
+    ("POINT (1 2)", None),
+    ("LINESTRING (0 0, 1 1, 2 2)", 3),
+    ("LINESTRING (0 0, 1 1, 0 0)", 3),
+    ("LINESTRING Z (0 0 0, 1 1 1, 2 2 2, 3 3 3)", 4),
+    ("LINESTRING ZM (0 0 0 2, 1 1 1 4)", 2),
+    ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", None),
+    ("MULTILINESTRING ((0 0, 0 1, 1 1, 0 0),(0 0, 1 1))", None),
+    ("GEOMETRYCOLLECTION (LINESTRING (0 0, 0 1, 1 1, 0 0))", None),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", NUMPOINTS_CASES)
+def test_ref_st_numpoints(spark, wkt, expected):
+    assert _one(spark, f"ST_NumPoints(ST_GeomFromText('{wkt}'))") == expected
+
+
+# --- ST_NRings (test_functions.py:3720-3757) -----------------------------------
+NRINGS_CASES = [
+    ("POINT (1 2)", 0),
+    ("LINESTRING (0 0, 1 1, 2 2)", 0),
+    ("GEOMETRYCOLLECTION EMPTY", 0),
+    ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 1),
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))", 2),
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1), "
+     "(5 5, 5 6, 6 6, 6 5, 5 5))", 3),
+    ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 10, 20 10, 20 20, "
+     "10 20, 10 10), (12 12, 12 14, 14 14, 14 12, 12 12)))", 3),
+    ("GEOMETRYCOLLECTION(POINT(1 1), POLYGON((0 0, 1 0, 1 1, 0 0)))", 1),
+    ("GEOMETRYCOLLECTION(POINT(2 3), LINESTRING(0 0, 1 1, 2 2), "
+     "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)), "
+     "MULTIPOLYGON(((5 5, 6 5, 6 6, 5 6, 5 5)), ((10 10, 12 10, 12 12, "
+     "10 12, 10 10), (10.5 10.5, 11 10.5, 11 11, 10.5 11, 10.5 10.5))), "
+     "GEOMETRYCOLLECTION(POLYGON((20 20, 22 20, 22 22, 20 22, 20 20)), "
+     "POINT(30 30)))", 6),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", NRINGS_CASES)
+def test_ref_st_nrings(spark, wkt, expected):
+    assert _one(spark, f"ST_NRings(ST_GeomFromText('{wkt}'))") == expected
+
+
+# --- ST_Simplify (test_functions.py:3300-3396, selected) -----------------------
+SIMPLIFY_CASES = [
+    ("LINESTRING(0 0, 1 0, 2 0, 3 0, 4 0, 5 0)", 0.0, "LINESTRING (0 0, 5 0)"),
+    ("LINESTRING(0 0, 1 0.01, 2 0.02, 3 0.01, 4 0)", 0.1, "LINESTRING (0 0, 4 0)"),
+    ("LINESTRING(0 0, 10 0, 10 10, 5 15, 0 10, 0 0)", 5.0,
+     "LINESTRING (0 0, 10 0, 5 15, 0 0)"),
+    ("MULTILINESTRING((0 0, 1 0.1, 2 0.2, 3 0), (10 10, 11 10, 12 10), "
+     "(20 20, 21 25, 22 20))", 1.0,
+     "MULTILINESTRING ((0 0, 3 0), (10 10, 12 10), (20 20, 21 25, 22 20))"),
+]
+
+
+@pytest.mark.parametrize("wkt,tol,expected", SIMPLIFY_CASES)
+def test_ref_st_simplify(spark, wkt, tol, expected):
+    assert _one(spark,
+                f"ST_AsText(ST_Simplify(ST_GeomFromText('{wkt}'), {tol}))") \
+        == expected
