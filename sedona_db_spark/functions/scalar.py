@@ -137,13 +137,14 @@ def _unary_double(fn):
 @pandas_udf(DoubleType())
 def st_x(b: pd.Series) -> pd.Series:
     x, _ = W.wkb_to_points(b)
-    return pd.Series(x)
+    # EMPTY/non-point → SQL NULL, not NaN (reference test_functions.py:2748)
+    return pd.Series(pd.array(np.where(np.isnan(x), None, x), dtype="Float64"))
 
 
 @pandas_udf(DoubleType())
 def st_y(b: pd.Series) -> pd.Series:
     _, y = W.wkb_to_points(b)
-    return pd.Series(y)
+    return pd.Series(pd.array(np.where(np.isnan(y), None, y), dtype="Float64"))
 
 
 @pandas_udf(DoubleType())

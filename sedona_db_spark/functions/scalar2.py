@@ -192,11 +192,12 @@ def st_z(b: pd.Series) -> pd.Series:
     out = []
     for v, g in zip(b, _decode_series(b)):
         if g is None or g[0] != "Point" or len(g[1]) < 3:
-            out.append(np.nan)
+            out.append(None)
             continue
         has_z = W._read_header(bytes(v), 0)[2]
-        out.append(float(g[1][2]) if has_z else np.nan)  # M-only: no Z
-    return pd.Series(out)
+        z = float(g[1][2]) if has_z else None  # M-only: no Z
+        out.append(None if z is None or z != z else z)
+    return pd.Series(pd.array(out, dtype="Float64"))
 
 
 @pandas_udf(BinaryType())

@@ -87,24 +87,35 @@ def st_zmflag(b: pd.Series) -> pd.Series:
     return pd.Series([flag(v) for v in b], dtype="int32")
 
 
-def _coord_minmax(idx: int, want_max: bool):
+def _coord_minmax(kind: str, want_max: bool):
+    """Z/M min-max honoring the header flags: ST_ZMin of an M-only geometry
+    is NULL (the 3rd coordinate is M, not Z) — reference test ~:2943-3050."""
     @pandas_udf(DoubleType())
     def mm(b: pd.Series) -> pd.Series:
         out = []
-        for g in _decode_series(b):
-            c = K._all_coords(g) if g is not None else None
-            if c is None or not len(c) or c.shape[1] <= idx:
-                out.append(np.nan)
+        for v, g in zip(b, _decode_series(b)):
+            if g is None:
+                out.append(None)
+                continue
+            _, _, has_z, has_m, _, _ = W._read_header(bytes(v), 0)
+            if kind == "z":
+                idx = 2 if has_z else None
             else:
-                out.append(float(c[:, idx].max() if want_max else c[:, idx].min()))
-        return pd.Series(out)
+                idx = (2 + (1 if has_z else 0)) if has_m else None
+            c = K._all_coords(g)
+            if idx is None or c is None or not len(c) or c.shape[1] <= idx:
+                out.append(None)
+            else:
+                out.append(float(c[:, idx].max() if want_max
+                                 else c[:, idx].min()))
+        return pd.Series(pd.array(out, dtype="Float64"))
     return mm
 
 
-st_zmin = _coord_minmax(2, False)
-st_zmax = _coord_minmax(2, True)
-st_mmin = _coord_minmax(3, False)
-st_mmax = _coord_minmax(3, True)
+st_zmin = _coord_minmax("z", False)
+st_zmax = _coord_minmax("z", True)
+st_mmin = _coord_minmax("m", False)
+st_mmax = _coord_minmax("m", True)
 
 
 @pandas_udf(DoubleType())
@@ -114,12 +125,13 @@ def st_m(b: pd.Series) -> pd.Series:
     out = []
     for v, g in zip(b, _decode_series(b)):
         if g is None or g[0] != "Point":
-            out.append(np.nan)
+            out.append(None)
             continue
         _, _, has_z, has_m, _, _ = W._read_header(bytes(v), 0)
         idx = 2 + (1 if has_z else 0)
-        out.append(float(g[1][idx]) if has_m and len(g[1]) > idx else np.nan)
-    return pd.Series(out)
+        val = float(g[1][idx]) if has_m and len(g[1]) > idx else None
+        out.append(None if val is None or val != val else val)
+    return pd.Series(pd.array(out, dtype="Float64"))
 
 
 @pandas_udf(BooleanType())

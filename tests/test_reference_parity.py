@@ -498,3 +498,31 @@ def test_ref_st_simplify(spark, wkt, tol, expected):
     assert _one(spark,
                 f"ST_AsText(ST_Simplify(ST_GeomFromText('{wkt}'), {tol}))") \
         == expected
+
+
+# --- ST_X/Y/Z/M NULL semantics (test_functions.py:2715-2818) ------------------
+def test_ref_coordinate_accessors_null_semantics(spark):
+    assert _one(spark, "ST_X(ST_GeomFromText('POINT EMPTY'))") is None
+    assert _one(spark, "ST_X(ST_GeomFromText('POINT (1.1 2)'))") == 1.1
+    assert _one(spark, "ST_Y(ST_GeomFromText('POINT ZM (1 2.2 3 -4)'))") == 2.2
+    assert _one(spark, "ST_Z(ST_GeomFromText('POINT (1 2)'))") is None
+    assert _one(spark, "ST_Z(ST_GeomFromText('POINT M (1 2 3)'))") is None
+    assert _one(spark, "ST_Z(ST_GeomFromText('POINT Z (1 2 3)'))") == 3.0
+    assert _one(spark, "ST_M(ST_GeomFromText('POINT Z (1 2 3)'))") is None
+    assert _one(spark, "ST_M(ST_GeomFromText('POINT M (1 2 3.2)'))") == 3.2
+    assert _one(spark, "ST_M(ST_GeomFromText('POINT ZM (1 2 3 -4)'))") == -4.0
+
+
+# --- ST_ZMin/ZMax (test_functions.py:2943-3018, selected) ---------------------
+def test_ref_zmin_zmax(spark):
+    assert _one(spark, "ST_ZMin(ST_GeomFromText('POINT (1 2)'))") is None
+    assert _one(spark, "ST_ZMin(ST_GeomFromText('POINT Z (1 2 3)'))") == 3.0
+    assert _one(spark, "ST_ZMin(ST_GeomFromText('POINT M (1 2 3)'))") is None
+    assert _one(spark, "ST_ZMin(ST_GeomFromText('POINT ZM (1 2 3 4)'))") == 3.0
+    gc = ("GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4), LINESTRING ZM "
+          "(3 4 5 6, 7 8 9 10), POLYGON ZM ((0 0 0 0, 1 0 0 0, 0 1 0 0, "
+          "0 0 0 0)))")
+    assert _one(spark, f"ST_ZMin(ST_GeomFromText('{gc}'))") == 0.0
+    assert _one(spark, f"ST_ZMax(ST_GeomFromText('{gc}'))") == 9.0
+    assert _one(spark, "ST_MMax(ST_GeomFromText('POINT ZM (1 2 3 4)'))") == 4.0
+    assert _one(spark, "ST_MMin(ST_GeomFromText('POINT Z (1 2 3)'))") is None
