@@ -515,7 +515,7 @@ def st_flipcoordinates(b: pd.Series) -> pd.Series:
 @pandas_udf(BinaryType())
 def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     out = []
-    for g, tx, ty in zip(_decode_series(b), dx, dy):
+    for v, g, tx, ty in zip(b, _decode_series(b), dx, dy):
         if g is None:
             out.append(None)
             continue
@@ -524,14 +524,15 @@ def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
             o[:, 0] += tx
             o[:, 1] += ty
             return o
-        out.append(W.encode(_map_coords(g, mv)))
+        out.append(W.encode(_map_coords(g, mv),
+                            m_flag=W._read_header(bytes(v), 0)[3]))
     return pd.Series(out)
 
 
 @pandas_udf(BinaryType())
 def st_scale(b: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
     out = []
-    for g, fx, fy in zip(_decode_series(b), sx, sy):
+    for v, g, fx, fy in zip(b, _decode_series(b), sx, sy):
         if g is None:
             out.append(None)
             continue
@@ -540,7 +541,8 @@ def st_scale(b: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
             o[:, 0] *= fx
             o[:, 1] *= fy
             return o
-        out.append(W.encode(_map_coords(g, sc)))
+        out.append(W.encode(_map_coords(g, sc),
+                            m_flag=W._read_header(bytes(v), 0)[3]))
     return pd.Series(out)
 
 

@@ -526,3 +526,54 @@ def test_ref_zmin_zmax(spark):
     assert _one(spark, f"ST_ZMax(ST_GeomFromText('{gc}'))") == 9.0
     assert _one(spark, "ST_MMax(ST_GeomFromText('POINT ZM (1 2 3 4)'))") == 4.0
     assert _one(spark, "ST_MMin(ST_GeomFromText('POINT Z (1 2 3)'))") is None
+
+
+# --- ST_GeometryN (test_functions.py:1810-1890) --------------------------------
+GEOMETRYN_CASES = [
+    ("MULTILINESTRING((1 1, 2 2), (3 3, 4 4))", 2, "LINESTRING (3 3, 4 4)"),
+    ("MULTILINESTRING((1 1, 2 2), (3 3, 4 4))", 3, None),
+    ("MULTIPOLYGON(((0 0, 1 1, 0 1, 0 0)), ((5 5, 6 6, 5 6, 5 5)))", 2,
+     "POLYGON ((5 5, 6 6, 5 6, 5 5))"),
+    ("MULTIPOLYGON(((0 0, 1 1, 0 1, 0 0)))", 2, None),
+    ("GEOMETRYCOLLECTION(POINT(10 10), LINESTRING(20 20, 30 30), "
+     "POLYGON((1 1, 2 2, 1 2, 1 1)))", 1, "POINT (10 10)"),
+    ("GEOMETRYCOLLECTION(POINT(10 10), LINESTRING(20 20, 30 30), "
+     "POLYGON((1 1, 2 2, 1 2, 1 1)))", 2, "LINESTRING (20 20, 30 30)"),
+    ("GEOMETRYCOLLECTION(POINT(10 10))", 2, None),
+    ("GEOMETRYCOLLECTION(POINT(1 1), GEOMETRYCOLLECTION(LINESTRING(2 2, 3 3)))",
+     2, "GEOMETRYCOLLECTION (LINESTRING (2 2, 3 3))"),
+    ("GEOMETRYCOLLECTION(POINT(1 1))", 0, None),
+]
+
+
+@pytest.mark.parametrize("wkt,n,expected", GEOMETRYN_CASES)
+def test_ref_st_geometryn(spark, wkt, n, expected):
+    got = _one(spark, f"ST_AsText(ST_GeometryN(ST_GeomFromText('{wkt}'), {n}))")
+    assert got == expected
+
+
+# --- ST_HasZ with Z-only-in-nested-geometry (test_functions.py:1900-1924) -----
+def test_ref_st_hasz_nested(spark):
+    assert _one(spark, "ST_HasZ(ST_GeomFromText("
+                "'GEOMETRYCOLLECTION (POINT Z (0 0 0))'))") is True
+    assert _one(spark, "ST_HasZ(ST_GeomFromText('POINT M (0 0 0)'))") is False
+    assert _one(spark, "ST_HasZ(ST_GeomFromText('MULTIPOINT Z ((0 0 0))'))") is True
+
+
+# --- ST_Scale 2D (test_functions.py:330-365, selected) -------------------------
+SCALE_CASES = [
+    ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))", 2.0, 3.0,
+     "MULTIPOLYGON (((0 0, 2 0, 2 3, 0 3, 0 0)))"),
+    ("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))", 2.0, 3.0,
+     "GEOMETRYCOLLECTION (POINT (2 6), LINESTRING (0 0, 2 3))"),
+    ("POINT Z (1 2 3)", 2.0, 3.0, "POINT Z (2 6 3)"),
+    ("POINT M (1 2 3)", 2.0, 3.0, "POINT M (2 6 3)"),
+    ("POINT ZM (1 2 3 4)", 2.0, 3.0, "POINT ZM (2 6 3 4)"),
+]
+
+
+@pytest.mark.parametrize("wkt,sx,sy,expected", SCALE_CASES)
+def test_ref_st_scale(spark, wkt, sx, sy, expected):
+    assert _one(spark,
+                f"ST_AsText(ST_Scale(ST_GeomFromText('{wkt}'), {sx}, {sy}))") \
+        == expected
