@@ -524,40 +524,52 @@ UDFS4["ST_Relate"] = st_relate
 UDFS4["ST_RelateMatch"] = st_relate_pattern
 
 
-@pandas_udf(BinaryType())
-def st_polygonize(arr: pd.Series) -> pd.Series:
-    """ST_Polygonize over an array of linestrings: merge connected lines;
-    closed simple rings become polygons (simple tier — full planar noding
-    of arbitrary edge soups is GEOS territory)."""
+def _linework_of(g, acc):
+    """Collect linestring paths from any geometry (rings from polygons)."""
+    if g is None:
+        return
+    name, p = g
+    if name == "LineString":
+        acc.append(p)
+    elif name == "MultiLineString":
+        acc.extend(p)
+    elif name == "Polygon":
+        acc.extend(p)
+    elif name == "MultiPolygon":
+        for rings in p:
+            acc.extend(rings)
+    elif name == "GeometryCollection":
+        for q in p:
+            _linework_of(q, acc)
+
+
+def polygonize_geom(g):
+    """Reference ST_Polygonize semantics (test_functions.py:2664-2708):
+    take ONE geometry, merge its linework, closed simple rings become
+    polygons, output is always a GEOMETRYCOLLECTION of polygons (empty
+    when nothing closes; full planar noding of crossing edge soups is
+    GEOS territory)."""
     from sedona_db_spark.functions.scalar3 import line_merge
-    out = []
-    for lst in arr:
-        if lst is None or len(lst) == 0:
-            out.append(W.encode(("GeometryCollection", [])))
-            continue
-        lines = []
-        for v in lst:
-            g = W.decode(bytes(v)) if v is not None else None
-            if g is None:
-                continue
-            if g[0] == "LineString":
-                lines.append(g[1])
-            elif g[0] == "MultiLineString":
-                lines.extend(g[1])
-        merged = line_merge(("MultiLineString", lines))
-        parts = [merged[1]] if merged[0] == "LineString" else merged[1]
-        polys = []
-        for path in parts:
-            if len(path) >= 4 and np.array_equal(path[0], path[-1]) \
-                    and not A.ring_self_intersects(path):
-                polys.append([path])
-        if not polys:
-            out.append(W.encode(("GeometryCollection", [])))
-        elif len(polys) == 1:
-            out.append(W.encode(("Polygon", polys[0])))
-        else:
-            out.append(W.encode(("MultiPolygon", polys)))
-    return pd.Series(out)
+    lines: list = []
+    _linework_of(g, lines)
+    lines = [l for l in lines if len(l) >= 2]
+    if not lines:
+        return ("GeometryCollection", [])
+    merged = line_merge(("MultiLineString", lines))
+    parts = [merged[1]] if merged[0] == "LineString" else merged[1]
+    polys = []
+    for path in parts:
+        if len(path) >= 4 and np.array_equal(path[0], path[-1]) \
+                and not A.ring_self_intersects(path):
+            polys.append(("Polygon", [path]))
+    return ("GeometryCollection", polys)
+
+
+@pandas_udf(BinaryType())
+def st_polygonize(b: pd.Series) -> pd.Series:
+    return pd.Series([
+        None if g is None else W.encode(polygonize_geom(g))
+        for g in _decode_series(b)])
 
 
 UDFS4["ST_Polygonize"] = st_polygonize

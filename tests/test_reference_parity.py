@@ -577,3 +577,52 @@ def test_ref_st_scale(spark, wkt, sx, sy, expected):
     assert _one(spark,
                 f"ST_AsText(ST_Scale(ST_GeomFromText('{wkt}'), {sx}, {sy}))") \
         == expected
+
+
+# --- ST_MinimumClearance (test_functions.py:3120-3187, selected) --------------
+MINCLEAR_CASES = [
+    ("LINESTRING(0 0,0 0,1 1,1 1,2 2)", 1.4142135623730951),
+    ("POLYGON((0 0,0 3,3 3,3 0,0 0),(1 1,1 2,2 2,2 1,1 1))", 1.0),
+    ("MULTIPOINT (10 40, 40 30)", 31.622776601683793),
+    ("MULTIPOINT ((10 10), (20 20), (30 30))", 14.142135623730951),
+    ("MULTILINESTRING ((10 10, 20 20), (30 30, 40 40))", 14.142135623730951),
+    ("MULTILINESTRING ((5 5, 10 5, 10 15), (20 20, 25 10))", 5.0),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", MINCLEAR_CASES)
+def test_ref_st_minimum_clearance(spark, wkt, expected):
+    got = _one(spark, f"ST_MinimumClearance(ST_GeomFromText('{wkt}'))")
+    assert abs(got - expected) < 1e-9
+
+
+# --- ST_Polygonize (test_functions.py:2664-2708, selected) --------------------
+POLYGONIZE_CASES = [
+    ("MULTILINESTRING((0 0, 0 1, 1 1, 1 0, 0 0), "
+     "(10 10, 10 11, 11 11, 11 10, 10 10))",
+     "GEOMETRYCOLLECTION (POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)), "
+     "POLYGON ((10 10, 10 11, 11 11, 11 10, 10 10)))"),
+    ("MULTILINESTRING((0 0, 10 0), (10 0, 10 10), (10 10, 0 0))",
+     "GEOMETRYCOLLECTION (POLYGON ((10 0, 0 0, 10 10, 10 0)))"),
+    ("LINESTRING(0 0, 10 10)", "GEOMETRYCOLLECTION EMPTY"),
+    ("POINT(0 0)", "GEOMETRYCOLLECTION EMPTY"),
+    ("LINESTRING EMPTY", "GEOMETRYCOLLECTION EMPTY"),
+]
+
+
+@pytest.mark.parametrize("wkt,expected", POLYGONIZE_CASES)
+def test_ref_st_polygonize(spark, wkt, expected):
+    if expected.endswith("EMPTY"):
+        got = _one(spark, f"ST_AsText(ST_Polygonize(ST_GeomFromText('{wkt}')))")
+        assert got == expected
+    else:
+        # polygon ring order may legally differ: compare part-count + per-
+        # part semantic equality through the collected union
+        n = _one(spark,
+                 f"ST_NumGeometries(ST_Polygonize(ST_GeomFromText('{wkt}')))")
+        n_exp = _one(spark, f"ST_NumGeometries(ST_GeomFromText('{expected}'))")
+        assert n == n_exp
+        assert _one(spark,
+                    f"ST_Equals(ST_UnaryUnion(ST_Polygonize(ST_GeomFromText("
+                    f"'{wkt}'))), ST_UnaryUnion(ST_GeomFromText('{expected}')))"
+                    ) is True

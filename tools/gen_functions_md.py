@@ -26,8 +26,8 @@ NOTES = {
     "st_crs": "EPSG:<srid> from EWKB, else engine default OGC:CRS84",
     "st_distancesphere": "IUGG mean sphere: point×point haversine fast path; any other combo via great-circle kernels (point→arc cross-track, arc×arc)",
     "st_relate": "DE-9IM for all Point/Line/Polygon combos (golden-tested); exotic collection mixes unverified",
-    "st_polygonize": "merge-connected-rings tier (full planar noding of edge soups is GEOS territory)",
-    "st_polygonize_agg": "via collect_list + ST_Polygonize",
+    "st_polygonize": "reference single-geometry signature, GEOMETRYCOLLECTION output (merge-connected-rings tier; full planar noding of crossing edge soups is GEOS territory)",
+    "st_polygonize_agg": "via ST_Collect_Agg + ST_Polygonize",
 }
 
 # names that carry an explanatory note but are FULL tier (round-2 upgrades)
