@@ -68,6 +68,10 @@ def _pairwise_bool(s1: pd.Series, s2: pd.Series, fn, point_left_fn=None) -> pd.S
     """
     n = len(s1)
     out = np.zeros(n, dtype=bool)
+    # NULL input → SQL NULL, not false (reference test_predicates.py rows
+    # with None expectations; PostGIS strict-on-null semantics)
+    null_mask = np.array([v1 is None or v2 is None
+                          for v1, v2 in zip(s1, s2)], dtype=bool)
     if point_left_fn is not None and n and _all_points(s1):
         px, py = W.wkb_to_points(s1)
         groups: dict[bytes, list[int]] = {}
@@ -78,12 +82,16 @@ def _pairwise_bool(s1: pd.Series, s2: pd.Series, fn, point_left_fn=None) -> pd.S
             g = W.decode(b)
             ii = np.asarray(idx)
             out[ii] = point_left_fn(px[ii], py[ii], g)
-        return pd.Series(out)
-    g1 = _decode_series(s1)
-    g2 = _decode_series(s2)
-    for i in range(n):
-        if g1[i] is not None and g2[i] is not None:
-            out[i] = fn(g1[i], g2[i])
+    else:
+        g1 = _decode_series(s1)
+        g2 = _decode_series(s2)
+        for i in range(n):
+            if g1[i] is not None and g2[i] is not None:
+                out[i] = fn(g1[i], g2[i])
+    if null_mask.any():
+        res = pd.array(out, dtype="boolean")
+        res[null_mask] = None
+        return pd.Series(res)
     return pd.Series(out)
 
 
@@ -402,8 +410,17 @@ def st_contains(b1: pd.Series, b2: pd.Series) -> pd.Series:
 @pandas_udf(BooleanType())
 def st_within(b1: pd.Series, b2: pd.Series) -> pd.Series:
     def pt_within(px, py, g):
-        if g is None or g[0] not in ("Polygon", "MultiPolygon"):
+        if g is None:
             return np.zeros(len(px), dtype=bool)
+        if g[0] not in ("Polygon", "MultiPolygon"):
+            # point within point/multipoint/line: membership minus
+            # boundary-only locations (line endpoints)
+            res = K.points_in_geom(px, py, g)
+            if g[0] in ("LineString", "MultiLineString"):
+                for i in np.nonzero(res)[0]:
+                    if K._is_line_endpoint(np.array([px[i], py[i]]), g):
+                        res[i] = False
+            return res
         inside = K.points_in_geom(px, py, g)
         # ST_Within(point, poly) is false for boundary-only points
         for i in np.nonzero(inside)[0]:
@@ -442,6 +459,7 @@ def st_dwithin(b1: pd.Series, b2: pd.Series, d: pd.Series) -> pd.Series:
     if n and _all_points(b1):
         px, py = W.wkb_to_points(b1)
         out = np.zeros(n, dtype=bool)
+        null_mask = np.array([v is None for v in b2]) | np.isnan(dist)
         groups: dict[bytes, list[int]] = {}
         for i, v in enumerate(b2):
             if v is not None:
@@ -450,11 +468,17 @@ def st_dwithin(b1: pd.Series, b2: pd.Series, d: pd.Series) -> pd.Series:
             g = W.decode(raw)
             ii = np.asarray(idx)
             out[ii] = K.points_to_geom_distance(px[ii], py[ii], g) <= dist[ii]
+        if null_mask.any():
+            res = pd.array(out, dtype="boolean")
+            res[null_mask] = None
+            return pd.Series(res)
         return pd.Series(out)
     g1 = _decode_series(b1)
     g2 = _decode_series(b2)
-    return pd.Series([bool(a is not None and c is not None and K.geom_dwithin(a, c, dd))
-                      for a, c, dd in zip(g1, g2, dist)])
+    return pd.Series(pd.array(
+        [None if a is None or c is None or dd != dd
+         else bool(K.geom_dwithin(a, c, dd))
+         for a, c, dd in zip(g1, g2, dist)], dtype="boolean"))
 
 
 # ---------------------------------------------------------------------------

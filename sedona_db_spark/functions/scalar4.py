@@ -508,20 +508,45 @@ UDFS4["ST_MinimumClearanceLine"] = st_minimumclearanceline
 @pandas_udf(StringType())
 def st_relate(b1: pd.Series, b2: pd.Series) -> pd.Series:
     from sedona_db_spark.geometry.relate import relate_matrix
-    return pd.Series([relate_matrix(g1, g2) for g1, g2 in
-                      zip(_decode_series(b1), _decode_series(b2))])
+    return pd.Series([
+        None if g1 is None or g2 is None else relate_matrix(g1, g2)
+        for g1, g2 in zip(_decode_series(b1), _decode_series(b2))])
 
 
 @pandas_udf(BooleanType())
 def st_relate_pattern(b1: pd.Series, b2: pd.Series, pat: pd.Series) -> pd.Series:
     from sedona_db_spark.geometry.relate import relate_pattern
     return pd.Series([
-        None if g1 is None or g2 is None else relate_pattern(g1, g2, p)
+        None if g1 is None or g2 is None or p is None
+        else relate_pattern(g1, g2, p)
         for g1, g2, p in zip(_decode_series(b1), _decode_series(b2), pat)])
 
 
+@pandas_udf(BooleanType())
+def st_relatematch(matrix: pd.Series, pat: pd.Series) -> pd.Series:
+    """PostGIS ST_RelateMatch(matrix, pattern): string-level DE-9IM match."""
+    def match(m, p):
+        if m is None or p is None:
+            return None
+        if len(m) != 9 or len(p) != 9:
+            return False
+        for mc, pc in zip(m.upper(), p.upper()):
+            if pc == "*":
+                continue
+            if pc == "T":
+                if mc == "F":
+                    return False
+            elif mc != pc:
+                return False
+        return True
+    return pd.Series([match(m, p) for m, p in zip(matrix, pat)])
+
+
 UDFS4["ST_Relate"] = st_relate
-UDFS4["ST_RelateMatch"] = st_relate_pattern
+# 3-arg ST_Relate(g1, g2, pattern) cannot share the 2-arg SQL name in
+# Spark; exposed as ST_RelatePattern (reference test_predicates.py:582)
+UDFS4["ST_RelatePattern"] = st_relate_pattern
+UDFS4["ST_RelateMatch"] = st_relatematch
 
 
 def _linework_of(g, acc):

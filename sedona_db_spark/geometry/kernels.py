@@ -477,8 +477,25 @@ def geom_contains(g1, g2) -> bool:
     if g1 is None or g2 is None:
         return False
     if g1[0] not in ("Polygon", "MultiPolygon"):
-        if g1[0] == "Point" and g2[0] == "Point":
-            return bool(np.array_equal(g1[1][:2], g2[1][:2]))
+        if g1[0] == "Point" and g2[0] in ("Point", "MultiPoint"):
+            pts = [g2[1]] if g2[0] == "Point" else list(g2[1])
+            return bool(pts) and all(
+                np.array_equal(g1[1][:2], np.asarray(p)[:2]) for p in pts)
+        if g1[0] == "MultiPoint" and g2[0] in ("Point", "MultiPoint"):
+            mine = {(float(r[0]), float(r[1])) for r in g1[1]}
+            pts = [g2[1]] if g2[0] == "Point" else list(g2[1])
+            return bool(pts) and all(
+                (float(p[0]), float(p[1])) in mine for p in pts)
+        if g1[0] in ("LineString", "MultiLineString"):
+            # contains = covers AND interiors intersect (a point sitting
+            # only on g1's endpoints is covered but not contained)
+            if not geom_covers(g1, g2):
+                return False
+            if g2[0] in ("Point", "MultiPoint"):
+                pts = [g2[1]] if g2[0] == "Point" else list(g2[1])
+                return any(not _is_line_endpoint(np.asarray(p), g1)
+                           for p in pts)
+            return g2[0] in ("LineString", "MultiLineString")
         return False
     c2 = _all_coords(g2)
     if c2 is None or not len(c2):

@@ -46,12 +46,24 @@ def _pt_in_interior(x, y, g) -> bool:
 
 def _split_points(seg_a, seg_b, other):
     """Parameters splitting segment (seg_a→seg_b) at crossings with other's
-    segments."""
+    segments AND at other's vertices lying on the segment — collinear
+    overlaps have no proper crossing, but the overlap ends where the other
+    segment's endpoint sits (LINESTRING (0 0, 2 2) vs (1 1, 3 3) must split
+    at t=0.5 or the outside half is invisible to midpoint sampling)."""
     ts = [0.0, 1.0]
+    dx, dy = seg_b[0] - seg_a[0], seg_b[1] - seg_a[1]
+    ll = dx * dx + dy * dy
     for b1, b2 in K._segments_of(other):
         t = K._seg_intersection_param(seg_a, seg_b, b1, b2)
         if t is not None:
             ts.append(t)
+        if ll > 0:
+            for v in (b1, b2):
+                cross = dx * (v[1] - seg_a[1]) - dy * (v[0] - seg_a[0])
+                if abs(cross) < 1e-12 * max(1.0, abs(dx) + abs(dy)):
+                    tv = ((v[0] - seg_a[0]) * dx + (v[1] - seg_a[1]) * dy) / ll
+                    if 0.0 < tv < 1.0:
+                        ts.append(float(tv))
     return sorted(set(ts))
 
 

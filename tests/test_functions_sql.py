@@ -68,7 +68,8 @@ def test_sql_golden(spark, expr, expected):
 
 def test_null_propagation(spark):
     assert one(spark, "ST_AsText(CAST(NULL AS BINARY))") is None
-    assert one(spark, "ST_Contains(CAST(NULL AS BINARY), ST_Point(1.0, 1.0))") is False
+    # reference/PostGIS strict-on-null: predicates return NULL on NULL input
+    assert one(spark, "ST_Contains(CAST(NULL AS BINARY), ST_Point(1.0, 1.0))") is None
 
 
 def test_asbinary_golden_bytes(spark):

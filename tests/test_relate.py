@@ -60,7 +60,7 @@ def test_sql_relate(spark):
     r = spark.sql(
         "SELECT ST_Relate(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),"
         " ST_Point(1.0, 1.0)) AS m,"
-        " ST_RelateMatch(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),"
+        " ST_RelatePattern(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),"
         " ST_Point(1.0, 1.0), 'T*****FF*') AS ok").collect()[0]
     assert r["m"] == "0F2FF1FF2"[:0] + r["m"]  # shape check below
     assert len(r["m"]) == 9 and r["ok"] is True
