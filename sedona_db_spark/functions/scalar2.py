@@ -253,12 +253,13 @@ def st_snaptogrid(b: pd.Series, size: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_intersection(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry.overlay import mixed_boolean_op
     out = []
     for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
         if g1 is None or g2 is None:
             out.append(None)
         else:
-            out.append(W.encode(A.intersection(g1, g2)))
+            out.append(W.encode(mixed_boolean_op(g1, g2, "intersection")))
     return pd.Series(out)
 
 

@@ -258,10 +258,12 @@ def union_partial(g1, g2):
 
 @pandas_udf(BinaryType())
 def st_union(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    from sedona_db_spark.geometry.overlay import mixed_boolean_op
     out = []
     for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
-        out.append(None if g1 is None and g2 is None
-                   else W.encode(union_partial(g1, g2)))
+        # strict-on-null like the reference (test_overlay.py:130-139)
+        out.append(None if g1 is None or g2 is None
+                   else W.encode(mixed_boolean_op(g1, g2, "union")))
     return pd.Series(out)
 
 
@@ -394,14 +396,15 @@ def st_difference(b1: pd.Series, b2: pd.Series) -> pd.Series:
     from sedona_db_spark.geometry.overlay import boolean_op
     from sedona_db_spark.geometry.algos import _clip_line_by_poly
     out = []
+    from sedona_db_spark.geometry.overlay import mixed_boolean_op
     for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
-        if g1 is None:
+        if g1 is None or g2 is None:
             out.append(None)
-        elif g2 is None or not K.geom_intersects(g1, g2):
+        elif not K.geom_intersects(g1, g2):
             out.append(W.encode(g1))
-        elif g1[0] == "LineString" and g2[0] in ("Polygon", "MultiPolygon"):
-            out.append(W.encode(_clip_line_by_poly(g1[1], g2,
-                                                   keep_inside=False)))
+        elif K._dim_of(g1) != 2 or K._dim_of(g2) != 2 \
+                or g1[0] == "GeometryCollection" or g2[0] == "GeometryCollection":
+            out.append(W.encode(mixed_boolean_op(g1, g2, "difference")))
         else:
             out.append(W.encode(boolean_op(g1, g2, "difference")))
     return pd.Series(out)
@@ -411,13 +414,12 @@ def st_difference(b1: pd.Series, b2: pd.Series) -> pd.Series:
 def st_symdifference(b1: pd.Series, b2: pd.Series) -> pd.Series:
     from sedona_db_spark.geometry.overlay import boolean_op
     out = []
+    from sedona_db_spark.geometry.overlay import mixed_boolean_op
     for g1, g2 in zip(_decode_series(b1), _decode_series(b2)):
-        if g1 is None:
-            out.append(None if g2 is None else W.encode(g2))
-        elif g2 is None:
-            out.append(W.encode(g1))
+        if g1 is None or g2 is None:
+            out.append(None)  # strict-on-null (reference test_overlay.py)
         else:
-            out.append(W.encode(boolean_op(g1, g2, "symdifference")))
+            out.append(W.encode(mixed_boolean_op(g1, g2, "symdifference")))
     return pd.Series(out)
 
 

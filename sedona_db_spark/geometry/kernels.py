@@ -557,6 +557,25 @@ def geom_covers(g1, g2) -> bool:
     """Like contains but boundary-inclusive (no interior-point requirement)."""
     if g1 is None or g2 is None:
         return False
+    # collections: every primitive part of g2 covered by some part of g1
+    # (sufficient for multi/collection equality; parts split across g1
+    # members are handled by the line-interval path below for lines)
+    if g2[0] == "GeometryCollection":
+        return all(geom_covers(g1, q) for q in g2[1]) and bool(g2[1])
+    if g1[0] == "GeometryCollection":
+        return any(geom_covers(q, g2) for q in g1[1])
+    if g1[0] in ("Point", "MultiPoint"):
+        if g2[0] not in ("Point", "MultiPoint"):
+            return False
+        mine = ({(float(g1[1][0]), float(g1[1][1]))} if g1[0] == "Point"
+                else {(float(r[0]), float(r[1])) for r in g1[1]})
+        pts = [g2[1]] if g2[0] == "Point" else list(g2[1])
+        return bool(pts) and all(
+            (float(p[0]), float(p[1])) in mine for p in pts)
+    if g2[0] == "MultiPoint":
+        c2 = _all_coords(g2)
+        return c2 is not None and len(c2) > 0 and bool(
+            points_in_geom(c2[:, 0], c2[:, 1], g1).all())
     if g1[0] in ("Polygon", "MultiPolygon"):
         c2 = _all_coords(g2)
         if c2 is None or not len(c2):

@@ -235,3 +235,291 @@ def intersection_all(geoms: list):
         if acc[0] == "GeometryCollection" and not acc[1]:
             return acc
     return acc if acc is not None else ("GeometryCollection", [])
+
+
+# ---------------------------------------------------------------------------
+# mixed-dimension boolean ops (GEOS/reference semantics for point/line
+# operands; areal×areal delegates to the slab machinery above)
+# ---------------------------------------------------------------------------
+
+def _dim(g) -> int:
+    return K._dim_of(g) if g is not None else -1
+
+
+def _pts(g):
+    """[(x, y)] of a point-ish geometry."""
+    if g[0] == "Point":
+        return [] if np.any(np.isnan(np.asarray(g[1][:2], dtype=float))) \
+            else [(float(g[1][0]), float(g[1][1]))]
+    if g[0] == "MultiPoint":
+        return [(float(r[0]), float(r[1])) for r in g[1]]
+    return []
+
+
+def _lines(g):
+    if g[0] == "LineString":
+        return [g[1]]
+    if g[0] == "MultiLineString":
+        return list(g[1])
+    return []
+
+
+def _parts_of(g):
+    """Flatten to homogeneous parts (points / lines / polygons)."""
+    if g is None:
+        return []
+    name, p = g
+    if name == "GeometryCollection":
+        return [q for part in p for q in _parts_of(part)]
+    if name == "MultiPoint":
+        return [("Point", row) for row in p]
+    if name == "MultiLineString":
+        return [("LineString", l) for l in p]
+    if name == "MultiPolygon":
+        return [("Polygon", rings) for rings in p]
+    return [g]
+
+
+def _pack(points, lines, polys):
+    """Assemble op results into the simplest geometry."""
+    parts = []
+    # dedupe points; drop points absorbed by lines/polys
+    seen = set()
+    for x, y in points:
+        key = (x, y)
+        if key in seen:
+            continue
+        seen.add(key)
+        absorbed = any(
+            K.points_in_geom(np.array([x]), np.array([y]), ln)[0]
+            for ln in lines) or any(
+            K.points_in_geom(np.array([x]), np.array([y]), pg)[0]
+            for pg in polys)
+        if not absorbed:
+            parts.append(("Point", np.array([x, y])))
+    parts.extend(lines)
+    parts.extend(polys)
+    if not parts:
+        return ("GeometryCollection", [])
+    kinds = {p[0] for p in parts}
+    if len(parts) == 1:
+        return parts[0]
+    if kinds == {"Point"}:
+        return ("MultiPoint", np.array([p[1][:2] for p in parts]))
+    if kinds == {"LineString"}:
+        return ("MultiLineString", [p[1] for p in parts])
+    if kinds == {"Polygon"}:
+        return ("MultiPolygon", [p[1] for p in parts])
+    return ("GeometryCollection", parts)
+
+
+def _merge_pieces(pieces):
+    """Stitch line pieces sharing endpoints into maximal chains."""
+    pieces = [np.asarray(p, dtype=np.float64) for p in pieces if len(p) >= 2]
+    merged = True
+    while merged and len(pieces) > 1:
+        merged = False
+        for i in range(len(pieces)):
+            for j in range(len(pieces)):
+                if i == j:
+                    continue
+                a, b = pieces[i], pieces[j]
+                if np.array_equal(a[-1], b[0]):
+                    pieces[i] = np.vstack([a, b[1:]])
+                elif np.array_equal(a[0], b[-1]):
+                    pieces[i] = np.vstack([b, a[1:]])
+                else:
+                    continue
+                pieces.pop(j)
+                merged = True
+                break
+            if merged:
+                break
+    return pieces
+
+
+def _line_pieces(g_line, other, keep_inside: bool):
+    """Sub-segments of g_line whose midpoints are inside (or outside) the
+    CLOSED point set of ``other`` — split at crossings and at other's
+    vertices on the segment (relate's split machinery)."""
+    from sedona_db_spark.geometry.relate import _split_points
+    out = []
+    for line in _lines(g_line):
+        cur: list = []
+        for i in range(len(line) - 1):
+            a, b = line[i], line[i + 1]
+            ts = _split_points(a, b, other)
+            for t0, t1 in zip(ts[:-1], ts[1:]):
+                if t1 - t0 <= 1e-15:
+                    continue
+                mx = a[0] + (b[0] - a[0]) * (t0 + t1) / 2
+                my = a[1] + (b[1] - a[1]) * (t0 + t1) / 2
+                inside = bool(K.points_in_geom(
+                    np.array([mx]), np.array([my]), other)[0])
+                if inside == keep_inside:
+                    p0 = (a[0] + (b[0] - a[0]) * t0, a[1] + (b[1] - a[1]) * t0)
+                    p1 = (a[0] + (b[0] - a[0]) * t1, a[1] + (b[1] - a[1]) * t1)
+                    if cur and cur[-1] == p0:
+                        cur.append(p1)
+                    else:
+                        if len(cur) >= 2:
+                            out.append(np.array(cur))
+                        cur = [p0, p1]
+        if len(cur) >= 2:
+            out.append(np.array(cur))
+    return _merge_pieces(out)
+
+
+def _line_line_points(g1, g2):
+    """0-dim intersection points of two line-ish geometries (crossings and
+    touches), EXCLUDING locations interior to a shared collinear piece."""
+    pts = []
+    for a1, a2 in K._segments_of(g1):
+        for b1, b2 in K._segments_of(g2):
+            if K._segments_intersect(a1, a2, b1, b2):
+                t = K._seg_intersection_param(a1, a2, b1, b2)
+                if t is not None:
+                    pts.append((float(a1[0] + (a2[0] - a1[0]) * t),
+                                float(a1[1] + (a2[1] - a1[1]) * t)))
+                else:
+                    # collinear touch: shared endpoints
+                    for v in (a1, a2):
+                        if K.points_in_geom(np.array([v[0]]),
+                                            np.array([v[1]]), g2)[0]:
+                            pts.append((float(v[0]), float(v[1])))
+    return pts
+
+
+def mixed_boolean_op(a, b, op: str):
+    """Boolean op on arbitrary-dimension operands (GEOS result semantics:
+    reference test_overlay.py).  areal×areal delegates to boolean_op."""
+    da, db = _dim(a), _dim(b)
+    if a is None or b is None:
+        return None
+    if a[0] == "GeometryCollection" or b[0] == "GeometryCollection":
+        return _gc_boolean_op(a, b, op)
+    if da == 2 and db == 2:
+        return boolean_op(a, b, op)
+
+    if op == "union":
+        pa, pb = _parts_of(a), _parts_of(b)
+        points = [p for g in (pa + pb) for p in ([(float(g[1][0]), float(g[1][1]))]
+                                                 if g[0] == "Point" else [])]
+        lines = [g for g in pa + pb if g[0] == "LineString"]
+        polys = [g for g in pa + pb if g[0] == "Polygon"]
+        if len(polys) >= 2:
+            merged = union_all(polys)
+            polys = _parts_of(merged)
+        # dedupe identical lines
+        uniq, seen = [], set()
+        for ln in lines:
+            key = ln[1].tobytes()
+            if key not in seen:
+                seen.add(key)
+                uniq.append(ln)
+        return _pack(points, uniq, polys)
+
+    if op == "difference":
+        if da == 0:
+            keep = [p for p in _pts(a) if not K.points_in_geom(
+                np.array([p[0]]), np.array([p[1]]), b)[0]]
+            return _pack(keep, [], [])
+        if da == 1:
+            if db == 0:
+                return a  # removing points from a line changes nothing
+            pieces = _line_pieces(a, b, keep_inside=False)
+            return _pack([], [("LineString", p) for p in pieces], [])
+        # da == 2: subtracting a lower-dim geometry removes measure zero
+        if db < 2:
+            return a
+        return boolean_op(a, b, op)
+
+    if op == "intersection":
+        if min(da, db) == 0:
+            pt_side, other = (a, b) if da == 0 else (b, a)
+            keep = [p for p in _pts(pt_side) if K.points_in_geom(
+                np.array([p[0]]), np.array([p[1]]), other)[0]]
+            return _pack(keep, [], [])
+        if da == 1 and db == 1:
+            shared = _line_pieces(a, b, keep_inside=True)
+            if shared:
+                return _pack([], [("LineString", p) for p in shared], [])
+            return _pack(_line_line_points(a, b), [], [])
+        # line × polygon: clip the line to the closed region
+        line_side, poly_side = (a, b) if da == 1 else (b, a)
+        pieces = _line_pieces(line_side, poly_side, keep_inside=True)
+        return _pack([], [("LineString", p) for p in pieces], [])
+
+    if op == "symdifference":
+        left = mixed_boolean_op(a, b, "difference")
+        right = mixed_boolean_op(b, a, "difference")
+        return mixed_boolean_op(
+            left if left is not None else ("GeometryCollection", []),
+            right if right is not None else ("GeometryCollection", []),
+            "union")
+    raise ValueError(op)
+
+
+def _gc_boolean_op(a, b, op: str):
+    """Collection operands: per-part composition."""
+    if op == "union":
+        parts = _parts_of(a) + _parts_of(b)
+        pts = [( float(g[1][0]), float(g[1][1])) for g in parts if g[0] == "Point"]
+        lines = [g for g in parts if g[0] == "LineString"]
+        polys = [g for g in parts if g[0] == "Polygon"]
+        if len(polys) >= 2:
+            polys = _parts_of(union_all(polys))
+        uniq, seen = [], set()
+        for ln in lines:
+            key = ln[1].tobytes()
+            if key not in seen:
+                seen.add(key)
+                uniq.append(ln)
+        return _pack(pts, uniq, polys)
+    if op == "difference":
+        # subtract every primitive part of b from every primitive part of
+        # a, re-flattening between steps (keeps the recursion primitive)
+        pts, lines, polys = [], [], []
+        for part in _parts_of(a):
+            pieces = [part]
+            for pb in _parts_of(b):
+                nxt = []
+                for pc in pieces:
+                    r = mixed_boolean_op(pc, pb, "difference")
+                    if r is not None:
+                        nxt.extend(_parts_of(r))
+                pieces = nxt
+                if not pieces:
+                    break
+            for pc in pieces:
+                if pc[0] == "Point":
+                    pts.append((float(pc[1][0]), float(pc[1][1])))
+                elif pc[0] == "LineString":
+                    lines.append(pc)
+                else:
+                    polys.append(pc)
+        return _pack(pts, lines, polys)
+    if op == "intersection":
+        pts, lines, polys = [], [], []
+        for pa in _parts_of(a):
+            for pb in _parts_of(b):
+                r = mixed_boolean_op(pa, pb, "intersection")
+                for pc in _parts_of(r):
+                    if pc[0] == "Point":
+                        pts.append((float(pc[1][0]), float(pc[1][1])))
+                    elif pc[0] == "LineString":
+                        lines.append(pc)
+                    else:
+                        polys.append(pc)
+        uniq, seen = [], set()
+        for ln in lines:
+            key = ln[1].tobytes()
+            if key not in seen:
+                seen.add(key)
+                uniq.append(ln)
+        return _pack(pts, uniq, polys)
+    if op == "symdifference":
+        left = _gc_boolean_op(a, b, "difference")
+        right = _gc_boolean_op(b, a, "difference")
+        return mixed_boolean_op(left, right, "union")
+    raise ValueError(op)
