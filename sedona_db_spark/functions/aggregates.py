@@ -92,3 +92,78 @@ def intersection_agg(df: DataFrame, geom_col: str = "geom",
     return (grouped.withColumn("intersected",
                                st_intersection_all(F.col("__geoms")))
                    .drop("__geoms"))
+
+
+# ---------------------------------------------------------------------------
+# SQL aggregate UDFs (grouped-agg pandas UDFs): the reference's aggregates
+# are SQL functions (SELECT ST_Envelope_Agg(geom) FROM t GROUP BY ...);
+# these register under the same names so its aggregate queries run as-is.
+# The DataFrame helpers above remain the scale path (pure JVM min/max);
+# the grouped-agg forms ship each group's WKB to one python worker.
+# ---------------------------------------------------------------------------
+
+def _grouped_agg_udfs():
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from sedona_db_spark.geometry import kernels as K
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.geometry.overlay import (intersection_all, union_all)
+
+    def _geoms(b):
+        return [W.decode(bytes(v)) for v in b if v is not None]
+
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def st_envelope_agg_sql(b):
+        gs = _geoms(b)
+        if not gs:
+            return None
+        boxes = np.array([K.geom_bbox(g) for g in gs])
+        boxes = boxes[~np.isnan(boxes[:, 0])]
+        if not len(boxes):
+            return None
+        bbox_geom = ("Polygon", [np.array([
+            [boxes[:, 0].min(), boxes[:, 1].min()],
+            [boxes[:, 2].max(), boxes[:, 1].min()],
+            [boxes[:, 2].max(), boxes[:, 3].max()],
+            [boxes[:, 0].min(), boxes[:, 3].max()],
+            [boxes[:, 0].min(), boxes[:, 1].min()]])])
+        # degeneracy (single point / collinear) handled by geom_envelope
+        return W.encode(K.geom_envelope(bbox_geom))
+
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def st_collect_agg_sql(b):
+        gs = _geoms(b)
+        if not gs:
+            return None
+        kinds = {g[0] for g in gs}
+        if kinds == {"Point"}:
+            return W.encode(("MultiPoint", np.array([g[1][:2] for g in gs])))
+        if kinds == {"LineString"}:
+            return W.encode(("MultiLineString", [g[1] for g in gs]))
+        if kinds == {"Polygon"}:
+            return W.encode(("MultiPolygon", [g[1] for g in gs]))
+        return W.encode(("GeometryCollection", gs))
+
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def st_union_agg_sql(b):
+        gs = _geoms(b)
+        if not gs:
+            return None
+        return W.encode(union_all(gs))
+
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def st_intersection_agg_sql(b):
+        gs = _geoms(b)
+        if not gs:
+            return None
+        return W.encode(intersection_all(gs))
+
+    return {
+        "ST_Envelope_Agg": st_envelope_agg_sql,
+        "ST_Collect_Agg": st_collect_agg_sql,
+        "ST_Union_Agg": st_union_agg_sql,
+        "ST_Intersection_Agg": st_intersection_agg_sql,
+    }

@@ -30,6 +30,9 @@ def register_functions(spark: SparkSession) -> None:
     }
     for name, fn in aliases.items():
         spark.udf.register(name, fn)
+    from sedona_db_spark.functions.aggregates import _grouped_agg_udfs
+    for name, fn in _grouped_agg_udfs().items():
+        spark.udf.register(name, fn)
     try:
         from sedona_db_spark.raster.functions import RS_UDFS
         for name, fn in RS_UDFS.items():

@@ -626,3 +626,50 @@ def test_ref_st_polygonize(spark, wkt, expected):
                     f"ST_Equals(ST_UnaryUnion(ST_Polygonize(ST_GeomFromText("
                     f"'{wkt}'))), ST_UnaryUnion(ST_GeomFromText('{expected}')))"
                     ) is True
+
+
+# --- ST_Distance (test_distance.py:21-47) ------------------------------------
+def test_ref_st_distance(spark):
+    assert _one(spark, "ST_Distance(ST_Point(0.0,0.0), ST_Point(0.0,0.0))") == 0.0
+    got = _one(spark, "ST_Distance(ST_GeomFromText('POINT(-72.1235 42.3521)'),"
+               " ST_GeomFromText('LINESTRING(-72.1260 42.45, -72.123 42.1546)'))")
+    assert abs(got - 0.0015056772638228177) < 1e-8
+    got = _one(spark, "ST_Distance(ST_GeomFromText("
+               "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), ST_GeomFromText("
+               "'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))'))")
+    assert abs(got - 5.656854249492381) < 1e-8
+
+
+# --- SQL aggregates (test_aggregate.py:39-105) --------------------------------
+def test_ref_envelope_agg(spark):
+    def agg(values_sql):
+        return _one(spark, None) if False else spark.sql(
+            f"SELECT ST_AsText(ST_Envelope_Agg(ST_GeomFromText(geom))) AS v"
+            f" FROM VALUES {values_sql} AS t(geom)").collect()[0]["v"]
+    got = spark.sql(
+        "SELECT ST_Equals(ST_Envelope_Agg(ST_GeomFromText(geom)),"
+        " ST_GeomFromText('POLYGON ((1 2, 1 4, 3 4, 3 2, 1 2))')) AS v"
+        " FROM VALUES ('POINT (1 2)'), ('POINT (3 4)'), (NULL) AS t(geom)"
+    ).collect()[0]["v"]
+    assert got is True
+    assert agg("('POINT (5 5)')") == "POINT (5 5)"
+    assert agg("('POINT (0 0)'), ('POINT (0 1)'), ('POINT (0 2)')") \
+        == "LINESTRING (0 0, 0 2)"
+    assert agg("(NULL), (NULL), (NULL)") is None
+
+
+def test_ref_union_agg_sql(spark):
+    got = spark.sql(
+        "SELECT ST_Equals(ST_Union_Agg(ST_GeomFromText(g)),"
+        " ST_GeomFromText('POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))')) AS v"
+        " FROM VALUES ('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),"
+        " ('POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))') AS t(g)").collect()[0]["v"]
+    assert got is True
+
+
+def test_ref_collect_agg_sql(spark):
+    got = spark.sql(
+        "SELECT ST_AsText(ST_Collect_Agg(ST_GeomFromText(g))) AS v"
+        " FROM VALUES ('POINT (0 0)'), ('POINT (1 1)') AS t(g)"
+    ).collect()[0]["v"]
+    assert got == "MULTIPOINT ((0 0), (1 1))"
