@@ -216,13 +216,14 @@ def boolean_op(gA, gB, op: str):
 
 
 def union_all(geoms: list):
-    """N-way union: single decomposition pass over the concatenated rings
-    (even-odd parity counts EACH geometry separately via or-fold)."""
+    """N-way union folded with the mixed-dimension op so point/line group
+    members survive (GEOS returns a GEOMETRYCOLLECTION preserving them;
+    the areal-only boolean_op would silently drop lower-dim parts)."""
     acc = None
     for g in geoms:
         if g is None:
             continue
-        acc = g if acc is None else boolean_op(acc, g, "union")
+        acc = g if acc is None else mixed_boolean_op(acc, g, "union")
     return acc if acc is not None else ("GeometryCollection", [])
 
 
@@ -231,9 +232,9 @@ def intersection_all(geoms: list):
     for g in geoms:
         if g is None:
             continue
-        acc = g if acc is None else boolean_op(acc, g, "intersection")
-        if acc[0] == "GeometryCollection" and not acc[1]:
-            return acc
+        acc = g if acc is None else mixed_boolean_op(acc, g, "intersection")
+        if acc is None or (acc[0] == "GeometryCollection" and not acc[1]):
+            return acc if acc is not None else ("GeometryCollection", [])
     return acc if acc is not None else ("GeometryCollection", [])
 
 

@@ -207,26 +207,38 @@ def _geom_ndim(g) -> int:
     return 2
 
 
-def encode(g, m_flag: bool = False) -> bytes | None:
+def _first_flag(m_flag) -> bool:
+    """Header flag for a (possibly nested per-part) m_flag value."""
+    while isinstance(m_flag, (list, tuple)):
+        if not m_flag:
+            return False
+        m_flag = m_flag[0]
+    return bool(m_flag)
+
+
+def encode(g, m_flag=False) -> bytes | None:
     """Encode a geom tuple as little-endian ISO WKB.
 
     ``m_flag``: mark a 3rd coordinate dimension as M instead of Z
-    (ISO type + 2000) — used by ST_Force3DM."""
+    (ISO type + 2000) — used by ST_Force3DM.  For a GeometryCollection it
+    may be a nested list (one entry per part, as produced by the WKT
+    parser) so collections mixing M/Z parts keep per-part dimension flags."""
     if g is None:
         return None
     name, payload = g
     ndim = _geom_ndim(g)
-    out = [b"\x01", struct.pack("<I", _type_code(name, ndim, m_flag))]
+    out = [b"\x01", struct.pack("<I", _type_code(name, ndim, _first_flag(m_flag)))]
     if name == "Point":
         c = np.asarray(payload, dtype="<f8")
         out.append(c.tobytes())
     elif name in ("LineString", "MultiPoint"):
         arr = np.asarray(payload, dtype="<f8").reshape(-1, ndim)
         if name == "MultiPoint":
-            out = [b"\x01", struct.pack("<II", _type_code(name, ndim, m_flag),
+            out = [b"\x01", struct.pack("<II",
+                                        _type_code(name, ndim, _first_flag(m_flag)),
                                         len(arr))]
             for row in arr:
-                out.append(encode(("Point", row), m_flag))
+                out.append(encode(("Point", row), _first_flag(m_flag)))
         else:
             out.append(struct.pack("<I", len(arr)))
             out.append(arr.tobytes())
@@ -246,8 +258,12 @@ def encode(g, m_flag: bool = False) -> bytes | None:
             out.append(encode(("Polygon", rings), m_flag))
     elif name == "GeometryCollection":
         out.append(struct.pack("<I", len(payload)))
-        for part in payload:
-            out.append(encode(part, m_flag))
+        flags = (list(m_flag) if isinstance(m_flag, (list, tuple))
+                 else [m_flag] * len(payload))
+        if len(flags) < len(payload):
+            flags += [False] * (len(payload) - len(flags))
+        for part, fl in zip(payload, flags):
+            out.append(encode(part, fl))
     else:
         raise ValueError(f"unsupported geometry {name}")
     return b"".join(out)
@@ -364,6 +380,25 @@ class _WktParser:
         return np.array([r + [0.0] * (width - len(r)) for r in rows], dtype=np.float64)
 
     def parse(self):
+        g, m = self.parse_with_flags()
+        # back-compat attr: True iff any part is M-only
+        self.m_only = any(self._flat(m)) if isinstance(m, list) else bool(m)
+        self.m_tree = m
+        return g
+
+    @staticmethod
+    def _flat(m):
+        for v in m:
+            if isinstance(v, list):
+                yield from _WktParser._flat(v)
+            else:
+                yield v
+
+    def parse_with_flags(self):
+        """Parse one geometry; returns (geom, m_flags) where m_flags is a
+        bool for leaf/multi geometries and a nested list for collections —
+        each part keeps its OWN M-only flag (a GC can mix M/Z/2-D parts,
+        so a single parser-level flag is lossy)."""
         tag = self._word().upper()
         # optional Z / M / ZM token
         save = self.i
@@ -371,18 +406,18 @@ class _WktParser:
         if mod not in ("Z", "M", "ZM"):
             self.i = save
             mod = ""
-        self.m_only = mod == "M"
+        m_only = mod == "M"
         self._skip_ws()
         if self.s[self.i:self.i + 5].upper() == "EMPTY":
             self.i += 5
-            return _empty_for(tag)
+            return _empty_for(tag), m_only
         if tag == "POINT":
             self._expect("(")
             pt = self._coord()
             self._expect(")")
-            return ("Point", np.array(pt, dtype=np.float64))
+            return ("Point", np.array(pt, dtype=np.float64)), m_only
         if tag == "LINESTRING":
-            return ("LineString", self._coord_seq())
+            return ("LineString", self._coord_seq()), m_only
         if tag == "POLYGON":
             self._expect("(")
             rings = [self._coord_seq()]
@@ -390,7 +425,7 @@ class _WktParser:
                 self._expect(",")
                 rings.append(self._coord_seq())
             self._expect(")")
-            return ("Polygon", rings)
+            return ("Polygon", rings), m_only
         if tag == "MULTIPOINT":
             self._expect("(")
             pts = []
@@ -408,7 +443,7 @@ class _WktParser:
             self._expect(")")
             width = max(len(p) for p in pts)
             arr = np.array([p + [0.0] * (width - len(p)) for p in pts])
-            return ("MultiPoint", arr)
+            return ("MultiPoint", arr), m_only
         if tag == "MULTILINESTRING":
             self._expect("(")
             lines = [self._coord_seq()]
@@ -416,7 +451,7 @@ class _WktParser:
                 self._expect(",")
                 lines.append(self._coord_seq())
             self._expect(")")
-            return ("MultiLineString", lines)
+            return ("MultiLineString", lines), m_only
         if tag == "MULTIPOLYGON":
             self._expect("(")
             polys = []
@@ -433,15 +468,18 @@ class _WktParser:
                 else:
                     break
             self._expect(")")
-            return ("MultiPolygon", polys)
+            return ("MultiPolygon", polys), m_only
         if tag == "GEOMETRYCOLLECTION":
             self._expect("(")
-            parts = [self.parse()]
+            p0, f0 = self.parse_with_flags()
+            parts, flags = [p0], [f0]
             while self._peek() == ",":
                 self._expect(",")
-                parts.append(self.parse())
+                p, f = self.parse_with_flags()
+                parts.append(p)
+                flags.append(f)
             self._expect(")")
-            return ("GeometryCollection", parts)
+            return ("GeometryCollection", parts), flags
         raise ValueError(f"unknown WKT tag {tag!r}")
 
 
@@ -477,22 +515,39 @@ def wkt_to_wkb(text: str | None) -> bytes | None:
         text = text.split(";", 1)[1]
     p = _WktParser(text)
     g = p.parse()
-    return encode(g, m_flag=getattr(p, "m_only", False))
+    # m_tree carries per-part M flags for collections (nested list shape
+    # mirroring the GC parts); leaf/multi geometries get a single bool
+    return encode(g, m_flag=getattr(p, "m_tree", getattr(p, "m_only", False)))
+
+
+def _wkt_at(buf: bytes, off: int) -> tuple[str | None, int]:
+    """Render the WKB value at ``off`` as WKT, reading the dimension token
+    (Z / M / ZM) from EACH sub-geometry's own header — a collection can mix
+    M/Z/2-D parts, so stamping only the top-level token is lossy."""
+    base, _, has_z, has_m, body_off, bo = _read_header(buf, off)
+    g, new_off = _decode_at(buf, off)
+    token = ("ZM" if has_z and has_m else
+             "Z" if has_z else "M" if has_m else "")
+    if base == GEOMETRYCOLLECTION and g[1]:
+        (ng,) = struct.unpack_from(bo + "I", buf, body_off)
+        part_off = body_off + 4
+        inner = []
+        for _ in range(ng):
+            txt_p, part_off = _wkt_at(buf, part_off)
+            inner.append(txt_p)
+        tok = f" {token}" if token else ""
+        return f"GEOMETRYCOLLECTION{tok} ({', '.join(inner)})", new_off
+    txt = to_wkt(g)
+    if txt is not None and token and not txt.endswith("EMPTY"):
+        head, rest = txt.split(" ", 1)
+        txt = f"{head} {token} {rest}"
+    return txt, new_off
 
 
 def wkb_to_wkt(buf: bytes | None) -> str | None:
     """WKB → WKT with the reference's dimension token (POINT Z (…) /
-    POINT M (…) / POINT ZM (…)), read from the header flags."""
+    POINT M (…) / POINT ZM (…)), read from the header flags — per part for
+    collections."""
     if buf is None:
         return None
-    g, _ = _decode_at(bytes(buf), 0)
-    txt = to_wkt(g)
-    if txt is None or txt.endswith("EMPTY"):
-        return txt
-    _, _, has_z, has_m, _, _ = _read_header(bytes(buf), 0)
-    token = ("ZM" if has_z and has_m else
-             "Z" if has_z else "M" if has_m else "")
-    if token:
-        head, rest = txt.split(" ", 1)
-        txt = f"{head} {token} {rest}"
-    return txt
+    return _wkt_at(bytes(buf), 0)[0]

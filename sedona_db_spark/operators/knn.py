@@ -176,9 +176,16 @@ def _broadcast_brute_knn(queries: DataFrame, targets: DataFrame, k: int,
     (query row, __tidx, knn_dist); target payloads re-join JVM-side."""
     from pyspark.sql.types import StructField, StructType
 
-    targets_i = targets.withColumn("__tidx", F.monotonically_increasing_id())
-    targets_i.persist()
-    rows = targets_i.select("__tidx", tgeom, tid).collect()
+    # localCheckpoint (eager) pins the mono-id assignment: a persist() can
+    # be evicted and a recompute of a nondeterministically ordered upstream
+    # would reassign ids, attaching wrong payload rows to matches
+    targets_i = (targets.withColumn("__tidx", F.monotonically_increasing_id())
+                 .localCheckpoint(eager=True))
+    # NULL geometries can never be a nearest neighbor; drop them from the
+    # collected arrays (bytes(None) would raise) — they stay in targets_i
+    # but no match row ever references their __tidx
+    rows = (targets_i.where(F.col(tgeom).isNotNull())
+            .select("__tidx", tgeom, tid).collect())
     tidx = np.array([int(r["__tidx"]) for r in rows], dtype=np.int64)
     tx, ty = W.wkb_to_points([bytes(r[tgeom]) for r in rows])
     tids = np.array([r[tid] for r in rows])
@@ -267,12 +274,19 @@ def knn_join(
     n_t = targets.count()
 
     # geometry-kind detection: the grid path's numpy kernels require point
-    # WKBs on both sides (wkb_to_points yields NaN otherwise — the round-1
-    # silent-semantics-change ADVICE)
+    # WKBs on both sides (wkb_to_points yields NaN otherwise).  Validate the
+    # WHOLE column, not head(1) — a table whose first row is a point but
+    # that also holds polygons would silently exclude the non-point rows
+    # (round-2 ADVICE).  A 2-D point WKB is exactly POINT_WKB_SIZE bytes
+    # and no other 2-D geometry shares that length, so min==max==size is a
+    # one-aggregate whole-column proof.
     def _is_point_side(df, col):
-        head = df.select(col).head(1)
-        return bool(head and head[0][0] is not None
-                    and len(bytes(head[0][0])) == W.POINT_WKB_SIZE)
+        stats = df.agg(
+            F.count(F.col(col)).alias("n"),
+            F.min(F.length(F.col(col))).alias("lo"),
+            F.max(F.length(F.col(col))).alias("hi")).collect()[0]
+        return bool(stats["n"] and stats["lo"] == W.POINT_WKB_SIZE
+                    and stats["hi"] == W.POINT_WKB_SIZE)
 
     q_points = _is_point_side(queries, query_geom)
     t_points = _is_point_side(targets, tgeom)

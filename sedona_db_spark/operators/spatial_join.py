@@ -625,10 +625,12 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     from pyspark.sql.types import (BooleanType, LongType, StructField,
                                    StructType)
 
-    # pin a row index; persist so the mapping the driver collects and the
-    # JVM payload join read the identical id assignment
-    right_i = right.withColumn("__ridx", F.monotonically_increasing_id())
-    right_i.persist()
+    # pin a row index; localCheckpoint (eager) guarantees the mapping the
+    # driver collects and the JVM payload join read the identical id
+    # assignment — persist() is best-effort, and a cache-evicted recompute
+    # of a nondeterministically ordered upstream could reassign ids
+    right_i = (right.withColumn("__ridx", F.monotonically_increasing_id())
+               .localCheckpoint(eager=True))
     sel = ["__ridx", rgeom] + ([dist_col] if dist_col is not None else [])
     geo_rows = right_i.select(*sel).collect()
     r_wkbs = {int(r["__ridx"]): (bytes(r[rgeom]) if r[rgeom] is not None else None)

@@ -136,3 +136,40 @@ def test_knn_polygon_targets_grid_path_exact(spark):
         exp = sorted(range(len(G)),
                      key=lambda j: (K.geom_distance(P[qid], G[j]), j))[:3]
         assert lst == exp, qid
+
+
+def test_knn_mixed_geometry_targets(spark):
+    """round-2 ADVICE: a target table whose FIRST row is a point but that
+    also contains non-points must not take the point fast path (which
+    silently excluded the non-point rows)."""
+    import pandas as pd
+    from sedona_db_spark.geometry import wkb as W2
+    q = spark.createDataFrame(
+        pd.DataFrame({"id": [0], "geom": [bytes(W2.wkt_to_wkb("POINT (0 0)"))]}))
+    t = spark.createDataFrame(pd.DataFrame({
+        "id": [0, 1],
+        "geom": [bytes(W2.wkt_to_wkb("POINT (10 10)")),
+                 bytes(W2.wkt_to_wkb(
+                     "POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))"))]}))
+    rows = knn_join(q, t, 1, query_id="id", target_id="id").collect()
+    assert len(rows) == 1
+    assert rows[0]["id_t"] == 1          # the polygon contains the query
+    assert rows[0]["knn_dist"] == 0.0
+
+
+def test_knn_null_target_geometry(spark):
+    """NULL target geometries are skipped (never a nearest neighbor),
+    not a TypeError in the broadcast brute path."""
+    import pandas as pd
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+    from sedona_db_spark.geometry import wkb as W2
+    schema = StructType([StructField("id", LongType()),
+                         StructField("geom", BinaryType())])
+    q = spark.createDataFrame(
+        [(0, bytes(W2.wkt_to_wkb("POINT (0 0)")))], schema)
+    t = spark.createDataFrame(
+        [(0, None), (1, bytes(W2.wkt_to_wkb("POINT (1 1)"))),
+         (2, bytes(W2.wkt_to_wkb("POINT (5 5)")))], schema)
+    rows = knn_join(q, t, 2, query_id="id", target_id="id").collect()
+    assert sorted(r["id_t"] for r in rows) == [1, 2]

@@ -169,3 +169,39 @@ def test_makevalid_bowtie_even_odd():
     # valid input passes through untouched
     sq = g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
     assert make_valid(sq) is sq
+
+
+def test_union_all_preserves_lower_dim_parts():
+    """round-2 ADVICE: union_all folded with areal-only boolean_op and
+    silently dropped point/line members; must now return a collection
+    preserving them (GEOS semantics)."""
+    import numpy as np
+    from sedona_db_spark.geometry import overlay as O
+    from sedona_db_spark.geometry import wkb as W
+    sq = ("Polygon", [np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)])
+    pt = ("Point", np.array([5.0, 5.0]))
+    ln = ("LineString", np.array([[10, 10], [11, 11]], float))
+    u = O.union_all([pt, sq])
+    assert u[0] == "GeometryCollection"
+    assert sorted(p[0] for p in u[1]) == ["Point", "Polygon"]
+    u3 = O.union_all([pt, sq, ln])
+    assert sorted(p[0] for p in u3[1]) == ["LineString", "Point", "Polygon"]
+    # a point INSIDE the square is absorbed, not duplicated
+    u_in = O.union_all([("Point", np.array([0.5, 0.5])), sq])
+    assert u_in[0] == "Polygon"
+    # intersection: point inside square -> the point survives
+    i = O.intersection_all([("Point", np.array([0.5, 0.5])), sq])
+    assert W.to_wkt(i) == "POINT (0.5 0.5)"
+    i2 = O.intersection_all([pt, sq])
+    assert i2 == ("GeometryCollection", [])
+
+
+def test_union_agg_sql_preserves_points(spark):
+    """ST_Union_Agg over a mixed point+polygon group keeps the point."""
+    df = spark.createDataFrame(
+        [("POINT (5 5)",), ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",)], ["g"])
+    df.createOrReplaceTempView("mixed_union_src")
+    row = spark.sql(
+        "SELECT ST_AsText(ST_Union_Agg(ST_GeomFromText(g))) AS w "
+        "FROM mixed_union_src").collect()[0]
+    assert "POINT (5 5)" in row["w"] and "POLYGON" in row["w"]

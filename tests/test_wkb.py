@@ -84,3 +84,21 @@ def test_z_variants():
 def test_ewkt_srid_prefix():
     g = W.from_wkt("SRID=4326;POINT (1 2)")
     assert g[0] == "Point" and list(g[1]) == [1.0, 2.0]
+
+
+def test_mixed_zm_collection_round_trip():
+    """round-2 ADVICE: per-part Z/M tokens must survive a WKT→WKB→WKT
+    round trip for collections mixing M / Z / 2-D parts."""
+    from sedona_db_spark.geometry import wkb as W
+    t = "GEOMETRYCOLLECTION (POINT M (1 2 3), POINT Z (4 5 6), POINT (7 8))"
+    got = W.wkb_to_wkt(W.wkt_to_wkb(t))
+    assert "POINT M (1 2 3)" in got
+    assert "POINT Z (4 5 6)" in got
+    assert "POINT (7 8)" in got
+    # homogeneous Z collection stamps nested tokens too (GEOS prints both)
+    assert (W.wkb_to_wkt(W.wkt_to_wkb("GEOMETRYCOLLECTION Z (POINT Z (0 0 1))"))
+            == "GEOMETRYCOLLECTION Z (POINT Z (0 0 1))")
+    # nested collection
+    t2 = "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT M (1 2 3)), POINT (9 9))"
+    got2 = W.wkb_to_wkt(W.wkt_to_wkb(t2))
+    assert "POINT M (1 2 3)" in got2 and "POINT (9 9)" in got2
