@@ -732,6 +732,10 @@ def _oracle_fingerprint() -> str:
    THEN h - {M}::HUGEINT ELSE h END AS BIGINT) AS fingerprint FROM fp"""
 
 
+LSH_PLANES, LSH_TABLES, LSH_SEED = 3, 10, 7
+IVF_CENTROIDS, IVF_PROBE, IVF_SEED = 16, 4, 13
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from sedona_db_spark.similarity import lsh_ann_topk
     e = _t(spark, sf_dir, "embeddings")
@@ -740,14 +744,108 @@ def q_lsh_ann_topk(spark, sf_dir):
     # near-random (nearest-neighbor cosine ≈ 0.37), so selective tables
     # would have ~0 recall; measured recall@3 ≥ 0.9 at these params
     # (tests/test_similarity.py::test_lsh_recall_low_contrast)
-    return lsh_ann_topk(e, q, ANN_K, dim=64, n_planes=3, n_tables=10)
+    return lsh_ann_topk(e, q, ANN_K, dim=64, n_planes=LSH_PLANES,
+                        n_tables=LSH_TABLES, seed=LSH_SEED)
 
 
 def q_ivf_ann_topk(spark, sf_dir):
     from sedona_db_spark.similarity import ivf_ann_topk
+    from sedona_db_spark.similarity.ann import train_ivf_centroids_parquet
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 25 == 0)
-    return ivf_ann_topk(e, q, ANN_K, dim=64, n_centroids=16, n_probe=4)
+    # deterministic trainer (rows sorted by vec_id before sampling): the
+    # centroids are a pure function of (file, seed), so the DuckDB oracle
+    # can bake the SAME centroids as fixed-point literals
+    C = train_ivf_centroids_parquet(f"{sf_dir}/embeddings.parquet",
+                                    IVF_CENTROIDS, seed=IVF_SEED)
+    return ivf_ann_topk(e, q, ANN_K, dim=64, n_centroids=IVF_CENTROIDS,
+                        n_probe=IVF_PROBE, seed=IVF_SEED, centroids=C)
+
+
+def _int_list_lit(row) -> str:
+    return "[" + ", ".join(str(int(x)) for x in row) + "]"
+
+
+def _oracle_lsh_ann() -> str:
+    """DuckDB replay of the banded multi-table LSH: the seeded hyperplanes
+    are baked as fixed-point integer literals; sign bits come from
+    list_inner_product over the same 1e6-scaled integer vectors the Spark
+    UDF uses, so buckets are bit-identical (every partial sum < 2^53 —
+    exact in double).  max_bucket (100k) cannot trigger at sf0.01 (500
+    rows) and is omitted.  The baked-constants technique is
+    _oracle_sphere_line's."""
+    from sedona_db_spark.similarity.ann import hyperplanes_fixed
+    H = hyperplanes_fixed(64, LSH_PLANES, LSH_TABLES, LSH_SEED)
+    keys = []
+    for t in range(LSH_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, {_int_list_lit(H[t][p])}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(LSH_PLANES))
+        keys.append(f"{t << LSH_PLANES} + {bits}")
+    key_list = ",\n  ".join(keys)
+    return f"""
+WITH iv AS (SELECT vec_id,
+       list_transform(embedding, x ->
+         round(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE))) AS v
+     FROM embeddings),
+bk AS (SELECT vec_id, v, unnest([{key_list}]) AS bucket FROM iv),
+cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS t_id
+         FROM bk q JOIN bk t ON q.bucket = t.bucket
+         WHERE q.vec_id % 25 = 0 AND q.vec_id <> t.vec_id),
+sims AS (SELECT c.q_id, c.t_id,
+                list_inner_product(qi.v, ti.v)
+                / (sqrt(list_inner_product(qi.v, qi.v))
+                   * sqrt(list_inner_product(ti.v, ti.v))) AS cosine
+         FROM cand c JOIN iv qi ON c.q_id = qi.vec_id
+                     JOIN iv ti ON c.t_id = ti.vec_id),
+ranked AS (SELECT q_id, t_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, t_id) AS rn
+           FROM sims)
+SELECT q_id, t_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}"""
+
+
+def _oracle_ivf_ann(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replay of IVF: centroids trained by the SAME deterministic
+    parquet trainer the Spark query uses (driver gate always runs at
+    sf0.01), baked as fixed-point literals; list assignment = argmax of
+    exact integer dots with ORDER BY d DESC, j ASC tiebreak (mirrors the
+    UDF's stable argsort)."""
+    from sedona_db_spark.similarity.ann import (centroids_fixed,
+                                                train_ivf_centroids_parquet)
+    C = centroids_fixed(train_ivf_centroids_parquet(
+        f"{sf_dir}/embeddings.parquet", IVF_CENTROIDS, seed=IVF_SEED))
+    js = ", ".join(str(j) for j in range(IVF_CENTROIDS))
+    dots = ",\n    ".join(
+        f"list_inner_product(v, {_int_list_lit(C[j])})"
+        for j in range(IVF_CENTROIDS))
+    return f"""
+WITH iv AS (SELECT vec_id,
+       list_transform(embedding, x ->
+         round(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE))) AS v
+     FROM embeddings),
+d AS (SELECT vec_id, v, unnest([{js}]) AS j,
+        unnest([{dots}]) AS d
+      FROM iv),
+a AS (SELECT vec_id, v, j,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d DESC, j ASC) AS rj
+      FROM d),
+t AS (SELECT vec_id AS t_id, v AS tv, j AS list_id FROM a WHERE rj = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, j AS list_id FROM a
+      WHERE rj <= {IVF_PROBE} AND vec_id % 25 = 0),
+sims AS (SELECT q.q_id, t.t_id,
+                list_inner_product(q.qv, t.tv)
+                / (sqrt(list_inner_product(q.qv, q.qv))
+                   * sqrt(list_inner_product(t.tv, t.tv))) AS cosine
+         FROM q JOIN t ON q.list_id = t.list_id
+         WHERE q.q_id <> t.t_id),
+ranked AS (SELECT q_id, t_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, t_id) AS rn
+           FROM sims)
+SELECT q_id, t_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}"""
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -1105,7 +1203,13 @@ ORACLE_SQL = {
     "multimodal_meta": ORACLE_MULTIMODAL,
     "simhash_neardup": _oracle_simhash(),
     "doc_fingerprints": _oracle_fingerprint(),
-    # lsh_ann_topk / ivf_ann_topk: rows-only (randomized-hyperplane /
-    # sampled-k-means structure; recall >= 0.9 pytest harness in
-    # tests/test_similarity.py is their correctness evidence)
+    "lsh_ann_topk": _oracle_lsh_ann(),
 }
+
+# IVF oracle bakes centroids trained from the sf0.01 parquet (the scale the
+# driver's correctness gate always runs at); skip the entry gracefully if
+# that file is absent so module import never fails elsewhere.
+try:
+    ORACLE_SQL["ivf_ann_topk"] = _oracle_ivf_ann()
+except Exception:  # pragma: no cover - testdata always present in-sandbox
+    pass

@@ -90,16 +90,40 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
                .select("q_id", "t_id", "cosine", "rn"))
 
 
+_FIX = 1_000_000  # fixed-point scale shared with _prep_int_vecs / oracles
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero — the rounding both Spark's ``round()``
+    and DuckDB's ``round()`` use (np.rint is half-to-even and would
+    occasionally disagree with an external SQL oracle)."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def _band_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
-    """Array of ``n_tables`` bucket keys, one per independent hyperplane
-    table; key = table_idx * 2^n_planes + sign-bucket within the table."""
+def hyperplanes_fixed(dim: int, n_planes: int, n_tables: int,
+                      seed: int = 7) -> np.ndarray:
+    """The (n_tables, n_planes, dim) int64 fixed-point hyperplane tensor the
+    bucket UDF uses — exported so an external SQL oracle can bake the exact
+    same integers as literals (`list_inner_product` sign bits)."""
     H = _hyperplanes(dim, n_planes * n_tables, seed).reshape(
         n_tables, n_planes, dim)
+    return _round_half_away(H * _FIX)
+
+
+def _band_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Array of ``n_tables`` bucket keys, one per independent hyperplane
+    table; key = table_idx * 2^n_planes + sign-bucket within the table.
+
+    Sign bits come from an INTEGER-EXACT fixed-point dot (1e6-scaled
+    embeddings × 1e6-scaled hyperplanes, |sum| < 2^53): any engine that
+    reproduces the rounding gets bit-identical buckets — this is what makes
+    the LSH path SQL-oracle-able rather than rows-only."""
+    Hi = hyperplanes_fixed(dim, n_planes, n_tables, seed)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @pandas_udf(ArrayType(LongType()))
@@ -107,18 +131,37 @@ def _band_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
         if len(vec) == 0:
             return pd.Series([], dtype=object)
         M = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
-        out = np.empty((len(M), n_tables), dtype=np.int64)
+        Mi = _round_half_away(M * _FIX)
+        out = np.empty((len(Mi), n_tables), dtype=np.int64)
         for t in range(n_tables):
-            signs = (M @ H[t].T) > 0
+            signs = (Mi @ Hi[t].T) > 0
             out[:, t] = (t << n_planes) + signs @ weights
         return pd.Series([row.tolist() for row in out])
     return buckets
 
 
+MAX_BROADCAST_QUERIES = 1_000_000
+
+
+def _guard_query_count(queries: DataFrame, limit: int) -> None:
+    """The ANN joins broadcast the query side — correct for the
+    query-set ≪ corpus regime, silently wrong-shaped for 100M queries
+    (every executor would hold the full query set).  Fail loudly instead
+    (the spatial join's broadcast_threshold byte-guard precedent)."""
+    n_q = queries.count()
+    if n_q > limit:
+        raise ValueError(
+            f"ANN query side has {n_q} rows > max_broadcast_queries={limit}; "
+            f"the query set is broadcast to every executor. Batch the "
+            f"queries, swap roles, or raise max_broadcast_queries "
+            f"explicitly if the memory budget allows.")
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  dim: int, n_planes: int = 12, n_tables: int = 8,
                  seed: int = 7, max_bucket: int | None = 100_000,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 max_broadcast_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
     """Approximate top-k via banded multi-table hyperplane LSH.
 
     ``n_tables`` independent tables of ``n_planes`` hyperplanes each: a
@@ -136,6 +179,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
     broadcast; duplicate candidates from multi-table collisions dedup
     before ranking.
     """
+    _guard_query_count(queries, max_broadcast_queries)
     buckets = _band_buckets_udf(dim, n_planes, n_tables, seed)
     t = _prep_int_vecs(corpus, id_col, vec_col, "t",
                        extra={"__buckets": buckets(F.col(vec_col))})
@@ -209,6 +253,31 @@ def train_ivf_centroids(corpus: DataFrame, dim: int, n_centroids: int,
     sample = (corpus.select(vec_col).sample(False, frac, seed=seed)
               .limit(sample_cap).collect())
     M = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
+    return _kmeans_core(M, n_centroids, n_iter, seed)
+
+
+def train_ivf_centroids_parquet(path: str, n_centroids: int,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id", n_iter: int = 10,
+                                sample_cap: int = 100_000,
+                                seed: int = 13) -> np.ndarray:
+    """Fully deterministic trainer over a parquet file: rows sorted by id
+    before sampling, so the centroids are a pure function of (file, seed) —
+    independent of Spark partition/collect order.  Both the Spark query and
+    an external SQL oracle can call this and bake the SAME centroids."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    ids = np.asarray(t.column(id_col).to_pylist())
+    order = np.argsort(ids, kind="stable")
+    M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)[order]
+    if len(M) > sample_cap:
+        rng = np.random.default_rng(seed)
+        M = M[np.sort(rng.choice(len(M), size=sample_cap, replace=False))]
+    return _kmeans_core(M, n_centroids, n_iter, seed)
+
+
+def _kmeans_core(M: np.ndarray, n_centroids: int, n_iter: int,
+                 seed: int) -> np.ndarray:
     if len(M) == 0:
         raise ValueError("empty corpus sample")
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
@@ -237,15 +306,28 @@ def train_ivf_centroids(corpus: DataFrame, dim: int, n_centroids: int,
     return C
 
 
+def centroids_fixed(C: np.ndarray) -> np.ndarray:
+    """1e6-scaled int64 centroids — the exact integers both the assign UDF
+    and an external SQL oracle use for list assignment."""
+    return _round_half_away(np.asarray(C, dtype=np.float64) * _FIX)
+
+
 def _list_assign_udf(C: np.ndarray, n_probe: int = 1):
+    """Top-``n_probe`` list ids by INTEGER-EXACT fixed-point dot against the
+    (unit-norm) centroids; row normalization is a positive per-row scale so
+    it never changes the argmax order and is dropped.  Ties break on the
+    lower list id (stable sort) — mirrored by the oracle's ORDER BY d DESC,
+    j ASC."""
+    Ci = centroids_fixed(C)
+
     @pandas_udf(ArrayType(LongType()))
     def assign(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype=object)
         M = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = M @ C.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        Mi = _round_half_away(M * _FIX)
+        sims = Mi @ Ci.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype(np.int64).tolist() for row in order])
     return assign
 
@@ -253,7 +335,8 @@ def _list_assign_udf(C: np.ndarray, n_probe: int = 1):
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                  n_centroids: int = 16, n_probe: int = 4, seed: int = 13,
                  centroids: np.ndarray | None = None,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 max_broadcast_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
     """IVF approximate top-k: corpus vectors land in their nearest
     coarse-centroid list (ONE shuffle on list id); queries probe their
     ``n_probe`` nearest lists and re-rank candidates by exact fixed-point
@@ -263,6 +346,7 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     pre-trained matrix is passed — round 1 shipped seeded gaussians, which
     match no data distribution (VERDICT ANN-tier weakness)."""
     from pyspark.sql import Window
+    _guard_query_count(queries, max_broadcast_queries)
     if centroids is None:
         centroids = train_ivf_centroids(corpus, dim, n_centroids, vec_col,
                                         seed=seed)

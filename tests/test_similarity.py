@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from sedona_db_spark.similarity import (
     cosine_topk_bruteforce, lsh_ann_topk, embedding_neardup_pairs,
+    ivf_ann_topk,
 )
 from sedona_db_spark.similarity.ann import _hyperplanes
 
@@ -165,3 +166,31 @@ def test_ivf_trained_centroids_clustered(spark):
         got.setdefault(r["q_id"], set()).add(r["t_id"])
     hit = sum(len(set(exp) & got.get(qid, set())) for qid, exp in exact.items())
     assert hit / (3 * len(exact)) >= 0.95
+
+
+def test_ann_query_broadcast_guard(emb):
+    """lsh/ivf broadcast the query set; an oversized query side must fail
+    loudly instead of silently shipping it to every executor."""
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        lsh_ann_topk(emb, queries, 3, dim=64, max_broadcast_queries=1)
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        ivf_ann_topk(emb, queries, 3, dim=64, max_broadcast_queries=1)
+
+
+def test_lsh_buckets_integer_exact(spark):
+    """Bucket keys are a pure function of the fixed-point integers — the
+    property that makes the LSH path SQL-oracle-able."""
+    import numpy as np
+    from sedona_db_spark.similarity.ann import (_FIX, _round_half_away,
+                                                hyperplanes_fixed)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(8)
+    H = hyperplanes_fixed(8, 4, 2, seed=7)
+    vi = _round_half_away(v * _FIX)
+    # int64 matmul and float64 matmul agree exactly below 2^53
+    assert np.array_equal((vi @ H[0].T) > 0,
+                          (vi.astype(float) @ H[0].T.astype(float)) > 0)
+    # half-away-from-zero (Spark/DuckDB round), not numpy's half-to-even
+    assert _round_half_away(np.array([0.5, 1.5, -0.5, -1.5])).tolist() == \
+        [1, 2, -1, -2]
