@@ -1,0 +1,184 @@
+"""Raster ↔ vector lookup join — the RS_Intersects(raster, geom) shape as a
+cell join instead of a cartesian product.
+
+The reference evaluates raster-vector predicates per pair against the
+raster's hull (rs_spatial_predicates.rs:18-30); its planner still needs a
+join strategy to avoid the tile×geom cross product.  Spark-first strategy:
+
+1. tile extents are PURE JVM expressions over the raster struct's
+   geotransform (4 affine corners → least/greatest), so the probe side
+   never touches Python;
+2. each tile explodes to the grid cells covering its extent
+   (``sequence()`` over cell indices — still JVM, bounded fanout by
+   resolution choice);
+3. the vector side (the small/dimension side: admin areas, AOI polygons)
+   is collected once, its bbox covering cells become a broadcast cell
+   table — a BroadcastHashJoin on the cell key;
+4. refine: interval arithmetic for axis-aligned geometries (whole-stage
+   codegen, exact); general geometries refine via the rs_intersects
+   kernel on the *candidate pairs only*;
+5. duplicate (tile, geom) matches across shared cells are suppressed by
+   the reference-point rule — a pair is emitted only in the cell that
+   contains the intersection bbox's lower-left corner — so no
+   dropDuplicates shuffle (the classic trick from partitioned spatial
+   joins, used by the reference's partitioning layer
+   rust/sedona-spatial-join/src/partitioning/).
+
+At 100 TB of tiles this is: one JVM projection + bounded explode of the
+tile side, a broadcast join, and a codegen filter — no shuffle of the tile
+table, no Python in the axis-aligned hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from sedona_db_spark import grid
+from sedona_db_spark.geometry import kernels as K, wkb as W
+
+
+def raster_extent_cols(raster_col: str):
+    """(xmin, ymin, xmax, ymax) Columns of a raster's extent: envelope of
+    the 4 affine-transformed corners (exact for any skew)."""
+    m = F.col(raster_col + ".metadata")
+    w = m["width"].cast("double")
+    h = m["height"].cast("double")
+    ulx, uly = m["upperleft_x"], m["upperleft_y"]
+    sx, sy = m["scale_x"], m["scale_y"]
+    kx, ky = m["skew_x"], m["skew_y"]
+    xs = [ulx, ulx + w * sx, ulx + h * kx, ulx + w * sx + h * kx]
+    ys = [uly, uly + w * ky, uly + h * sy, uly + w * ky + h * sy]
+    return F.least(*xs), F.least(*ys), F.greatest(*xs), F.greatest(*ys)
+
+
+def _covering_cells_sql(x0: str, y0: str, x1: str, y1: str, res: int) -> str:
+    """SQL array of the cell ids covering a bbox given by column names —
+    the JVM twin of grid.covering_cells."""
+    n = 1 << res
+    base = res << 58
+
+    def ix(e):
+        return (f"least(greatest(cast(floor((({e}) + 180.0) "
+                f"/ cast(360 as double) * {n}) as bigint), 0), {n - 1})")
+
+    def iy(e):
+        return (f"least(greatest(cast(floor((({e}) + 90.0) "
+                f"/ cast(180 as double) * {n}) as bigint), 0), {n - 1})")
+
+    return (f"flatten(transform(sequence({ix(x0)}, {ix(x1)}), __cix -> "
+            f"transform(sequence({iy(y0)}, {iy(y1)}), __ciy -> "
+            f"cast({base} as bigint) + __cix * cast({1 << 29} as bigint) "
+            f"+ __ciy)))")
+
+
+def raster_vector_join(tiles: DataFrame, vectors: DataFrame,
+                       raster_col: str = "raster", geom_col: str = "geom",
+                       res: int | None = None) -> DataFrame:
+    """Inner join of tiles × vector geometries on RS_Intersects semantics
+    (raster extent ∩ geometry ≠ ∅).  Returns tile columns + vector columns.
+
+    The vector side is the dimension side (collected + broadcast); the
+    tile side can be arbitrarily large — it is never shuffled or
+    collected.
+    """
+    from sedona_db_spark.operators.spatial_join import _is_axis_rect
+
+    tx0, ty0, tx1, ty1 = raster_extent_cols(raster_col)
+    t = (tiles.withColumn("__tx0", tx0).withColumn("__ty0", ty0)
+              .withColumn("__tx1", tx1).withColumn("__ty1", ty1))
+
+    # pin ids so the collected geometry map and the JVM payload join see
+    # the identical assignment (localCheckpoint, not best-effort persist)
+    right_i = (vectors.withColumn("__ridx", F.monotonically_increasing_id())
+               .localCheckpoint(eager=True))
+    geo_rows = right_i.select("__ridx", geom_col).collect()
+    r_geoms = {int(r["__ridx"]):
+               (None if r[geom_col] is None else W.decode(bytes(r[geom_col])))
+               for r in geo_rows}
+    all_rect = (any(g is not None for g in r_geoms.values())
+                and all(g is None or _is_axis_rect(g) for g in r_geoms.values()))
+
+    # resolution: finest grid where a typical tile covers ≤ ~4 cells, capped
+    # so the widest vector bbox covering stays bounded
+    if res is None:
+        stats = t.select(
+            F.max(F.col("__tx1") - F.col("__tx0")).alias("w"),
+            F.max(F.col("__ty1") - F.col("__ty0")).alias("h")).collect()[0]
+        res = grid.pick_covering_res(0.0, 0.0, float(stats["w"] or 1.0),
+                                     float(stats["h"] or 1.0), max_cells=4)
+        for g in r_geoms.values():
+            if g is None:
+                continue
+            bb = K.geom_bbox(g)
+            if not np.isnan(bb[0]):
+                res = min(res, grid.pick_covering_res(*bb, max_cells=256))
+
+    cell_rows = []
+    for i, g in r_geoms.items():
+        if g is None:
+            continue
+        x0, y0, x1, y1 = K.geom_bbox(g)
+        if np.isnan(x0):
+            continue
+        for c in grid.covering_cells(x0, y0, x1, y1, res):
+            cell_rows.append((int(c), i, x0, y0, x1, y1))
+    spark = tiles.sparkSession
+    rcells = spark.createDataFrame(pd.DataFrame(
+        cell_rows, columns=["__cell", "__ridx", "__x0", "__y0", "__x1", "__y1"]))
+
+    t_cells = t.withColumn("__cell", F.explode(F.expr(
+        _covering_cells_sql("__tx0", "__ty0", "__tx1", "__ty1", res))))
+    cand = t_cells.join(F.broadcast(rcells), on="__cell")
+
+    # bbox overlap (closed intervals — RS_Intersects is boundary-inclusive)
+    overlap = ((F.col("__tx0") <= F.col("__x1"))
+               & (F.col("__x0") <= F.col("__tx1"))
+               & (F.col("__ty0") <= F.col("__y1"))
+               & (F.col("__y0") <= F.col("__ty1")))
+    # reference-point dedup: emit only in the cell holding the
+    # intersection bbox's lower-left corner
+    ref_cell = F.expr(grid.cell_expr_sql(
+        "greatest(__tx0, __x0)", "greatest(__ty0, __y0)", res))
+    matched = cand.where(overlap & (ref_cell == F.col("__cell")))
+
+    helper = ["__tx0", "__ty0", "__tx1", "__ty1",
+              "__cell", "__x0", "__y0", "__x1", "__y1"]
+    out = (matched.join(F.broadcast(right_i), on="__ridx")
+           .select(*tiles.columns, *vectors.columns,
+                   *[F.col(c) for c in ("__tx0", "__ty0", "__tx1", "__ty1")]))
+
+    if all_rect:
+        # axis-aligned vector layer: bbox overlap IS the exact predicate
+        return out.drop("__tx0", "__ty0", "__tx1", "__ty1")
+
+    # general geometries: exact refine on candidate pairs only (extent
+    # rectangle × geometry via the same kernel rs_intersects uses)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def _extent_hits(x0: pd.Series, y0: pd.Series, x1: pd.Series,
+                     y1: pd.Series, gb: pd.Series) -> pd.Series:
+        outv = np.zeros(len(gb), dtype=bool)
+        cache: dict[bytes, object] = {}
+        for i, v in enumerate(gb):
+            if v is None:
+                continue
+            raw = bytes(v)
+            geom = cache.get(raw)
+            if geom is None:
+                geom = W.decode(raw)
+                cache[raw] = geom
+            ring = np.array([[x0[i], y0[i]], [x1[i], y0[i]],
+                             [x1[i], y1[i]], [x0[i], y1[i]],
+                             [x0[i], y0[i]]])
+            outv[i] = K.geom_intersects(("Polygon", [ring]), geom)
+        return pd.Series(outv)
+
+    return (out.where(_extent_hits(F.col("__tx0"), F.col("__ty0"),
+                                   F.col("__tx1"), F.col("__ty1"),
+                                   F.col(geom_col)))
+               .drop("__tx0", "__ty0", "__tx1", "__ty1"))

@@ -118,3 +118,44 @@ def test_band_nodata_any_band(spark):
     assert r["b1"] == -9999.0 and r["b_default"] == -9999.0
     assert r["b2"] == 7.0
     assert r["b3"] is None
+
+
+def test_raster_vector_join_matches_bruteforce(spark):
+    """Covering-cell raster↔vector join == brute-force rs_intersects over
+    all pairs, for BOTH axis-rect and general polygon layers, with no
+    CartesianProduct in the plan and no duplicate pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.raster.model import make_tiles_df
+    from sedona_db_spark.raster.functions import rs_intersects
+    from sedona_db_spark.raster.join import raster_vector_join
+
+    tiles = make_tiles_df(spark, 8, 8, 4, (-120.0, 20.0, -60.0, 50.0),
+                          with_pixels=False)
+    # general layer: triangles (not axis rects) scattered over the bounds
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(12):
+        cx = float(rng.uniform(-125, -55))
+        cy = float(rng.uniform(15, 55))
+        s = float(rng.uniform(1.0, 8.0))
+        tri = np.array([[cx, cy], [cx + s, cy], [cx + s / 2, cy + s],
+                        [cx, cy]])
+        rows.append((i, bytes(W.encode(("Polygon", [tri])))))
+    geoms = spark.createDataFrame(rows, ["gid", "geom"])
+
+    got = {(r["tile_id"], r["gid"])
+           for r in raster_vector_join(tiles, geoms).collect()}
+    brute = tiles.crossJoin(F.broadcast(geoms)).where(
+        rs_intersects(F.col("raster"), F.col("geom")))
+    exp = {(r["tile_id"], r["gid"]) for r in brute.collect()}
+    assert got == exp
+    # no duplicate pairs (reference-point dedup, not dropDuplicates)
+    all_rows = [(r["tile_id"], r["gid"])
+                for r in raster_vector_join(tiles, geoms).collect()]
+    assert len(all_rows) == len(set(all_rows))
+    plan = (raster_vector_join(tiles, geoms)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
