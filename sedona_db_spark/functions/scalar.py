@@ -536,21 +536,35 @@ def st_flipcoordinates(b: pd.Series) -> pd.Series:
                       for g in _decode_series(b)])
 
 
-@pandas_udf(BinaryType())
-def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+def _st_translate_impl(*cols):
+    """ST_Translate(geom, dx, dy[, dz]) — variadic so ONE SQL registration
+    serves both arities (Spark UDFs cannot overload by name).  NULL in any
+    offset propagates to NULL (reference test_transforms.py rows); dz only
+    moves a true Z column (M stays fixed, 2-D geometries ignore dz)."""
+    b, dx, dy = cols[0], cols[1], cols[2]
+    dz = cols[3] if len(cols) > 3 else None
     out = []
-    for v, g, tx, ty in zip(b, _decode_series(b), dx, dy):
-        if g is None:
+    zs = dz if dz is not None else [None] * len(b)
+    for v, g, tx, ty, tz in zip(b, _decode_series(b), dx, dy, zs):
+        if (g is None or pd.isna(tx) or pd.isna(ty)
+                or (dz is not None and pd.isna(tz))):
             out.append(None)
             continue
-        def mv(arr, tx=float(tx), ty=float(ty)):
+        _, _, has_z, has_m, _, _ = W._read_header(bytes(v), 0)
+        tzv = float(tz) if (dz is not None and has_z) else None
+
+        def mv(arr, tx=float(tx), ty=float(ty), tzv=tzv):
             o = arr.copy()
             o[:, 0] += tx
             o[:, 1] += ty
+            if tzv is not None and o.shape[1] > 2:
+                o[:, 2] += tzv
             return o
-        out.append(W.encode(_map_coords(g, mv),
-                            m_flag=W._read_header(bytes(v), 0)[3]))
+        out.append(W.encode(_map_coords(g, mv), m_flag=has_m))
     return pd.Series(out)
+
+
+st_translate = pandas_udf(_st_translate_impl, BinaryType())
 
 
 @pandas_udf(BinaryType())

@@ -343,21 +343,29 @@ def sd_order(b: pd.Series) -> pd.Series:
     coordinate.  The reference uses the S2 cell id of the first lnglat
     point (sd_order_lnglat.rs:32-60) — S2 positions are Hilbert positions
     on each cube face, so this matches its locality property exactly
-    (round 1 used row-major cells, which jump at every row boundary)."""
+    (round 1 used row-major cells, which jump at every row boundary).
+
+    Ordering contract from the reference's test_order.py: real geometries
+    sort by spatial key, EMPTY after every real geometry, NULL last —
+    EMPTY gets a past-the-curve sentinel and NULL stays SQL NULL (sort
+    with NULLS LAST, the reference engine's ASC default)."""
     xs = np.full(len(b), np.nan)
     ys = np.full(len(b), np.nan)
+    is_null = np.zeros(len(b), dtype=bool)
     for i, g in enumerate(_decode_series(b)):
         if g is None:
+            is_null[i] = True
             continue
         c = K._all_coords(g)
         if c is None or not len(c):
             continue
         xs[i], ys[i] = float(c[0, 0]), float(c[0, 1])
     ok = ~np.isnan(xs)
-    out = np.zeros(len(b), dtype=np.int64)
+    keys = np.full(len(b), np.int64(1) << 62)  # EMPTY sentinel
     if ok.any():
-        out[ok] = grid.hilbert_ids(xs[ok], ys[ok], 15)
-    return pd.Series(out)
+        keys[ok] = grid.hilbert_ids(xs[ok], ys[ok], 15)
+    return pd.Series([None if is_null[i] else int(keys[i])
+                      for i in range(len(b))], dtype=object)
 
 
 @pandas_udf(BinaryType())
