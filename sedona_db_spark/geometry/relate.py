@@ -71,10 +71,26 @@ def _dim_char(d: int) -> str:
     return "F" if d < 0 else str(d)
 
 
+def _gc_effective(g):
+    """GEOS relates a GeometryCollection via the union of its components
+    (mod-2 boundary semantics): a point coincident with a line absorbs into
+    the line, overlapping lines merge, etc.  Our mixed-dimension overlay
+    union IS that operation, so normalize GC operands through it
+    (reference c/sedona-geos/src/st_relate.rs computes the same via GEOS)."""
+    if g is None or g[0] != "GeometryCollection":
+        return g
+    from sedona_db_spark.geometry.overlay import union_all, _parts_of
+    parts = _parts_of(g)
+    if not parts:
+        return g
+    return union_all(parts)
+
+
 def relate_matrix(a, b) -> str:
     """9-char DE-9IM string for (a, b)."""
     if a is None or b is None:
         return "FFFFFFFF2"
+    a, b = _gc_effective(a), _gc_effective(b)
     da, db = K._dim_of(a), K._dim_of(b)
 
     out = {}

@@ -212,6 +212,94 @@ def geog_contains(g1, g2) -> bool:
     return True
 
 
+def _arcs_cross_vec(p: np.ndarray, q: np.ndarray, a: np.ndarray,
+                    b: np.ndarray) -> np.ndarray:
+    """Vectorized arcs_cross: does the minor arc p[i]→q cross arc a→b, for
+    every row of p (n, 3)?  Coplanar rows fall back to the scalar kernel."""
+    n1 = np.cross(p, q[None, :])
+    n2 = np.cross(a, b)
+    t = np.cross(n1, n2[None, :])
+    tl = np.linalg.norm(t, axis=1)
+    out = np.zeros(len(p), dtype=bool)
+    ok = tl >= 1e-15
+    if ok.any():
+        tn = t[ok] / tl[ok][:, None]
+        n1k, pk = n1[ok], p[ok]
+        ta1 = np.cross(n1k, pk)           # tangent at p toward q
+        tb1 = np.cross(q[None, :], n1k)   # tangent at q toward p
+        ta2 = np.cross(n2, a)
+        tb2 = np.cross(b, n2)
+        hit = np.zeros(len(tn), dtype=bool)
+        for c in (tn, -tn):
+            on1 = (np.sum(c * ta1, axis=1) >= -1e-15) \
+                & (np.sum(c * tb1, axis=1) >= -1e-15)
+            on2 = (c @ ta2 >= -1e-15) & (c @ tb2 >= -1e-15)
+            hit |= on1 & on2
+        out[ok] = hit
+    if (~ok).any():
+        idx = np.flatnonzero(~ok)
+        for i in idx:
+            out[i] = arcs_cross(p[i], q, a, b)
+    return out
+
+
+def points_in_spherical_polygon(p: np.ndarray, rings: list) -> np.ndarray:
+    """Vectorized point-in-spherical-polygon over unit vectors p (n, 3):
+    crossing parity along the arc to each ring's outside reference point
+    (antipode of the ring centroid — see point_in_spherical_ring)."""
+    def ring_parity(ring_v: np.ndarray) -> np.ndarray:
+        a = ring_v
+        b = np.roll(ring_v, -1, axis=0)
+        q = -_norm(ring_v.sum(axis=0))
+        crossings = np.zeros(len(p), dtype=np.int64)
+        for i in range(len(a)):
+            crossings += _arcs_cross_vec(p, q, a[i], b[i])
+        parity = crossings % 2 == 1
+        # p coinciding with the reference point is outside by construction
+        parity[arc_angle(p, q[None, :]) < 1e-12] = False
+        return parity
+
+    if not rings:
+        return np.zeros(len(p), dtype=bool)
+    inside = ring_parity(_ring_vecs(rings[0]))
+    for h in rings[1:]:
+        inside &= ~ring_parity(_ring_vecs(h))
+    return inside
+
+
+def points_to_geog_distance_m(px: np.ndarray, py: np.ndarray, g) -> np.ndarray:
+    """Great-circle distance (m) from each lon/lat point to geometry g —
+    vectorized over the points (the broadcast spherical join's refine
+    kernel: arcs loop per edge, containment via the vectorized parity)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    p = unit_vecs(px, py)
+    n = len(p)
+    if g is None:
+        return np.full(n, np.nan)
+    name = g[0]
+    if name in ("Point", "MultiPoint"):
+        v = _geom_points(g)
+        if v is None or not len(v):
+            return np.full(n, np.nan)
+        best = np.full(n, np.inf)
+        for q in v:
+            best = np.minimum(best, arc_angle(p, q[None, :]))
+        return EARTH_RADIUS_M * best
+    best = np.full(n, np.inf)
+    for a, b in _geom_arcs(g):
+        best = np.minimum(best, point_arc_dist_m(p, a, b))
+    if name == "Polygon":
+        best[points_in_spherical_polygon(p, g[1])] = 0.0
+    elif name == "MultiPolygon":
+        for rings in g[1]:
+            best[points_in_spherical_polygon(p, rings)] = 0.0
+    elif name == "GeometryCollection":
+        for part in g[1]:
+            best = np.minimum(best, points_to_geog_distance_m(px, py, part))
+    return np.where(np.isfinite(best), best, np.nan)
+
+
 def geog_distance_m(g1, g2) -> float:
     """Great-circle distance in meters between geometries (0 if they
     intersect under spherical semantics)."""

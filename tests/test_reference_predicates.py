@@ -55,13 +55,8 @@ def _collect_cases():
             if len(rows[0]) < 3:
                 continue
             for row in rows:
-                # GEOS's mixed-GeometryCollection relate semantics (mod-2
-                # boundary of the union) are the documented-partial tier of
-                # our ST_Relate (FUNCTIONS.md); skip only those rows
-                if pred in ("relate", "relate_pattern") and any(
-                        isinstance(v, str) and "GEOMETRYCOLLECTION" in v
-                        for v in row):
-                    continue
+                # round 3: GC operands normalize through the mixed-union
+                # (mod-2 boundary) before relate — no exclusions left
                 cases.append((pred,) + tuple(row))
     assert len(cases) >= 100, f"harvested only {len(cases)} cases"
     return cases

@@ -7,6 +7,7 @@ import pytest
 from sedona_db_spark.geometry import sphere as S
 from sedona_db_spark.geometry import wkb as W
 from sedona_db_spark.geometry.algos import EARTH_RADIUS_M, haversine_m
+from sedona_db_spark.operators import spatial_join
 
 
 def g(wkt):
@@ -106,3 +107,125 @@ def test_sphere_sql_surface(spark):
         " ST_GeomFromText('LINESTRING (0 80, 180 80)'), 600000.0) AS w"
     ).collect()[0]
     assert r["x"] is True and r["c"] is True and r["w"] is True
+
+
+# ---------------------------------------------------------------------------
+# round-3: spherical joins beyond point×point (VERDICT #4)
+# ---------------------------------------------------------------------------
+
+def _brute_pairs_sphere(qrows, trows, pred, d=None):
+    import numpy as np
+    from sedona_db_spark.geometry import sphere as SPH
+    from sedona_db_spark.geometry import wkb as W
+    out = set()
+    for qi, qb in qrows:
+        g1 = W.decode(bytes(qb))
+        for ti, tb in trows:
+            g2 = W.decode(bytes(tb))
+            if pred == "dwithin_sphere":
+                if SPH.geog_distance_m(g1, g2) <= d:
+                    out.add((qi, ti))
+            else:
+                if SPH.geog_intersects(g1, g2):
+                    out.add((qi, ti))
+    return out
+
+
+def _mk_df(spark, rows):
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+    schema = StructType([StructField("id", LongType()),
+                         StructField("geom", BinaryType())])
+    return spark.createDataFrame([(i, bytes(b)) for i, b in rows], schema)
+
+
+def _sphere_fixture():
+    """Points + lines + polygons spread over mid/high latitudes (bulge
+    matters there)."""
+    import numpy as np
+    from sedona_db_spark.geometry import wkb as W
+    rng = np.random.default_rng(5)
+    pts = []
+    for i in range(60):
+        lon = float(rng.uniform(-170, 170))
+        lat = float(rng.uniform(-75, 75))
+        pts.append((i, W.encode(("Point", np.array([lon, lat])))))
+    polys = []
+    for i in range(8):
+        cx = float(rng.uniform(-150, 150))
+        cy = float(rng.uniform(-60, 60))
+        w = float(rng.uniform(5, 25))
+        h = float(rng.uniform(5, 15))
+        ring = np.array([[cx, cy], [cx + w, cy], [cx + w, cy + h],
+                         [cx, cy + h], [cx, cy]])
+        polys.append((i, W.encode(("Polygon", [ring]))))
+    lines = []
+    for i in range(6):
+        x0 = float(rng.uniform(-150, 100))
+        y0 = float(rng.uniform(-60, 60))
+        x1 = x0 + float(rng.uniform(10, 50))
+        y1 = float(rng.uniform(-60, 60))
+        lines.append((i, W.encode(("LineString",
+                                   np.array([[x0, y0], [x1, y1]])))))
+    return pts, lines, polys
+
+
+@pytest.mark.parametrize("targets_kind", ["lines", "polys"])
+def test_dwithin_sphere_points_x_nonpoint_broadcast(spark, targets_kind):
+    """Point probes × line/polygon build side, broadcast path, vs brute
+    force over geog_distance_m."""
+    pts, lines, polys = _sphere_fixture()
+    targets = lines if targets_kind == "lines" else polys
+    D = 500_000.0  # 500 km
+    got = {(r["id"], r["id_r"]) for r in spatial_join(
+        _mk_df(spark, pts), _mk_df(spark, targets),
+        predicate="dwithin_sphere", distance=D).collect()}
+    assert got == _brute_pairs_sphere(pts, targets, "dwithin_sphere", D)
+
+
+def test_dwithin_sphere_polygon_probe_generic_path(spark):
+    """Non-point PROBE side (polygons × lines) routes through the generic
+    cell join; pairs match brute force and are emitted exactly once."""
+    _, lines, polys = _sphere_fixture()
+    D = 300_000.0
+    rows = spatial_join(
+        _mk_df(spark, polys), _mk_df(spark, lines),
+        predicate="dwithin_sphere", distance=D,
+        broadcast_threshold=0).collect()   # force the generic path
+    got = [(r["id"], r["id_r"]) for r in rows]
+    assert len(got) == len(set(got))
+    assert set(got) == _brute_pairs_sphere(polys, lines, "dwithin_sphere", D)
+
+
+def test_intersects_sphere_join(spark):
+    """intersects_sphere: point probes × polygons (broadcast) and
+    line probes × polygons (generic) vs brute geog_intersects."""
+    pts, lines, polys = _sphere_fixture()
+    got = {(r["id"], r["id_r"]) for r in spatial_join(
+        _mk_df(spark, pts), _mk_df(spark, polys),
+        predicate="intersects_sphere").collect()}
+    assert got == _brute_pairs_sphere(pts, polys, "intersects_sphere")
+
+    rows = spatial_join(
+        _mk_df(spark, lines), _mk_df(spark, polys),
+        predicate="intersects_sphere", broadcast_threshold=0).collect()
+    got2 = [(r["id"], r["id_r"]) for r in rows]
+    assert len(got2) == len(set(got2))
+    assert set(got2) == _brute_pairs_sphere(lines, polys, "intersects_sphere")
+
+
+def test_points_to_geog_distance_matches_scalar():
+    """Vectorized refine kernel == the scalar geog_distance_m."""
+    import numpy as np
+    from sedona_db_spark.geometry import sphere as SPH
+    from sedona_db_spark.geometry import wkb as W
+    pts, lines, polys = _sphere_fixture()
+    px = np.array([W.decode(bytes(b))[1][0] for _, b in pts])
+    py = np.array([W.decode(bytes(b))[1][1] for _, b in pts])
+    for _, gb in lines + polys:
+        g = W.decode(bytes(gb))
+        vec = SPH.points_to_geog_distance_m(px, py, g)
+        for i in range(0, len(px), 7):
+            exact = SPH.geog_distance_m(
+                ("Point", np.array([px[i], py[i]])), g)
+            assert vec[i] == pytest.approx(exact, abs=1e-6, rel=1e-9)

@@ -25,13 +25,13 @@ NOTES = {
     "st_setcrs": "same mechanism as ST_SetSRID",
     "st_crs": "EPSG:<srid> from EWKB, else engine default OGC:CRS84",
     "st_distancesphere": "IUGG mean sphere: point×point haversine fast path; any other combo via great-circle kernels (point→arc cross-track, arc×arc)",
-    "st_relate": "DE-9IM for all Point/Line/Polygon combos (golden-tested); exotic collection mixes unverified",
     "st_polygonize": "reference single-geometry signature, GEOMETRYCOLLECTION output (merge-connected-rings tier; full planar noding of crossing edge soups is GEOS territory)",
     "st_polygonize_agg": "via ST_Collect_Agg + ST_Polygonize",
 }
 
 # names that carry an explanatory note but are FULL tier (round-2 upgrades)
 FULL_NOTES = {
+    "st_relate": "DE-9IM for all combos incl. GeometryCollection operands (normalized via the mixed-dimension mod-2 union, GEOS semantics; full reference module replayed)",
     "st_union": "slab overlay + boundary dissolve to minimal-vertex rings (round 2; degenerate inputs fall back to the region-exact tiling)",
     "st_unaryunion": "same dissolve-to-minimal-rings overlay tier",
     "st_difference": "slab overlay + boundary dissolve to minimal-vertex rings (round 2)",
