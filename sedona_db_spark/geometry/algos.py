@@ -469,6 +469,7 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
 _CRS_ALIASES = {
     "EPSG:4326": "4326", "OGC:CRS84": "4326", "CRS84": "4326", "4326": "4326",
     "EPSG:3857": "3857", "3857": "3857",
+    "ESRI:54008": "54008",
 }
 
 
@@ -486,7 +487,8 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
 
     Supported: EPSG:4326/OGC:CRS84, EPSG:3857 (spherical Web-Mercator),
     EPSG:326zz/327zz (UTM, ellipsoidal Transverse Mercator), EPSG:2154
-    (Lambert-93), EPSG:3978 (Canada Atlas LCC), EPSG:5070 (CONUS Albers) —
+    (Lambert-93), EPSG:3978 (Canada Atlas LCC), EPSG:5070 (CONUS Albers),
+    EPSG:3413/3031 (polar stereographic N/S), 54008 (sinusoidal) —
     all published Snyder closed forms in geometry/proj.py.  The reference
     supports any CRS via PROJ (c/sedona-proj/src/st_transform.rs:41)."""
     from sedona_db_spark.geometry import proj as P
@@ -506,7 +508,7 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
         if pr is None:
             raise ValueError(
                 f"unsupported CRS {src} (built-in: 4326/CRS84, 3857, "
-                f"326zz/327zz UTM, 2154, 3978, 5070)")
+                f"326zz/327zz UTM, 2154, 3978, 5070, 3413, 3031, 54008)")
         lon, lat = pr[1](arr[:, 0], arr[:, 1])
     # leg 2: lon/lat → dst
     if d == "4326":
@@ -519,7 +521,7 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
         if pr is None:
             raise ValueError(
                 f"unsupported CRS {dst} (built-in: 4326/CRS84, 3857, "
-                f"326zz/327zz UTM, 2154, 3978, 5070)")
+                f"326zz/327zz UTM, 2154, 3978, 5070, 3413, 3031, 54008)")
         x, y = pr[0](lon, lat)
     out[:, 0], out[:, 1] = x, y
     return out

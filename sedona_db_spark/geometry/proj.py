@@ -214,6 +214,85 @@ def albers_inv(x, y, lon0, lat0, sp1, sp2, fe, fn, ell: Ellipsoid = GRS80):
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic, variant B (Snyder 21-30..21-35 / EPSG method 9829)
+# ---------------------------------------------------------------------------
+
+def _ps_consts(ell: Ellipsoid, lat_ts_abs: float) -> tuple[float, float]:
+    pF = math.radians(lat_ts_abs)
+    mF = math.cos(pF) / math.sqrt(1 - ell.e2 * math.sin(pF) ** 2)
+    tF = float(_lcc_t(ell, np.array([pF]))[0])
+    return mF, tF
+
+
+def ps_fwd(lon, lat, lon0: float, lat_ts: float, fe: float, fn: float,
+           ell: Ellipsoid = WGS84):
+    """Polar stereographic forward; ``lat_ts`` < 0 selects the south
+    aspect (the south case is the north case under φ → −φ with the
+    northing mirrored)."""
+    south = lat_ts < 0
+    mF, tF = _ps_consts(ell, abs(lat_ts))
+    phi = np.radians(np.negative(lat) if south else np.asarray(lat, float))
+    t = _lcc_t(ell, phi)
+    rho = ell.a * mF * t / tF
+    th = np.radians(np.asarray(lon, float)) - math.radians(lon0)
+    x = fe + rho * np.sin(th)
+    y = fn + rho * np.cos(th) if south else fn - rho * np.cos(th)
+    return x, y
+
+
+def ps_inv(x, y, lon0: float, lat_ts: float, fe: float, fn: float,
+           ell: Ellipsoid = WGS84):
+    south = lat_ts < 0
+    mF, tF = _ps_consts(ell, abs(lat_ts))
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    rho = np.hypot(xp, yp)
+    t = rho * tF / (ell.a * mF)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - ell.e * sp) / (1 + ell.e * sp)) ** (ell.e / 2))
+    lam = math.radians(lon0) + (np.arctan2(xp, yp) if south
+                                else np.arctan2(xp, -yp))
+    if south:
+        phi = -phi
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal, ellipsoidal (Snyder 30-8, 30-9): equal-area pseudocylindrical
+# ---------------------------------------------------------------------------
+
+def sinu_fwd(lon, lat, lon0: float, fe: float, fn: float,
+             ell: Ellipsoid = WGS84):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi, dlam)
+    dlam = np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam)
+    x = ell.a * dlam * np.cos(phi) / np.sqrt(1 - ell.e2 * np.sin(phi) ** 2)
+    return x + fe, _merid_arc(ell, phi) + fn
+
+
+def sinu_inv(x, y, lon0: float, fe: float, fn: float,
+             ell: Ellipsoid = WGS84):
+    e2 = ell.e2
+    M = np.asarray(y, dtype=np.float64) - fn
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu = M / (ell.a * (1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256))
+    phi = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+           + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+           + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+           + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+    cosp = np.cos(phi)
+    lam = np.where(
+        np.abs(cosp) < 1e-12, math.radians(lon0),
+        math.radians(lon0) + (np.asarray(x, dtype=np.float64) - fe)
+        * np.sqrt(1 - e2 * np.sin(phi) ** 2) / (ell.a * np.maximum(cosp, 1e-300)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # EPSG registry: code → (fwd, inv) lon/lat ↔ projected
 # ---------------------------------------------------------------------------
 
@@ -245,6 +324,15 @@ _NAMED = {
                                          0.0, 0.0, GRS80),
              lambda x, y: albers_inv(x, y, -96.0, 23.0, 29.5, 45.5,
                                      0.0, 0.0, GRS80)),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North (lat_ts 70, lon0 -45)
+    "3413": (lambda lon, lat: ps_fwd(lon, lat, -45.0, 70.0, 0.0, 0.0, WGS84),
+             lambda x, y: ps_inv(x, y, -45.0, 70.0, 0.0, 0.0, WGS84)),
+    # WGS84 / Antarctic Polar Stereographic (lat_ts -71, lon0 0)
+    "3031": (lambda lon, lat: ps_fwd(lon, lat, 0.0, -71.0, 0.0, 0.0, WGS84),
+             lambda x, y: ps_inv(x, y, 0.0, -71.0, 0.0, 0.0, WGS84)),
+    # World Sinusoidal (ESRI:54008), WGS84 ellipsoid, lon0 0
+    "54008": (lambda lon, lat: sinu_fwd(lon, lat, 0.0, 0.0, 0.0, WGS84),
+              lambda x, y: sinu_inv(x, y, 0.0, 0.0, 0.0, WGS84)),
 }
 
 

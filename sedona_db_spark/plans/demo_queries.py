@@ -949,6 +949,54 @@ def _oracle_transform_utm() -> str:
  FROM k""")
 
 
+def q_transform_polar(spark, sf_dir):
+    """Polar stereographic tier (round-3 ST_Transform widening): northern
+    docs project to EPSG:3413 (NSIDC north, lat_ts 70, lon0 -45), southern
+    to EPSG:3031 (Antarctic, lat_ts -71) — per-row CRS like the UTM query."""
+    from sedona_db_spark.functions.scalar import st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir)
+    dst = F.when(F.col("lat") >= 0,
+                 F.lit("EPSG:3413")).otherwise(F.lit("EPSG:3031"))
+    t = st_transform(F.col("geom"), F.lit("EPSG:4326"), dst)
+    return d.select(
+        "doc_id",
+        F.floor(st_x(t)).cast("long").alias("x_m"),
+        F.floor(st_y(t)).cast("long").alias("y_m"))
+
+
+def _oracle_transform_polar() -> str:
+    """Polar stereographic variant B (EPSG 9829, verified bit-exact against
+    the EPSG guidance-note worked example) in SQL, constants baked from the
+    same python doubles; floor-to-meter absorbs libm ulps (the
+    _oracle_transform_utm pattern)."""
+    from sedona_db_spark.geometry.proj import WGS84, _ps_consts
+    a, e = WGS84.a, WGS84.e
+    mFn, tFn = _ps_consts(WGS84, 70.0)
+    mFs, tFs = _ps_consts(WGS84, 71.0)
+    t_n = (f"(tan(pi() / 4 - phi / 2) / pow((1 - {e!r} * sin(phi))"
+           f" / (1 + {e!r} * sin(phi)), {e / 2!r}))")
+    t_s = (f"(tan(pi() / 4 + phi / 2) * pow((1 - {e!r} * sin(phi))"
+           f" / (1 + {e!r} * sin(phi)), {e / 2!r}))")
+    # CAST: two bare decimal literals multiply in DECIMAL (overflow), and
+    # python's a * mF is one double multiply the SQL must reproduce exactly
+    rho_n = (f"(CAST({a!r} AS DOUBLE) * CAST({mFn!r} AS DOUBLE)"
+             f" * {t_n} / {tFn!r})")
+    rho_s = (f"(CAST({a!r} AS DOUBLE) * CAST({mFs!r} AS DOUBLE)"
+             f" * {t_s} / {tFs!r})")
+    th_n = "(lam - radians(-45.0))"
+    return (
+        _docs_cte() + f""",
+ g AS (SELECT doc_id, lat, radians(lat) AS phi, radians(lon) AS lam
+       FROM docs)
+ SELECT doc_id,
+   CAST(floor(CASE WHEN lat >= 0 THEN {rho_n} * sin({th_n})
+        ELSE {rho_s} * sin(lam) END) AS BIGINT) AS x_m,
+   CAST(floor(CASE WHEN lat >= 0 THEN -({rho_n} * cos({th_n}))
+        ELSE {rho_s} * cos(lam) END) AS BIGINT) AS y_m
+ FROM g""")
+
+
 # great-circle arc for the point→arc distance query (NYC → London)
 ARC_WKT = "LINESTRING (-74 40.7, -0.12 51.5)"
 
@@ -1237,6 +1285,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "transform_3857": q_transform_3857,
     "transform_utm": q_transform_utm,
+    "transform_polar": q_transform_polar,
     "azimuth_to_city": q_azimuth_to_city,
     "sphere_distances": q_sphere_distances,
     "sphere_line_distance": q_sphere_line_distance,
@@ -1276,6 +1325,7 @@ ORACLE_SQL = {
     "ann_topk": ORACLE_ANN,
     "transform_3857": ORACLE_TRANSFORM,
     "transform_utm": _oracle_transform_utm(),
+    "transform_polar": _oracle_transform_polar(),
     "azimuth_to_city": ORACLE_AZIMUTH,
     "sphere_distances": ORACLE_SPHERE,
     "sphere_line_distance": _oracle_sphere_line(),

@@ -134,3 +134,65 @@ def test_st_transform_sql_utm(spark):
     ).collect()
     assert abs(rows[0]["x"] - 500_000.0) < 1e-6
     assert abs(rows[0]["y"]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# round-3: polar stereographic (EPSG 3413/3031) + sinusoidal (54008)
+# ---------------------------------------------------------------------------
+
+def test_polar_stereographic_epsg_worked_example():
+    """EPSG guidance note 7-2, method 9829 variant B worked example
+    (Australian Antarctic Polar Stereographic): lat_ts -71, lon0 70E,
+    FE = FN = 6000000; (120E, 75S) -> E 7255380.79, N 7053389.56."""
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    x, y = P.ps_fwd(np.array([120.0]), np.array([-75.0]), 70.0, -71.0,
+                    6_000_000.0, 6_000_000.0)
+    assert x[0] == pytest.approx(7255380.79, abs=0.01)
+    assert y[0] == pytest.approx(7053389.56, abs=0.01)
+    lon, lat = P.ps_inv(np.array([7255380.79]), np.array([7053389.56]),
+                        70.0, -71.0, 6_000_000.0, 6_000_000.0)
+    assert lon[0] == pytest.approx(120.0, abs=1e-6)
+    assert lat[0] == pytest.approx(-75.0, abs=1e-6)
+
+
+@pytest.mark.parametrize("code,lat_rng", [
+    ("3413", (45.0, 89.9)), ("3031", (-89.9, -45.0)), ("54008", (-89.0, 89.0)),
+])
+def test_new_projection_round_trips(code, lat_rng):
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    fwd, inv = P.projection_for(code)
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-179.0, 179.0, 500)
+    lat = rng.uniform(*lat_rng, 500)
+    x, y = fwd(lon, lat)
+    lon2, lat2 = inv(x, y)
+    assert np.abs(((lon2 - lon + 180) % 360) - 180).max() < 1e-6
+    assert np.abs(lat2 - lat).max() < 1e-7
+
+
+def test_sinusoidal_is_equal_area():
+    """Sinusoidal preserves area: a 1x1 deg cell at 60N projects to about
+    cos(60) ~ half the equatorial cell's width, same height."""
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    fwd, _ = P.projection_for("54008")
+    (x0,), (y0,) = fwd(np.array([10.0]), np.array([60.0]))
+    (x1,), (y1,) = fwd(np.array([11.0]), np.array([60.0]))
+    (xe0,), _ = fwd(np.array([10.0]), np.array([0.0]))
+    (xe1,), _ = fwd(np.array([11.0]), np.array([0.0]))
+    import math
+    from sedona_db_spark.geometry.proj import WGS84
+    # exact ellipsoidal width ratio: cos φ / sqrt(1 − e² sin²φ)
+    exp = 0.5 / math.sqrt(1 - WGS84.e2 * math.sin(math.radians(60.0)) ** 2)
+    assert (x1 - x0) / (xe1 - xe0) == pytest.approx(exp, rel=1e-9)
+
+
+def test_transform_sql_polar(spark):
+    """ST_Transform through the SQL surface for the new codes."""
+    r = spark.sql(
+        "SELECT ST_AsText(ST_Transform(ST_Transform(ST_Point(-45.0, 70.0),"
+        " 'EPSG:4326', 'EPSG:3413'), 'EPSG:3413', 'EPSG:4326')) AS w"
+    ).collect()[0]["w"]
+    assert "POINT (-45" in r and "70" in r

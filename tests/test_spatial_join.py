@@ -367,10 +367,18 @@ def test_dwithin_sphere_vs_haversine_brute(spark):
     assert {r["city_id"] for r in j.collect()} == {0}
 
 
-def test_dwithin_sphere_rejects_non_points(spark, data):
-    pdf, gdf, _, _ = data
-    with pytest.raises(NotImplementedError):
-        spatial_join(pdf, gdf, "dwithin_sphere", distance=1000.0)
+def test_dwithin_sphere_accepts_non_points(spark, data):
+    """round 3: the sphere join takes any build geometry (was a
+    NotImplementedError guard in round 2); result matches the brute
+    spherical distance (tests/test_sphere.py covers the full matrix)."""
+    from sedona_db_spark.geometry import sphere as SPH
+    pdf, gdf, P, G = data
+    D = 300_000.0
+    got = {(r["id"], r["id_r"]) for r in spatial_join(
+        pdf, gdf, "dwithin_sphere", distance=D).collect()}
+    exp = {(i, j) for i, p in enumerate(P) for j, g in enumerate(G)
+           if SPH.geog_distance_m(p, g) <= D}
+    assert got == exp
 
 
 def test_dwithin_probe_side_distance(spark, data):
