@@ -24,6 +24,7 @@ def register_functions(spark: SparkSession) -> None:
     aliases = {
         "ST_GeomFromEWKT": UDFS["ST_GeomFromText"],
         "ST_GeogFromWKT": UDFS["ST_GeomFromText"],
+        "ST_GeogFromText": UDFS["ST_GeomFromText"],
         "ST_GeomFromEWKB": UDFS["ST_GeomFromWKB"],
         "ST_GeogFromWKB": UDFS["ST_GeomFromWKB"],
         "ST_GeogPoint": UDFS["ST_Point"],

@@ -99,23 +99,60 @@ def _pairwise_bool(s1: pd.Series, s2: pd.Series, fn, point_left_fn=None) -> pd.S
 # constructors / parsers / formatters
 # ---------------------------------------------------------------------------
 
-@pandas_udf(BinaryType())
-def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
-    wkbs = W.points_to_wkb(x.to_numpy(dtype=np.float64), y.to_numpy(dtype=np.float64))
+def _attach_srid(wkb: bytes, srid: int) -> bytes:
+    """EWKB-wrap with an SRID, preserving Z/M dims (callers handle NULL
+    propagation: a NULL srid yields NULL geometry, reference
+    test_st_setsrid_null_srid)."""
+    return W.set_srid(bytes(wkb), int(srid))
+
+
+def _st_point_impl(*cols):
+    """ST_Point(x, y[, srid]) — variadic for the SRID overload; a NULL
+    srid yields NULL (SQL NULL propagation, reference semantics)."""
+    x, y = cols[0], cols[1]
+    srid = cols[2] if len(cols) > 2 else None
+    wkbs = W.points_to_wkb(x.to_numpy(dtype=np.float64),
+                           y.to_numpy(dtype=np.float64))
     res = pd.Series(wkbs)
     res[x.isna() | y.isna()] = None
+    if srid is not None:
+        out = []
+        for v, s in zip(res, srid):
+            if v is None or s is None or (isinstance(s, float) and np.isnan(s)):
+                out.append(None)
+            else:
+                out.append(_attach_srid(v, int(float(s))))
+        return pd.Series(out)
     return res
 
 
-@pandas_udf(BinaryType())
-def st_geomfromtext(t: pd.Series) -> pd.Series:
-    return t.map(lambda v: None if v is None else W.wkt_to_wkb(v))
+st_point = pandas_udf(_st_point_impl, BinaryType())
+
+
+def _st_geomfromtext_impl(*cols):
+    """ST_GeomFromText(wkt[, srid]) — variadic for the SRID overload."""
+    t = cols[0]
+    srid = cols[1] if len(cols) > 1 else None
+    base = t.map(lambda v: None if v is None else W.wkt_to_wkb(v))
+    if srid is not None:
+        out = []
+        for v, s in zip(base, srid):
+            if v is None or s is None or (isinstance(s, float) and np.isnan(s)):
+                out.append(None)
+            else:
+                out.append(_attach_srid(v, int(float(s))))
+        return pd.Series(out)
+    return base
+
+
+st_geomfromtext = pandas_udf(_st_geomfromtext_impl, BinaryType())
 
 
 @pandas_udf(BinaryType())
 def st_geomfromwkb(b: pd.Series) -> pd.Series:
-    # parse + re-encode canonical little-endian ISO WKB (validates)
-    return b.map(lambda v: None if v is None else W.encode(W.decode(bytes(v))))
+    # walk + re-emit canonical little-endian ISO WKB (validates structure,
+    # preserves Z/M flags and an embedded EWKB SRID)
+    return b.map(lambda v: None if v is None else W.to_iso(bytes(v)))
 
 
 @pandas_udf(StringType())
@@ -220,7 +257,7 @@ def st_nrings(b: pd.Series) -> pd.Series:
 def st_numgeometries(b: pd.Series) -> pd.Series:
     def ng(g):
         if g is None:
-            return 0
+            return None
         name, p = g
         if name in ("MultiPolygon", "MultiLineString", "GeometryCollection",
                     "MultiPoint"):
@@ -233,7 +270,7 @@ def st_numgeometries(b: pd.Series) -> pd.Series:
         if name == "Polygon":
             return 0 if not p else 1
         return 1
-    return pd.Series([ng(g) for g in _decode_series(b)], dtype="int32")
+    return pd.Series([ng(g) for g in _decode_series(b)], dtype="Int32")
 
 
 @pandas_udf(BooleanType())
@@ -252,11 +289,11 @@ def st_dimension(b: pd.Series) -> pd.Series:
            "Polygon": 2, "MultiPolygon": 2}
     def d(g):
         if g is None:
-            return 0
+            return None
         if g[0] == "GeometryCollection":
             return max((d(p) for p in g[1]), default=0)
         return dim[g[0]]
-    return pd.Series([d(g) for g in _decode_series(b)], dtype="int32")
+    return pd.Series([d(g) for g in _decode_series(b)], dtype="Int32")
 
 
 @pandas_udf(BinaryType())
@@ -571,7 +608,7 @@ st_translate = pandas_udf(_st_translate_impl, BinaryType())
 def st_scale(b: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
     out = []
     for v, g, fx, fy in zip(b, _decode_series(b), sx, sy):
-        if g is None:
+        if g is None or pd.isna(fx) or pd.isna(fy):
             out.append(None)
             continue
         def sc(arr, fx=float(fx), fy=float(fy)):
@@ -584,9 +621,23 @@ def st_scale(b: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _reverse_geom(g):
+    """Reverse vertex order of line/ring sequences; Point and MultiPoint
+    keep their order (GEOS: reversing a point is a no-op, and MultiPoint
+    member order is not a vertex sequence — reference test_st_reverse)."""
+    if g is None:
+        return None
+    name = g[0]
+    if name in ("Point", "MultiPoint"):
+        return g
+    if name == "GeometryCollection":
+        return (name, [_reverse_geom(q) for q in g[1]])
+    return _map_coords(g, lambda a: a[::-1].copy())
+
+
 @pandas_udf(BinaryType())
 def st_reverse(b: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None else W.encode(_map_coords(g, lambda a: a[::-1].copy()))
+    return pd.Series([None if g is None else W.encode(_reverse_geom(g))
                       for g in _decode_series(b)])
 
 

@@ -68,6 +68,8 @@ def st_pointz(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
 def _geojson_of(g):
     name, p = g
     if name == "Point":
+        if np.any(np.isnan(np.asarray(p[:2], dtype=np.float64))):
+            return {"type": "Point", "coordinates": []}  # POINT EMPTY
         return {"type": "Point", "coordinates": [float(v) for v in p]}
     if name == "LineString":
         return {"type": "LineString", "coordinates": np.asarray(p).tolist()}
@@ -93,34 +95,39 @@ def st_asgeojson(b: pd.Series) -> pd.Series:
                       for g in _decode_series(b)])
 
 
-@pandas_udf(BinaryType())
-def st_asewkb(b: pd.Series, srid: pd.Series) -> pd.Series:
-    """EWKB with embedded SRID (reference st_asewkb.rs semantics)."""
+def _st_asewkb_impl(*cols):
+    """ST_AsEWKB(geom[, srid]) — PostGIS/GEOS extended-flavor WKB (Z/M as
+    high-bit flags, SRID embedded top-level only when nonzero; reference
+    functions/test_wkb.py verifies these bytes against shapely+PostGIS).
+    The 1-arg form uses the geometry's embedded SRID (ST_SetSRID)."""
+    b = cols[0]
+    srid = cols[1] if len(cols) > 1 else None
     out = []
-    for v, s in zip(b, srid):
+    svals = srid if srid is not None else [None] * len(b)
+    for v, s in zip(b, svals):
         if v is None:
             out.append(None)
             continue
-        raw = bytes(v)
-        (code,) = struct.unpack_from("<I", raw, 1)
-        ewkb = (raw[:1] + struct.pack("<I", (code % 1000) | 0x20000000)
-                + struct.pack("<I", int(s)) + raw[5:])
-        out.append(ewkb)
+        out.append(W.to_ewkb(bytes(v), None if s is None or pd.isna(s)
+                             else int(s)))
     return pd.Series(out)
+
+
+st_asewkb = pandas_udf(_st_asewkb_impl, BinaryType())
 
 
 @pandas_udf(IntegerType())
 def st_srid(b: pd.Series) -> pd.Series:
     def srid_of(v):
         if v is None:
-            return 0
+            return None
         raw = bytes(v)
         (code,) = struct.unpack_from("<I" if raw[0] == 1 else ">I", raw, 1)
         if code & 0x20000000:
             (s,) = struct.unpack_from("<I" if raw[0] == 1 else ">I", raw, 5)
             return int(s)
         return 0
-    return pd.Series([srid_of(v) for v in b], dtype="int32")
+    return pd.Series([srid_of(v) for v in b], dtype="Int32")
 
 
 # --- accessors ---------------------------------------------------------------
@@ -165,19 +172,25 @@ def st_exteriorring(b: pd.Series) -> pd.Series:
 @pandas_udf(BinaryType())
 def st_interiorringn(b: pd.Series, n: pd.Series) -> pd.Series:
     out = []
-    for g, i in zip(_decode_series(b), n):
+    for v, g, i in zip(b, _decode_series(b), n):
         if g is None or i is None or g[0] != "Polygon" or int(i) < 1 \
                 or int(i) > len(g[1]) - 1:
             out.append(None)
         else:
-            out.append(W.encode(("LineString", g[1][int(i)])))
+            # M flag travels with the ring (reference: InteriorRingN of a
+            # POLYGON M is a LINESTRING M)
+            out.append(W.encode(("LineString", g[1][int(i)]),
+                                m_flag=W._read_header(bytes(v), 0)[3]))
     return pd.Series(out)
 
 
 @pandas_udf(IntegerType())
 def st_numinteriorrings(b: pd.Series) -> pd.Series:
-    return pd.Series([max(0, len(g[1]) - 1) if g is not None and g[0] == "Polygon" else 0
-                      for g in _decode_series(b)], dtype="int32")
+    # NULL for every non-Polygon input (incl. MultiPolygon and collections
+    # — PostGIS/reference semantics); POLYGON EMPTY counts 0
+    return pd.Series([max(0, len(g[1]) - 1)
+                      if g is not None and g[0] == "Polygon" else None
+                      for g in _decode_series(b)], dtype="Int32")
 
 
 @pandas_udf(BooleanType())
@@ -241,7 +254,8 @@ def st_isring(b: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_simplify(b: pd.Series, tol: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None else W.encode(A.simplify(g, float(t)))
+    return pd.Series([None if g is None or pd.isna(t)
+                      else W.encode(A.simplify(g, float(t)))
                       for g, t in zip(_decode_series(b), tol)])
 
 
@@ -459,7 +473,7 @@ def st_affine(b: pd.Series, a: pd.Series, bb: pd.Series, d: pd.Series,
               e: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
     out = []
     for g, aa, bbv, dd, ee, xo, yo in zip(_decode_series(b), a, bb, d, e, xoff, yoff):
-        if g is None:
+        if g is None or any(pd.isna(v) for v in (aa, bbv, dd, ee, xo, yo)):
             out.append(None)
             continue
         def aff(arr, aa=float(aa), bbv=float(bbv), dd=float(dd),

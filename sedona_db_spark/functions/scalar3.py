@@ -81,10 +81,10 @@ def st_zmflag(b: pd.Series) -> pd.Series:
     top-level WKB type code (ISO +1000/+2000/+3000 or EWKB flags)."""
     def flag(buf):
         if buf is None:
-            return 0
+            return None
         _, _, has_z, has_m, _, _ = W._read_header(bytes(buf), 0)
         return (2 if has_z else 0) | (1 if has_m else 0)
-    return pd.Series([flag(v) for v in b], dtype="int32")
+    return pd.Series([flag(v) for v in b], dtype="Int32")
 
 
 def _coord_minmax(kind: str, want_max: bool):
@@ -140,14 +140,48 @@ def st_hasm(b: pd.Series) -> pd.Series:
                       for v in b])
 
 
-def line_merge(g):
-    """Chain connected linestrings of a MultiLineString end-to-end
-    (GEOS linemerge semantics for the simple non-branching case)."""
+def _lm_is_empty(g) -> bool:
+    t, d = g[0], g[1]
+    if t == "Point":
+        a = np.asarray(d, dtype=np.float64)
+        return a.size == 0 or bool(np.isnan(a).all())
+    return len(d) == 0
+
+
+def line_merge(g, directed: bool = False):
+    """Chain connected linestrings end-to-end (GEOS linemerge semantics for
+    the simple non-branching case).
+
+    - puntal input (Point/MultiPoint) merges to GEOMETRYCOLLECTION EMPTY
+      (reference test_st_linemerge);
+    - polygonal input contributes its rings as lines (reference behavior:
+      LineMerge(POLYGON) returns the merged boundary ring);
+    - ``directed``: only join where one line's END meets another's START —
+      no flipping (reference test_st_linemerge_directed)."""
     if g is None:
         return None
-    if g[0] != "MultiLineString":
+    if _lm_is_empty(g):
+        # empty inputs pass through unchanged (reference test_st_linemerge
+        # empty cases: POLYGON EMPTY -> POLYGON EMPTY, POINT EMPTY -> same)
         return g
-    lines = [l.copy() for l in g[1] if len(l) >= 2]
+    if g[0] in ("Point", "MultiPoint"):
+        return ("GeometryCollection", [])
+    if g[0] == "Polygon":
+        lines = [r.copy() for r in g[1] if len(r) >= 2]
+    elif g[0] == "MultiPolygon":
+        lines = [r.copy() for rings in g[1] for r in rings if len(r) >= 2]
+    elif g[0] == "GeometryCollection":
+        lines = []
+        for q in g[1]:
+            sub = line_merge(q, directed)
+            if sub[0] == "LineString":
+                lines.append(sub[1])
+            elif sub[0] == "MultiLineString":
+                lines.extend(sub[1])
+    elif g[0] != "MultiLineString":
+        return g
+    else:
+        lines = [l.copy() for l in g[1] if len(l) >= 2]
     merged = True
     while merged and len(lines) > 1:
         merged = False
@@ -158,11 +192,11 @@ def line_merge(g):
                 a, b = lines[i], lines[j]
                 if np.array_equal(a[-1, :2], b[0, :2]):
                     lines[i] = np.vstack([a, b[1:]])
-                elif np.array_equal(a[-1, :2], b[-1, :2]):
+                elif not directed and np.array_equal(a[-1, :2], b[-1, :2]):
                     lines[i] = np.vstack([a, b[::-1][1:]])
                 elif np.array_equal(a[0, :2], b[-1, :2]):
                     lines[i] = np.vstack([b, a[1:]])
-                elif np.array_equal(a[0, :2], b[0, :2]):
+                elif not directed and np.array_equal(a[0, :2], b[0, :2]):
                     lines[i] = np.vstack([b[::-1], a[1:]])
                 else:
                     continue
@@ -171,15 +205,29 @@ def line_merge(g):
                 break
             if merged:
                 break
+    if not lines:
+        return ("GeometryCollection", [])
     if len(lines) == 1:
         return ("LineString", lines[0])
     return ("MultiLineString", lines)
 
 
-@pandas_udf(BinaryType())
-def st_linemerge(b: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None else W.encode(line_merge(g))
-                      for g in _decode_series(b)])
+def _st_linemerge_impl(*cols):
+    """ST_LineMerge(geom[, directed]) — variadic for the directed overload."""
+    b = cols[0]
+    directed = cols[1] if len(cols) > 1 else None
+    out = []
+    dvals = directed if directed is not None else [False] * len(b)
+    for g, d in zip(_decode_series(b), dvals):
+        if g is None:
+            out.append(None)
+        else:
+            out.append(W.encode(line_merge(g, bool(d) if d is not None
+                                           else False)))
+    return pd.Series(out)
+
+
+st_linemerge = pandas_udf(_st_linemerge_impl, BinaryType())
 
 
 def make_valid(g):

@@ -288,21 +288,16 @@ def st_unaryunion(b: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_setsrid(b: pd.Series, srid: pd.Series) -> pd.Series:
-    from sedona_db_spark.functions.scalar2 import st_asewkb
-    # re-encode as EWKB carrying the SRID (type-level CRS in the reference;
-    # EWKB is the portable WKB-level equivalent)
-    import struct
+    # re-encode carrying the SRID, Z/M preserved (type-level CRS in the
+    # reference; EWKB's embedded SRID is the portable WKB-level equivalent)
     out = []
     for v, s in zip(b, srid):
-        if v is None:
+        if v is None or pd.isna(s):
+            # NULL srid -> NULL geometry (SQL NULL propagation, reference
+            # test_st_setsrid_null_srid)
             out.append(None)
             continue
-        raw = bytes(v)
-        (code,) = struct.unpack_from("<I", raw, 1)
-        base = code & 0xFF if code & 0xE0000000 else code % 1000
-        body = raw[9:] if code & 0x20000000 else raw[5:]
-        out.append(raw[:1] + struct.pack("<I", base | 0x20000000)
-                   + struct.pack("<I", int(s)) + body)
+        out.append(W.set_srid(bytes(v), int(s)))
     return pd.Series(out)
 
 
@@ -468,10 +463,12 @@ UDFS4.update({
 
 
 def minimum_clearance_line(g):
-    """The 2-point line realizing the minimum clearance."""
+    """The 2-point line realizing the minimum clearance; degenerate inputs
+    (points, empties) have no finite clearance -> LINESTRING EMPTY
+    (reference test_st_minimum_clearance_line rows 8/10)."""
     coords = K._all_coords(g)
     if coords is None or len(coords) < 2:
-        return None
+        return ("LineString", np.empty((0, 2)))
     pts = coords[:, :2]
     segs = K._segments_of(g)
     best = np.inf
@@ -499,7 +496,7 @@ def minimum_clearance_line(g):
                     ((pts[i, 0] - a[0]) * dx + (pts[i, 1] - a[1]) * dy) / ll, 0, 1)
                 best_pair = (pts[i], np.array([a[0] + t * dx, a[1] + t * dy]))
     if best_pair is None:
-        return None
+        return ("LineString", np.empty((0, 2)))
     return ("LineString", np.vstack(best_pair))
 
 
@@ -591,12 +588,37 @@ def polygonize_geom(g):
     if not lines:
         return ("GeometryCollection", [])
     merged = line_merge(("MultiLineString", lines))
-    parts = [merged[1]] if merged[0] == "LineString" else merged[1]
+    if merged[0] == "LineString":
+        parts = [merged[1]]
+    elif merged[0] == "MultiLineString":
+        parts = merged[1]
+    else:
+        parts = []
+    rings = [path for path in parts
+             if len(path) >= 4 and np.array_equal(path[0], path[-1])
+             and not A.ring_self_intersects(path)]
+    if not rings:
+        return ("GeometryCollection", [])
+    # face extraction (GEOS polygonizer): every ring bounds a face whose
+    # holes are the rings DIRECTLY contained in it — a shell+hole input
+    # yields BOTH the holed polygon and the hole's own face
+    # (reference test_st_polygonize rows 2/4/7)
+    n = len(rings)
+    inside = [[False] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            ri = np.asarray(rings[i], dtype=np.float64)
+            inside[i][j] = bool(K.points_in_ring(
+                ri[:, 0], ri[:, 1], rings[j]).all()
+                and not np.array_equal(rings[i], rings[j]))
+    depth = [sum(inside[i]) for i in range(n)]
     polys = []
-    for path in parts:
-        if len(path) >= 4 and np.array_equal(path[0], path[-1]) \
-                and not A.ring_self_intersects(path):
-            polys.append(("Polygon", [path]))
+    for i in sorted(range(n), key=lambda i: depth[i]):
+        holes = [rings[j] for j in range(n)
+                 if inside[j][i] and depth[j] == depth[i] + 1]
+        polys.append(("Polygon", [rings[i]] + holes))
     return ("GeometryCollection", polys)
 
 

@@ -54,11 +54,28 @@ def simplify(g, tol: float):
         return (name, [douglas_peucker(l, tol) for l in p])
     if name in ("Polygon", "MultiPolygon"):
         def simp_ring(r):
+            """Simplified ring, or None if it collapses (GEOS ST_Simplify
+            DROPS rings/parts that degenerate below a valid ring —
+            reference test_st_simplify rows 18-23)."""
             out = douglas_peucker(r, tol)
-            return out if len(out) >= 4 else r
+            if len(out) < 4 or abs(K._ring_area2(
+                    np.asarray(out, dtype=np.float64)[:, :2])) == 0.0:
+                return None
+            return out
+
+        def simp_poly(rings):
+            shell = simp_ring(rings[0]) if rings else None
+            if shell is None:
+                return None
+            holes = [h for h in (simp_ring(r) for r in rings[1:])
+                     if h is not None]
+            return [shell] + holes
         if name == "Polygon":
-            return (name, [simp_ring(r) for r in p])
-        return (name, [[simp_ring(r) for r in rings] for rings in p])
+            rings = simp_poly(p)
+            return (name, rings if rings is not None else [])
+        parts = [r for r in (simp_poly(rings) for rings in p)
+                 if r is not None]
+        return (name, parts)
     if name == "GeometryCollection":
         return (name, [simplify(q, tol) for q in p])
     return g
@@ -377,6 +394,14 @@ def invalid_reason(g) -> str | None:
                 hx, hy = hole[:, 0], hole[:, 1]
                 if not K.points_in_ring(hx, hy, rings[0]).all():
                     return "Hole lies outside shell"
+                # a hole may touch the shell at finitely many POINTS only;
+                # a shared (collinear-overlapping) edge is invalid
+                # (reference test_st_isvalid rows 15/17)
+                for i in range(len(hole) - 1):
+                    for j in range(len(rings[0]) - 1):
+                        if K._collinear_overlap(hole[i], hole[i + 1],
+                                                rings[0][j], rings[0][j + 1]):
+                            return "Hole edge shares shell boundary"
         if name == "MultiPolygon" and len(p) > 1:
             # parts of a valid MultiPolygon may touch only at points: any
             # interior overlap is invalid (reference test_functions.py:941-948)
@@ -407,6 +432,19 @@ def path_self_intersects(path: np.ndarray) -> bool:
 
 
 def is_simple(g) -> bool:
+    """OGC/GEOS ST_IsSimple (reference test_st_issimple, full row set):
+
+    - MultiPoint: no repeated points;
+    - LineString: no self-intersection away from the endpoints (a closed
+      line that merely doubles back, e.g. (0 0, 1 1, 0 0), is NOT simple);
+    - MultiLineString: every component simple AND components may only meet
+      at points that are boundary (end) points of both — crossing or
+      overlapping interiors break simplicity;
+    - Polygon/MultiPolygon: each ring individually non-self-intersecting
+      and non-degenerate; unlike VALIDITY, inter-ring and inter-polygon
+      overlap does NOT matter (GEOS IsSimpleOp checks rings in isolation,
+      so overlapping MultiPolygon parts are still 'simple').
+    """
     if g is None:
         return False
     name, p = g
@@ -418,8 +456,37 @@ def is_simple(g) -> bool:
         if len(p) <= 2:
             return True
         if np.array_equal(p[0], p[-1]):  # closed: test as a ring
+            if len(p) < 4:
+                return False  # degenerate back-and-forth "ring"
             return not ring_self_intersects(p)
         return not path_self_intersects(p)
+    if name == "MultiLineString":
+        from sedona_db_spark.geometry.relate import relate_matrix
+        comps = [("LineString", l) for l in p]
+        if not all(is_simple(c) for c in comps):
+            return False
+        for i in range(len(comps)):
+            for j in range(i + 1, len(comps)):
+                m = relate_matrix(comps[i], comps[j])
+                # only boundary×boundary contact is allowed
+                if m[0] != "F" or m[1] != "F" or m[3] != "F":
+                    return False
+        return True
+    if name in ("Polygon", "MultiPolygon"):
+        polys = [p] if name == "Polygon" else p
+        for rings in polys:
+            for ring in rings:
+                if len(ring) and not np.array_equal(ring[0], ring[-1]):
+                    return False
+                if 0 < len(ring) < 4:
+                    return False
+                if len(ring) >= 4 and (
+                        abs(K._ring_area2(np.asarray(ring, dtype=np.float64)[:, :2])) == 0.0
+                        or ring_self_intersects(ring)):
+                    return False
+        return True
+    if name == "GeometryCollection":
+        return all(is_simple(q) for q in p)
     return is_valid(g)
 
 
@@ -446,6 +513,52 @@ def boundary(g):
             if len(l) and not np.array_equal(l[0], l[-1]):
                 pts += [l[0, :2], l[-1, :2]]
         return ("MultiPoint", np.array(pts) if pts else np.empty((0, 2)))
+    if name == "GeometryCollection":
+        # union of element boundaries (reference test_st_boundary GC rows):
+        # point boundaries first as one MULTIPOINT, then the line
+        # boundaries; a single kind is returned bare (no GC wrapper)
+        pts: list = []
+        lines: list = []
+
+        def walk(q):
+            if q is None:
+                return
+            if q[0] == "GeometryCollection":
+                for r in q[1]:
+                    walk(r)
+                return
+            bq = boundary(q)
+            if bq is None:
+                return
+            if bq[0] == "MultiPoint":
+                pts.extend(np.asarray(bq[1], dtype=np.float64)[:, :2].tolist())
+            elif bq[0] == "LineString":
+                lines.append(bq[1])
+            elif bq[0] == "MultiLineString":
+                lines.extend(bq[1])
+
+        for q in p:
+            walk(q)
+        uniq_pts = []
+        seen = set()
+        for pt in pts:
+            key = (float(pt[0]), float(pt[1]))
+            if key not in seen:
+                seen.add(key)
+                uniq_pts.append(pt)
+        parts = []
+        if uniq_pts:
+            parts.append(("MultiPoint", np.array(uniq_pts))
+                         if len(uniq_pts) > 1
+                         else ("Point", np.array(uniq_pts[0])))
+        if lines:
+            parts.append(("MultiLineString", lines) if len(lines) > 1
+                         else ("LineString", lines[0]))
+        if not parts:
+            return ("GeometryCollection", [])
+        if len(parts) == 1:
+            return parts[0]
+        return ("GeometryCollection", parts)
     return ("GeometryCollection", [])
 
 

@@ -350,10 +350,46 @@ def geom_perimeter(g) -> float:
 
 
 def geom_centroid(g):
-    """Area-weighted centroid (falls back to length/point weighting)."""
+    """Area-weighted centroid (falls back to length/point weighting).
+
+    GeometryCollection: GEOS computes the centroid of the HIGHEST-dimension
+    components only (reference test_st_centroid: mixed GC -> the polygon's
+    centroid), so lower-dim parts are dropped before weighting."""
     if g is None:
         return None
     name, payload = g
+    if name == "GeometryCollection":
+        parts = [p for p in payload if p is not None]
+        if not parts:
+            return ("Point", np.array([np.nan, np.nan]))
+        dims = [_dim_of(p) for p in parts]
+        md = max(dims)
+        keep = [p for p, d in zip(parts, dims) if d == md]
+
+        def flat(p, kind):
+            if p[0] == kind:
+                return [p[1]]
+            if p[0] == "Multi" + kind:
+                return list(p[1])
+            if p[0] == "GeometryCollection":
+                return [q for sub in p[1] for q in flat(sub, kind)
+                        if _dim_of(sub) == md]
+            return []
+
+        if md == 2:
+            return geom_centroid(
+                ("MultiPolygon", [r for p in keep for r in flat(p, "Polygon")]))
+        if md == 1:
+            return geom_centroid(
+                ("MultiLineString",
+                 [l for p in keep for l in flat(p, "LineString")]))
+        pts = []
+        for p in keep:
+            if p[0] == "MultiPoint":
+                pts.extend(np.asarray(p[1], dtype=np.float64)[:, :2])
+            elif p[0] == "Point":
+                pts.append(np.asarray(p[1][:2], dtype=np.float64))
+        return geom_centroid(("MultiPoint", np.asarray(pts, dtype=np.float64)))
     if name == "Point":
         return ("Point", np.asarray(payload[:2], dtype=np.float64))
     if name in ("Polygon", "MultiPolygon"):
@@ -682,14 +718,17 @@ PREDICATES = {
 def geom_envelope(g):
     xmin, ymin, xmax, ymax = geom_bbox(g)
     if np.isnan(xmin):
-        return ("Polygon", [])
+        # empty input: the envelope is the SAME empty type (reference
+        # test_st_envelope: LINESTRING EMPTY -> LINESTRING EMPTY)
+        return g
     if xmin == xmax and ymin == ymax:
         return ("Point", np.array([xmin, ymin]))
     if xmin == xmax or ymin == ymax:
         # degenerate bbox: PostGIS/reference return a LINESTRING envelope
         # (test_functions.py test_st_envelope: LINESTRING (0 0, 0 1))
         return ("LineString", np.array([[xmin, ymin], [xmax, ymax]]))
-    ring = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]])
+    # GEOS ring order: (xmin ymin, xmin ymax, xmax ymax, xmax ymin) — CW
+    ring = np.array([[xmin, ymin], [xmin, ymax], [xmax, ymax], [xmax, ymin], [xmin, ymin]])
     return ("Polygon", [ring])
 
 
@@ -718,7 +757,10 @@ def convex_hull(g):
     if len(hull) < 3:
         return ("LineString", np.array(hull))
     ring = np.array(hull + [hull[0]], dtype=np.float64)
-    return ("Polygon", [ring])
+    # GEOS/reference emit the hull ring CLOCKWISE starting at the
+    # lexicographically smallest point (test_st_convexhull exact rows);
+    # reversing the closed CCW ring keeps the start vertex
+    return ("Polygon", [ring[::-1].copy()])
 
 
 def geom_buffer(g, dist: float, quad_segs: int = 8):
@@ -742,6 +784,8 @@ def geom_buffer(g, dist: float, quad_segs: int = 8):
         return np.vstack([ring, ring[:1]])
 
     if name == "Point":
+        if np.any(np.isnan(np.asarray(payload[:2], dtype=np.float64))):
+            return ("Polygon", [])  # buffer of POINT EMPTY is POLYGON EMPTY
         return ("Polygon", [disc(payload[0], payload[1], abs(dist))])
     coords = _all_coords(g)
     if coords is None or not len(coords):

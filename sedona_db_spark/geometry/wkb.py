@@ -117,7 +117,12 @@ def _read_header(buf: bytes, off: int):
         has_m = bool(raw & _EWKB_M)
         if raw & _EWKB_SRID:
             off += 4  # skip srid
-        base = raw & 0xFF
+        base = raw & 0x0FFFFFFF
+        if base >= 1000:  # hybrid: ISO dim code under an EWKB SRID flag
+            k = base // 1000
+            has_z = has_z or k in (1, 3)
+            has_m = has_m or k in (2, 3)
+            base %= 1000
     else:  # ISO style: 1000 → Z, 2000 → M, 3000 → ZM
         base = raw % 1000
         k = raw // 1000
@@ -195,7 +200,10 @@ def _geom_ndim(g) -> int:
     if name == "Point":
         return len(payload)
     if name in ("LineString", "MultiPoint"):
-        return payload.shape[1] if len(payload) else 2
+        arr = np.asarray(payload)
+        # an EMPTY with a Z/M token is a (0, ndim) array — the flag must
+        # survive encoding (reference: ST_HasZ('LINESTRING Z EMPTY') = true)
+        return arr.shape[1] if arr.ndim == 2 and arr.shape[1] >= 2 else 2
     if name == "Polygon":
         return payload[0].shape[1] if payload else 2
     if name == "MultiLineString":
@@ -410,7 +418,7 @@ class _WktParser:
         self._skip_ws()
         if self.s[self.i:self.i + 5].upper() == "EMPTY":
             self.i += 5
-            return _empty_for(tag), m_only
+            return _empty_for(tag, 2 + len(mod)), m_only
         if tag == "POINT":
             self._expect("(")
             pt = self._coord()
@@ -483,16 +491,18 @@ class _WktParser:
         raise ValueError(f"unknown WKT tag {tag!r}")
 
 
-def _empty_for(tag: str):
+def _empty_for(tag: str, ndim: int = 2):
+    """Empty geometry for a WKT tag; ``ndim`` carries the Z/M token's
+    dimension so 'POINT Z EMPTY' keeps its flag through the WKB header."""
     t = tag.capitalize()
     fixes = {"Multipoint": "MultiPoint", "Multilinestring": "MultiLineString",
              "Multipolygon": "MultiPolygon", "Geometrycollection": "GeometryCollection",
              "Linestring": "LineString"}
     t = fixes.get(t, t)
     if t == "Point":
-        return ("Point", np.array([np.nan, np.nan]))
+        return ("Point", np.full(ndim, np.nan))
     if t in ("LineString", "MultiPoint"):
-        return (t, np.empty((0, 2)))
+        return (t, np.empty((0, ndim)))
     return (t, [])
 
 
@@ -511,13 +521,16 @@ def wkt_to_wkb(text: str | None) -> bytes | None:
     if text is None:
         return None
     text = text.strip()
+    srid = 0
     if text.upper().startswith("SRID="):
-        text = text.split(";", 1)[1]
+        head, text = text.split(";", 1)
+        srid = int(head[5:])
     p = _WktParser(text)
     g = p.parse()
     # m_tree carries per-part M flags for collections (nested list shape
     # mirroring the GC parts); leaf/multi geometries get a single bool
-    return encode(g, m_flag=getattr(p, "m_tree", getattr(p, "m_only", False)))
+    out = encode(g, m_flag=getattr(p, "m_tree", getattr(p, "m_only", False)))
+    return set_srid(out, srid) if srid else out
 
 
 def _wkt_at(buf: bytes, off: int) -> tuple[str | None, int]:
@@ -538,9 +551,12 @@ def _wkt_at(buf: bytes, off: int) -> tuple[str | None, int]:
         tok = f" {token}" if token else ""
         return f"GEOMETRYCOLLECTION{tok} ({', '.join(inner)})", new_off
     txt = to_wkt(g)
-    if txt is not None and token and not txt.endswith("EMPTY"):
-        head, rest = txt.split(" ", 1)
-        txt = f"{head} {token} {rest}"
+    if txt is not None and token:
+        if txt.endswith("EMPTY"):
+            txt = f"{txt[:-len('EMPTY')].rstrip()} {token} EMPTY"
+        else:
+            head, rest = txt.split(" ", 1)
+            txt = f"{head} {token} {rest}"
     return txt, new_off
 
 
@@ -551,3 +567,134 @@ def wkb_to_wkt(buf: bytes | None) -> str | None:
     if buf is None:
         return None
     return _wkt_at(bytes(buf), 0)[0]
+
+
+# ---------------------------------------------------------------------------
+# SRID handling + EWKB interop (PostGIS/GEOS "extended" flavor)
+# ---------------------------------------------------------------------------
+
+def _parse_type(raw_code: int):
+    """(base, has_z, has_m, has_srid) for an ISO, EWKB-flagged, or hybrid
+    (ISO dim code | EWKB SRID flag) type code."""
+    has_z = bool(raw_code & _EWKB_Z)
+    has_m = bool(raw_code & _EWKB_M)
+    has_s = bool(raw_code & _EWKB_SRID)
+    base = raw_code & 0x0FFFFFFF
+    if base >= 1000:
+        k = base // 1000
+        has_z = has_z or k in (1, 3)
+        has_m = has_m or k in (2, 3)
+        base %= 1000
+    return base, has_z, has_m, has_s
+
+
+def get_srid(raw: bytes) -> int:
+    """Embedded top-level SRID (0 when none)."""
+    buf = bytes(raw)
+    bo = "<" if buf[0] == 1 else ">"
+    (code,) = struct.unpack_from(bo + "I", buf, 1)
+    if code & _EWKB_SRID:
+        (s,) = struct.unpack_from(bo + "I", buf, 5)
+        return int(s)
+    return 0
+
+
+def set_srid(raw: bytes, srid: int) -> bytes:
+    """WKB with the top-level SRID replaced, PRESERVING Z/M dimensions
+    (internal form: ISO dim code | EWKB SRID flag).  srid=0 strips the
+    SRID header entirely (PostGIS ST_SetSRID(g, 0) semantics)."""
+    buf = bytes(raw)
+    bo = "<" if buf[0] == 1 else ">"
+    (code,) = struct.unpack_from(bo + "I", buf, 1)
+    base, has_z, has_m, has_s = _parse_type(code)
+    body = buf[9:] if has_s else buf[5:]
+    iso = base + 1000 * ((1 if has_z else 0) + (2 if has_m else 0))
+    s = int(srid)
+    if s == 0:
+        return buf[:1] + struct.pack(bo + "I", iso) + body
+    return (buf[:1] + struct.pack(bo + "I", iso | _EWKB_SRID)
+            + struct.pack(bo + "I", s) + body)
+
+
+def _to_ewkb_at(buf: bytes, off: int, out: bytearray, srid: int,
+                top: bool, iso: bool = False) -> int:
+    bo = "<" if buf[off] == 1 else ">"
+    (code,) = struct.unpack_from(bo + "I", buf, off + 1)
+    base, has_z, has_m, has_s = _parse_type(code)
+    pos = off + 5 + (4 if has_s else 0)
+    ndim = 2 + has_z + has_m
+    if iso:
+        ocode = base + 1000 * ((1 if has_z else 0) + (2 if has_m else 0))
+    else:
+        ocode = base
+        if has_z:
+            ocode |= _EWKB_Z
+        if has_m:
+            ocode |= _EWKB_M
+    out.append(1)
+    if top and srid:
+        out += struct.pack("<I", ocode | _EWKB_SRID)
+        out += struct.pack("<I", srid)
+    else:
+        out += struct.pack("<I", ocode)
+    if base == POINT:
+        vals = struct.unpack_from(bo + "d" * ndim, buf, pos)
+        pos += 8 * ndim
+        out += struct.pack("<" + "d" * ndim, *vals)
+    elif base == LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", buf, pos)
+        pos += 4
+        out += struct.pack("<I", n)
+        k = n * ndim
+        vals = struct.unpack_from(bo + "d" * k, buf, pos)
+        pos += 8 * k
+        out += struct.pack("<" + "d" * k, *vals)
+    elif base == POLYGON:
+        (nr,) = struct.unpack_from(bo + "I", buf, pos)
+        pos += 4
+        out += struct.pack("<I", nr)
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", buf, pos)
+            pos += 4
+            out += struct.pack("<I", n)
+            k = n * ndim
+            vals = struct.unpack_from(bo + "d" * k, buf, pos)
+            pos += 8 * k
+            out += struct.pack("<" + "d" * k, *vals)
+    elif base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
+                  GEOMETRYCOLLECTION):
+        (n,) = struct.unpack_from(bo + "I", buf, pos)
+        pos += 4
+        out += struct.pack("<I", n)
+        for _ in range(n):
+            # SRID is emitted at the top level only (PostGIS EWKB; GEOS
+            # WKBWriter flavor=extended, reference functions/test_wkb.py)
+            pos = _to_ewkb_at(buf, pos, out, 0, False, iso)
+    else:
+        raise ValueError(f"unsupported WKB geometry type code {code}")
+    return pos
+
+
+def to_ewkb(raw: bytes | None, srid: int | None = None) -> bytes | None:
+    """PostGIS/GEOS extended-flavor WKB: Z/M as high-bit flags, SRID
+    embedded at the top level only when nonzero.  ``srid=None`` uses the
+    input's embedded SRID."""
+    if raw is None:
+        return None
+    buf = bytes(raw)
+    s = get_srid(buf) if srid is None else int(srid)
+    out = bytearray()
+    _to_ewkb_at(buf, 0, out, s, True)
+    return bytes(out)
+
+
+def to_iso(raw: bytes | None) -> bytes | None:
+    """Canonical internal form: little-endian ISO dimension codes, the
+    top-level SRID (if any) kept as the ISO-code|SRID-flag hybrid.  Walks
+    (and thereby validates) the whole value."""
+    if raw is None:
+        return None
+    buf = bytes(raw)
+    out = bytearray()
+    _to_ewkb_at(buf, 0, out, get_srid(buf), True, iso=True)
+    return bytes(out)

@@ -235,6 +235,9 @@ def _cell_udf(res: int):
     return cell.asNondeterministic()
 
 
+_BBOX_STATS_CACHE: dict = {}
+
+
 def _bbox_stats(df: DataFrame, geom_col: str, sample_cap: int = 50_000) -> dict:
     """Build-side statistics: exact count (JVM columnar, cheap) + mean bbox
     extent from a bounded sample (the bbox UDF is a python pass — never run
@@ -243,7 +246,16 @@ def _bbox_stats(df: DataFrame, geom_col: str, sample_cap: int = 50_000) -> dict:
     Analogue of the reference's build-side AnalyzeAccumulator + bbox sampler
     (rust/sedona-spatial-join/src/index/build_side_collector.rs:31-219,
     partitioning/bbox_sampler.rs).
+
+    Cached per (DataFrame identity, column): repeated joins against the
+    same dimension frame pay the two stats jobs once (round-2 VERDICT
+    hygiene #4).  The cache holds a reference to the DataFrame so a
+    recycled id() can never alias a different frame.
     """
+    key = (id(df), geom_col)
+    hit = _BBOX_STATS_CACHE.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
     from sedona_db_spark.functions.scalar import st_xmin, st_xmax, st_ymin, st_ymax
     n = df.count()
     sampled = df.select(geom_col)
@@ -254,8 +266,12 @@ def _bbox_stats(df: DataFrame, geom_col: str, sample_cap: int = 50_000) -> dict:
         F.avg(st_ymax(F.col(geom_col)) - st_ymin(F.col(geom_col))).alias("h"),
         F.avg(F.length(F.col(geom_col))).alias("b"),
     ).collect()[0]
-    return {"n": n, "w": r["w"] or 0.0, "h": r["h"] or 0.0,
-            "geom_bytes": n * float(r["b"] or 0.0)}
+    stats = {"n": n, "w": r["w"] or 0.0, "h": r["h"] or 0.0,
+             "geom_bytes": n * float(r["b"] or 0.0)}
+    if len(_BBOX_STATS_CACHE) > 256:
+        _BBOX_STATS_CACHE.clear()
+    _BBOX_STATS_CACHE[key] = (df, stats)
+    return stats
 
 
 def pick_join_res(stats: dict, max_cells_per_geom: int = 16) -> int:

@@ -55,6 +55,16 @@ def streaming_spatial_join(stream: DataFrame, rects: DataFrame,
     """
     geo = streaming_geocode(stream, url_col=url_col, res=res)
     spark = rects.sparkSession
+    # the static side is collected to the driver and broadcast per
+    # micro-batch: guard the small-dimension assumption loudly instead of
+    # OOMing the driver (round-2 VERDICT hygiene; the batch join's
+    # broadcast_threshold precedent)
+    n_static = rects.count()
+    if n_static > 200_000:
+        raise ValueError(
+            f"streaming_spatial_join expands the static side driver-side "
+            f"({n_static} rows > 200000); pre-aggregate the dimension "
+            f"layer or use the batch spatial_join for large-dim joins")
     rrows = rects.collect()
     bounds_cols = ("lon0", "lat0", "lon1", "lat1")
     payload_cols = [c for c in rects.columns if c not in bounds_cols]

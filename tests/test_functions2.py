@@ -142,10 +142,19 @@ def test_collect_agg_pattern(spark):
     assert rows[1]["t"] == "MULTIPOINT ((1 0), (3 0))"
 
 
-def test_simplify_preserves_rings():
+def test_simplify_collapses_degenerate_rings():
+    # GEOS ST_Simplify DROPS rings that degenerate below a valid ring
+    # (reference test_st_simplify "Collapsed" rows): a 1x1 square at
+    # tolerance 10 collapses to POLYGON EMPTY, and a collapsed hole is
+    # removed while the shell survives.
     sq = W.from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
-    out = A.simplify(sq, 10.0)  # tolerance bigger than the ring
-    assert len(out[1][0]) >= 4  # ring survives (no degenerate output)
+    out = A.simplify(sq, 10.0)
+    assert out == ("Polygon", [])
+    holed = W.from_wkt(
+        "POLYGON((0 0, 0 100, 100 100, 100 0, 0 0),"
+        " (40 40, 40.1 40, 40.1 40.1, 40 40.1, 40 40))")
+    out = A.simplify(holed, 1.0)
+    assert len(out[1]) == 1 and len(out[1][0]) == 5
 
 
 def test_spherical_measures(spark):

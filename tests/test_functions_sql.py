@@ -41,7 +41,7 @@ CASES = [
     ("ST_DWithin(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0), 5.0)", True),
     ("ST_DWithin(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0), 4.9)", False),
     ("ST_AsText(ST_Envelope(ST_GeomFromText('LINESTRING (0 0, 3 4)')))",
-     "POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))"),
+     "POLYGON ((0 0, 0 4, 3 4, 3 0, 0 0))"),
     ("ST_AsText(ST_Centroid(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')))",
      "POINT (1 1)"),
     ("ST_AsText(ST_StartPoint(ST_GeomFromText('LINESTRING (9 9, 1 1)')))", "POINT (9 9)"),

@@ -1,0 +1,298 @@
+"""Generic replay of the reference's ENTIRE scalar-function test module.
+
+Round 2 hand-curated 193 cases from test_functions.py into
+test_reference_parity.py; this suite harvests the REST mechanically: every
+test function of the simple shape
+
+    @pytest.mark.parametrize((names...), [rows...])
+    def test_x(eng, ...):
+        eng.assert_query_result(f"SELECT ST_...({geom_or_null(g)})", expected)
+
+is reconstructed at collection time — the f-string SQL is evaluated with
+the row's values and the reference's own geom_or_null/val_or_null helpers,
+then executed through spark.sql and compared with the reference's
+semantics (geometry → WKT at wkt_precision, numerics → numeric_epsilon,
+everything else exact).  ~900 rows, self-updating with the reference.
+
+Exclusions are explicit and reasoned (documented-partial tiers like buffer
+discretization), never silent.
+"""
+
+import ast
+import math
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/python/sedonadb/tests/functions/test_functions.py"
+
+# documented-partial tiers where our output is a different (valid) geometry
+# by construction — each matches FUNCTIONS.md notes
+EXCLUDED_TESTS = {
+    "test_st_buffer": "buffer ring discretization differs from GEOS "
+                      "(documented-partial; area/containment pinned in "
+                      "tests/test_functions2.py instead)",
+    "test_st_buffer_styles": "same buffer tier",
+    "test_st_buffer_style_parameters": "same buffer tier (endcap/join "
+                                       "styles over the discretized rings)",
+    "test_st_concavehull": "concave-hull method differs (documented-partial)",
+    "test_st_simplifypreservetopology": "DP-only simplify tier",
+    "test_st_simplifyvw": "Visvalingam simplify not implemented "
+                          "(documented-partial simplify tier)",
+    "test_st_isring_non_linestring_error": "reference RAISES for non-"
+        "LineString; we return false (a raising pandas UDF would fail the "
+        "whole Spark task batch, not the row — documented divergence)",
+}
+
+# tests whose expected geometry is one of several equally-valid answers
+# (GEOS's exact vertex order / tie-break): compare SEMANTICALLY
+# (same point set / region) instead of structurally
+SEMANTIC_TESTS = {"test_st_makevalid", "test_st_polygonize"}
+# clearance LINE endpoints are tie-dependent; the clearance VALUE (length)
+# is the well-defined contract
+LENGTH_ONLY_TESTS = {"test_st_minimum_clearance_line"}
+
+
+def geom_or_null(arg, srid=None):
+    if arg is None:
+        return "NULL"
+    if srid is None:
+        return f"ST_GeomFromText('{arg}')"
+    return f"ST_SetSrid(ST_GeomFromText('{arg}'), {srid})"
+
+
+def geog_or_null(arg):
+    if arg is None:
+        return "NULL"
+    return f"ST_GeogFromWKT('{arg}')"
+
+
+def val_or_null(arg):
+    if arg is None:
+        return "NULL"
+    if isinstance(arg, str):
+        return f"'{arg}'"
+    return arg
+
+
+_HELPERS = {"geom_or_null": geom_or_null, "geog_or_null": geog_or_null,
+            "val_or_null": val_or_null, "math": math}
+
+
+def _collect():
+    tree = ast.parse(open(REF).read())
+    cases = []
+    for node in tree.body:
+        if not (isinstance(node, ast.FunctionDef)
+                and node.name.startswith("test_")):
+            continue
+        if node.name in EXCLUDED_TESTS:
+            continue
+        calls = [n for n in ast.walk(node)
+                 if isinstance(n, ast.Call)
+                 and getattr(n.func, "attr", "") == "assert_query_result"]
+        params = []
+        for dec in node.decorator_list:
+            if not (isinstance(dec, ast.Call)
+                    and getattr(dec.func, "attr", "") == "parametrize"):
+                continue
+            try:
+                rows = ast.literal_eval(dec.args[1])
+            except (ValueError, TypeError):
+                continue  # the eng parametrize (class names)
+            try:
+                names = ast.literal_eval(dec.args[0])
+            except (ValueError, TypeError):
+                continue
+            params.append((names, rows))
+        if len(calls) != 1 or len(params) != 1:
+            continue
+        call = calls[0]
+        if not isinstance(call.args[0], ast.JoinedStr) or len(call.args) < 2:
+            continue
+        kwargs = {}
+        ok = True
+        for kw in call.keywords:
+            try:
+                kwargs[kw.arg] = ast.literal_eval(kw.value)
+            except (ValueError, TypeError):
+                ok = False
+        if not ok:
+            continue
+        names, rows = params[0]
+        if isinstance(names, str):
+            names = tuple(n.strip() for n in names.split(","))
+        q_src = ast.unparse(call.args[0])
+        e_src = ast.unparse(call.args[1])
+        for i, row in enumerate(rows):
+            vals = row if isinstance(row, tuple) else (row,)
+            if len(vals) != len(names):
+                continue
+            env = dict(zip(names, vals))
+            env.update(_HELPERS)
+            try:
+                sql = eval(q_src, {"__builtins__": {}}, env)
+                expected = eval(e_src, {"__builtins__": {}}, env)
+            except Exception:
+                continue
+            cases.append((f"{node.name}-{i}", sql, expected, kwargs))
+    return cases
+
+
+CASES = _collect()
+
+
+def test_harvest_volume():
+    assert len(CASES) >= 700, f"harvested only {len(CASES)} cases"
+
+
+def _round_coords(arr, prec):
+    a = np.asarray(arr, dtype=np.float64)
+    return np.round(a, prec) if prec is not None else a
+
+
+def _geoms_equal(g1, g2, prec) -> bool:
+    if g1 is None or g2 is None:
+        return g1 is g2
+    if g1[0] != g2[0]:
+        return False
+    name, p1, p2 = g1[0], g1[1], g2[1]
+    tol = 0.5 * 10 ** (-prec) if prec is not None else 1e-9
+
+    def eq(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        if a.shape != b.shape:
+            return False
+        return bool(np.allclose(a, b, atol=tol, rtol=0, equal_nan=True))
+
+    if name == "Point":
+        return eq(p1, p2)
+    if name in ("LineString", "MultiPoint"):
+        return eq(p1, p2)
+    if name in ("Polygon", "MultiLineString"):
+        return len(p1) == len(p2) and all(eq(a, b) for a, b in zip(p1, p2))
+    if name == "MultiPolygon":
+        return (len(p1) == len(p2)
+                and all(len(r1) == len(r2)
+                        and all(eq(a, b) for a, b in zip(r1, r2))
+                        for r1, r2 in zip(p1, p2)))
+    if name == "GeometryCollection":
+        return (len(p1) == len(p2)
+                and all(_geoms_equal(a, b, prec) for a, b in zip(p1, p2)))
+    return False
+
+
+def _check(got, expected, kwargs):
+    from sedona_db_spark.geometry import wkb as W
+    eps = kwargs.get("numeric_epsilon")
+    prec = kwargs.get("wkt_precision")
+    if isinstance(expected, list):
+        # single-row tuple form like [(None,)]
+        assert len(expected) == 1 and len(expected[0]) == 1
+        expected = expected[0][0]
+    if expected is None:
+        assert got is None, f"expected NULL, got {got!r}"
+        return
+    assert got is not None, f"expected {expected!r}, got NULL"
+    if isinstance(expected, bytes):
+        assert bytes(got) == expected
+    elif isinstance(expected, bool):
+        assert got == expected
+    elif isinstance(expected, (int, float)):
+        val = float(got)
+        if eps is not None:
+            assert val == pytest.approx(float(expected), abs=eps)
+        else:
+            assert val == pytest.approx(float(expected), rel=1e-12, abs=1e-12)
+    elif isinstance(expected, str):
+        if isinstance(got, (bytes, bytearray)):
+            got_wkt = W.wkb_to_wkt(bytes(got))
+            g_got = W.from_wkt(got_wkt)
+            g_exp = W.from_wkt(expected)
+            assert _geoms_equal(g_got, g_exp, prec), \
+                f"geometry mismatch: got {got_wkt!r}, want {expected!r}"
+            # dimension tokens must agree (Z/M preservation)
+            for tok in (" Z ", " M ", " ZM "):
+                assert (tok in got_wkt) == (tok in expected), \
+                    f"dim token mismatch: got {got_wkt!r}, want {expected!r}"
+        else:
+            assert str(got) == expected
+    else:
+        raise AssertionError(f"unhandled expected type {type(expected)}")
+
+
+def _semantic_equal(g1, g2) -> bool:
+    """Region/point-set equality, order-insensitive for collections."""
+    from sedona_db_spark.geometry import kernels as K
+
+    def _empty(g):
+        if g[0] == "Point":
+            a = np.asarray(g[1], dtype=np.float64)
+            return a.size == 0 or bool(np.isnan(a).all())
+        return len(g[1]) == 0
+
+    if g1 is None or g2 is None:
+        return g1 is g2
+    if _empty(g1) or _empty(g2):
+        # geom_equals is false over empties; same-type emptiness is the
+        # reference's expectation (POLYGON EMPTY == POLYGON EMPTY)
+        return _empty(g1) and _empty(g2) and g1[0] == g2[0]
+    if g1[0] == "GeometryCollection" or g2[0] == "GeometryCollection":
+        p1 = list(g1[1]) if g1[0] == "GeometryCollection" else [g1]
+        p2 = list(g2[1]) if g2[0] == "GeometryCollection" else [g2]
+        if len(p1) != len(p2):
+            return False
+        used = [False] * len(p2)
+        for a in p1:
+            hit = False
+            for i, b in enumerate(p2):
+                if not used[i] and _semantic_equal(a, b):
+                    used[i] = hit = True
+                    break
+            if not hit:
+                return False
+        return True
+    return bool(K.geom_equals(g1, g2))
+
+
+def _geom_length(g) -> float:
+    import numpy as np
+    if g is None:
+        return 0.0
+    if g[0] == "LineString":
+        p = np.asarray(g[1], dtype=np.float64)
+        if len(p) < 2:
+            return 0.0
+        return float(np.hypot(np.diff(p[:, 0]), np.diff(p[:, 1])).sum())
+    return 0.0
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_reference_function_case(spark, case):
+    from sedona_db_spark.geometry import wkb as W
+    cid, sql, expected, kwargs = case
+    src = cid.rsplit("-", 1)[0]
+    got = spark.sql(f"{sql} AS v" if sql.upper().startswith("SELECT")
+                    else sql).collect()[0][0]
+    if src in SEMANTIC_TESTS and isinstance(expected, str):
+        if got is None:
+            assert expected is None
+            return
+        g_got = W.decode(bytes(got))
+        g_exp = W.from_wkt(expected)
+        assert _semantic_equal(g_got, g_exp), \
+            f"semantic mismatch: got {W.wkb_to_wkt(bytes(got))!r}, " \
+            f"want {expected!r}"
+        return
+    if src in LENGTH_ONLY_TESTS and isinstance(expected, str):
+        if got is None:
+            assert expected is None
+            return
+        g_got = W.decode(bytes(got))
+        g_exp = W.from_wkt(expected)
+        assert _geom_length(g_got) == pytest.approx(
+            _geom_length(g_exp), rel=1e-9, abs=1e-12), \
+            f"clearance mismatch: got {W.wkb_to_wkt(bytes(got))!r}, " \
+            f"want {expected!r}"
+        return
+    _check(got, expected, kwargs)
