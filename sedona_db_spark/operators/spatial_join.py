@@ -738,6 +738,25 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                               rcols=right.columns, ldist_col=ldist_col,
                               how=how)
 
+    # general-polygon JVM fast path: the even-odd crossing-number refine is
+    # a pure SQL higher-order-function expression over per-polygon edge
+    # arrays — zero Python anywhere, mirroring the numpy kernel's exact
+    # arithmetic (points_in_ring) so results are bit-identical.  Gated on
+    # edge count: HOF lambdas are O(edges) per candidate pair without the
+    # numpy batch amortization, so many-vertex layers (coastlines) keep the
+    # vectorized mapInPandas path.
+    if (dist_col is None
+            and not predicate.endswith("_sphere")
+            and predicate in ("intersects", "coveredby", "within")
+            and all(g is None or g[0] in ("Polygon", "MultiPolygon")
+                    for g in r_geoms.values())
+            and any(g is not None for g in r_geoms.values())
+            and max((_edge_count(g) for g in r_geoms.values()
+                     if g is not None), default=0) <= MAX_JVM_POLY_EDGES):
+        return _poly_jvm_join(left, right_i, r_geoms, predicate,
+                              left_geom, res, left_lonlat,
+                              rcols=right.columns, how=how)
+
     cellmap: dict[int, list] = {}
     for i, g in r_geoms.items():
         if g is None:
@@ -897,6 +916,153 @@ def _is_axis_rect(g) -> bool:
     pts = {(float(p[0]), float(p[1])) for p in ring}
     xmin, ymin, xmax, ymax = K.geom_bbox(g)
     return pts == {(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)}
+
+
+MAX_JVM_POLY_EDGES = 512  # per build geometry; beyond this the numpy
+                          # batch-vectorized refine amortizes better
+
+
+def _edge_count(g) -> int:
+    parts = [g[1]] if g[0] == "Polygon" else g[1]
+    return sum(max(len(r) - 1, 0) for rings in parts for r in rings)
+
+
+def _ring_edges(ring) -> list:
+    """[(ax, ay, bx, by), ...] — consecutive edges plus the closing edge
+    when the ring isn't explicitly closed (the numpy kernel's edge set:
+    points_in_ring / _points_on_ring_edge)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 2:
+        return []
+    out = [(float(r[i, 0]), float(r[i, 1]),
+            float(r[i + 1, 0]), float(r[i + 1, 1]))
+           for i in range(len(r) - 1)]
+    if not (r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]):
+        out.append((float(r[-1, 0]), float(r[-1, 1]),
+                    float(r[0, 0]), float(r[0, 1])))
+    return out
+
+
+def _pip_refine_sql(px: str, py: str, parts_col: str, boundary: bool) -> str:
+    """SQL HOF expression for point-in-(Multi)Polygon over the nested edge
+    arrays of ``parts_col``, arithmetically IDENTICAL to the numpy kernel
+    (kernels.points_in_ring / points_in_polygon):
+
+    - crossing toggle: (ay > py) != (by > py) AND px < (bx-ax)*(py-ay)/(by-ay)+ax
+      (same op order → same IEEE rounding), XOR over edges ≡ sum mod 2;
+    - polygon = odd(shell) AND NOT odd(any hole), per part;
+    - on-edge: bbox gate + |cross| < 1e-12 * max(1, |dx|+|dy|);
+    - boundary=True  (covers/coveredby/intersects): in OR on-edge;
+      boundary=False (within): in AND NOT on-edge (kernel
+      boundary_counts=False — interior of some part).
+    """
+    cross = ("aggregate({r}, 0, (acc, e) -> acc + IF((e.ay > %(py)s) != "
+             "(e.by > %(py)s) AND %(px)s < (e.bx - e.ax) * (%(py)s - e.ay)"
+             " / (e.by - e.ay) + e.ax, 1, 0)) %% 2 = 1"
+             ) % {"px": px, "py": py}
+    shell_in = cross.format(r="p.shell")
+    hole_in = "exists(p.holes, h -> " + cross.format(r="h") + ")"
+    on_edge = (
+        "exists(p.edges, e -> "
+        f"{px} >= least(e.ax, e.bx) AND {px} <= greatest(e.ax, e.bx) AND "
+        f"{py} >= least(e.ay, e.by) AND {py} <= greatest(e.ay, e.by) AND "
+        f"abs((e.bx - e.ax) * ({py} - e.ay) - (e.by - e.ay) * ({px} - e.ax))"
+        " < 1e-12 * greatest(1.0D, abs(e.bx - e.ax) + abs(e.by - e.ay)))")
+    if boundary:
+        body = f"((({shell_in}) AND NOT ({hole_in})) OR ({on_edge}))"
+    else:
+        body = f"(({shell_in}) AND NOT ({hole_in}) AND NOT ({on_edge}))"
+    return f"exists({parts_col}, p -> {body})"
+
+
+def _poly_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
+                   predicate: str, left_geom: str, res: int,
+                   left_lonlat, rcols: list, how: str = "inner") -> DataFrame:
+    """All-JVM broadcast spatial join for general (Multi)Polygon dimension
+    layers: the cell table carries each polygon's edge arrays as nested
+    structs, the even-odd crossing-number refine runs as a SQL
+    higher-order-function expression — the whole join is JVM-side, no
+    ArrowEvalPython row queue anywhere.  At 100 TB the probe side streams
+    through two BroadcastHashJoins; nothing shuffles or collects.
+
+    Analogue of the reference's broadcast R-tree probe
+    (rust/sedona-spatial-join/src/index/) for the low-vertex dimension
+    layers that dominate web geocoding (admin areas, tile grids, metros)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    spark = left.sparkSession
+    edge_t = StructType([
+        StructField("ax", DoubleType()), StructField("ay", DoubleType()),
+        StructField("bx", DoubleType()), StructField("by", DoubleType())])
+    part_t = StructType([
+        StructField("shell", ArrayType(edge_t)),
+        StructField("holes", ArrayType(ArrayType(edge_t))),
+        StructField("edges", ArrayType(edge_t))])
+    schema = StructType([
+        StructField("__cell", LongType()), StructField("__ridx", LongType()),
+        StructField("__parts", ArrayType(part_t))])
+
+    cell_rows = []
+    for i, g in r_geoms.items():
+        if g is None:
+            continue
+        xmin, ymin, xmax, ymax = K.geom_bbox(g)
+        if np.isnan(xmin):
+            continue
+        poly_parts = [g[1]] if g[0] == "Polygon" else g[1]
+        parts = []
+        for rings in poly_parts:
+            ring_edges = [_ring_edges(r) for r in rings]
+            shell = ring_edges[0] if ring_edges else []
+            holes = ring_edges[1:]
+            parts.append((shell, holes,
+                          [e for es in ring_edges for e in es]))
+        for c in grid.covering_cells(xmin, ymin, xmax, ymax, res):
+            cell_rows.append((int(c), int(i), parts))
+    rcells = spark.createDataFrame(cell_rows, schema)
+
+    if left_lonlat is not None:
+        lon_c, lat_c = left_lonlat
+        l_cells = left.withColumn(
+            "__cell", F.expr(grid.cell_expr_sql(lon_c, lat_c, res)))
+        px, py = lon_c, lat_c
+    else:
+        from sedona_db_spark.functions.scalar import st_x, st_y
+        l_cells = (left.withColumn("__lon", st_x(F.col(left_geom)))
+                       .withColumn("__lat", st_y(F.col(left_geom)))
+                       .withColumn("__cell", F.expr(
+                           grid.cell_expr_sql("__lon", "__lat", res))))
+        px, py = "__lon", "__lat"
+
+    cond = F.expr(_pip_refine_sql(px, py, "__parts",
+                                  boundary=predicate != "within"))
+    cand = l_cells.join(F.broadcast(rcells), on="__cell")
+    if how in ("left_semi", "left_anti", "mark", "left"):
+        rc = rcells.withColumnRenamed("__cell", "__rcell")
+        jcond = (F.col("__cell") == F.col("__rcell")) & cond
+        if how in ("left_semi", "left_anti"):
+            return (l_cells.join(F.broadcast(rc), jcond, how)
+                    .select(*left.columns))
+        if how == "mark":
+            semi = (l_cells.join(F.broadcast(rc), jcond, "left_semi")
+                    .select(*left.columns).withColumn("mark", F.lit(True)))
+            anti = (l_cells.join(F.broadcast(rc), jcond, "left_anti")
+                    .select(*left.columns).withColumn("mark", F.lit(False)))
+            return semi.unionByName(anti)
+        # left outer: matched pairs ∪ anti rows padded with NULL payload
+        pairs = (cand.where(cond).join(F.broadcast(right_i), on="__ridx")
+                 .select(*left.columns, *rcols))
+        anti = l_cells.join(F.broadcast(rc), jcond, "left_anti") \
+            .select(*left.columns)
+        for c in rcols:
+            anti = anti.withColumn(
+                c, F.lit(None).cast(right_i.schema[c].dataType))
+        return pairs.unionByName(anti)
+
+    matched = cand.where(cond)
+    return (matched.join(F.broadcast(right_i), on="__ridx")
+                   .select(*left.columns, *rcols))
 
 
 def _rect_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,

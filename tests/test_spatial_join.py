@@ -221,13 +221,52 @@ def test_rect_jvm_fast_path(data, spark):
 
 def test_plan_shapes(data):
     pdf, gdf, _, _ = data
-    # broadcast path: one-pass mapInPandas + broadcast payload join on __ridx
+    # broadcast path, low-vertex polygon layer: ALL-JVM — cell-key
+    # BroadcastHashJoin + HOF crossing-number refine, no Python operator
+    # anywhere in the plan
     plan = spatial_join(pdf, gdf, "intersects")._jdf.queryExecution().toString()
-    assert "__ridx" in plan and "MapInPandas" in plan
+    assert "__ridx" in plan and "__cell" in plan
+    # the refine is pure JVM (no mapInPandas row queue); the only Python in
+    # the plan is the one batched st_x/st_y coordinate extraction over the
+    # WKB probe column (lon/lat probe sides have none at all — asserted in
+    # test_poly_jvm_join_lonlat_no_python)
+    assert "MapInPandas" not in plan
+    # high-vertex layers fall back to the vectorized mapInPandas refine
+    import importlib
+    SJ = importlib.import_module("sedona_db_spark.operators.spatial_join")
+    old = SJ.MAX_JVM_POLY_EDGES
+    try:
+        SJ.MAX_JVM_POLY_EDGES = 0
+        plan_py = (spatial_join(pdf, gdf, "intersects")
+                   ._jdf.queryExecution().toString())
+        assert "MapInPandas" in plan_py
+    finally:
+        SJ.MAX_JVM_POLY_EDGES = old
     # shuffle path: phase-1 equi join on the __cell key
     plan2 = spatial_join(pdf, gdf, "intersects",
                          broadcast_threshold=0)._jdf.queryExecution().toString()
     assert "__cell" in plan2
+
+
+def test_poly_jvm_join_lonlat_no_python(data, spark):
+    """lon/lat probe × low-vertex polygon layer: the ENTIRE join plan is
+    JVM (cell expr + HOF crossing-number refine + broadcast payload join) —
+    zero Python operators of any kind."""
+    import pandas as pd
+    _, gdf, P, G = data
+    pts = FX.random_points(200, seed=7)
+    xs, ys = W.wkb_to_points(pts.geometry)
+    ldf = spark.createDataFrame(pd.DataFrame(
+        {"pid": pts.id, "lon": xs, "lat": ys}))
+    j = spatial_join(ldf, gdf, "intersects", left_lonlat=("lon", "lat"))
+    plan = j._jdf.queryExecution().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    got = {(r["pid"], r["id"]) for r in j.collect()}
+    exp = {(i, rid) for i, (x, y) in enumerate(zip(xs, ys))
+           for rid, g in enumerate(G)
+           if K.points_in_geom(np.array([x]), np.array([y]), g)[0]}
+    assert got == exp
 
 
 def test_full_and_mark_join_types(data):
