@@ -738,24 +738,32 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                               rcols=right.columns, ldist_col=ldist_col,
                               how=how)
 
-    # general-polygon JVM fast path: the even-odd crossing-number refine is
-    # a pure SQL higher-order-function expression over per-polygon edge
-    # arrays — zero Python anywhere, mirroring the numpy kernel's exact
-    # arithmetic (points_in_ring) so results are bit-identical.  Gated on
-    # edge count: HOF lambdas are O(edges) per candidate pair without the
-    # numpy batch amortization, so many-vertex layers (coastlines) keep the
-    # vectorized mapInPandas path.
+    # general-geometry JVM fast path: the even-odd crossing-number /
+    # on-edge / point-to-segment refine is a pure SQL higher-order-function
+    # expression over per-geometry edge arrays — zero Python anywhere,
+    # mirroring the numpy kernel's exact arithmetic (points_in_ring,
+    # points_seg_dist) so results are bit-identical.  Gated on edge count:
+    # HOF lambdas are O(edges) per candidate pair without the numpy batch
+    # amortization, so many-vertex layers (coastlines) keep the vectorized
+    # mapInPandas path.  `within` needs areal semantics → polygonal only.
+    _jvm_ok_types = (("Polygon", "MultiPolygon") if predicate == "within"
+                     else ("Point", "MultiPoint", "LineString",
+                           "MultiLineString", "Polygon", "MultiPolygon"))
     if (dist_col is None
             and not predicate.endswith("_sphere")
-            and predicate in ("intersects", "coveredby", "within")
-            and all(g is None or g[0] in ("Polygon", "MultiPolygon")
+            and predicate in ("intersects", "coveredby", "within", "dwithin")
+            and (predicate != "dwithin" or ldist_col is not None
+                 or isinstance(distance, (int, float)))
+            and all(g is None or g[0] in _jvm_ok_types
                     for g in r_geoms.values())
             and any(g is not None for g in r_geoms.values())
             and max((_edge_count(g) for g in r_geoms.values()
                      if g is not None), default=0) <= MAX_JVM_POLY_EDGES):
         return _poly_jvm_join(left, right_i, r_geoms, predicate,
                               left_geom, res, left_lonlat,
-                              rcols=right.columns, how=how)
+                              rcols=right.columns, how=how,
+                              distance=distance, pad=pad,
+                              ldist_col=ldist_col)
 
     cellmap: dict[int, list] = {}
     for i, g in r_geoms.items():
@@ -923,6 +931,15 @@ MAX_JVM_POLY_EDGES = 512  # per build geometry; beyond this the numpy
 
 
 def _edge_count(g) -> int:
+    name = g[0]
+    if name in ("Point",):
+        return 1
+    if name in ("MultiPoint",):
+        return len(g[1])
+    if name == "LineString":
+        return max(len(g[1]) - 1, 0)
+    if name == "MultiLineString":
+        return sum(max(len(l) - 1, 0) for l in g[1])
     parts = [g[1]] if g[0] == "Polygon" else g[1]
     return sum(max(len(r) - 1, 0) for rings in parts for r in rings)
 
@@ -934,13 +951,50 @@ def _ring_edges(ring) -> list:
     r = np.asarray(ring, dtype=np.float64)
     if len(r) < 2:
         return []
-    out = [(float(r[i, 0]), float(r[i, 1]),
-            float(r[i + 1, 0]), float(r[i + 1, 1]))
-           for i in range(len(r) - 1)]
+    out = _path_edges(r)
     if not (r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]):
         out.append((float(r[-1, 0]), float(r[-1, 1]),
                     float(r[0, 0]), float(r[0, 1])))
     return out
+
+
+def _path_edges(line) -> list:
+    """Consecutive edges only — NO implicit closing edge (a point on the
+    first-to-last chord of an open linestring must not test on-edge; the
+    kernel's _points_on_path_edge)."""
+    r = np.asarray(line, dtype=np.float64)
+    return [(float(r[i, 0]), float(r[i, 1]),
+             float(r[i + 1, 0]), float(r[i + 1, 1]))
+            for i in range(len(r) - 1)]
+
+
+def _geom_edge_parts(g) -> list:
+    """(shell_edges, hole_edge_lists, all_edges) triples for the JVM HOF
+    refine.  Non-areal geometries carry everything in ``all_edges`` with an
+    empty shell (crossing count 0 → never 'inside'; the on-edge /
+    point-to-segment terms decide).  Points become zero-length edges, whose
+    on-edge test degenerates to the kernel's EXACT coordinate equality and
+    whose segment distance degenerates to point distance."""
+    name = g[0]
+    if name == "Polygon" or name == "MultiPolygon":
+        out = []
+        for rings in ([g[1]] if name == "Polygon" else g[1]):
+            ring_edges = [_ring_edges(r) for r in rings]
+            shell = ring_edges[0] if ring_edges else []
+            out.append((shell, ring_edges[1:],
+                        [e for es in ring_edges for e in es]))
+        return out
+    if name == "LineString":
+        return [([], [], _path_edges(g[1]))]
+    if name == "MultiLineString":
+        return [([], [], _path_edges(l)) for l in g[1]]
+    if name == "Point":
+        x, y = float(g[1][0]), float(g[1][1])
+        return [([], [], [(x, y, x, y)])]
+    if name == "MultiPoint":
+        return [([], [], [(float(r[0]), float(r[1]),
+                           float(r[0]), float(r[1])) for r in g[1]])]
+    raise ValueError(name)
 
 
 def _pip_refine_sql(px: str, py: str, parts_col: str, boundary: bool) -> str:
@@ -975,9 +1029,28 @@ def _pip_refine_sql(px: str, py: str, parts_col: str, boundary: bool) -> str:
     return f"exists({parts_col}, p -> {body})"
 
 
+def _dwithin_refine_sql(px: str, py: str, parts_col: str, dexpr: str) -> str:
+    """SQL HOF for ST_DWithin(point, geom, d): boundary-inclusive inside
+    (distance 0) OR some edge at point-to-segment distance ≤ d — mirrors
+    kernels.points_to_geom_distance / points_seg_dist (same clamp-projection
+    op order; ``hypot`` both sides; zero-length edges take the plain point
+    distance branch)."""
+    ll = "((e.bx - e.ax) * (e.bx - e.ax) + (e.by - e.ay) * (e.by - e.ay))"
+    t = (f"least(greatest((({px} - e.ax) * (e.bx - e.ax) + "
+         f"({py} - e.ay) * (e.by - e.ay)) / {ll}, 0.0D), 1.0D)")
+    seg = (f"CASE WHEN {ll} = 0.0D THEN hypot({px} - e.ax, {py} - e.ay) "
+           f"ELSE hypot({px} - (e.ax + {t} * (e.bx - e.ax)), "
+           f"{py} - (e.ay + {t} * (e.by - e.ay))) END")
+    near = f"exists({parts_col}, p -> exists(p.edges, e -> {seg} <= {dexpr}))"
+    inside = _pip_refine_sql(px, py, parts_col, boundary=True)
+    return f"(({inside}) OR ({near}))"
+
+
 def _poly_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
                    predicate: str, left_geom: str, res: int,
-                   left_lonlat, rcols: list, how: str = "inner") -> DataFrame:
+                   left_lonlat, rcols: list, how: str = "inner",
+                   distance=None, pad: float = 0.0,
+                   ldist_col: str | None = None) -> DataFrame:
     """All-JVM broadcast spatial join for general (Multi)Polygon dimension
     layers: the cell table carries each polygon's edge arrays as nested
     structs, the even-odd crossing-number refine runs as a SQL
@@ -1010,15 +1083,9 @@ def _poly_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
         xmin, ymin, xmax, ymax = K.geom_bbox(g)
         if np.isnan(xmin):
             continue
-        poly_parts = [g[1]] if g[0] == "Polygon" else g[1]
-        parts = []
-        for rings in poly_parts:
-            ring_edges = [_ring_edges(r) for r in rings]
-            shell = ring_edges[0] if ring_edges else []
-            holes = ring_edges[1:]
-            parts.append((shell, holes,
-                          [e for es in ring_edges for e in es]))
-        for c in grid.covering_cells(xmin, ymin, xmax, ymax, res):
+        parts = _geom_edge_parts(g)
+        for c in grid.covering_cells(xmin - pad, ymin - pad,
+                                     xmax + pad, ymax + pad, res):
             cell_rows.append((int(c), int(i), parts))
     rcells = spark.createDataFrame(cell_rows, schema)
 
@@ -1035,8 +1102,13 @@ def _poly_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
                            grid.cell_expr_sql("__lon", "__lat", res))))
         px, py = "__lon", "__lat"
 
-    cond = F.expr(_pip_refine_sql(px, py, "__parts",
-                                  boundary=predicate != "within"))
+    if predicate == "dwithin":
+        dexpr = (ldist_col if ldist_col is not None
+                 else repr(float(distance)) + "D")
+        cond = F.expr(_dwithin_refine_sql(px, py, "__parts", dexpr))
+    else:
+        cond = F.expr(_pip_refine_sql(px, py, "__parts",
+                                      boundary=predicate != "within"))
     cand = l_cells.join(F.broadcast(rcells), on="__cell")
     if how in ("left_semi", "left_anti", "mark", "left"):
         rc = rcells.withColumnRenamed("__cell", "__rcell")

@@ -248,6 +248,49 @@ def test_plan_shapes(data):
     assert "__cell" in plan2
 
 
+def test_jvm_dwithin_and_line_point_layers(data, spark):
+    """The JVM HOF path also serves dwithin (clamp-projection segment
+    distance) and line/point build layers (on-edge / exact equality); all
+    differential vs the numpy kernels, and the dwithin plan is Python-free
+    on the refine."""
+    import pandas as pd
+    pdf, gdf, P, G = data
+    # dwithin literal → JVM path
+    j = spatial_join(pdf, gdf, "dwithin", distance=0.8)
+    assert "MapInPandas" not in j._jdf.queryExecution().toString()
+    got = {(r["id"], r["id_r"]) for r in j.collect()}
+    assert got == brute(P, G, lambda p, g: K.geom_dwithin(p, g, 0.8))
+    # probe-side column distance → JVM path
+    j2 = spatial_join(pdf, gdf, "dwithin", distance="dist",
+                      distance_side="probe")
+    assert "MapInPandas" not in j2._jdf.queryExecution().toString()
+    dists = {int(i): float(d) for i, d in zip(pdf.toPandas().id,
+                                              pdf.toPandas().dist)}
+    got2 = {(r["id"], r["id_r"]) for r in j2.collect()}
+    assert got2 == {(i, j_) for i, p in enumerate(P) for j_, g in enumerate(G)
+                    if K.geom_dwithin(p, g, dists[i])}
+    # linestring build layer: intersects (on-edge) + dwithin
+    lines = FX.random_linestrings(30, seed=9)
+    ldf = spark.createDataFrame(lines).withColumnRenamed("geometry", "geom")
+    L = [W.decode(bytes(b)) for b in lines.geometry]
+    for pred, fn in (("intersects", K.geom_intersects),
+                     ("dwithin", lambda a, b: K.geom_dwithin(a, b, 1.1))):
+        kw = {"distance": 1.1} if pred == "dwithin" else {}
+        jj = spatial_join(pdf, ldf, pred, **kw)
+        assert "MapInPandas" not in jj._jdf.queryExecution().toString()
+        gotl = {(r["id"], r["id_r"]) for r in jj.collect()}
+        assert gotl == brute(P, L, fn), pred
+    # point build layer: dwithin degenerates to point distance
+    tgt = FX.random_points(40, seed=11)
+    tdf = (spark.createDataFrame(tgt).withColumnRenamed("geometry", "geom")
+           .withColumnRenamed("id", "tid").drop("dist"))
+    T = [W.decode(bytes(b)) for b in tgt.geometry]
+    jp = spatial_join(pdf, tdf, "dwithin", distance=2.5)
+    assert "MapInPandas" not in jp._jdf.queryExecution().toString()
+    gotp = {(r["id"], r["tid"]) for r in jp.collect()}
+    assert gotp == brute(P, T, lambda a, b: K.geom_dwithin(a, b, 2.5))
+
+
 def test_poly_jvm_join_lonlat_no_python(data, spark):
     """lon/lat probe × low-vertex polygon layer: the ENTIRE join plan is
     JVM (cell expr + HOF crossing-number refine + broadcast payload join) —
