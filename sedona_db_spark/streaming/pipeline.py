@@ -94,3 +94,81 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
         "text_md5", F.md5(F.col(text_col).cast("binary")))
     return (hashed.withWatermark(ts_col, watermark)
                   .dropDuplicatesWithinWatermark(["text_md5"]))
+
+
+def streaming_sessionize(stream: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts", gap_minutes: float = 30.0,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stateful gap-based sessionization via ``applyInPandasWithState``.
+
+    The custom-stateful-operator tier the built-in windowed aggregations
+    can't express: per-user state holds only the OPEN session (start, last
+    event, count); a micro-batch closes every session whose following gap
+    exceeds ``gap_minutes`` (emitted immediately), and the event-time
+    timeout closes the open session once the watermark passes
+    ``last + gap`` — so state is bounded by the number of concurrently
+    active users, never by history.  Session semantics match the batch
+    ``operators.sessionize`` exactly (a new session starts when the gap is
+    STRICTLY greater than the timeout).
+
+    Output (append mode): one row per completed session —
+    (user, session_start, session_end, n_events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    gap_s = float(gap_minutes) * 60.0
+    out_t = StructType([
+        StructField("user", StringType()),
+        StructField("session_start", DoubleType()),
+        StructField("session_end", DoubleType()),
+        StructField("n_events", LongType()),
+    ])
+    state_t = StructType([
+        StructField("start", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        user = str(key[0])
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"user": user, "session_start": start,
+                                 "session_end": last, "n_events": n}])
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.append(pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy()
+                      / 1e9)
+        import numpy as np
+        t = np.sort(np.concatenate(ts)) if ts else np.empty(0)
+        if not len(t):
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = float(t[0]), float(t[0]), 0
+        closed = []
+        for v in t:
+            v = float(v)
+            if n > 0 and v - last > gap_s:
+                closed.append((start, last, n))
+                start, n = v, 0
+            last = v if n == 0 else max(last, v)
+            n += 1
+        state.update((start, last, n))
+        # close the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp(int((last + gap_s) * 1000) + 1)
+        if closed:
+            yield pd.DataFrame([{"user": user, "session_start": s,
+                                 "session_end": e, "n_events": k}
+                                for s, e, k in closed])
+
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col))
+            .applyInPandasWithState(fn, out_t, state_t, "append",
+                                    GroupStateTimeout.EventTimeTimeout))

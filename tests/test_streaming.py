@@ -111,3 +111,56 @@ def test_streaming_exact_dedup(spark, tmp_path):
     texts = [r["text"] for r in rows]
     assert sorted(set(texts)) == sorted(f"body {i}" for i in range(10))
     assert len(texts) == 10  # one survivor per distinct text in-horizon
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: completed sessions match the
+    batch sessionize/session_stats semantics exactly (strict-gap splits);
+    the event-time timeout closes idle sessions once the watermark passes
+    last + gap."""
+    import pandas as pd
+
+    from sedona_db_spark.operators.sessionize import sessionize
+    from sedona_db_spark.streaming import streaming_sessionize
+
+    # two users, gaps of 10 min (same session at gap=30) and 2 h (split);
+    # a late tail event advances the watermark far enough to time out
+    # every real session
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for u, offs in (("a", [0, 10, 20, 200, 210]),   # split at 200 (3h gap? 180min > 30) -> 2 sessions
+                    ("b", [5, 15, 400])):           # split at 400 -> 2 sessions
+        for m in offs:
+            rows.append({"user_id": u, "ts": base + pd.Timedelta(minutes=m)})
+    # watermark driver: a far-future event on a third user
+    rows.append({"user_id": "zz", "ts": base + pd.Timedelta(days=30)})
+    events = pd.DataFrame(rows)
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    edf = spark.createDataFrame(events)
+    edf.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(edf.schema).parquet(src)
+    sess = streaming_sessionize(stream, gap_minutes=30.0,
+                                watermark="1 minute")
+    q = (sess.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+
+    # batch truth: every session of users a/b (the zz sentinel session may
+    # stay open — it has no later watermark to close it)
+    s = sessionize(edf, gap_minutes=30.0)
+    batch = (s.groupBy("user_id", "session_id")
+             .agg(F.min(F.col("ts").cast("timestamp").cast("double"))
+                  .alias("t0"),
+                  F.max(F.col("ts").cast("timestamp").cast("double"))
+                  .alias("t1"),
+                  F.count(F.lit(1)).alias("n")).collect())
+    exp = {(r["user_id"], r["t0"], r["t1"], r["n"]) for r in batch
+           if r["user_id"] != "zz"}
+    assert exp <= got
+    assert {g[0] for g in got} <= {"a", "b", "zz"}
