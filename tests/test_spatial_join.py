@@ -539,3 +539,46 @@ def test_broadcast_path_join_types_one_pass(data):
     semi = spatial_join(pdf, gdf, "intersects", "left_semi")
     assert "__k_" not in semi._jdf.queryExecution().executedPlan().toString()
     assert {r["id"] for r in semi.collect()} == lids
+
+
+def test_jvm_refine_exact_boundary_parity(spark):
+    """Adversarial probes for the JVM HOF refine: points EXACTLY on
+    polygon vertices, edge midpoints, hole edges, and just inside/outside —
+    the SQL arithmetic must agree with the numpy kernel bit-for-bit."""
+    import pandas as pd
+
+    ring = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    hole = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    tri = [(20.0, 0.0), (30.0, 0.0), (25.0, 7.0), (20.0, 0.0)]
+    polys = [("Polygon", [np.asarray(ring), np.asarray(hole)]),
+             ("Polygon", [np.asarray(tri)])]
+    gdf = spark.createDataFrame(pd.DataFrame({
+        "gid": [0, 1], "geom": [W.encode(g) for g in polys]}))
+
+    probes = [
+        (0.0, 0.0), (10.0, 10.0), (5.0, 0.0), (0.0, 5.0),     # shell vertex/edge
+        (4.0, 4.0), (5.0, 4.0), (4.0, 5.0),                   # hole vertex/edge
+        (5.0, 5.0),                                           # inside hole
+        (2.0, 2.0), (9.999999, 9.999999),                     # interior
+        (10.000001, 5.0), (-1e-9, 5.0),                       # just outside
+        (25.0, 7.0), (22.5, 3.5), (25.0, 3.0),                # tri vertex/edge/in
+        (25.0, 7.0000001), (20.0, 7.0),                       # just out
+    ]
+    pdf = spark.createDataFrame(pd.DataFrame({
+        "pid": range(len(probes)),
+        "geom": list(W.points_to_wkb(
+            np.array([p[0] for p in probes]),
+            np.array([p[1] for p in probes]))),
+    }))
+    P = [("Point", np.array(p)) for p in probes]
+    for pred, fn in (
+            ("intersects", K.geom_intersects),
+            ("within", K.geom_within),
+            ("dwithin", lambda a, b: K.geom_dwithin(a, b, 1.5))):
+        kw = {"distance": 1.5} if pred == "dwithin" else {}
+        j = spatial_join(pdf, gdf, pred, **kw)
+        assert "MapInPandas" not in j._jdf.queryExecution().toString(), pred
+        got = {(r["pid"], r["gid"]) for r in j.collect()}
+        exp = {(i, gi) for i, p in enumerate(P) for gi, g in enumerate(polys)
+               if fn(p, g)}
+        assert got == exp, pred
