@@ -742,14 +742,21 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     # on-edge / point-to-segment refine is a pure SQL higher-order-function
     # expression over per-geometry edge arrays — zero Python anywhere,
     # mirroring the numpy kernel's exact arithmetic (points_in_ring,
-    # points_seg_dist) so results are bit-identical.  Gated on edge count:
-    # HOF lambdas are O(edges) per candidate pair without the numpy batch
-    # amortization, so many-vertex layers (coastlines) keep the vectorized
-    # mapInPandas path.  `within` needs areal semantics → polygonal only.
+    # points_seg_dist) so results are bit-identical.  Gated on:
+    # - lon/lat probe columns: the coordinates are already JVM-visible, so
+    #   the whole plan is Python-free.  WKB probes stay on the fused
+    #   mapInPandas path — measured A/B: one vectorized decode+refine pass
+    #   that emits matches only beats an ArrowEvalPython coordinate
+    #   extract (all rows cross the Python boundary) plus the HOF refine;
+    # - edge count: HOF lambdas are O(edges) per candidate pair without
+    #   the numpy batch amortization, so many-vertex layers (coastlines)
+    #   keep the vectorized mapInPandas path.
+    # `within` needs areal semantics → polygonal only.
     _jvm_ok_types = (("Polygon", "MultiPolygon") if predicate == "within"
                      else ("Point", "MultiPoint", "LineString",
                            "MultiLineString", "Polygon", "MultiPolygon"))
-    if (dist_col is None
+    if (left_lonlat is not None
+            and dist_col is None
             and not predicate.endswith("_sphere")
             and predicate in ("intersects", "coveredby", "within", "dwithin")
             and (predicate != "dwithin" or ldist_col is not None

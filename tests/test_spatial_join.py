@@ -221,27 +221,12 @@ def test_rect_jvm_fast_path(data, spark):
 
 def test_plan_shapes(data):
     pdf, gdf, _, _ = data
-    # broadcast path, low-vertex polygon layer: ALL-JVM — cell-key
-    # BroadcastHashJoin + HOF crossing-number refine, no Python operator
-    # anywhere in the plan
+    # broadcast path, WKB probe: fused one-pass mapInPandas (decode +
+    # refine, emits matches only) + broadcast payload join on __ridx —
+    # measured A/B faster than extracting coordinates through
+    # ArrowEvalPython for the JVM HOF refine
     plan = spatial_join(pdf, gdf, "intersects")._jdf.queryExecution().toString()
-    assert "__ridx" in plan and "__cell" in plan
-    # the refine is pure JVM (no mapInPandas row queue); the only Python in
-    # the plan is the one batched st_x/st_y coordinate extraction over the
-    # WKB probe column (lon/lat probe sides have none at all — asserted in
-    # test_poly_jvm_join_lonlat_no_python)
-    assert "MapInPandas" not in plan
-    # high-vertex layers fall back to the vectorized mapInPandas refine
-    import importlib
-    SJ = importlib.import_module("sedona_db_spark.operators.spatial_join")
-    old = SJ.MAX_JVM_POLY_EDGES
-    try:
-        SJ.MAX_JVM_POLY_EDGES = 0
-        plan_py = (spatial_join(pdf, gdf, "intersects")
-                   ._jdf.queryExecution().toString())
-        assert "MapInPandas" in plan_py
-    finally:
-        SJ.MAX_JVM_POLY_EDGES = old
+    assert "__ridx" in plan and "MapInPandas" in plan
     # shuffle path: phase-1 equi join on the __cell key
     plan2 = spatial_join(pdf, gdf, "intersects",
                          broadcast_threshold=0)._jdf.queryExecution().toString()
@@ -249,35 +234,45 @@ def test_plan_shapes(data):
 
 
 def test_jvm_dwithin_and_line_point_layers(data, spark):
-    """The JVM HOF path also serves dwithin (clamp-projection segment
-    distance) and line/point build layers (on-edge / exact equality); all
-    differential vs the numpy kernels, and the dwithin plan is Python-free
-    on the refine."""
+    """The JVM HOF path (lon/lat probes) also serves dwithin
+    (clamp-projection segment distance) and line/point build layers
+    (on-edge / exact equality); all differential vs the numpy kernels,
+    with zero Python operators in the plan."""
     import pandas as pd
     pdf, gdf, P, G = data
+    xs = np.array([p[1][0] for p in P])
+    ys = np.array([p[1][1] for p in P])
+    dvals = [float(r["dist"]) for r in pdf.select("id", "dist")
+             .orderBy("id").collect()]
+    ll = spark.createDataFrame(pd.DataFrame(
+        {"id": range(len(P)), "lon": xs, "lat": ys, "dist": dvals}))
+    kw_ll = {"left_lonlat": ("lon", "lat")}
+
+    def no_python(df):
+        plan = df._jdf.queryExecution().toString()
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
     # dwithin literal → JVM path
-    j = spatial_join(pdf, gdf, "dwithin", distance=0.8)
-    assert "MapInPandas" not in j._jdf.queryExecution().toString()
+    j = spatial_join(ll, gdf, "dwithin", distance=0.8, **kw_ll)
+    no_python(j)
     got = {(r["id"], r["id_r"]) for r in j.collect()}
     assert got == brute(P, G, lambda p, g: K.geom_dwithin(p, g, 0.8))
     # probe-side column distance → JVM path
-    j2 = spatial_join(pdf, gdf, "dwithin", distance="dist",
-                      distance_side="probe")
-    assert "MapInPandas" not in j2._jdf.queryExecution().toString()
-    dists = {int(i): float(d) for i, d in zip(pdf.toPandas().id,
-                                              pdf.toPandas().dist)}
+    j2 = spatial_join(ll, gdf, "dwithin", distance="dist",
+                      distance_side="probe", **kw_ll)
+    no_python(j2)
     got2 = {(r["id"], r["id_r"]) for r in j2.collect()}
     assert got2 == {(i, j_) for i, p in enumerate(P) for j_, g in enumerate(G)
-                    if K.geom_dwithin(p, g, dists[i])}
+                    if K.geom_dwithin(p, g, dvals[i])}
     # linestring build layer: intersects (on-edge) + dwithin
     lines = FX.random_linestrings(30, seed=9)
     ldf = spark.createDataFrame(lines).withColumnRenamed("geometry", "geom")
     L = [W.decode(bytes(b)) for b in lines.geometry]
     for pred, fn in (("intersects", K.geom_intersects),
                      ("dwithin", lambda a, b: K.geom_dwithin(a, b, 1.1))):
-        kw = {"distance": 1.1} if pred == "dwithin" else {}
-        jj = spatial_join(pdf, ldf, pred, **kw)
-        assert "MapInPandas" not in jj._jdf.queryExecution().toString()
+        kw = dict(kw_ll, distance=1.1) if pred == "dwithin" else kw_ll
+        jj = spatial_join(ll, ldf, pred, **kw)
+        no_python(jj)
         gotl = {(r["id"], r["id_r"]) for r in jj.collect()}
         assert gotl == brute(P, L, fn), pred
     # point build layer: dwithin degenerates to point distance
@@ -285,10 +280,14 @@ def test_jvm_dwithin_and_line_point_layers(data, spark):
     tdf = (spark.createDataFrame(tgt).withColumnRenamed("geometry", "geom")
            .withColumnRenamed("id", "tid").drop("dist"))
     T = [W.decode(bytes(b)) for b in tgt.geometry]
-    jp = spatial_join(pdf, tdf, "dwithin", distance=2.5)
-    assert "MapInPandas" not in jp._jdf.queryExecution().toString()
+    jp = spatial_join(ll, tdf, "dwithin", distance=2.5, **kw_ll)
+    no_python(jp)
     gotp = {(r["id"], r["tid"]) for r in jp.collect()}
     assert gotp == brute(P, T, lambda a, b: K.geom_dwithin(a, b, 2.5))
+    # WKB probes keep the fused mapInPandas path (measured faster there)
+    jw = spatial_join(pdf, gdf, "dwithin", distance=0.8)
+    assert "MapInPandas" in jw._jdf.queryExecution().toString()
+    assert {(r["id"], r["id_r"]) for r in jw.collect()} == got
 
 
 def test_poly_jvm_join_lonlat_no_python(data, spark):
@@ -566,9 +565,8 @@ def test_jvm_refine_exact_boundary_parity(spark):
     ]
     pdf = spark.createDataFrame(pd.DataFrame({
         "pid": range(len(probes)),
-        "geom": list(W.points_to_wkb(
-            np.array([p[0] for p in probes]),
-            np.array([p[1] for p in probes]))),
+        "lon": [p[0] for p in probes],
+        "lat": [p[1] for p in probes],
     }))
     P = [("Point", np.array(p)) for p in probes]
     for pred, fn in (
@@ -576,7 +574,7 @@ def test_jvm_refine_exact_boundary_parity(spark):
             ("within", K.geom_within),
             ("dwithin", lambda a, b: K.geom_dwithin(a, b, 1.5))):
         kw = {"distance": 1.5} if pred == "dwithin" else {}
-        j = spatial_join(pdf, gdf, pred, **kw)
+        j = spatial_join(pdf, gdf, pred, left_lonlat=("lon", "lat"), **kw)
         assert "MapInPandas" not in j._jdf.queryExecution().toString(), pred
         got = {(r["pid"], r["gid"]) for r in j.collect()}
         exp = {(i, gi) for i, p in enumerate(P) for gi, g in enumerate(polys)

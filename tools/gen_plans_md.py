@@ -51,37 +51,31 @@ def main():
         "Python anywhere, and the big side never shuffles.",
         simple_plan(j1)))
 
-    j2 = spatial_join(pts, polys, "intersects")
+    j2 = spatial_join(pages, polys, "coveredby", left_lonlat=("lon", "lat"),
+                      right_geom="geom")
     sections.append((
-        "Strategy 2 — all-JVM HOF join (general low-vertex dimension layer)",
-        "General (Multi)Polygon/line/point layers up to 512 edges: the "
-        "broadcast cell table carries per-geometry edge arrays, and the "
-        "even-odd crossing-number + on-edge refine (and dwithin's "
-        "clamp-projection segment distance) runs as a SQL higher-order-"
-        "function Filter — arithmetically identical to the numpy kernels, "
-        "zero mapInPandas row queue.  The only Python is the batched "
-        "st_x/st_y coordinate extract over a WKB probe column (none at all "
-        "for lon/lat probes).",
+        "Strategy 2 — all-JVM HOF join (lon/lat probe × low-vertex dimension layer)",
+        "General (Multi)Polygon/line/point layers up to 512 edges, probe "
+        "coordinates already JVM-visible: the broadcast cell table carries "
+        "per-geometry edge arrays, and the even-odd crossing-number + "
+        "on-edge refine (and dwithin's clamp-projection segment distance) "
+        "runs as a SQL higher-order-function Filter — arithmetically "
+        "identical to the numpy kernels, ZERO Python operators anywhere in "
+        "the plan.",
         simple_plan(j2)))
 
-    import sedona_db_spark.operators.spatial_join as _SJmod
-    import importlib as _il
-    _SJ = _il.import_module("sedona_db_spark.operators.spatial_join")
-    _old_cap = _SJ.MAX_JVM_POLY_EDGES
-    try:
-        _SJ.MAX_JVM_POLY_EDGES = 0
-        j2b = spatial_join(pts, polys, "intersects")
-        plan2b = simple_plan(j2b)
-    finally:
-        _SJ.MAX_JVM_POLY_EDGES = _old_cap
+    j2b = spatial_join(pts, polys, "intersects")
     sections.append((
-        "Strategy 2b — one-pass broadcast mapInPandas (high-vertex dimension side)",
-        "Layers beyond the 512-edge HOF cap (coastlines): one MapInPandas "
-        "over the big side (join+refine fused, numpy batch-vectorized; "
-        "emits matches only), then a broadcast hash join rehydrates "
-        "dimension payload columns by row index. No shuffle of the big "
-        "side, no ArrowEvalPython row queues.",
-        plan2b))
+        "Strategy 2b — one-pass broadcast mapInPandas (WKB probe or high-vertex layer)",
+        "WKB probe columns (and layers beyond the 512-edge HOF cap): one "
+        "MapInPandas over the big side — decode + refine fused in a single "
+        "numpy-vectorized pass that emits matches only — then a broadcast "
+        "hash join rehydrates dimension payload columns by row index.  "
+        "Measured A/B faster than extracting coordinates through "
+        "ArrowEvalPython for the HOF refine: matches-only output crosses "
+        "the Python boundary instead of every probe row. No shuffle of "
+        "the big side.",
+        simple_plan(j2b)))
 
     j3 = spatial_join(pts, polys, "intersects", broadcast_threshold=0)
     sections.append((
