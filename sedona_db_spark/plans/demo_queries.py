@@ -153,6 +153,66 @@ ORACLE_PIP_COUNT = (
     "GROUP BY r.n_name")
 
 
+# hexagon layer: 25 convex (non-rectangular!) polygons derived from
+# n_nationkey — the lon/lat probe side routes this join through the
+# all-JVM higher-order-function crossing-number path (_poly_jvm_join),
+# putting that code path under the driver's DuckDB-oracle gate.
+# Vertex offsets are fixed decimal literals (no trig): the same doubles in
+# both engines, and the minimum distance between a 1e-6-lattice doc point
+# and a hexagon edge line is ~3e-8 (gcd structure of 7.8/4.5 offsets), far
+# above FP noise — so crossing-number (Spark) and half-plane conjunction
+# (oracle) can only disagree on exactly-on-edge points, where both count
+# the point covered.
+HEX_OFFS = [(9.0, 0.0), (4.5, 7.8), (-4.5, 7.8),
+            (-9.0, 0.0), (-4.5, -7.8), (4.5, -7.8)]  # CCW
+HEX_CX = "CAST((n_nationkey * 29) % 300 - 150 AS DOUBLE)"
+HEX_CY = "CAST((n_nationkey * 53) % 140 - 70 AS DOUBLE)"
+
+
+def nation_hexes(spark, sf_dir):
+    from sedona_db_spark.functions.scalar import st_geomfromtext
+    n = (_t(spark, sf_dir, "nation")
+         .withColumn("cx", F.expr(HEX_CX)).withColumn("cy", F.expr(HEX_CY)))
+    parts = [F.lit("POLYGON ((")]
+    ring = HEX_OFFS + [HEX_OFFS[0]]
+    for i, (dx, dy) in enumerate(ring):
+        if i:
+            parts.append(F.lit(", "))
+        parts += [(F.col("cx") + F.lit(dx)).cast("string"), F.lit(" "),
+                  (F.col("cy") + F.lit(dy)).cast("string")]
+    parts.append(F.lit("))"))
+    return (n.withColumn("geom", st_geomfromtext(F.concat(*parts)))
+            .select("n_nationkey", "geom"))
+
+
+def q_pip_hex_pairs(spark, sf_dir):
+    from sedona_db_spark.operators import spatial_join
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL)))
+    hexes = nation_hexes(spark, sf_dir)
+    j = spatial_join(d, hexes, "coveredby", "inner",
+                     left_lonlat=("lon", "lat"), right_geom="geom")
+    return j.select("doc_id", "n_nationkey")
+
+
+def _oracle_pip_hex() -> str:
+    # convex CCW polygon: covered ⟺ every edge's cross product ≥ 0
+    conds = []
+    ring = HEX_OFFS + [HEX_OFFS[0]]
+    for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+        conds.append(
+            f"(({bx!r} - {ax!r}) * (d.lat - (h.cy + {ay!r})) - "
+            f"({by!r} - {ay!r}) * (d.lon - (h.cx + {ax!r}))) >= 0.0")
+    return (_docs_cte()
+            + f", hexes AS (SELECT n_nationkey, {HEX_CX} AS cx, {HEX_CY} AS cy"
+            " FROM nation) "
+            "SELECT d.doc_id, h.n_nationkey FROM docs d JOIN hexes h ON "
+            + " AND ".join(conds))
+
+
+ORACLE_PIP_HEX = _oracle_pip_hex()
+
+
 # ---------------------------------------------------------------------------
 # 4. distance join (ST_DWithin)
 # ---------------------------------------------------------------------------
@@ -1261,6 +1321,7 @@ ORACLE_OVERLAY = (
 QUERIES = {
     "geocode_cells": q_geocode_cells,
     "pip_pairs": q_pip_pairs,
+    "pip_hex_pairs": q_pip_hex_pairs,
     "pip_count_by_nation": q_pip_count_by_nation,
     "pip_exists_mark": q_pip_exists_mark,
     "touches_pairs": q_touches_pairs,
@@ -1301,6 +1362,7 @@ QUERIES = {
 ORACLE_SQL = {
     "geocode_cells": ORACLE_GEOCODE,
     "pip_pairs": ORACLE_PIP_PAIRS,
+    "pip_hex_pairs": ORACLE_PIP_HEX,
     "pip_count_by_nation": ORACLE_PIP_COUNT,
     "pip_exists_mark": ORACLE_PIP_MARK,
     "touches_pairs": ORACLE_TOUCHES,
