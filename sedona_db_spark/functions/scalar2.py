@@ -260,6 +260,17 @@ def st_simplify(b: pd.Series, tol: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_simplifypreservetopology(b: pd.Series, tol: pd.Series) -> pd.Series:
+    """GEOS TopologyPreservingSimplifier semantics (algos.
+    simplify_preserve_topology): DP sections with per-ring minimum size and
+    chord-intersection rejection — rings never collapse, holes never cross
+    shells.  Replays the reference's test module row-for-row."""
+    return pd.Series([None if g is None or pd.isna(t)
+                      else W.encode(A.simplify_preserve_topology(g, float(t)))
+                      for g, t in zip(_decode_series(b), tol)])
+
+
+@pandas_udf(BinaryType())
 def st_snaptogrid(b: pd.Series, size: pd.Series) -> pd.Series:
     return pd.Series([None if g is None else W.encode(A.snap_to_grid(g, float(s)))
                       for g, s in zip(_decode_series(b), size)])
@@ -505,7 +516,7 @@ UDFS2 = {
     "ST_IsSimple": st_issimple,
     "ST_IsRing": st_isring,
     "ST_Simplify": st_simplify,
-    "ST_SimplifyPreserveTopology": st_simplify,  # DP tier (reference: GEOS)
+    "ST_SimplifyPreserveTopology": st_simplifypreservetopology,
     "ST_SnapToGrid": st_snaptogrid,
     "ST_Intersection": st_intersection,
     "ST_Collect": st_collect,

@@ -702,3 +702,147 @@ def spherical_length_m(g) -> float:
     if name == "GeometryCollection":
         return sum(spherical_length_m(q) for q in p)
     return 0.0
+
+
+# ---------------------------------------------------------------------------
+# Topology-preserving simplification (GEOS TopologyPreservingSimplifier
+# semantics, re-implemented from the published algorithm: DP sections with a
+# minimum-size floor per component and rejection of flattenings whose chord
+# would create an interior intersection with any other live segment —
+# reference c/sedona-geos ST_SimplifyPreserveTopology, verified row-for-row
+# against functions/test_functions.py::test_st_simplifypreservetopology)
+# ---------------------------------------------------------------------------
+
+def _interior_intersect(p1, p2, q1, q2) -> bool:
+    """True if segments (p1,p2) and (q1,q2) intersect at a point interior
+    to at least one of them (shared endpoints don't count)."""
+    d1 = K._orient(q1[0], q1[1], q2[0], q2[1], p1[0], p1[1])
+    d2 = K._orient(q1[0], q1[1], q2[0], q2[1], p2[0], p2[1])
+    d3 = K._orient(p1[0], p1[1], p2[0], p2[1], q1[0], q1[1])
+    d4 = K._orient(p1[0], p1[1], p2[0], p2[1], q2[0], q2[1])
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True  # proper crossing
+    # collinear / endpoint-touching cases: interior iff a touch point is
+    # not an endpoint of BOTH segments
+    def on(a, b, c):  # c on segment [a, b] (collinear assumed)
+        return (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+    pts = set()
+    if d1 == 0 and on(q1, q2, p1):
+        pts.add(tuple(p1))
+    if d2 == 0 and on(q1, q2, p2):
+        pts.add(tuple(p2))
+    if d3 == 0 and on(p1, p2, q1):
+        pts.add(tuple(q1))
+    if d4 == 0 and on(p1, p2, q2):
+        pts.add(tuple(q2))
+    if len(pts) > 1:
+        return True  # collinear overlap spans an interval
+    ends_p = {tuple(p1), tuple(p2)}
+    ends_q = {tuple(q1), tuple(q2)}
+    return any(pt not in ends_p or pt not in ends_q for pt in pts)
+
+
+class _TaggedLine:
+    def __init__(self, coords: np.ndarray, min_size: int):
+        self.c = np.asarray(coords, dtype=np.float64)
+        self.min_size = min_size
+        self.alive = [True] * len(self.c)
+        # live segments as (i, j) vertex-index pairs
+        self.segs = {(i, i + 1) for i in range(len(self.c) - 1)}
+
+    def n_alive(self) -> int:
+        return sum(self.alive)
+
+
+def _seg_dist_scalar(p, a, b) -> float:
+    return float(K.points_seg_dist(np.array([p[0]]), np.array([p[1]]),
+                                   a[0], a[1], b[0], b[1])[0])
+
+
+def simplify_preserve_topology(g, tol):
+    if g is None or tol is None:
+        return None
+    name = g[0]
+    if name in ("Point", "MultiPoint"):
+        return g
+    if name == "GeometryCollection":
+        return (name, [simplify_preserve_topology(q, tol) for q in g[1]])
+
+    # collect all linework into one shared live-segment universe (hole ↔
+    # shell topology is preserved across components, as in GEOS)
+    lines: list[_TaggedLine] = []
+    if name == "LineString":
+        lines.append(_TaggedLine(g[1], 2))
+        shape = ("line", None)
+    elif name == "MultiLineString":
+        for l in g[1]:
+            lines.append(_TaggedLine(l, 2))
+        shape = ("mline", len(g[1]))
+    elif name == "Polygon":
+        for r in g[1]:
+            lines.append(_TaggedLine(r, 4))
+        shape = ("poly", [len(g[1])])
+    elif name == "MultiPolygon":
+        counts = []
+        for rings in g[1]:
+            counts.append(len(rings))
+            for r in rings:
+                lines.append(_TaggedLine(r, 4))
+        shape = ("mpoly", counts)
+    else:
+        return g
+
+    def bad_chord(line: _TaggedLine, i: int, j: int) -> bool:
+        a, b = line.c[i], line.c[j]
+        for other in lines:
+            for (s0, s1) in other.segs:
+                if other is line and i <= s0 and s1 <= j:
+                    continue  # segments being replaced
+                if _interior_intersect(a, b, other.c[s0], other.c[s1]):
+                    return True
+        return False
+
+    def flatten(line: _TaggedLine, i: int, j: int) -> None:
+        for k in range(i + 1, j):
+            line.alive[k] = False
+        line.segs = {(s0, s1) for (s0, s1) in line.segs
+                     if not (i <= s0 and s1 <= j)}
+        line.segs.add((i, j))
+
+    def section(line: _TaggedLine, i: int, j: int) -> None:
+        if j - i <= 1:
+            return
+        a, b = line.c[i], line.c[j]
+        k, maxd = -1, -1.0
+        for m in range(i + 1, j):
+            d = _seg_dist_scalar(line.c[m], a, b)
+            if d > maxd:  # strict: first max, GEOS order
+                k, maxd = m, d
+        if (maxd <= float(tol)
+                and line.n_alive() - (j - i - 1) >= line.min_size
+                and not bad_chord(line, i, j)):
+            flatten(line, i, j)
+            return
+        section(line, i, k)
+        section(line, k, j)
+
+    for line in lines:
+        if len(line.c) >= 2:
+            section(line, 0, len(line.c) - 1)
+
+    def out(line: _TaggedLine) -> np.ndarray:
+        return line.c[np.asarray(line.alive, dtype=bool)]
+
+    kind, meta = shape
+    if kind == "line":
+        return ("LineString", out(lines[0]))
+    if kind == "mline":
+        return ("MultiLineString", [out(l) for l in lines])
+    if kind == "poly":
+        return ("Polygon", [out(l) for l in lines])
+    parts, idx = [], 0
+    for cnt in meta:
+        parts.append([out(lines[idx + r]) for r in range(cnt)])
+        idx += cnt
+    return ("MultiPolygon", parts)

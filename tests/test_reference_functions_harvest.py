@@ -36,9 +36,6 @@ EXCLUDED_TESTS = {
     "test_st_buffer_style_parameters": "same buffer tier (endcap/join "
                                        "styles over the discretized rings)",
     "test_st_concavehull": "concave-hull method differs (documented-partial)",
-    "test_st_simplifypreservetopology": "DP-only simplify tier",
-    "test_st_simplifyvw": "Visvalingam simplify not implemented "
-                          "(documented-partial simplify tier)",
     "test_st_isring_non_linestring_error": "reference RAISES for non-"
         "LineString; we return false (a raising pandas UDF would fail the "
         "whole Spark task batch, not the row — documented divergence)",
