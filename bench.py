@@ -132,12 +132,33 @@ def scaling_job(spark, n_pages: int):
                         left_lonlat=("lon", "lat"), right_geom="geom")
 
 
-def run_scaling(n_low: int, n_high: int) -> dict:
+def scaling_job_poly(spark, n_pages: int):
+    """Scaling-evidence variant over the GENERAL-polygon JVM HOF path (the
+    non-rectangular layer shape of pages_pip_join): same geocoded pages,
+    region grid WITH metro 12-gons → `_poly_jvm_join` crossing-number
+    refine, still zero Python operators in the plan."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.webtext import synth_pages, geocode_cols
+    from sedona_db_spark.sources.fixtures import regions_grid
+    from sedona_db_spark.operators import spatial_join
+
+    lon, lat = geocode_cols(F.col("url"))
+    pages = (synth_pages(spark, n_pages)
+             .select("url").withColumn("lon", lon).withColumn("lat", lat))
+    regions = spark.createDataFrame(regions_grid(
+        n_side=16, bounds=(-180.0, -85.0, 180.0, 85.0), metro_hotspots=8))
+    return spatial_join(pages, regions, "coveredby",
+                        left_lonlat=("lon", "lat"), right_geom="geom")
+
+
+def run_scaling(n_low: int, n_high: int, job_fn=None,
+                metric: str = "spatial_join_scaling_efficiency") -> dict:
     """Identical job at local[n_low] vs local[n_high] (north-rule evidence:
     the sandbox substitute for an N- vs 4N-executor cluster)."""
     from pyspark.sql import SparkSession
     from sedona_db_spark.session import get_spark
 
+    job_fn = job_fn or scaling_job
     n_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "64000000"))
     results = {}
     for cpus in (n_low, n_high):
@@ -145,8 +166,8 @@ def run_scaling(n_low: int, n_high: int) -> dict:
                           master=f"local[{cpus}]", shuffle_partitions=cpus)
         spark.sparkContext.setLogLevel("ERROR")
         # warm-up (JVM + python worker pool), then measured run
-        scaling_job(spark, 500_000).count()
-        job = scaling_job(spark, n_pages)
+        job_fn(spark, 500_000).count()
+        job = job_fn(spark, n_pages)
         t0 = time.time()
         joined = job.count()
         dt = time.time() - t0
@@ -157,7 +178,7 @@ def run_scaling(n_low: int, n_high: int) -> dict:
     eff = (results[n_high]["rows_per_sec"]
            / (results[n_low]["rows_per_sec"] * (n_high / n_low)))
     return {
-        "metric": "spatial_join_scaling_efficiency",
+        "metric": metric,
         "value": round(eff, 3),
         "unit": "ratio",
         "n_pages": n_pages,
@@ -169,7 +190,13 @@ def run_scaling(n_low: int, n_high: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling-poly" in sys.argv:
+        # same 2→8 protocol over the general-polygon JVM HOF join path
+        out = run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2")),
+                          int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8")),
+                          job_fn=scaling_job_poly,
+                          metric="spatial_join_poly_scaling_efficiency")
+    elif "--scaling" in sys.argv:
         # 2→8 cores: the widest 4× step before this host's shared memory
         # bandwidth saturates (see BASELINE.md's multiprocessing control)
         out = run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2")),
