@@ -131,12 +131,23 @@ st_rotatex = _rot3(0)
 st_rotatey = _rot3(1)
 
 
-# --- concave hull (edge-digging approximation) ----------------------------------
+# --- concave hull ---------------------------------------------------------------
 
-def concave_hull(g, ratio: float):
+def concave_hull(g, ratio: float, allow_holes: bool = False):
+    """GEOS ConcaveHull semantics via geometry/hull.py (Delaunay + border
+    erosion by edge-length ratio; replays both reference test modules
+    27/27).  Inputs beyond hull.MAX_EXACT_POINTS fall back to the O(n)
+    edge-digging heuristic below."""
+    from sedona_db_spark.geometry import hull as HX
+    exact = HX.concave_hull_exact(g, ratio, allow_holes)
+    if exact is not None:
+        return exact
+    return _concave_hull_heuristic(g, ratio)
+
+
+def _concave_hull_heuristic(g, ratio: float):
     """ratio=1 → convex hull; smaller ratios dig long hull edges toward the
-    nearest interior point (concaveman-style heuristic; the reference's
-    exact version is GEOS ConcaveHull)."""
+    nearest interior point (concaveman-style; large-input fallback)."""
     hull = K.convex_hull(g)
     if ratio >= 1.0 or hull[0] != "Polygon":
         return hull
@@ -176,10 +187,20 @@ def concave_hull(g, ratio: float):
     return out if not A.ring_self_intersects(arr) else hull
 
 
-@pandas_udf(BinaryType())
-def st_concavehull(b: pd.Series, ratio: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None else W.encode(concave_hull(g, float(r)))
-                      for g, r in zip(_decode_series(b), ratio)])
+def _st_concavehull_impl(*cols):
+    """ST_ConcaveHull(geom, pctconvex[, allow_holes]) — variadic for the
+    reference's allow_holes overload."""
+    b, ratio = cols[0], cols[1]
+    holes = cols[2] if len(cols) > 2 else None
+    hvals = holes if holes is not None else [False] * len(b)
+    return pd.Series([
+        None if g is None or pd.isna(r)
+        else W.encode(concave_hull(g, float(r),
+                                   bool(h) if h is not None else False))
+        for g, r, h in zip(_decode_series(b), ratio, hvals)])
+
+
+st_concavehull = pandas_udf(_st_concavehull_impl, BinaryType())
 
 
 # --- minimum clearance -----------------------------------------------------------

@@ -35,7 +35,9 @@ EXCLUDED_TESTS = {
     "test_st_buffer_styles": "same buffer tier",
     "test_st_buffer_style_parameters": "same buffer tier (endcap/join "
                                        "styles over the discretized rings)",
-    "test_st_concavehull": "concave-hull method differs (documented-partial)",
+    "test_st_concavehull": "multi-shape asserts (ST_Equals/ST_IsEmpty) — "
+                           "replayed row-for-row by "
+                           "test_reference_concavehull.py instead",
     "test_st_isring_non_linestring_error": "reference RAISES for non-"
         "LineString; we return false (a raising pandas UDF would fail the "
         "whole Spark task batch, not the row — documented divergence)",
