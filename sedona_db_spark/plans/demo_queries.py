@@ -237,6 +237,24 @@ ORACLE_DWITHIN = (
     f"<= {DWITHIN_D!r}")
 
 
+def q_dwithin_jvm_pairs(spark, sf_dir):
+    """Same distance join as dwithin_pairs but with a lon/lat probe side —
+    routes through the all-JVM HOF refine (zero Python operators), putting
+    _poly_jvm_join's clamp-projection segment-distance tier under the
+    driver's oracle gate alongside pip_hex_pairs' crossing-number tier."""
+    from sedona_db_spark.functions.scalar import st_point
+    from sedona_db_spark.operators import spatial_join
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL)))
+    sup = (_t(spark, sf_dir, "supplier")
+           .withColumn("clon", F.expr(CITY_LON))
+           .withColumn("clat", F.expr(CITY_LAT))
+           .withColumn("geom", st_point(F.col("clon"), F.col("clat"))))
+    j = spatial_join(d, sup, "dwithin", "inner", distance=DWITHIN_D,
+                     left_lonlat=("lon", "lat"), right_geom="geom")
+    return j.select("doc_id", "s_suppkey")
+
+
 # edge-sharing 5×5 tile grid from nation keys (20° tiles): adjacent tiles
 # TOUCH (boundary-only intersection) — exercises the relation-predicate join
 TGRID = {
@@ -1326,6 +1344,7 @@ QUERIES = {
     "pip_exists_mark": q_pip_exists_mark,
     "touches_pairs": q_touches_pairs,
     "dwithin_pairs": q_dwithin_pairs,
+    "dwithin_jvm_pairs": q_dwithin_jvm_pairs,
     "dwithin_sphere_pairs": q_dwithin_sphere_pairs,
     "dwithin_arc_pairs": q_dwithin_arc_pairs,
     "knn_pairs": q_knn_pairs,
@@ -1367,6 +1386,7 @@ ORACLE_SQL = {
     "pip_exists_mark": ORACLE_PIP_MARK,
     "touches_pairs": ORACLE_TOUCHES,
     "dwithin_pairs": ORACLE_DWITHIN,
+    "dwithin_jvm_pairs": ORACLE_DWITHIN,
     "dwithin_sphere_pairs": ORACLE_DWITHIN_SPHERE,
     "dwithin_arc_pairs": _oracle_dwithin_arcs(),
     "knn_pairs": ORACLE_KNN,
