@@ -293,6 +293,59 @@ def sinu_inv(x, y, lon0: float, fe: float, fn: float,
 
 
 # ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal-Area, ellipsoidal (Snyder 24-3..24-16 / EPSG
+# method 9820 — the ETRS89-LAEA Europe 3035 grid)
+# ---------------------------------------------------------------------------
+
+def _laea_consts(ell: Ellipsoid, lat0: float):
+    p0 = math.radians(lat0)
+    qp = float(_albers_q(ell, np.array([math.pi / 2]))[0])
+    q0 = float(_albers_q(ell, np.array([p0]))[0])
+    beta0 = math.asin(min(max(q0 / qp, -1.0), 1.0))
+    rq = ell.a * math.sqrt(qp / 2.0)
+    m0 = float(_lcc_m(ell, np.array([p0]))[0])
+    d = ell.a * m0 / (rq * math.cos(beta0))
+    return qp, beta0, rq, d
+
+
+def laea_fwd(lon, lat, lon0, lat0, fe, fn, ell: Ellipsoid = GRS80):
+    qp, beta0, rq, d = _laea_consts(ell, lat0)
+    q = _albers_q(ell, np.radians(lat))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    dl = np.radians(lon) - math.radians(lon0)
+    b = rq * np.sqrt(2.0 / (1.0 + math.sin(beta0) * np.sin(beta)
+                            + math.cos(beta0) * np.cos(beta) * np.cos(dl)))
+    x = fe + b * d * np.cos(beta) * np.sin(dl)
+    y = fn + (b / d) * (math.cos(beta0) * np.sin(beta)
+                        - math.sin(beta0) * np.cos(beta) * np.cos(dl))
+    return x, y
+
+
+def laea_inv(x, y, lon0, lat0, fe, fn, ell: Ellipsoid = GRS80):
+    qp, beta0, rq, d = _laea_consts(ell, lat0)
+    e, e2 = ell.e, ell.e2
+    xp = (np.asarray(x, dtype=np.float64) - fe) / d
+    yp = (np.asarray(y, dtype=np.float64) - fn) * d
+    rho = np.hypot(xp, yp)
+    c = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = qp * (np.cos(c) * math.sin(beta0)
+                  + np.where(rho == 0.0, 0.0,
+                             yp * np.sin(c) * math.cos(beta0) / rho))
+        lam = math.radians(lon0) + np.arctan2(
+            xp * np.sin(c),
+            rho * math.cos(beta0) * np.cos(c)
+            - yp * math.sin(beta0) * np.sin(c))
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = phi + ((1 - e2 * sp ** 2) ** 2 / (2 * np.cos(phi))) * (
+            q / (1 - e2) - sp / (1 - e2 * sp ** 2)
+            + (1 / (2 * e)) * np.log((1 - e * sp) / (1 + e * sp)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # EPSG registry: code → (fwd, inv) lon/lat ↔ projected
 # ---------------------------------------------------------------------------
 
@@ -333,6 +386,16 @@ _NAMED = {
     # World Sinusoidal (ESRI:54008), WGS84 ellipsoid, lon0 0
     "54008": (lambda lon, lat: sinu_fwd(lon, lat, 0.0, 0.0, 0.0, WGS84),
               lambda x, y: sinu_inv(x, y, 0.0, 0.0, 0.0, WGS84)),
+    # ETRS89-extended / LAEA Europe (EU statistical grid)
+    "3035": (lambda lon, lat: laea_fwd(lon, lat, 10.0, 52.0,
+                                       4_321_000.0, 3_210_000.0, GRS80),
+             lambda x, y: laea_inv(x, y, 10.0, 52.0,
+                                   4_321_000.0, 3_210_000.0, GRS80)),
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    "2193": (lambda lon, lat: tmerc_fwd(lon, lat, 173.0, 0.0, 0.9996,
+                                        1_600_000.0, 10_000_000.0, GRS80),
+             lambda x, y: tmerc_inv(x, y, 173.0, 0.0, 0.9996,
+                                    1_600_000.0, 10_000_000.0, GRS80)),
 }
 
 

@@ -196,3 +196,64 @@ def test_transform_sql_polar(spark):
         " 'EPSG:4326', 'EPSG:3413'), 'EPSG:3413', 'EPSG:4326')) AS w"
     ).collect()[0]["w"]
     assert "POINT (-45" in r and "70" in r
+
+
+def test_laea_epsg_worked_example():
+    """EPSG Guidance Note 7-2 worked example, method 9820 (ETRS89-LAEA
+    Europe 3035): 50N 5E -> E 3962799.45, N 2999718.85."""
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    fwd, inv = P.projection_for("3035")
+    x, y = fwd(np.array([5.0]), np.array([50.0]))
+    assert float(x[0]) == pytest.approx(3962799.45, abs=0.01)
+    assert float(y[0]) == pytest.approx(2999718.85, abs=0.01)
+    # round trip over the European extent
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-10, 30, 300)
+    lats = rng.uniform(35, 70, 300)
+    X, Y = fwd(lons, lats)
+    LO, LA = inv(X, Y)
+    assert np.abs(LO - lons).max() < 1e-9
+    assert np.abs(LA - lats).max() < 1e-9
+
+
+def test_laea_is_equal_area():
+    """LAEA preserves area: compare a small quad's projected area at 60N
+    vs its exact ellipsoidal area ratio against an equatorial quad."""
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    from sedona_db_spark.geometry.proj import GRS80
+    import math
+    fwd, _ = P.projection_for("3035")
+
+    def quad_area(lon, lat, d=0.1):
+        xs, ys = fwd(np.array([lon, lon + d, lon + d, lon]),
+                     np.array([lat, lat, lat + d, lat + d]))
+        return 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                             for i in range(4)))
+
+    a_hi = quad_area(10.0, 60.0)
+    a_lo = quad_area(10.0, 40.0)
+    def cell_area(lat):
+        # ellipsoidal area element ∝ cosφ (1-e²) / (1-e² sin²φ)²
+        p = math.radians(lat + 0.05)
+        return math.cos(p) * (1 - GRS80.e2) / (1 - GRS80.e2 * math.sin(p) ** 2) ** 2
+    assert a_hi / a_lo == pytest.approx(cell_area(60.0) / cell_area(40.0),
+                                        rel=1e-4)
+
+
+def test_nztm_round_trip():
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    fwd, inv = P.projection_for("2193")
+    lons = np.random.default_rng(5).uniform(166, 179, 200)
+    lats = np.random.default_rng(6).uniform(-47.5, -34, 200)
+    X, Y = fwd(lons, lats)
+    LO, LA = inv(X, Y)
+    # NZTM spans ±7° from the central meridian — the Snyder TM series
+    # truncates around 2e-6 deg (~20 cm) at the fringes (documented tier)
+    assert np.abs(LO - lons).max() < 5e-6
+    assert np.abs(LA - lats).max() < 5e-6
+    # central-meridian false easting: lon0=173 projects to E=1,600,000
+    x, _ = fwd(np.array([173.0]), np.array([-41.0]))
+    assert float(x[0]) == pytest.approx(1_600_000.0, abs=1e-6)

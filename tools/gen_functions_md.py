@@ -13,7 +13,7 @@ REF_DOCS = "/root/reference/docs/reference/sql"
 
 NOTES = {
     # ---- ◐ partial: documented approximation or subset -------------------
-    "st_transform": "4326/CRS84 ↔ 3857, UTM 326zz/327zz (TM series), Lambert-93 2154, Canada LCC 3978, CONUS Albers 5070, polar stereographic 3413/3031 (EPSG worked-example exact), sinusoidal 54008 — Snyder closed forms, any pair via a 4326 hub (geometry/proj.py); reference: PROJ, any CRS",
+    "st_transform": "4326/CRS84 ↔ 3857, UTM 326zz/327zz + NZTM 2193 (TM series), Lambert-93 2154, Canada LCC 3978, CONUS Albers 5070, polar stereographic 3413/3031, LAEA Europe 3035 (both EPSG worked-example exact), sinusoidal 54008 — Snyder closed forms, any pair via a 4326 hub (geometry/proj.py); reference: PROJ, any CRS",
     "st_buffer": "Minkowski-sum buffer via slab-overlay union (exact up to the standard quad_segs disc discretization); erosion for negative d",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); use operators.knn_join",
     "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical tier via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere (any geometry) + ST_IntersectsSphere/ST_ContainsSphere/ST_DWithinSphere (geometry/sphere.py great-circle kernels)",
