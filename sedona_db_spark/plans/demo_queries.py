@@ -1075,6 +1075,54 @@ def _oracle_transform_polar() -> str:
  FROM g""")
 
 
+def q_transform_laea(spark, sf_dir):
+    """Equal-area tier (round-3 ST_Transform widening): docs inside the
+    European window project to ETRS89-LAEA (EPSG:3035) — the EU
+    statistical-grid CRS.  Window-filtered in BOTH engines on identical
+    lon/lat doubles, keeping the azimuthal projection in its
+    well-conditioned domain (floor-to-meter absorbs libm ulps)."""
+    from sedona_db_spark.functions.scalar import st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir).where(
+        (F.col("lon") >= -25.0) & (F.col("lon") <= 45.0)
+        & (F.col("lat") >= 25.0) & (F.col("lat") <= 75.0))
+    t = st_transform(F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:3035"))
+    return d.select(
+        "doc_id",
+        F.floor(st_x(t)).cast("long").alias("x_m"),
+        F.floor(st_y(t)).cast("long").alias("y_m"))
+
+
+def _oracle_transform_laea() -> str:
+    """Ellipsoidal LAEA (Snyder 24-3..24-16 / EPSG method 9820, verified
+    against the EPSG guidance-note worked example) in SQL, constants baked
+    from the same python doubles (the _oracle_transform_polar pattern)."""
+    import math
+    from sedona_db_spark.geometry.proj import GRS80, _laea_consts
+    e, e2 = GRS80.e, GRS80.e2
+    qp, beta0, rq, dd = _laea_consts(GRS80, 52.0)
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+    q = (f"((1 - {e2!r}) * (sin(phi) / (1 - {e2!r} * sin(phi) * sin(phi))"
+         f" - (1 / (2 * {e!r})) * ln((1 - {e!r} * sin(phi))"
+         f" / (1 + {e!r} * sin(phi)))))")
+    beta = f"asin({q} / {qp!r})"
+    dl = "(lam - radians(10.0))"
+    b = (f"(CAST({rq!r} AS DOUBLE) * sqrt(2 / (1 + {sb0!r} * sin({beta})"
+         f" + {cb0!r} * cos({beta}) * cos({dl}))))")
+    x = (f"(4321000.0 + {b} * CAST({dd!r} AS DOUBLE) * cos({beta})"
+         f" * sin({dl}))")
+    y = (f"(3210000.0 + ({b} / CAST({dd!r} AS DOUBLE)) * "
+         f"({cb0!r} * sin({beta}) - {sb0!r} * cos({beta}) * cos({dl})))")
+    return (
+        _docs_cte() + """,
+ g AS (SELECT doc_id, radians(lat) AS phi, radians(lon) AS lam FROM docs
+       WHERE lon >= -25.0 AND lon <= 45.0 AND lat >= 25.0 AND lat <= 75.0)
+ SELECT doc_id,
+   CAST(floor(""" + x + """) AS BIGINT) AS x_m,
+   CAST(floor(""" + y + """) AS BIGINT) AS y_m
+ FROM g""")
+
+
 # great-circle arc for the point→arc distance query (NYC → London)
 ARC_WKT = "LINESTRING (-74 40.7, -0.12 51.5)"
 
@@ -1366,6 +1414,7 @@ QUERIES = {
     "transform_3857": q_transform_3857,
     "transform_utm": q_transform_utm,
     "transform_polar": q_transform_polar,
+    "transform_laea": q_transform_laea,
     "azimuth_to_city": q_azimuth_to_city,
     "sphere_distances": q_sphere_distances,
     "sphere_line_distance": q_sphere_line_distance,
@@ -1408,6 +1457,7 @@ ORACLE_SQL = {
     "transform_3857": ORACLE_TRANSFORM,
     "transform_utm": _oracle_transform_utm(),
     "transform_polar": _oracle_transform_polar(),
+    "transform_laea": _oracle_transform_laea(),
     "azimuth_to_city": ORACLE_AZIMUTH,
     "sphere_distances": ORACLE_SPHERE,
     "sphere_line_distance": _oracle_sphere_line(),
