@@ -80,3 +80,31 @@ def test_concavehull_replay(spark, cid, geom, pct, holes, expected):
         assert K.geom_equals(g, e), \
             f"region mismatch: got {W.wkb_to_wkt(bytes(got))!r}, " \
             f"want {expected!r}"
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+@pytest.mark.parametrize("ratio", [0.0, 0.3, 0.7, 1.0])
+def test_concavehull_properties(seed, ratio):
+    """Contract over random clouds: the hull is a valid polygon that
+    covers every input point, is contained in the convex hull, and at
+    ratio=1 equals the convex hull."""
+    from sedona_db_spark.geometry import hull as H
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-50, 50, (40, 2)).round(3)
+    g = ("MultiPoint", pts)
+    got = H.concave_hull_exact(g, ratio, False)
+    assert got[0] == "Polygon" and len(got[1]) >= 1
+    ring = got[1][0]
+    # closed, non-self-intersecting shell
+    assert np.array_equal(ring[0], ring[-1])
+    from sedona_db_spark.geometry import algos as A
+    assert not A.ring_self_intersects(ring)
+    # every input point covered (boundary-inclusive)
+    inside = K.points_in_geom(pts[:, 0], pts[:, 1], got)
+    assert bool(inside.all()), "input point dropped from hull coverage"
+    # within the convex hull; equal at ratio=1
+    cvx = K.convex_hull(g)
+    assert K.geom_area(got) <= K.geom_area(cvx) + 1e-9
+    if ratio == 1.0:
+        assert K.geom_equals(got, cvx)
