@@ -36,7 +36,8 @@ def _delaunay(pts: np.ndarray) -> list:
     if n < 3:
         return []
     cx, cy = float(pts[:, 0].mean()), float(pts[:, 1].mean())
-    span = float(max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0))
+    # np.ptp function form: ndarray.ptp() was removed in NumPy 2.0
+    span = float(max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1.0))
     m = 64.0 * span
     sup = np.array([[cx - 3 * m, cy - m], [cx + 3 * m, cy - m],
                     [cx, cy + 3 * m]])

@@ -384,11 +384,21 @@ def geom_centroid(g):
                 ("MultiLineString",
                  [l for p in keep for l in flat(p, "LineString")]))
         pts = []
-        for p in keep:
+
+        def collect_points(p):
+            # recurse into nested collections (mirrors flat() above) so
+            # GC(GC(POINT)) contributes its points instead of NaN
             if p[0] == "MultiPoint":
                 pts.extend(np.asarray(p[1], dtype=np.float64)[:, :2])
             elif p[0] == "Point":
                 pts.append(np.asarray(p[1][:2], dtype=np.float64))
+            elif p[0] == "GeometryCollection":
+                for sub in p[1]:
+                    if sub is not None and _dim_of(sub) == md:
+                        collect_points(sub)
+
+        for p in keep:
+            collect_points(p)
         return geom_centroid(("MultiPoint", np.asarray(pts, dtype=np.float64)))
     if name == "Point":
         return ("Point", np.asarray(payload[:2], dtype=np.float64))

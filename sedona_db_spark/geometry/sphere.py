@@ -267,6 +267,68 @@ def points_in_spherical_polygon(p: np.ndarray, rings: list) -> np.ndarray:
     return inside
 
 
+def _ring_member_vec(p: np.ndarray, ring: np.ndarray):
+    """Vectorized point_in_spherical_ring over unit vectors p (n, 3).
+    Returns (member, on_boundary) so polygon hole semantics can mirror the
+    scalar kernel (hole interior excludes, hole boundary stays inside)."""
+    v = _ring_vecs(ring)
+    a = v
+    b = np.roll(v, -1, axis=0)
+    onb = np.zeros(len(p), dtype=bool)
+    for i in range(len(a)):
+        onb |= point_arc_dist_m(p, a[i], b[i]) < 1e-3
+    q = -_norm(v.sum(axis=0))
+    crossings = np.zeros(len(p), dtype=np.int64)
+    for i in range(len(a)):
+        crossings += _arcs_cross_vec(p, q, a[i], b[i])
+    parity = crossings % 2 == 1
+    parity[arc_angle(p, q[None, :]) < 1e-12] = False
+    return onb | parity, onb
+
+
+def points_in_geog(px: np.ndarray, py: np.ndarray, g) -> np.ndarray:
+    """Vectorized point_in_geog over lon/lat arrays — agrees row-for-row
+    with the scalar kernel so the broadcast join refine and the generic
+    pairwise st_intersectssphere refine produce identical results."""
+    p = unit_vecs(np.asarray(px, dtype=np.float64),
+                  np.asarray(py, dtype=np.float64))
+    name, payload = g
+    if name == "Point":
+        v = unit_vecs(np.array([payload[0]]), np.array([payload[1]]))
+        return arc_angle(p, v) < 1e-12
+    if name == "MultiPoint":
+        out = np.zeros(len(p), dtype=bool)
+        for row in payload:
+            v = unit_vecs(np.array([row[0]]), np.array([row[1]]))
+            out |= arc_angle(p, v) < 1e-12
+        return out
+    if name in ("LineString", "MultiLineString"):
+        out = np.zeros(len(p), dtype=bool)
+        for a, b in _geom_arcs(g):
+            out |= point_arc_dist_m(p, a, b) < 1e-3
+        return out
+    if name == "Polygon":
+        rings = payload
+        if not rings:
+            return np.zeros(len(p), dtype=bool)
+        inside, _ = _ring_member_vec(p, rings[0])
+        for h in rings[1:]:
+            mh, onb_h = _ring_member_vec(p, h)
+            inside &= ~(mh & ~onb_h)
+        return inside
+    if name == "MultiPolygon":
+        out = np.zeros(len(p), dtype=bool)
+        for rings in payload:
+            out |= points_in_geog(px, py, ("Polygon", rings))
+        return out
+    if name == "GeometryCollection":
+        out = np.zeros(len(p), dtype=bool)
+        for q in payload:
+            out |= points_in_geog(px, py, q)
+        return out
+    return np.zeros(len(p), dtype=bool)
+
+
 def points_to_geog_distance_m(px: np.ndarray, py: np.ndarray, g) -> np.ndarray:
     """Great-circle distance (m) from each lon/lat point to geometry g —
     vectorized over the points (the broadcast spherical join's refine

@@ -491,8 +491,18 @@ def spatial_join(
     # probe side: points get a single vectorized cell; general geometries
     # explode coverings and dedupe via the min-common-cell rule below
     if l_is_exploded:
+        if predicate.endswith("_sphere"):
+            # geodesic edges bulge poleward past the planar vertex bbox, so
+            # a planar cover on the probe side can miss true pairs (e.g. a
+            # long east-west line at lat 80 whose great-circle arc reaches
+            # lat ~88); use the bulge-padded sphere cover (d=0 — the
+            # distance padding already lives on the build side), and row-id
+            # dedup (need_row_ids above) absorbs the padded multi-cover.
+            l_cover = _covering_cells_sphere_udf(res, 0.0)
+        else:
+            l_cover = _covering_cells_udf(res)
         l_cells = left.withColumn(
-            "__cells_l", _covering_cells_udf(res)(F.col(left_geom))
+            "__cells_l", l_cover(F.col(left_geom))
         ).withColumn("__cell", F.explode("__cells_l")).drop("__cells_l")
     elif left_lonlat is not None:
         # raw lon/lat: the cell key is a pure JVM expression (codegen, no
@@ -853,8 +863,11 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                             m = SPH.points_to_geog_distance_m(rx, ry, g) <= dist
                     elif pred == "intersects_sphere":
                         from sedona_db_spark.geometry import sphere as SPH
-                        # inside → 0; on-boundary → < kernel tolerance (1 mm)
-                        m = SPH.points_to_geog_distance_m(rx, ry, g) < 1e-3
+                        # same kernel as the generic path's
+                        # st_intersectssphere refine (vectorized
+                        # point_in_geog) so both plans agree on hairline
+                        # boundary cases
+                        m = SPH.points_in_geog(rx, ry, g)
                     elif pred == "dwithin":
                         if ld is not None:
                             d_i = ld[rows]  # per-probe-row distance

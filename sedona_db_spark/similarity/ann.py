@@ -74,11 +74,15 @@ def _pair_cosine() -> F.Column:
 
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           query_id_col: str | None = None) -> DataFrame:
+                           query_id_col: str | None = None,
+                           max_broadcast_queries: int | None = None) -> DataFrame:
     """Exact top-k: broadcast queries × corpus, integer dot, row_number.
 
     Returns (q_id, t_id, cosine, rn) with rn ∈ [1, k], tiebreak by t_id.
     """
+    _guard_query_count(queries, max_broadcast_queries
+                       if max_broadcast_queries is not None
+                       else MAX_BROADCAST_QUERIES)
     qid = query_id_col or id_col
     q = _prep_int_vecs(queries, qid, vec_col, "q")
     t = _prep_int_vecs(corpus, id_col, vec_col, "t")

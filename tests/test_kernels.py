@@ -181,3 +181,20 @@ def test_line_covers_point_and_line():
     assert not K.geom_covers(ml, g("LINESTRING (0 0, 1 0)"))
     assert K.geom_covers(g("MULTILINESTRING ((0 0, 0.6 0), (0.4 0, 1 0))"),
                          g("LINESTRING (0 0, 1 0)"))
+
+
+def test_centroid_nested_collection_of_points():
+    """Round-4 ADVICE: GC(GC(POINT(1 2))) must yield POINT(1 2), not NaN."""
+    import numpy as np
+    from sedona_db_spark.geometry.kernels import geom_centroid
+    g = ("GeometryCollection",
+         [("GeometryCollection", [("Point", np.array([1.0, 2.0]))])])
+    name, xy = geom_centroid(g)
+    assert name == "Point" and xy[0] == 1.0 and xy[1] == 2.0
+    # mixed nesting: nested MultiPoint joins top-level Point in the average
+    g2 = ("GeometryCollection",
+          [("Point", np.array([0.0, 0.0])),
+           ("GeometryCollection",
+            [("MultiPoint", np.array([[2.0, 0.0], [4.0, 0.0]]))])])
+    _, xy2 = geom_centroid(g2)
+    assert xy2[0] == 2.0 and xy2[1] == 0.0

@@ -229,3 +229,57 @@ def test_points_to_geog_distance_matches_scalar():
             exact = SPH.geog_distance_m(
                 ("Point", np.array([px[i], py[i]])), g)
             assert vec[i] == pytest.approx(exact, abs=1e-6, rel=1e-9)
+
+
+def test_sphere_join_exploded_left_geodesic_bulge(spark):
+    """Round-4 ADVICE (high): a non-point PROBE side whose geodesic edge
+    bulges poleward past its planar vertex bbox must still find its pairs.
+    LINESTRING(-100 80, 60 80)'s great-circle arc reaches ~lat 88.25; the
+    polygon sits at that geodesic vertex, so a planar cover of the line
+    misses the cells entirely."""
+    import numpy as np
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.geometry import sphere as SPH
+
+    line = ("LineString", np.array([[-100.0, 80.0], [60.0, 80.0]]))
+    ring = np.array([[-25.0, 87.5], [-15.0, 87.5], [-15.0, 89.0],
+                     [-25.0, 89.0], [-25.0, 87.5]])
+    poly = ("Polygon", [ring])
+    assert SPH.geog_intersects(line, poly)  # pairwise truth
+
+    lines = [(0, W.encode(line))]
+    polys = [(0, W.encode(poly))]
+    for bt in (0, 200_000):  # generic and broadcast planner paths
+        got = {(r["id"], r["id_r"]) for r in spatial_join(
+            _mk_df(spark, lines), _mk_df(spark, polys),
+            predicate="intersects_sphere", broadcast_threshold=bt).collect()}
+        assert got == {(0, 0)}, f"missed bulge pair (threshold={bt})"
+
+
+def test_points_in_geog_matches_scalar_kernel():
+    """Vectorized points_in_geog == scalar point_in_geog row-for-row
+    (the broadcast intersects_sphere refine now uses it)."""
+    import numpy as np
+    from sedona_db_spark.geometry import sphere as SPH
+    from sedona_db_spark.geometry import wkb as W
+    pts, lines, polys = _sphere_fixture()
+    px = np.array([W.decode(bytes(b))[1][0] for _, b in pts])
+    py = np.array([W.decode(bytes(b))[1][1] for _, b in pts])
+    for _, gb in lines + polys:
+        g = W.decode(bytes(gb))
+        vec = SPH.points_in_geog(px, py, g)
+        for i in range(len(px)):
+            p = SPH.unit_vecs(px[i:i + 1], py[i:i + 1])[0]
+            assert bool(vec[i]) == SPH.point_in_geog(p, g), (i, g[0])
+    # boundary + hole-boundary cases
+    ring = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+                     [0.0, 0.0]])
+    hole = np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0],
+                     [4.0, 4.0]])
+    g = ("Polygon", [ring, hole])
+    qx = np.array([5.0, 5.0, 0.0, 2.0, 20.0, 4.0])
+    qy = np.array([5.0, 4.0, 0.0, 2.0, 20.0, 5.0])
+    vec = SPH.points_in_geog(qx, qy, g)
+    for i in range(len(qx)):
+        p = SPH.unit_vecs(qx[i:i + 1], qy[i:i + 1])[0]
+        assert bool(vec[i]) == SPH.point_in_geog(p, g), (qx[i], qy[i])
