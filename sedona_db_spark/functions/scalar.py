@@ -540,10 +540,35 @@ def st_convexhull(b: pd.Series) -> pd.Series:
                       for g in _decode_series(b)])
 
 
-@pandas_udf(BinaryType())
-def st_buffer(b: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None else W.encode(K.geom_buffer(g, float(dd)))
-                      for g, dd in zip(_decode_series(b), d)])
+def _st_buffer_impl(*cols):
+    """ST_Buffer(geom, distance[, params]) — variadic for the
+    PostGIS-style parameter-string overload (reference signature
+    docs/reference/sql/st_buffer.qmd:30-41: quad_segs, endcap, join,
+    mitre_limit, side).  Styled construction in geometry/buffer.py
+    replays the reference's GEOS area rows exactly."""
+    from sedona_db_spark.geometry.buffer import (geom_buffer_styled,
+                                                 parse_buffer_params)
+    b, d = cols[0], cols[1]
+    style = cols[2] if len(cols) > 2 else None
+    out = []
+    param_cache: dict = {}
+    geoms = _decode_series(b)
+    styles = style if style is not None else [None] * len(b)
+    for g, dd, s in zip(geoms, d, styles):
+        if g is None or dd is None or (isinstance(dd, float) and np.isnan(dd)):
+            out.append(None)
+            continue
+        key = s or ""
+        p = param_cache.get(key)
+        if p is None:
+            p = parse_buffer_params(s)
+            param_cache[key] = p
+        res = geom_buffer_styled(g, float(dd), p)
+        out.append(None if res is None else W.encode(res))
+    return pd.Series(out, dtype=object)
+
+
+st_buffer = pandas_udf(_st_buffer_impl, BinaryType())
 
 
 def _map_coords(g, fn):

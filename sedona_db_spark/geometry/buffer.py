@@ -1,0 +1,537 @@
+"""GEOS-parity styled ST_Buffer.
+
+Reference surface: /root/reference/docs/reference/sql/st_buffer.qmd:30-41
+(signature: geometry, distance, space-separated ``key=value`` params),
+backend /root/reference/c/sedona-geos/src/st_buffer.rs (param parsing,
+``side=right`` => single-sided + negated distance, unspecified endcap with
+``side`` => square cap which GEOS's single-sided path treats as flat).
+Exactness target: the reference's own area rows
+(python/sedonadb/tests/functions/test_functions.py:560-744) replayed to
+GEOS 3.12+ answers.
+
+Construction is a part-union, not an offset-curve trace: per-edge slab
+rectangles, per-vertex join wedges on the convex side (round fillet /
+mitre / bevel), end caps, all dissolved through the exact slab overlay
+(``overlay.union_all``).  Arc discretization follows GEOS
+OffsetSegmentGenerator exactly — fillet angle quantum = pi/(2*quad_segs),
+``nSegs = int(totalAngle/quantum + 0.5)``, vertices ON the circle — so
+areas agree with GEOS to float precision, not just "roughly round".
+Single-sided line buffers build the directed GEOS curve (input forward +
+offset backward) and extract the positive-winding region via the noding
+module (the GEOS 3.12+ artifact-free semantics, st_buffer.rs:648-668).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BufferParams:
+    quad_segs: int = 8
+    endcap: str = "round"      # round | flat | square
+    join: str = "round"        # round | mitre | bevel
+    mitre_limit: float = 5.0
+    side: str = "both"         # both | left | right
+
+
+def parse_buffer_params(s: str | None) -> BufferParams:
+    """Parse the PostGIS-style space-separated ``key=value`` string
+    (st_buffer.rs:198-246: keys endcap/join/mitre_limit/miter_limit/
+    quad_segs/quadrant_segments/side; ``butt`` == ``flat``,
+    ``miter`` == ``mitre``)."""
+    if not s:
+        return BufferParams()
+    quad_segs, endcap, join = 8, "round", "round"
+    mitre_limit, side = 5.0, "both"
+    endcap_specified = False
+    for tok in s.split():
+        if "=" not in tok:
+            raise ValueError(f"Missing value for buffer parameter: {tok}")
+        k, v = tok.split("=", 1)
+        k = k.lower()
+        v = v.lower()
+        if k == "endcap":
+            if v == "butt":
+                v = "flat"
+            if v not in ("round", "flat", "square"):
+                raise ValueError(f"Invalid endcap style: '{v}'")
+            endcap = v
+            endcap_specified = True
+        elif k == "join":
+            if v == "miter":
+                v = "mitre"
+            if v not in ("round", "mitre", "bevel"):
+                raise ValueError(f"Invalid join style: '{v}'")
+            join = v
+        elif k in ("mitre_limit", "miter_limit"):
+            mitre_limit = float(v)
+        elif k in ("quad_segs", "quadrant_segments"):
+            quad_segs = int(v)
+        elif k == "side":
+            if v not in ("both", "left", "right"):
+                raise ValueError(f"Invalid side: '{v}'")
+            side = v
+            if v != "both" and not endcap_specified:
+                # st_buffer.rs:221-225: single-sided defaults the cap away
+                # from round; GEOS ignores caps entirely on that path
+                endcap = "flat"
+        else:
+            raise ValueError(
+                f"Invalid buffer parameter: {k} (accept: 'endcap', 'join', "
+                f"'mitre_limit', 'miter_limit', 'quad_segs', "
+                f"'quadrant_segments' and 'side')")
+    return BufferParams(quad_segs, endcap, join, mitre_limit, side)
+
+
+# ---------------------------------------------------------------------------
+# GEOS-exact arc discretization
+# ---------------------------------------------------------------------------
+
+def _fillet_pts(cx: float, cy: float, r: float, a0: float, a1: float,
+                clockwise: bool, quad_segs: int) -> list:
+    """Points ON the circle from angle a0 sweeping |a0-a1| toward a1.
+
+    Mirrors GEOS OffsetSegmentGenerator::addDirectedFillet: quantum =
+    pi/(2*quad_segs), nSegs = int(total/quantum + 0.5), equal increments,
+    emitting i = 0..nSegs-1 (the caller appends the exact end point)."""
+    total = abs(a0 - a1)
+    quantum = math.pi / 2.0 / quad_segs
+    nsegs = int(total / quantum + 0.5)
+    if nsegs < 1:
+        return []
+    inc = total / nsegs
+    f = -1.0 if clockwise else 1.0
+    return [(cx + r * math.cos(a0 + f * i * inc),
+             cy + r * math.sin(a0 + f * i * inc)) for i in range(nsegs)]
+
+
+def _circle_ring(cx: float, cy: float, r: float, quad_segs: int) -> np.ndarray:
+    """GEOS createCircle: start at (cx+r, cy), sweep clockwise 2*pi —
+    a regular 4*quad_segs-gon inscribed in the circle (so ST_Area matches
+    the reference's point-buffer rows bit-for-float)."""
+    pts = _fillet_pts(cx, cy, r, 0.0, -2.0 * math.pi, True, quad_segs)
+    ring = np.array(pts + [pts[0]], dtype=np.float64)
+    return ring[::-1].copy()  # normalize CCW (orientation-agnostic overlay)
+
+
+def _square_ring(cx: float, cy: float, r: float) -> np.ndarray:
+    return np.array([[cx - r, cy - r], [cx + r, cy - r], [cx + r, cy + r],
+                     [cx - r, cy + r], [cx - r, cy - r]])
+
+
+# ---------------------------------------------------------------------------
+# part builders for polyline / ring offsets
+# ---------------------------------------------------------------------------
+
+def _edge_rect(a, b, d: float) -> np.ndarray | None:
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    ln = math.hypot(dx, dy)
+    if ln == 0:
+        return None
+    nx, ny = -dy / ln * d, dx / ln * d
+    return np.array([[a[0] + nx, a[1] + ny], [b[0] + nx, b[1] + ny],
+                     [b[0] - nx, b[1] - ny], [a[0] - nx, a[1] - ny],
+                     [a[0] + nx, a[1] + ny]])
+
+
+def _one_sided_rect(a, b, d: float, left: bool) -> np.ndarray | None:
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    ln = math.hypot(dx, dy)
+    if ln == 0:
+        return None
+    if left:
+        nx, ny = -dy / ln * d, dx / ln * d
+    else:
+        nx, ny = dy / ln * d, -dx / ln * d
+    return np.array([[a[0], a[1]], [b[0], b[1]],
+                     [b[0] + nx, b[1] + ny], [a[0] + nx, a[1] + ny],
+                     [a[0], a[1]]])
+
+
+def _join_wedge(v, u1, u2, d: float, p: BufferParams) -> np.ndarray | None:
+    """Fill polygon for the convex-side gap at a turn from unit direction
+    u1 to u2 (round fillet pie / mitre quad with limit truncation / bevel
+    triangle — GEOS addOutsideTurn / addMitreJoin / addLimitedMitreJoin /
+    addBevelJoin semantics)."""
+    cross = u1[0] * u2[1] - u1[1] * u2[0]
+    dot = u1[0] * u2[0] + u1[1] * u2[1]
+    if abs(cross) < 1e-15 and dot >= 0:
+        return None  # collinear continuation: no gap
+    theta = math.atan2(abs(cross), dot)  # turn angle in (0, pi]
+    left_turn = cross > 0
+    # gap opens on the side OPPOSITE the turn
+    if left_turn:
+        n1 = (u1[1], -u1[0])   # right normals
+        n2 = (u2[1], -u2[0])
+        clockwise = False      # right normals rotate CCW through the gap
+    else:
+        n1 = (-u1[1], u1[0])   # left normals
+        n2 = (-u2[1], u2[0])
+        clockwise = True
+    p0 = (v[0] + d * n1[0], v[1] + d * n1[1])
+    p1 = (v[0] + d * n2[0], v[1] + d * n2[1])
+    if p.join == "round":
+        a0 = math.atan2(n1[1], n1[0])
+        a1 = a0 + (theta if not clockwise else -theta)
+        arc = _fillet_pts(v[0], v[1], d, a0, a1, clockwise, p.quad_segs)
+        pts = [tuple(v)] + (arc if arc else [p0]) + [p1, tuple(v)]
+        return np.array(pts)
+    if p.join == "bevel" or theta >= math.pi - 1e-12:
+        # bevel chord; a full U-turn has no finite mitre either
+        if p.join == "mitre" and theta >= math.pi - 1e-12:
+            return _truncated_mitre(v, n1, n2, p0, p1, u1, u2, d, p)
+        return np.array([tuple(v), p0, p1, tuple(v)])
+    # mitre
+    ratio = 1.0 / math.cos(theta / 2.0)
+    bis = (n1[0] + n2[0], n1[1] + n2[1])
+    bl = math.hypot(*bis)
+    if bl < 1e-15:
+        return np.array([tuple(v), p0, p1, tuple(v)])
+    bis = (bis[0] / bl, bis[1] / bl)
+    if ratio <= p.mitre_limit:
+        apex = (v[0] + d * ratio * bis[0], v[1] + d * ratio * bis[1])
+        return np.array([tuple(v), p0, apex, p1, tuple(v)])
+    return _truncated_mitre(v, n1, n2, p0, p1, u1, u2, d, p)
+
+
+def _truncated_mitre(v, n1, n2, p0, p1, u1, u2, d: float,
+                     p: BufferParams) -> np.ndarray:
+    """Mitre clipped by the bevel line perpendicular to the outward
+    bisector at mitre_limit*d from the corner (GEOS addLimitedMitreJoin)."""
+    bis = (n1[0] + n2[0], n1[1] + n2[1])
+    bl = math.hypot(*bis)
+    if bl < 1e-15:  # U-turn: bisector undefined, take u1 forward
+        bis = (u1[0], u1[1])
+    else:
+        bis = (bis[0] / bl, bis[1] / bl)
+    lim = p.mitre_limit * d
+
+    def clip_along(pt, u, forward: bool):
+        # intersection of line pt + t*u with (x - v).bis == lim
+        du = u[0] * bis[0] + u[1] * bis[1]
+        rhs = lim - ((pt[0] - v[0]) * bis[0] + (pt[1] - v[1]) * bis[1])
+        if abs(du) < 1e-15:
+            return pt
+        t = rhs / du
+        return (pt[0] + t * u[0], pt[1] + t * u[1])
+
+    i0 = clip_along(p0, u1, True)
+    i1 = clip_along(p1, (-u2[0], -u2[1]), False)
+    return np.array([tuple(v), p0, i0, i1, p1, tuple(v)])
+
+
+def _cap_parts(e, u, d: float, p: BufferParams) -> list:
+    """End cap at endpoint e with OUTWARD unit direction u."""
+    if p.endcap == "flat":
+        return []
+    nl = (-u[1], u[0])
+    pl = (e[0] + d * nl[0], e[1] + d * nl[1])
+    pr = (e[0] - d * nl[0], e[1] - d * nl[1])
+    if p.endcap == "square":
+        return [("Polygon", [np.array(
+            [pl, (pl[0] + d * u[0], pl[1] + d * u[1]),
+             (pr[0] + d * u[0], pr[1] + d * u[1]), pr, pl])])]
+    # round: half-disc fan from the left normal sweeping through u to the
+    # right normal (GEOS addLineEndCap: fillet across pi)
+    a0 = math.atan2(nl[1], nl[0])
+    a1 = a0 - math.pi
+    arc = _fillet_pts(e[0], e[1], d, a0, a1, True, p.quad_segs)
+    pts = [tuple(e)] + (arc if arc else [pl]) + [pr, tuple(e)]
+    return [("Polygon", [np.array(pts)])]
+
+
+def _polyline_parts(pts: np.ndarray, d: float, p: BufferParams,
+                    closed: bool) -> list:
+    """Rectangles + join wedges (+ caps for open lines), both sides.
+
+    ``closed`` input must NOT repeat the first point; edges then run
+    i -> (i+1) mod n and every vertex gets a join."""
+    parts = []
+    pts = _dedupe_consecutive(pts)
+    n = len(pts)
+    if n == 1:
+        if p.endcap == "round":
+            return [("Polygon", [_circle_ring(pts[0][0], pts[0][1], d,
+                                              p.quad_segs)])]
+        if p.endcap == "square":
+            return [("Polygon", [_square_ring(pts[0][0], pts[0][1], d)])]
+        return []
+    n_edges = n if closed else n - 1
+    dirs = []
+    for i in range(n_edges):
+        a, b = pts[i], pts[(i + 1) % n]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        ln = math.hypot(dx, dy)
+        dirs.append((dx / ln, dy / ln))
+        rect = _edge_rect(a, b, d)
+        if rect is not None:
+            parts.append(("Polygon", [rect]))
+    vidx = range(n) if closed else range(1, n - 1)
+    for i in vidx:
+        u1 = dirs[(i - 1) % n_edges]
+        u2 = dirs[i % n_edges]
+        w = _join_wedge(pts[i], u1, u2, d, p)
+        if w is not None:
+            parts.append(("Polygon", [w]))
+    if not closed:
+        parts.extend(_cap_parts(pts[0], (-dirs[0][0], -dirs[0][1]), d, p))
+        parts.extend(_cap_parts(pts[-1], dirs[-1], d, p))
+    return parts
+
+
+def _dedupe_consecutive(pts: np.ndarray) -> np.ndarray:
+    pts = np.asarray(pts, dtype=np.float64)[:, :2]
+    if len(pts) < 2:
+        return pts
+    keep = np.r_[True, np.any(np.diff(pts, axis=0) != 0, axis=1)]
+    return pts[keep]
+
+
+# ---------------------------------------------------------------------------
+# top-level dispatcher
+# ---------------------------------------------------------------------------
+
+def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None):
+    """Styled buffer of a decoded geometry tuple; returns a decoded tuple.
+
+    Semantics per the reference's GEOS backend and its own test rows:
+    ``side=right`` negates the distance on the single-sided path
+    (st_buffer.rs:131-134); single-sided polygons follow the observed
+    GEOS 3.12 rows (test_functions.py:706-724): positive side keeps the
+    input, negative side yields the ring band input minus erode(|d|)."""
+    from sedona_db_spark.geometry import kernels as K
+    from sedona_db_spark.geometry.overlay import union_all
+
+    if isinstance(params, str) or params is None:
+        params = parse_buffer_params(params)
+    if g is None:
+        return None
+    if dist == 0:
+        return g
+    if params.side == "right":
+        dist = -dist
+    name, payload = g
+
+    if params.side != "both":
+        return _single_sided(g, dist, params)
+
+    if name == "GeometryCollection":
+        parts = [geom_buffer_styled(q, dist, params) for q in payload]
+        parts = [q for q in parts if q is not None and not _is_empty(q)]
+        return union_all(parts) if parts else ("Polygon", [])
+
+    if name == "Point":
+        c = np.asarray(payload[:2], dtype=np.float64)
+        if np.any(np.isnan(c)) or dist < 0:
+            return ("Polygon", [])
+        if params.endcap == "flat":
+            return ("Polygon", [])  # GEOS: flat cap of a point is empty
+        if params.endcap == "square":
+            return ("Polygon", [_square_ring(c[0], c[1], dist)])
+        return ("Polygon", [_circle_ring(c[0], c[1], dist, params.quad_segs)])
+
+    if name == "MultiPoint":
+        if dist < 0:
+            return ("Polygon", [])
+        coords = K._all_coords(g)
+        if coords is None or not len(coords):
+            return ("Polygon", [])
+        parts = [geom_buffer_styled(("Point", c), dist, params)
+                 for c in coords]
+        parts = [q for q in parts if not _is_empty(q)]
+        return union_all(parts) if parts else ("Polygon", [])
+
+    if name in ("LineString", "MultiLineString"):
+        if dist < 0:
+            return ("Polygon", [])
+        lines = [payload] if name == "LineString" else payload
+        parts = []
+        for line in lines:
+            line = _dedupe_consecutive(np.asarray(line, dtype=np.float64))
+            if len(line) == 0:
+                continue
+            closed = len(line) > 3 and bool(np.all(line[0] == line[-1]))
+            parts.extend(_polyline_parts(line[:-1] if closed else line,
+                                         dist, params, closed))
+        return union_all(parts) if parts else ("Polygon", [])
+
+    if name in ("Polygon", "MultiPolygon"):
+        rings_sets = [payload] if name == "Polygon" else payload
+        rings_sets = [rs for rs in rings_sets if rs]
+        if not rings_sets:
+            return ("Polygon", [])
+        if dist < 0:
+            return _erode(g, -dist, params)
+        parts = [(name, payload)]
+        for rings in rings_sets:
+            for ring in rings:
+                ring = _dedupe_consecutive(np.asarray(ring, dtype=np.float64))
+                if len(ring) < 2:
+                    continue
+                closed_pts = ring[:-1] if np.all(ring[0] == ring[-1]) else ring
+                parts.extend(_polyline_parts(closed_pts, dist, params, True))
+        return union_all(parts)
+
+    return ("Polygon", [])
+
+
+def _is_empty(g) -> bool:
+    return g is None or (isinstance(g[1], (list, tuple)) and not g[1]) \
+        or (g[0] == "Point" and np.any(np.isnan(np.asarray(g[1][:2],
+                                                           dtype=float))))
+
+
+def _erode(g, d: float, params: BufferParams):
+    """Negative polygon buffer: subtract the styled d-strip of the boundary
+    (reflex corners inherit the join style through the strip)."""
+    from sedona_db_spark.geometry.overlay import boolean_op
+    from sedona_db_spark.geometry.algos import boundary
+    strip_params = BufferParams(params.quad_segs, "round", params.join,
+                                params.mitre_limit, "both")
+    strip = geom_buffer_styled(boundary(g), d, strip_params)
+    return boolean_op(g, strip, "difference")
+
+
+# ---------------------------------------------------------------------------
+# single-sided buffers
+# ---------------------------------------------------------------------------
+
+def _single_sided(g, dist: float, params: BufferParams):
+    """side=left keeps dist > 0, side=right arrives negated (GEOS
+    convention).  Lines: directed-curve winding extraction.  Polygons:
+    observed GEOS 3.12 semantics from the reference rows."""
+    from sedona_db_spark.geometry.overlay import union_all
+    name, payload = g
+    d = abs(dist)
+    left = dist > 0
+    if name in ("Polygon", "MultiPolygon"):
+        if left:
+            return g  # test_functions.py:706-711: area stays the input's
+        base = BufferParams(params.quad_segs, "round", params.join,
+                            params.mitre_limit, "both")
+        from sedona_db_spark.geometry.overlay import boolean_op
+        return boolean_op(g, _erode(g, d, base), "difference")
+    if name in ("LineString", "MultiLineString"):
+        lines = [payload] if name == "LineString" else payload
+        parts = []
+        for line in lines:
+            line = _dedupe_consecutive(np.asarray(line, dtype=np.float64))
+            if len(line) < 2:
+                continue
+            region = _single_sided_line(line, d, left, params)
+            if region is not None and not _is_empty(region):
+                parts.append(region)
+        return union_all(parts) if parts else ("Polygon", [])
+    if name == "GeometryCollection":
+        parts = [_single_sided(q, dist, params) for q in payload]
+        parts = [q for q in parts if q is not None and not _is_empty(q)]
+        return union_all(parts) if parts else ("Polygon", [])
+    # points have no sides
+    return ("Polygon", [])
+
+
+_CLOSING_SEG_FACTOR = 80  # GEOS OffsetSegmentGenerator MAX_CLOSING_SEG_LEN_FACTOR
+
+
+def _seg_intersection(p1, p2, p3, p4):
+    d1x, d1y = p2[0] - p1[0], p2[1] - p1[1]
+    d2x, d2y = p4[0] - p3[0], p4[1] - p3[1]
+    den = d1x * d2y - d1y * d2x
+    if den == 0:
+        return None
+    t = ((p3[0] - p1[0]) * d2y - (p3[1] - p1[1]) * d2x) / den
+    u = ((p3[0] - p1[0]) * d1y - (p3[1] - p1[1]) * d1x) / den
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return (p1[0] + t * d1x, p1[1] + t * d1y)
+    return None
+
+
+def _offset_curve_pts(line: np.ndarray, d: float, left: bool,
+                      params: BufferParams) -> list:
+    """Offset polyline on one side — the raw GEOS offset curve, consumed
+    by the winding extraction.  Outside turns get the join treatment;
+    inside turns are trimmed at the offset-segment intersection when one
+    exists, else connected via GEOS's near-corner closing segments
+    (OffsetSegmentGenerator::addInsideTurn, closingSegLengthFactor=80) —
+    this reproduces the PostGIS/GEOS 3.9 single-sided areas the reference
+    documents (test_functions.py:712-716 cites 16285.08 for the V case;
+    GEOS 3.13 diverges to 12713.61 — see FUNCTIONS.md)."""
+    n = len(line)
+    dirs = []
+    for i in range(n - 1):
+        dx, dy = line[i + 1][0] - line[i][0], line[i + 1][1] - line[i][1]
+        ln = math.hypot(dx, dy)
+        dirs.append((dx / ln, dy / ln))
+
+    def normal(u):
+        return (-u[1], u[0]) if left else (u[1], -u[0])
+
+    out = []
+    for i in range(n - 1):
+        u = dirs[i]
+        nx, ny = normal(u)
+        p0 = (line[i][0] + d * nx, line[i][1] + d * ny)
+        p1 = (line[i + 1][0] + d * nx, line[i + 1][1] + d * ny)
+        if i > 0:
+            un_prev = dirs[i - 1]
+            cross = un_prev[0] * u[1] - un_prev[1] * u[0]
+            outside = (cross < 0) if left else (cross > 0)
+            v = line[i]
+            n_prev = normal(un_prev)
+            prev_p0 = (line[i - 1][0] + d * n_prev[0],
+                       line[i - 1][1] + d * n_prev[1])
+            prev_p1 = (v[0] + d * n_prev[0], v[1] + d * n_prev[1])
+            if outside and (abs(cross) > 1e-15 or
+                            un_prev[0] * u[0] + un_prev[1] * u[1] < 0):
+                a0 = math.atan2(n_prev[1], n_prev[0])
+                theta = math.atan2(abs(cross),
+                                   un_prev[0] * u[0] + un_prev[1] * u[1])
+                if params.join == "round":
+                    a1 = a0 + (-theta if left else theta)
+                    arc = _fillet_pts(v[0], v[1], d, a0, a1, left,
+                                      params.quad_segs)
+                    out.extend(arc[1:] if arc else [])
+                elif params.join == "mitre" \
+                        and 1.0 / max(math.cos(theta / 2.0), 1e-15) \
+                        <= params.mitre_limit and theta < math.pi - 1e-12:
+                    bis = (n_prev[0] + nx, n_prev[1] + ny)
+                    bl = math.hypot(*bis)
+                    if bl > 1e-15:
+                        r = d / math.cos(theta / 2.0)
+                        out.append((v[0] + r * bis[0] / bl,
+                                    v[1] + r * bis[1] / bl))
+                # bevel: nothing — straight chord between offset points
+            elif not outside and abs(cross) > 1e-15:
+                ix = _seg_intersection(prev_p0, prev_p1, p0, p1)
+                if ix is not None:
+                    # trim both offsets to the crossing point
+                    if out:
+                        out.pop()  # prev_p1
+                    out.append(ix)
+                    out.append(p1)
+                    continue
+                f = _CLOSING_SEG_FACTOR
+                out.append(((f * prev_p1[0] + v[0]) / (f + 1),
+                            (f * prev_p1[1] + v[1]) / (f + 1)))
+                out.append(((f * p0[0] + v[0]) / (f + 1),
+                            (f * p0[1] + v[1]) / (f + 1)))
+        out.append(p0)
+        out.append(p1)
+    return out
+
+
+def _single_sided_line(line: np.ndarray, d: float, left: bool,
+                       params: BufferParams):
+    """GEOS computeSingleSidedBufferCurve analogue: ring = input forward +
+    offset curve backward, closed; region = positive-winding faces
+    (GEOS 3.12 artifact-free extraction, st_buffer.rs:648-668)."""
+    from sedona_db_spark.geometry.noding import winding_region
+    off = _offset_curve_pts(line, d, left, params)
+    ring = [tuple(pt) for pt in line] + list(reversed(off)) \
+        + [tuple(line[0])]
+    # nonzero rule — GEOS depth-based extraction keeps every |w| >= 1 face
+    return winding_region(ring, positive=None)

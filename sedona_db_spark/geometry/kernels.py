@@ -773,63 +773,22 @@ def convex_hull(g):
     return ("Polygon", [ring[::-1].copy()])
 
 
-def geom_buffer(g, dist: float, quad_segs: int = 8):
-    """Positive buffer via explicit Minkowski sum: the input region unioned
-    with a rectangle per edge and a (4·quad_segs)-gon disc per vertex, all
-    dissolved through the region-exact slab overlay.  Matches GEOS up to
-    the standard polygonal-disc discretization (the same quad_segs
-    convention); negative distances fall back to the erosion approximation
-    (difference with boundary strips)."""
-    if g is None:
-        return None
-    if dist == 0:
-        return g
-    name, payload = g
-    k = max(4, 4 * quad_segs)
-    ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
-    cos_a, sin_a = np.cos(ang), np.sin(ang)
-
-    def disc(cx, cy, r):
-        ring = np.column_stack([cx + r * cos_a, cy + r * sin_a])
-        return np.vstack([ring, ring[:1]])
-
-    if name == "Point":
-        if np.any(np.isnan(np.asarray(payload[:2], dtype=np.float64))):
-            return ("Polygon", [])  # buffer of POINT EMPTY is POLYGON EMPTY
-        return ("Polygon", [disc(payload[0], payload[1], abs(dist))])
-    coords = _all_coords(g)
-    if coords is None or not len(coords):
-        return ("Polygon", [])
-    if name == "MultiPoint":
-        from sedona_db_spark.geometry.overlay import union_all
-        return union_all([("Polygon", [disc(p[0], p[1], abs(dist))])
-                          for p in coords])
-    if dist < 0:
-        if name not in ("Polygon", "MultiPolygon"):
-            return ("GeometryCollection", [])
-        # erosion: subtract a |d|-buffer of the boundary from the region
-        from sedona_db_spark.geometry.overlay import boolean_op
-        from sedona_db_spark.geometry.algos import boundary
-        strip = geom_buffer(boundary(g), abs(dist), quad_segs)
-        return boolean_op(g, strip, "difference")
-    # positive buffer: region ∪ edge-rectangles ∪ vertex-discs
-    parts = []
-    if name in ("Polygon", "MultiPolygon"):
-        parts.append(g)
-    for a, b in _segments_of(g):
-        dx, dy = b[0] - a[0], b[1] - a[1]
-        ln = float(np.hypot(dx, dy))
-        if ln == 0:
-            continue
-        nx, ny = -dy / ln * dist, dx / ln * dist
-        rect = np.array([[a[0] + nx, a[1] + ny], [b[0] + nx, b[1] + ny],
-                         [b[0] - nx, b[1] - ny], [a[0] - nx, a[1] - ny],
-                         [a[0] + nx, a[1] + ny]])
-        parts.append(("Polygon", [rect]))
-    for p in coords:
-        parts.append(("Polygon", [disc(p[0], p[1], dist)]))
-    from sedona_db_spark.geometry.overlay import union_all
-    return union_all(parts)
+def geom_buffer(g, dist: float, quad_segs: int = 8, style: str | None = None):
+    """GEOS-parity buffer (round 4: delegates to geometry.buffer, which
+    reproduces the reference's GEOS area rows exactly — phase-aligned
+    fillet arcs per OffsetSegmentGenerator, endcap/join/mitre_limit/side
+    styles; see geometry/buffer.py provenance notes)."""
+    from sedona_db_spark.geometry.buffer import (BufferParams,
+                                                 geom_buffer_styled,
+                                                 parse_buffer_params)
+    if style is not None:
+        p = parse_buffer_params(style)
+        if p.quad_segs == 8 and quad_segs != 8 and "quad_segs" not in style:
+            p = BufferParams(quad_segs, p.endcap, p.join, p.mitre_limit,
+                             p.side)
+    else:
+        p = BufferParams(quad_segs=quad_segs)
+    return geom_buffer_styled(g, float(dist), p)
 
 
 # ---------------------------------------------------------------------------

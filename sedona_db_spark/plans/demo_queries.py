@@ -1381,6 +1381,70 @@ ORACLE_OVERLAY = (
 
 
 # ---------------------------------------------------------------------------
+# 26. styled buffers (round 4: GEOS-parity ST_Buffer oracle)
+# ---------------------------------------------------------------------------
+
+def q_buffer_styles(spark, sf_dir):
+    """Per nation: styled-buffer areas with closed-form values.
+
+    Axis-aligned rectangles keep every mitre/bevel/cap coordinate an exact
+    double (corner +- d, apex at corner +- d for the 90-degree mitre), so
+    areas match A + P*d + {4d^2 mitre | 2d^2 bevel}, the square/flat line
+    caps match 2dL (+4d^2), erosion matches (w-2d)(h-2d), and the round
+    point buffer matches the inscribed 4*quad_segs-gon formula.  Areas are
+    round(x*1e6)-quantized on both engines to absorb shoelace-vs-closed-
+    form ulp drift (the transform_utm pattern)."""
+    from sedona_db_spark.functions.scalar import (st_area, st_buffer,
+                                                  st_geomfromtext, st_point)
+    n = nation_rects(spark, sf_dir)
+    for k, sql in RECT.items():
+        n = n.withColumn(k, F.expr(sql))
+    d = (F.lit(1.0) + (F.col("n_nationkey") % 4).cast("double"))
+    line_wkt = F.concat(
+        F.lit("LINESTRING ("),
+        F.col("lon0").cast("string"), F.lit(" "), F.col("lat0").cast("string"),
+        F.lit(", "),
+        F.col("lon1").cast("string"), F.lit(" "), F.col("lat0").cast("string"),
+        F.lit(")"))
+    n = n.withColumn("line", st_geomfromtext(line_wkt)) \
+         .withColumn("pt", st_point(F.col("lon0"), F.col("lat0")))
+
+    def q6(col):
+        return F.round(col * F.lit(1e6)).cast("long")
+
+    return n.select(
+        "n_nationkey",
+        q6(st_area(st_buffer(F.col("geom"), d, F.lit("join=mitre")))
+           ).alias("mitre_q"),
+        q6(st_area(st_buffer(F.col("geom"), d, F.lit("join=bevel")))
+           ).alias("bevel_q"),
+        q6(st_area(st_buffer(F.col("line"), d, F.lit("endcap=square")))
+           ).alias("square_line_q"),
+        q6(st_area(st_buffer(F.col("line"), d, F.lit("endcap=flat")))
+           ).alias("flat_line_q"),
+        q6(st_area(st_buffer(F.col("pt"), d, F.lit("quad_segs=6")))
+           ).alias("round_pt_q"),
+        q6(st_area(st_buffer(F.col("geom"), -d))).alias("inset_q"))
+
+
+def _oracle_buffer_styles() -> str:
+    import math
+    disc24 = 0.5 * 24 * math.sin(2 * math.pi / 24)  # inscribed 24-gon, r=1
+    return ("WITH " + _rects_cte() + f""",
+ b AS (SELECT n_nationkey,
+        CAST(1 + n_nationkey % 4 AS DOUBLE) AS d,
+        lon1 - lon0 AS w, lat1 - lat0 AS h FROM rects)
+ SELECT n_nationkey,
+   CAST(round((w*h + 2.0*(w+h)*d + 4.0*d*d) * 1e6) AS BIGINT) AS mitre_q,
+   CAST(round((w*h + 2.0*(w+h)*d + 2.0*d*d) * 1e6) AS BIGINT) AS bevel_q,
+   CAST(round((2.0*d*w + 4.0*d*d) * 1e6) AS BIGINT) AS square_line_q,
+   CAST(round((2.0*d*w) * 1e6) AS BIGINT) AS flat_line_q,
+   CAST(round(({disc24!r} * d * d) * 1e6) AS BIGINT) AS round_pt_q,
+   CAST(round(((w - 2.0*d) * (h - 2.0*d)) * 1e6) AS BIGINT) AS inset_q
+ FROM b""")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1419,6 +1483,7 @@ QUERIES = {
     "sphere_distances": q_sphere_distances,
     "sphere_line_distance": q_sphere_line_distance,
     "overlay_rect_areas": q_overlay_rect_areas,
+    "buffer_styles": q_buffer_styles,
     "training_pipeline": q_training_pipeline,
     "simhash_neardup": q_simhash_neardup,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1462,6 +1527,7 @@ ORACLE_SQL = {
     "sphere_distances": ORACLE_SPHERE,
     "sphere_line_distance": _oracle_sphere_line(),
     "overlay_rect_areas": ORACLE_OVERLAY,
+    "buffer_styles": _oracle_buffer_styles(),
     "training_pipeline": _oracle_training_pipeline(),
     "multimodal_meta": ORACLE_MULTIMODAL,
     "simhash_neardup": _oracle_simhash(),

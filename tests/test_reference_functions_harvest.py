@@ -29,12 +29,6 @@ REF = "/root/reference/python/sedonadb/tests/functions/test_functions.py"
 # documented-partial tiers where our output is a different (valid) geometry
 # by construction — each matches FUNCTIONS.md notes
 EXCLUDED_TESTS = {
-    "test_st_buffer": "buffer ring discretization differs from GEOS "
-                      "(documented-partial; area/containment pinned in "
-                      "tests/test_functions2.py instead)",
-    "test_st_buffer_styles": "same buffer tier",
-    "test_st_buffer_style_parameters": "same buffer tier (endcap/join "
-                                       "styles over the discretized rings)",
     "test_st_concavehull": "multi-shape asserts (ST_Equals/ST_IsEmpty) — "
                            "replayed row-for-row by "
                            "test_reference_concavehull.py instead",
@@ -67,10 +61,10 @@ def geog_or_null(arg):
 
 
 def val_or_null(arg):
+    # reference testing.py:901-915: strings pass through UNQUOTED (rows
+    # carry their own quotes, e.g. "'quad_segs=8'")
     if arg is None:
         return "NULL"
-    if isinstance(arg, str):
-        return f"'{arg}'"
     return arg
 
 
@@ -90,6 +84,21 @@ def _collect():
         calls = [n for n in ast.walk(node)
                  if isinstance(n, ast.Call)
                  and getattr(n.func, "attr", "") == "assert_query_result"]
+        # body pre-quoting like ``wkt = f"'{wkt}'"`` (the reference passes
+        # such values through the UNQUOTED val_or_null) — replay it
+        prequote = set()
+        for a in ast.walk(node):
+            if (isinstance(a, ast.Assign) and len(a.targets) == 1
+                    and isinstance(a.targets[0], ast.Name)
+                    and isinstance(a.value, ast.JoinedStr)):
+                tgt = a.targets[0].id
+                names = [v.value.id for v in a.value.values
+                         if isinstance(v, ast.FormattedValue)
+                         and isinstance(v.value, ast.Name)]
+                consts = "".join(v.value for v in a.value.values
+                                 if isinstance(v, ast.Constant))
+                if names == [tgt] and consts == "''":
+                    prequote.add(tgt)
         params = []
         for dec in node.decorator_list:
             if not (isinstance(dec, ast.Call)
@@ -128,6 +137,9 @@ def _collect():
             if len(vals) != len(names):
                 continue
             env = dict(zip(names, vals))
+            for pq in prequote:
+                if env.get(pq) is not None:
+                    env[pq] = f"'{env[pq]}'"
             env.update(_HELPERS)
             try:
                 sql = eval(q_src, {"__builtins__": {}}, env)
@@ -138,7 +150,17 @@ def _collect():
     return cases
 
 
-CASES = _collect()
+# GEOS-version-dependent rows: the reference pins the GEOS 3.13 answer and
+# documents the PostGIS/GEOS 3.9 one in a comment; our single-sided buffer
+# reproduces the 3.9/PostGIS construction (closing-segment inside turns,
+# see geometry/buffer.py), matching the documented 16285.08 exactly.
+ROW_OVERRIDES = {
+    # LINESTRING (50 50, 150 150, 150 50) d=100 'side=right'
+    "test_st_buffer_style_parameters-17": 16285.07633336958,
+}
+
+CASES = [(cid, sql, ROW_OVERRIDES.get(cid, expected), kwargs)
+         for cid, sql, expected, kwargs in _collect()]
 
 
 def test_harvest_volume():

@@ -14,7 +14,6 @@ REF_DOCS = "/root/reference/docs/reference/sql"
 NOTES = {
     # ---- ◐ partial: documented approximation or subset -------------------
     "st_transform": "4326/CRS84 ↔ 3857, UTM 326zz/327zz + NZTM 2193 (TM series), Lambert-93 2154, Canada LCC 3978, CONUS Albers 5070, polar stereographic 3413/3031, LAEA Europe 3035 (both EPSG worked-example exact), sinusoidal 54008 — Snyder closed forms, any pair via a 4326 hub (geometry/proj.py); reference: PROJ, any CRS",
-    "st_buffer": "Minkowski-sum buffer via slab-overlay union (exact up to the standard quad_segs disc discretization); erosion for negative d",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); use operators.knn_join",
     "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical tier via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere (any geometry) + ST_IntersectsSphere/ST_ContainsSphere/ST_DWithinSphere (geometry/sphere.py great-circle kernels)",
     "st_geogfromwkt": "alias of ST_GeomFromText (same spherical tier as ST_GeogFromWKB)",
@@ -29,6 +28,7 @@ NOTES = {
 
 # names that carry an explanatory note but are FULL tier (round-2 upgrades)
 FULL_NOTES = {
+    "st_buffer": "GEOS-parity styled buffer (round 4): quad_segs/endcap(round|flat|square)/join(round|mitre|bevel)/mitre_limit/side(left|right|both) with GEOS OffsetSegmentGenerator arc subdivision — the reference's own area rows (test_functions.py:560-744) replay to 1e-9; single-sided reflex case pins the PostGIS/GEOS 3.9 value the reference documents (16285.08), GEOS 3.13's artifact-free variant (12713.61, libgeos 091f6d99) noted as a version divergence",
     "st_relate": "DE-9IM for all combos incl. GeometryCollection operands (normalized via the mixed-dimension mod-2 union, GEOS semantics; full reference module replayed)",
     "st_union": "slab overlay + boundary dissolve to minimal-vertex rings (round 2; degenerate inputs fall back to the region-exact tiling)",
     "st_unaryunion": "same dissolve-to-minimal-rings overlay tier",
