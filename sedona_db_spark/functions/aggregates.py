@@ -161,9 +161,22 @@ def _grouped_agg_udfs():
             return None
         return W.encode(intersection_all(gs))
 
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def st_polygonize_agg_sql(b):
+        """ST_Polygonize_Agg (st_polygonize_agg.rs:40-230): group linework
+        -> GEOMETRYCOLLECTION of the bounded arrangement faces, NULL on
+        empty input.  Round 4: fully noded (geometry.noding), so crossing
+        edge soups polygonize."""
+        from sedona_db_spark.functions.scalar4 import polygonize_geom
+        gs = _geoms(b)
+        if not gs:
+            return None
+        return W.encode(polygonize_geom(("GeometryCollection", gs)))
+
     return {
         "ST_Envelope_Agg": st_envelope_agg_sql,
         "ST_Collect_Agg": st_collect_agg_sql,
         "ST_Union_Agg": st_union_agg_sql,
         "ST_Intersection_Agg": st_intersection_agg_sql,
+        "ST_Polygonize_Agg": st_polygonize_agg_sql,
     }

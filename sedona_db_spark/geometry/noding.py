@@ -126,6 +126,33 @@ def arrangement_faces(segments) -> list:
     xs = np.unique(np.asarray(
         e[:, 0].tolist() + e[:, 2].tolist() + _pair_intersection_xs(e),
         dtype=np.float64))
+    # vertical edges close faces at slab boundaries: merged y-intervals per x
+    vmap: dict[float, list] = {}
+    for x1, y1, x2, y2 in e[e[:, 0] == e[:, 2]]:
+        vmap.setdefault(float(x1), []).append((min(y1, y2), max(y1, y2)))
+    for x, ivs in vmap.items():
+        ivs.sort()
+        merged = [list(ivs[0])]
+        for lo, hi in ivs[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        vmap[x] = merged
+
+    def _minus_cover(lo, hi, xb):
+        """Sub-intervals of [lo, hi] NOT covered by vertical edges at xb."""
+        out = []
+        cur = lo
+        for a, b in vmap.get(xb, []):
+            if b <= cur or a >= hi:
+                continue
+            if a > cur:
+                out.append((cur, a))
+            cur = max(cur, b)
+        if cur < hi:
+            out.append((cur, hi))
+        return out
     # pieces[i] = (slab_k, x0, x1, ylo0, ylo1, yhi0, yhi1)
     pieces = []
     slab_of: list[list[int]] = []
@@ -160,46 +187,41 @@ def arrangement_faces(segments) -> list:
         _, _, _, ylo0, ylo1, yhi0, yhi1 = pieces[pi]
         return (ylo1, yhi1) if right else (ylo0, yhi0)
 
-    for k in range(len(slab_of) - 1):
-        left_ps = slab_of[k]
-        right_ps = slab_of[k + 1]
-        # coverage check both directions; link overlapping intervals
-        for pi in left_ps:
-            lo, hi = interval_at(pi, right=True)
-            covered = 0.0
-            for pj in right_ps:
-                lo2, hi2 = interval_at(pj, right=False)
-                ov = min(hi, hi2) - max(lo, lo2)
-                if ov > 1e-12 * max(1.0, abs(hi), abs(lo)):
-                    link(pi, pj)
-                    covered += max(0.0, ov)
-            if hi - lo - covered > 1e-9 * max(1.0, hi - lo):
-                unbounded.add(find(pi))
-        for pj in right_ps:
-            lo, hi = interval_at(pj, right=False)
-            covered = sum(
-                max(0.0, min(hi, interval_at(pi, True)[1])
-                    - max(lo, interval_at(pi, True)[0]))
-                for pi in left_ps)
-            if hi - lo - covered > 1e-9 * max(1.0, hi - lo):
-                unbounded.add(find(pj))
-    # outermost slab boundaries always leak
-    if slab_of:
-        for pi in slab_of[0]:
-            lo, hi = interval_at(pi, right=False)
-            if hi - lo > 0:
-                unbounded.add(find(pi))
-        for pi in slab_of[-1]:
-            lo, hi = interval_at(pi, right=True)
-            if hi - lo > 0:
-                unbounded.add(find(pi))
+    tol = 1e-9
+
+    def boundary_pass(xb, these, those, these_right: bool):
+        """At boundary x=xb: link pieces across it where their overlap is
+        not blocked by a vertical edge; mark pieces whose open (vertical-
+        edge-free) interval is not fully covered by neighbors as leaking
+        into the unbounded face."""
+        for pi in these:
+            lo, hi = interval_at(pi, these_right)
+            for sub_lo, sub_hi in _minus_cover(lo, hi, xb):
+                covered = 0.0
+                for pj in those:
+                    lo2, hi2 = interval_at(pj, not these_right)
+                    ov_lo, ov_hi = max(sub_lo, lo2), min(sub_hi, hi2)
+                    if ov_hi - ov_lo > tol * max(1.0, abs(ov_hi)):
+                        link(pi, pj)
+                        covered += ov_hi - ov_lo
+                if sub_hi - sub_lo - covered > tol * max(1.0, sub_hi - sub_lo):
+                    unbounded.add(pi)
+
+    for k in range(len(slab_of)):
+        x0 = float(xs[k])
+        x1 = float(xs[k + 1])
+        left_neighbors = slab_of[k - 1] if k > 0 else []
+        right_neighbors = slab_of[k + 1] if k + 1 < len(slab_of) else []
+        boundary_pass(x0, slab_of[k], left_neighbors, these_right=False)
+        boundary_pass(x1, slab_of[k], right_neighbors, these_right=True)
 
     groups: dict[int, list[int]] = {}
     for i in range(len(pieces)):
         groups.setdefault(find(i), []).append(i)
+    unbounded_roots = {find(u) for u in unbounded}
     faces = []
     for root, members in groups.items():
-        if find(root) in {find(u) for u in unbounded}:
+        if find(root) in unbounded_roots:
             continue
         traps = []
         for pi in members:
@@ -212,7 +234,22 @@ def arrangement_faces(segments) -> list:
         face = union_all(traps)
         if face is not None and face[0] in ("Polygon", "MultiPolygon"):
             if face[0] == "MultiPolygon":
-                faces.extend(("Polygon", rings) for rings in face[1])
+                faces.extend(_clean_rings(rings) for rings in face[1])
             else:
-                faces.append(face)
-    return faces
+                faces.append(_clean_rings(face[1]))
+    return [f for f in faces if f is not None]
+
+
+def _clean_rings(rings):
+    """Drop consecutive duplicate vertices the trapezoid dissolve can
+    leave behind (slab corners coinciding with ring vertices)."""
+    out = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        keep = np.r_[True, np.any(np.diff(r, axis=0) != 0, axis=1)]
+        r = r[keep]
+        if len(r) >= 2 and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        if len(r) >= 4:
+            out.append(r)
+    return ("Polygon", out) if out else None

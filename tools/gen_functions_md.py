@@ -22,12 +22,12 @@ NOTES = {
     "st_setcrs": "same mechanism as ST_SetSRID",
     "st_crs": "EPSG:<srid> from EWKB, else engine default OGC:CRS84",
     "st_distancesphere": "IUGG mean sphere: point×point haversine fast path; any other combo via great-circle kernels (point→arc cross-track, arc×arc)",
-    "st_polygonize": "reference single-geometry signature, GEOMETRYCOLLECTION output (merge-connected-rings tier; full planar noding of crossing edge soups is GEOS territory)",
-    "st_polygonize_agg": "via ST_Collect_Agg + ST_Polygonize",
 }
 
 # names that carry an explanatory note but are FULL tier (round-2 upgrades)
 FULL_NOTES = {
+    "st_polygonize": "full planar noding (round 4, geometry/noding.py): linework split at pairwise intersections, every bounded arrangement face emitted (holes assigned) — reference rows + st_polygonize_agg.rs rows replayed, crossing soups/bowties/grids now polygonize",
+    "st_polygonize_agg": "real SQL aggregate (grouped-agg UDF over the same noded face extraction); st_polygonize_agg.rs test rows replayed in tests/test_polygonize_noding.py",
     "st_buffer": "GEOS-parity styled buffer (round 4): quad_segs/endcap(round|flat|square)/join(round|mitre|bevel)/mitre_limit/side(left|right|both) with GEOS OffsetSegmentGenerator arc subdivision — the reference's own area rows (test_functions.py:560-744) replay to 1e-9; single-sided reflex case pins the PostGIS/GEOS 3.9 value the reference documents (16285.08), GEOS 3.13's artifact-free variant (12713.61, libgeos 091f6d99) noted as a version divergence",
     "st_relate": "DE-9IM for all combos incl. GeometryCollection operands (normalized via the mixed-dimension mod-2 union, GEOS semantics; full reference module replayed)",
     "st_union": "slab overlay + boundary dissolve to minimal-vertex rings (round 2; degenerate inputs fall back to the region-exact tiling)",
