@@ -601,9 +601,12 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
     Supported: EPSG:4326/OGC:CRS84, EPSG:3857 (spherical Web-Mercator),
     EPSG:326zz/327zz (UTM, ellipsoidal Transverse Mercator), EPSG:2154
     (Lambert-93), EPSG:3978 (Canada Atlas LCC), EPSG:5070 (CONUS Albers),
-    EPSG:3413/3031 (polar stereographic N/S), 54008 (sinusoidal) —
-    all published Snyder closed forms in geometry/proj.py.  The reference
-    supports any CRS via PROJ (c/sedona-proj/src/st_transform.rs:41)."""
+    EPSG:3413/3031 (polar stereographic N/S), 54008 (sinusoidal), 3035
+    (LAEA Europe), 2193 (NZTM), and — round 4, Helmert datum-shift tier —
+    EPSG:27700 (OSGB36 British National Grid, Airy 1830) and
+    EPSG:31466-31469 (DHDN Gauss-Krüger 2-5, Bessel 1841) — all published
+    Snyder/EPSG closed forms in geometry/proj.py.  The reference supports
+    any CRS via PROJ (c/sedona-proj/src/st_transform.rs:41)."""
     from sedona_db_spark.geometry import proj as P
 
     s, d = _crs_code(src), _crs_code(dst)
@@ -621,7 +624,8 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
         if pr is None:
             raise ValueError(
                 f"unsupported CRS {src} (built-in: 4326/CRS84, 3857, "
-                f"326zz/327zz UTM, 2154, 3978, 5070, 3413, 3031, 54008)")
+                f"326zz/327zz UTM, 2154, 3978, 5070, 3413, 3031, 54008, "
+                f"3035, 2193, 27700, 31466-31469)")
         lon, lat = pr[1](arr[:, 0], arr[:, 1])
     # leg 2: lon/lat → dst
     if d == "4326":
@@ -634,7 +638,8 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
         if pr is None:
             raise ValueError(
                 f"unsupported CRS {dst} (built-in: 4326/CRS84, 3857, "
-                f"326zz/327zz UTM, 2154, 3978, 5070, 3413, 3031, 54008)")
+                f"326zz/327zz UTM, 2154, 3978, 5070, 3413, 3031, 54008, "
+                f"3035, 2193, 27700, 31466-31469)")
         x, y = pr[0](lon, lat)
     out[:, 0], out[:, 1] = x, y
     return out

@@ -18,6 +18,8 @@ Design notes for exact cross-engine parity:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sedona_db_spark import grid
@@ -1027,6 +1029,100 @@ def _oracle_transform_utm() -> str:
  FROM k""")
 
 
+def q_transform_osgb(spark, sf_dir):
+    """Datum-shift tier (round-4 VERDICT #2): docs mapped into the British
+    National Grid domain, transformed 4326 → EPSG:27700 (Airy 1830 +
+    OSGB36 Helmert position-vector shift), floor-quantized to meters."""
+    from sedona_db_spark.functions.scalar import st_point, st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir)
+    lon_m = F.lit(-7.0) + (F.col("lon") + 180.0) / 360.0 * 8.5
+    lat_m = F.lit(50.0) + (F.col("lat") + 90.0) / 180.0 * 10.5
+    pt = st_point(lon_m, lat_m)
+    t = st_transform(pt, F.lit("EPSG:4326"), F.lit("EPSG:27700"))
+    return d.select(
+        "doc_id",
+        F.floor(st_x(t)).cast("long").alias("easting_m"),
+        F.floor(st_y(t)).cast("long").alias("northing_m"))
+
+
+def _oracle_transform_osgb() -> str:
+    """The full WGS84 → ECEF → inverse-Helmert → Airy geodetic (4 fixed
+    iterations, mirroring ecef_to_geodetic) → TM-series chain in SQL,
+    every constant baked from the SAME python doubles (geometry/proj.py);
+    floor-to-meter absorbs libm ulps (the transform_utm pattern)."""
+    import numpy as np
+    from sedona_db_spark.geometry.proj import (AIRY, TOWGS84, WGS84,
+                                               _merid_arc)
+    aW, e2W = WGS84.a, WGS84.e2
+    aA, e2A, ep2A = AIRY.a, AIRY.e2, AIRY.ep2
+    e4, e6 = e2A * e2A, e2A * e2A * e2A
+    c1 = 1 - e2A / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    c2 = 3 * e2A / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    c3 = 15 * e4 / 256 + 45 * e6 / 1024
+    c4 = 35 * e6 / 3072
+    m0 = float(_merid_arc(AIRY, np.array([math.radians(49.0)]))[0])
+    tx, ty, tz, rx, ry, rz, ds = TOWGS84["OSGB36"]
+    sec = math.pi / 648000.0
+    # inverse Helmert: all parameters negated (helmert_pv inverse=True)
+    txn, tyn, tzn = -tx, -ty, -tz
+    rxn, ryn, rzn = -rx * sec, -ry * sec, -rz * sec
+    mn = 1.0 + (-ds) * 1e-6
+    k0, fe, fn = 0.9996012717, 400000.0, -100000.0
+    it = """
+ it{n} AS (SELECT doc_id, X, Y, Z, p,
+     atan2(Z, p * (1 - {e2A}
+       * ({aA} / sqrt(1 - {e2A} * sin(phi) * sin(phi)))
+       / (({aA} / sqrt(1 - {e2A} * sin(phi) * sin(phi)))
+          + (p / cos(phi)
+             - {aA} / sqrt(1 - {e2A} * sin(phi) * sin(phi)))))) AS phi
+   FROM it{p}),"""
+    iters = "".join(it.format(n=i, p=i - 1, aA=repr(aA), e2A=repr(e2A))
+                    for i in (1, 2, 3, 4))
+    return (
+        _docs_cte() + f""",
+ mapped AS (SELECT doc_id,
+       -7.0 + (lon + 180.0) / 360.0 * 8.5 AS lon_m,
+       50.0 + (lat + 90.0) / 180.0 * 10.5 AS lat_m FROM docs),
+ w AS (SELECT doc_id, radians(lon_m) AS lam, radians(lat_m) AS phi
+       FROM mapped),
+ ecef AS (SELECT doc_id,
+       ({aW!r} / sqrt(1 - {e2W!r} * sin(phi) * sin(phi)))
+         * cos(phi) * cos(lam) AS Xw,
+       ({aW!r} / sqrt(1 - {e2W!r} * sin(phi) * sin(phi)))
+         * cos(phi) * sin(lam) AS Yw,
+       ({aW!r} / sqrt(1 - {e2W!r} * sin(phi) * sin(phi)))
+         * (1 - {e2W!r}) * sin(phi) AS Zw FROM w),
+ helm AS (SELECT doc_id,
+       {txn!r} + {mn!r} * (Xw - ({rzn!r}) * Yw + ({ryn!r}) * Zw) AS X,
+       {tyn!r} + {mn!r} * (({rzn!r}) * Xw + Yw - ({rxn!r}) * Zw) AS Y,
+       {tzn!r} + {mn!r} * ((0.0 - ({ryn!r})) * Xw + ({rxn!r}) * Yw + Zw) AS Z
+   FROM ecef),
+ it0 AS (SELECT doc_id, X, Y, Z, sqrt(X * X + Y * Y) AS p,
+       atan2(Z, sqrt(X * X + Y * Y) * (1 - {e2A!r})) AS phi FROM helm),{iters}
+ geo AS (SELECT doc_id,
+       radians(degrees(atan2(Y, X))) - radians(-2.0) AS dlam,
+       radians(degrees(phi)) AS phi FROM it4),
+ k AS (SELECT doc_id, phi, dlam,
+       {aA!r} / sqrt(1 - {e2A!r} * sin(phi) * sin(phi)) AS nn,
+       tan(phi) * tan(phi) AS t,
+       {ep2A!r} * cos(phi) * cos(phi) AS c,
+       dlam * cos(phi) AS aa,
+       {aA!r} * ({c1!r} * phi - {c2!r} * sin(2 * phi)
+                + {c3!r} * sin(4 * phi) - {c4!r} * sin(6 * phi)) AS m
+       FROM geo)
+ SELECT doc_id,
+   CAST(floor({k0!r} * nn * (aa + (1 - t + c) * aa * aa * aa / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * {ep2A!r})
+          * aa * aa * aa * aa * aa / 120) + {fe!r}) AS BIGINT) AS easting_m,
+   CAST(floor({k0!r} * ((m - {m0!r}) + nn * tan(phi) * (aa * aa / 2
+        + (5 - t + 9 * c + 4 * c * c) * aa * aa * aa * aa / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * {ep2A!r})
+          * aa * aa * aa * aa * aa * aa / 720))
+        + {fn!r}) AS BIGINT) AS northing_m
+ FROM k""")
+
+
 def q_transform_polar(spark, sf_dir):
     """Polar stereographic tier (round-3 ST_Transform widening): northern
     docs project to EPSG:3413 (NSIDC north, lat_ts 70, lon0 -45), southern
@@ -1477,6 +1573,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "transform_3857": q_transform_3857,
     "transform_utm": q_transform_utm,
+    "transform_osgb": q_transform_osgb,
     "transform_polar": q_transform_polar,
     "transform_laea": q_transform_laea,
     "azimuth_to_city": q_azimuth_to_city,
@@ -1521,6 +1618,7 @@ ORACLE_SQL = {
     "ann_topk": ORACLE_ANN,
     "transform_3857": ORACLE_TRANSFORM,
     "transform_utm": _oracle_transform_utm(),
+    "transform_osgb": _oracle_transform_osgb(),
     "transform_polar": _oracle_transform_polar(),
     "transform_laea": _oracle_transform_laea(),
     "azimuth_to_city": ORACLE_AZIMUTH,

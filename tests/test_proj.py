@@ -257,3 +257,102 @@ def test_nztm_round_trip():
     # central-meridian false easting: lon0=173 projects to E=1,600,000
     x, _ = fwd(np.array([173.0]), np.array([-41.0]))
     assert float(x[0]) == pytest.approx(1_600_000.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# round 4: Helmert datum-shift tier (OSGB 27700, DHDN Gauss-Krüger)
+# ---------------------------------------------------------------------------
+
+def test_osgb_projection_os_worked_example():
+    """OS 'A guide to coordinate systems in Great Britain' worked example
+    (projection stage, OSGB36 geographic input): mm-exact."""
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = P.tmerc_fwd(np.array([lon]), np.array([lat]), -2.0, 49.0,
+                       0.9996012717, 400000.0, -100000.0, P.AIRY)
+    assert abs(x[0] - 651409.903) < 1e-3
+    assert abs(y[0] - 313177.270) < 1e-3
+
+
+def test_helmert_position_vector_epsg_example():
+    """EPSG Guidance Note 7-2, method 9606 example (WGS72 → WGS84):
+    (0, 0, 4.5 m, 0, 0, 0.554", 0.219 ppm)."""
+    from sedona_db_spark.geometry.proj import helmert_pv
+    X, Y, Z = helmert_pv(3657660.66, 255768.55, 5201382.11,
+                         (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.219))
+    # the guidance note publishes 2-decimal outputs
+    assert abs(X - 3657660.78) < 0.015
+    assert abs(Y - 255778.43) < 0.015
+    assert abs(Z - 5201387.75) < 0.015
+
+
+def test_helmert_inverse_is_negation_roundtrip():
+    import numpy as np
+    from sedona_db_spark.geometry.proj import TOWGS84, helmert_pv
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-6.4e6, 6.4e6, 50)
+    Y = rng.uniform(-6.4e6, 6.4e6, 50)
+    Z = rng.uniform(-6.4e6, 6.4e6, 50)
+    Xp, Yp, Zp = helmert_pv(X, Y, Z, TOWGS84["OSGB36"])
+    Xb, Yb, Zb = helmert_pv(Xp, Yp, Zp, TOWGS84["OSGB36"], inverse=True)
+    # EPSG small-angle reversal: the ds x translation cross term dominates
+    # (20.5 ppm x ~540 m ~ 1.1 cm); centimetre-level is the method's spec
+    assert np.abs(Xb - X).max() < 0.02
+    assert np.abs(Yb - Y).max() < 0.02
+    assert np.abs(Zb - Z).max() < 0.02
+
+
+def test_ecef_geodetic_roundtrip_all_ellipsoids():
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-179, 179, 100)
+    lat = rng.uniform(-85, 85, 100)
+    for ell in (P.WGS84, P.AIRY, P.BESSEL):
+        X, Y, Z = P.geodetic_to_ecef(lon, lat, ell)
+        lo, la = P.ecef_to_geodetic(X, Y, Z, ell)
+        assert np.abs(lo - lon).max() < 1e-11
+        assert np.abs(la - lat).max() < 1e-11
+
+
+def test_osgb_full_transform_roundtrip_and_sanity():
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    fwd, inv = P.projection_for("27700")
+    # London: authoritative BNG grid ref ~ (530000 E, 180400 N)
+    e, n = fwd(np.array([-0.1278]), np.array([51.5074]))
+    assert 529000 < e[0] < 531000 and 179400 < n[0] < 181400
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-7.5, 1.7, 80)
+    lat = rng.uniform(49.9, 60.8, 80)
+    e, n = fwd(lon, lat)
+    lo, la = inv(e, n)
+    # negated-Helmert reversal dominates: ~1e-7 deg (~1 cm)
+    assert np.abs(lo - lon).max() < 5e-7
+    assert np.abs(la - lat).max() < 5e-7
+
+
+def test_dhdn_gk_zones_roundtrip():
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    for zone, lon0 in ((2, 6.0), (3, 9.0), (4, 12.0), (5, 15.0)):
+        fwd, inv = P.projection_for(str(31464 + zone))
+        rng = np.random.default_rng(zone)
+        lon = rng.uniform(lon0 - 1.6, lon0 + 1.6, 40)
+        lat = rng.uniform(47.2, 55.0, 40)
+        e, n = fwd(lon, lat)
+        # GK false easting encodes the zone number
+        assert ((e > zone * 1e6) & (e < zone * 1e6 + 1e6)).all()
+        lo, la = inv(e, n)
+        assert np.abs(lo - lon).max() < 5e-7
+        assert np.abs(la - lat).max() < 5e-7
+
+
+def test_transform_sql_osgb(spark):
+    rows = spark.sql(
+        "SELECT ST_AsText(ST_Transform(ST_Point(-0.1278d, 51.5074d), "
+        "'EPSG:4326', 'EPSG:27700')) AS wkt").collect()
+    x, y = map(float, rows[0]["wkt"].replace("POINT (", "").rstrip(")").split())
+    assert 529000 < x < 531000 and 179400 < y < 181400
