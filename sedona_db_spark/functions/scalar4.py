@@ -533,6 +533,27 @@ def st_minimumclearanceline(b: pd.Series) -> pd.Series:
 UDFS4["ST_MinimumClearanceLine"] = st_minimumclearanceline
 
 
+@pandas_udf(BooleanType())
+def sd_wkb_is_parseable(b: pd.Series) -> pd.Series:
+    """True when the bytes parse as WKB/EWKB (NULL stays NULL) — the
+    validation kernel behind geostore's ``validate=True`` reads
+    (reference read_parquet(validate=True), tests/io/test_parquet.py
+    WKB-validation rows)."""
+    out = []
+    for v in b:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(W.decode(bytes(v)) is not None)
+        except Exception:
+            out.append(False)
+    return pd.Series(out, dtype=object)
+
+
+UDFS4["SD_WKBIsParseable"] = sd_wkb_is_parseable
+
+
 @pandas_udf(StringType())
 def st_relate(b1: pd.Series, b2: pd.Series) -> pd.Series:
     from sedona_db_spark.geometry.relate import relate_matrix

@@ -287,7 +287,37 @@ def pick_join_res(stats: dict, max_cells_per_geom: int = 16) -> int:
     return 0
 
 
-def spatial_join(
+def spatial_join(*args, **kwargs) -> DataFrame:
+    """Public spatial join — see ``_spatial_join_impl`` for semantics.
+
+    Re-applies the input geometry columns' CRS/edges column metadata to
+    the output (the reference propagates type-level CRS through its join,
+    rust/sedona-schema/src/datatypes.rs:404-420; Spark loses StructField
+    metadata on the mapInPandas paths, so the wrapper restores it)."""
+    from sedona_db_spark import crs as _crs
+    out = _spatial_join_impl(*args, **kwargs)
+    left = args[0] if args else kwargs["left"]
+    right = args[1] if len(args) > 1 else kwargs.get("right")
+    lg = kwargs.get("left_geom", "geom")
+    rg = kwargs.get("right_geom", "geom")
+    metas: dict = {}
+    lmeta = _crs.get_meta(left, lg)
+    if lmeta and lg in out.columns:
+        metas[lg] = lmeta
+    if right is not None:
+        rmeta = _crs.get_meta(right, rg)
+        if rmeta:
+            rname = rg if (rg in out.columns and rg != lg) else rg + "_r"
+            if rname in out.columns:
+                metas[rname] = rmeta
+    if not metas:
+        return out
+    return out.select(*[
+        F.col(c).alias(c, metadata=metas[c]) if c in metas else F.col(c)
+        for c in out.columns])
+
+
+def _spatial_join_impl(
     left: DataFrame,
     right: DataFrame,
     predicate: str = "intersects",

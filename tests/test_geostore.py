@@ -176,3 +176,66 @@ def test_geoparquet_external_fixture(spark, tmp_path):
     n_win = df.where(covering_bbox_filter(meta, 0.0, 0.0, 90.0, 90.0)).count()
     exp = int(((xs >= 0) & (xs <= 90) & (ys >= 0) & (ys <= 90)).sum())
     assert n_win == exp
+
+
+def test_pruning_counts_two_selectivities(spark, tmp_path):
+    """Round-4 VERDICT #5: observable files/row-groups pruned counts
+    (mirror of the reference's files_ranges_spatial_pruned /
+    row_groups_spatial_pruned, file_opener.rs:63-96), asserted at a
+    selective bbox and a full-extent bbox."""
+    import numpy as np
+    from sedona_db_spark.sources import fixtures as FX
+    from sedona_db_spark.sources import geostore as G
+
+    df = spark.createDataFrame(FX.random_points(4000, seed=9,
+                                                bounds=(-50, -50, 50, 50))) \
+        .withColumnRenamed("geometry", "geom")
+    path = str(tmp_path / "pruned")
+    G.write_geo(df, path, "geom", res=6, files=8)
+
+    # selective window: most files/row-groups must prune away
+    sel = G.pruning_stats(path, (-49.0, -49.0, -40.0, -40.0))
+    assert sel["files_total"] == 8
+    assert sel["files_pruned"] >= sel["files_total"] // 2
+    assert sel["row_groups_pruned"] >= 1
+    assert sel["rows_after_prune"] < sel["rows_total"]
+    # the kept rows must cover everything the exact read returns
+    n_exact = G.spatial_read(spark, path, (-49, -49, -40, -40)).count()
+    assert 0 < n_exact <= sel["rows_after_prune"]
+
+    # full-extent window: nothing prunes
+    full = G.pruning_stats(path, (-51.0, -51.0, 51.0, 51.0))
+    assert full["files_pruned"] == 0
+    assert full["row_groups_pruned"] == 0
+    assert full["rows_after_prune"] == full["rows_total"] == 4000
+
+
+def test_read_parquet_validate_wkb_rows(spark, tmp_path):
+    """Reference io/test_parquet.py:486-559 WKB-validation rows replayed:
+    valid row passes both modes; invalid/partial-invalid pass with
+    validate=False and raise 'WKB validation failed' with validate=True."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from sedona_db_spark.sources import geostore as G
+
+    valid = bytes.fromhex("0101000000000000000000F03F0000000000000040")
+    invalid = b"\x01"
+
+    p1 = str(tmp_path / "single_valid.parquet")
+    pq.write_table(pa.table({"id": [1], "geom": [valid]}), p1)
+    assert G.read_parquet_geo(spark, p1, "geom", validate=False).count() == 1
+    assert G.read_parquet_geo(spark, p1, "geom", validate=True).count() == 1
+
+    p2 = str(tmp_path / "single_invalid.parquet")
+    pq.write_table(pa.table({"id": [1], "geom": [invalid]}), p2)
+    assert G.read_parquet_geo(spark, p2, "geom", validate=False).count() == 1
+    with _pytest.raises(ValueError, match="WKB validation failed"):
+        G.read_parquet_geo(spark, p2, "geom", validate=True)
+
+    p3 = str(tmp_path / "partial_invalid.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3],
+                             "geom": [valid, invalid, valid]}), p3)
+    assert G.read_parquet_geo(spark, p3, "geom", validate=False).count() == 3
+    with _pytest.raises(ValueError, match="WKB validation failed"):
+        G.read_parquet_geo(spark, p3, "geom", validate=True)

@@ -18,14 +18,14 @@ NOTES = {
     "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical tier via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere (any geometry) + ST_IntersectsSphere/ST_ContainsSphere/ST_DWithinSphere (geometry/sphere.py great-circle kernels)",
     "st_geogfromwkt": "alias of ST_GeomFromText (same spherical tier as ST_GeogFromWKB)",
     "st_geogpoint": "alias of ST_Point (same spherical tier)",
-    "st_setsrid": "re-encodes as EWKB with embedded SRID (type-level CRS analogue)",
-    "st_setcrs": "same mechanism as ST_SetSRID",
-    "st_crs": "EPSG:<srid> from EWKB, else engine default OGC:CRS84",
     "st_distancesphere": "IUGG mean sphere: point×point haversine fast path; any other combo via great-circle kernels (point→arc cross-track, arc×arc)",
 }
 
 # names that carry an explanatory note but are FULL tier (round-2 upgrades)
 FULL_NOTES = {
+    "st_setsrid": "EWKB SRID embed for per-value interop; round 4 adds the type-level tier — crs.with_crs/set CRS in Spark column metadata (GeoArrow-style {crs, edges}), propagated through spatial_join and GeoParquet write/read without byte rewrites (tests/test_crs.py)",
+    "st_setcrs": "metadata-first (crs.with_crs, no byte re-encode) with the EWKB re-encode kept for per-value SQL use — the reference carries CRS in the type (datatypes.rs:404-420); our sidecar is StructField.metadata + the geo footer crs/edges fields",
+    "st_crs": "column-metadata CRS when tagged (crs.get_crs), EPSG:<srid> from EWKB per value, else engine default OGC:CRS84",
     "st_polygonize": "full planar noding (round 4, geometry/noding.py): linework split at pairwise intersections, every bounded arrangement face emitted (holes assigned) — reference rows + st_polygonize_agg.rs rows replayed, crossing soups/bowties/grids now polygonize",
     "st_polygonize_agg": "real SQL aggregate (grouped-agg UDF over the same noded face extraction); st_polygonize_agg.rs test rows replayed in tests/test_polygonize_noding.py",
     "st_buffer": "GEOS-parity styled buffer (round 4): quad_segs/endcap(round|flat|square)/join(round|mitre|bevel)/mitre_limit/side(left|right|both) with GEOS OffsetSegmentGenerator arc subdivision — the reference's own area rows (test_functions.py:560-744) replay to 1e-9; single-sided reflex case pins the PostGIS/GEOS 3.9 value the reference documents (16285.08), GEOS 3.13's artifact-free variant (12713.61, libgeos 091f6d99) noted as a version divergence",
