@@ -29,8 +29,11 @@ def _sf_of(sf_dir: str) -> float:
 
 
 HEADLINE = [
-    # spatial engine
-    "pip_pairs", "pip_count_by_nation", "knn_pairs", "dwithin_pairs",
+    # spatial engine — all four join strategies tracked round-over-round:
+    # interval (pip_pairs), JVM HOF (pip_hex_pairs), broadcast dwithin
+    # (dwithin_pairs), spherical cap/bulge (dwithin_sphere_pairs)
+    "pip_pairs", "pip_hex_pairs", "pip_count_by_nation", "knn_pairs",
+    "dwithin_pairs", "dwithin_sphere_pairs",
     "tile_assignments", "geocode_cells",
     # training-data ops
     "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",

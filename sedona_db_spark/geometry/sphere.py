@@ -80,7 +80,37 @@ def _on_arc(t, a, b, n) -> bool:
 
 def _ring_vecs(ring: np.ndarray) -> np.ndarray:
     r = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
-    return unit_vecs(r[:, 0], r[:, 1])
+    v = unit_vecs(r[:, 0], r[:, 1])
+    # drop consecutive duplicate unit vectors (e.g. lon -180 and +180
+    # vertices of a polar ring are the SAME 3-D point — a zero-length
+    # edge makes the crossing kernels degenerate)
+    if len(v) > 1:
+        keep = np.r_[True, arc_angle(v[1:], v[:-1]) > 1e-15]
+        if not keep[0] or arc_angle(v[:1], v[-1:])[0] <= 1e-15:
+            keep[0] = True
+            keep[-1] = arc_angle(v[:1], v[-1:])[0] > 1e-15
+        v = v[keep]
+    return v
+
+
+def _outside_ref(ring_v: np.ndarray) -> np.ndarray:
+    """Outside reference point for the crossing-parity ray: the antipode
+    of the ring centroid, always nudged along an irregular direction (the
+    degenerate cases below); shared by the scalar AND vectorized parity
+    kernels so they agree row-for-row."""
+    q = -_norm(ring_v.sum(axis=0))
+    # ALWAYS nudge along an irregular direction: rings built on regular
+    # lon/lat grids otherwise put the p→q ray exactly through a vertex
+    # (double-counted crossing), and p antipodal to q leaves the ray
+    # undefined entirely (exact-pole query in a polar-cap ring).  The
+    # nudge is ~0.046 rad — far smaller than the >=90° gap between a
+    # hemisphere-fitting ring and its centroid antipode.
+    t = np.cross(q, [0.5773502691896258, 0.211324865405187,
+                     0.7886751345948129])
+    if np.dot(t, t) < 1e-12:
+        t = np.cross(q, [0.3247179572447461, 0.8794735288309245,
+                         -0.3478103847799310])
+    return _norm(q + 0.04567 * _norm(t))
 
 
 def point_in_spherical_ring(p: np.ndarray, ring_v: np.ndarray) -> bool:
@@ -99,7 +129,7 @@ def point_in_spherical_ring(p: np.ndarray, ring_v: np.ndarray) -> bool:
     for i in range(len(a)):
         if point_arc_dist_m(p[None, :], a[i], b[i])[0] < 1e-3:
             return True
-    q = -_norm(ring_v.sum(axis=0))
+    q = _outside_ref(ring_v)
     if arc_angle(p[None, :], q[None, :])[0] < 1e-12:
         return False  # p IS the outside reference point
     crossings = sum(arcs_cross(p, q, a[i], b[i]) for i in range(len(a)))
@@ -250,7 +280,7 @@ def points_in_spherical_polygon(p: np.ndarray, rings: list) -> np.ndarray:
     def ring_parity(ring_v: np.ndarray) -> np.ndarray:
         a = ring_v
         b = np.roll(ring_v, -1, axis=0)
-        q = -_norm(ring_v.sum(axis=0))
+        q = _outside_ref(ring_v)
         crossings = np.zeros(len(p), dtype=np.int64)
         for i in range(len(a)):
             crossings += _arcs_cross_vec(p, q, a[i], b[i])
@@ -277,7 +307,7 @@ def _ring_member_vec(p: np.ndarray, ring: np.ndarray):
     onb = np.zeros(len(p), dtype=bool)
     for i in range(len(a)):
         onb |= point_arc_dist_m(p, a[i], b[i]) < 1e-3
-    q = -_norm(v.sum(axis=0))
+    q = _outside_ref(v)
     crossings = np.zeros(len(p), dtype=np.int64)
     for i in range(len(a)):
         crossings += _arcs_cross_vec(p, q, a[i], b[i])
