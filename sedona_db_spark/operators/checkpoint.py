@@ -117,6 +117,26 @@ class CheckpointedRun:
                 f"run incomplete: buckets {self.pending_buckets()} pending")
         return self.spark.read.parquet(self.out_dir)
 
+    def ledger_to_icetable(self, table_path: str | None = None) -> str:
+        """Materialize the lineage ledger as an ice table (the north
+        rule's "checkpoints per-partition lineage and row/tile counters
+        to Iceberg"): one snapshot per call, queryable + time-travelable
+        like any table (sources/icetable.py).  Returns the table path."""
+        from sedona_db_spark.sources import icetable as I
+        table_path = table_path or f"{self.out_dir}/_ledger_table"
+        recs = sorted(self.committed().values(), key=lambda r: r["bucket"])
+        if not recs:
+            raise RuntimeError("no committed buckets to ledger")
+        df = self.spark.createDataFrame(
+            [(r["bucket"], r["rows"], float(r["sec"]), float(r["ts"]),
+              r["run_id"]) for r in recs],
+            "bucket int, rows bigint, sec double, ts double, run_id string")
+        try:
+            I.create(self.spark, table_path, df, geom_col=None)
+        except FileExistsError:
+            I.overwrite(self.spark, table_path, df)
+        return table_path
+
 
 def checkpointed_spatial_join(
     spark: SparkSession,

@@ -59,3 +59,31 @@ def test_rerun_is_noop(data, spark, tmp_path):
     s2 = run2.run()
     assert s2["buckets_ran"] == 0 and s2["buckets_resumed"] == 4
     assert s2["rows_total"] == s1["rows_total"]
+
+
+def test_ledger_materializes_as_icetable(spark, tmp_path):
+    """North rule: "checkpoints per-partition lineage and row/tile
+    counters to Iceberg" — the ledger lands as an ice-table snapshot per
+    run, time-travelable across resumes."""
+    from sedona_db_spark.operators.checkpoint import checkpointed_spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    from sedona_db_spark.sources import icetable as I
+
+    left = spark.createDataFrame(FX.random_points(120, seed=21)) \
+        .withColumnRenamed("geometry", "geom")
+    right = spark.createDataFrame(FX.random_polygons(6, seed=22)) \
+        .withColumnRenamed("geometry", "geom")
+    run = checkpointed_spatial_join(
+        spark, str(tmp_path / "ckpt"), left, right, "intersects",
+        num_buckets=4)
+    run.run()
+    t = run.ledger_to_icetable()
+    led = I.read(spark, t)
+    rows = {r["bucket"]: r["rows"] for r in led.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(rows.values()) == run.result().count()
+    # a second run (resume no-op) snapshots again; history preserved
+    run.run()
+    run.ledger_to_icetable()
+    assert len(I.snapshots(t)) == 2
+    assert I.read(spark, t, snapshot_id=1).count() == 4
