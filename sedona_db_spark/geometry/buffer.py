@@ -12,7 +12,8 @@ GEOS 3.12+ answers.
 Construction is a part-union, not an offset-curve trace: per-edge slab
 rectangles, per-vertex join wedges on the convex side (round fillet /
 mitre / bevel), end caps, all dissolved through the exact slab overlay
-(``overlay.union_all``).  Arc discretization follows GEOS
+(``overlay.union_polygons`` — one N-way winding slab sweep, not a
+pairwise fold).  Arc discretization follows GEOS
 OffsetSegmentGenerator exactly — fillet angle quantum = pi/(2*quad_segs),
 ``nSegs = int(totalAngle/quantum + 0.5)``, vertices ON the circle — so
 areas agree with GEOS to float precision, not just "roughly round".
@@ -292,6 +293,109 @@ def _dedupe_consecutive(pts: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# closed-form fast paths (no overlay): convex rings and single segments
+# ---------------------------------------------------------------------------
+
+def _is_convex_ccw(pts: np.ndarray) -> bool:
+    """Strictly convex CCW ring (no closing duplicate)."""
+    n = len(pts)
+    if n < 3:
+        return False
+    d = np.roll(pts, -1, axis=0) - pts
+    cross = d[:, 0] * np.roll(d, -1, axis=0)[:, 1] \
+        - d[:, 1] * np.roll(d, -1, axis=0)[:, 0]
+    return bool((cross > 0).all())
+
+
+def _join_pts(v, u1, u2, d: float, p: BufferParams) -> list | None:
+    """Boundary points of the join at a CCW-convex vertex (offset end of
+    edge u1 through the join to offset start of edge u2) — the traced-ring
+    twin of _join_wedge, vertex-identical so areas agree with the
+    part-union path."""
+    n1 = (u1[1], -u1[0])
+    n2 = (u2[1], -u2[0])
+    p0 = (v[0] + d * n1[0], v[1] + d * n1[1])
+    p1 = (v[0] + d * n2[0], v[1] + d * n2[1])
+    cross = u1[0] * u2[1] - u1[1] * u2[0]
+    dot = u1[0] * u2[0] + u1[1] * u2[1]
+    if abs(cross) < 1e-15 and dot >= 0:
+        return [p1]
+    theta = math.atan2(abs(cross), dot)
+    if p.join == "round":
+        # CCW-convex turn: outward (right) normals rotate CCW by theta
+        a0 = math.atan2(n1[1], n1[0])
+        arc = _fillet_pts(v[0], v[1], d, a0, a0 + theta, False, p.quad_segs)
+        return (arc[1:] if arc else []) + [p1]
+    if p.join == "bevel" or theta >= math.pi - 1e-12:
+        return [p1]
+    ratio = 1.0 / math.cos(theta / 2.0)
+    bis = (n1[0] + n2[0], n1[1] + n2[1])
+    bl = math.hypot(*bis)
+    if bl < 1e-15:
+        return [p1]
+    bis = (bis[0] / bl, bis[1] / bl)
+    if ratio <= p.mitre_limit:
+        return [(v[0] + d * ratio * bis[0], v[1] + d * ratio * bis[1]), p1]
+    w = _truncated_mitre(v, n1, n2, p0, p1, u1, u2, d, p)
+    # wedge ring = [v, p0, i0, i1, p1, v] — boundary keeps i0, i1
+    return [tuple(q) for q in w[2:-2]] + [p1]
+
+
+def _convex_ring_buffer(pts: np.ndarray, d: float, p: BufferParams):
+    """Positive buffer of a strictly convex CCW ring, traced directly:
+    offset edges + joins, vertex-identical to the part-union result."""
+    n = len(pts)
+    dirs = []
+    for i in range(n):
+        dx = pts[(i + 1) % n][0] - pts[i][0]
+        dy = pts[(i + 1) % n][1] - pts[i][1]
+        ln = math.hypot(dx, dy)
+        dirs.append((dx / ln, dy / ln))
+    out = []
+    for i in range(n):
+        u = dirs[i]
+        nx, ny = u[1], -u[0]   # right normal == outward for CCW
+        out.append((pts[i][0] + d * nx, pts[i][1] + d * ny))
+        out.append((pts[(i + 1) % n][0] + d * nx,
+                    pts[(i + 1) % n][1] + d * ny))
+        jp = _join_pts(pts[(i + 1) % n], u, dirs[(i + 1) % n], d, p)
+        if jp:
+            out.extend(jp[:-1])  # jp[-1] duplicates the next edge's start
+    ring = _dedupe_consecutive(np.asarray(out, dtype=np.float64))
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ("Polygon", [ring])
+
+
+def _segment_buffer(a, b, d: float, p: BufferParams):
+    """Buffer of one straight segment, traced (rect + caps)."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    ln = math.hypot(dx, dy)
+    u = (dx / ln, dy / ln)
+    nl = (-u[1], u[0])
+    pts = [(a[0] + d * nl[0], a[1] + d * nl[1]),
+           (b[0] + d * nl[0], b[1] + d * nl[1])]
+    if p.endcap == "round":
+        a0 = math.atan2(nl[1], nl[0])
+        arc = _fillet_pts(b[0], b[1], d, a0, a0 - math.pi, True, p.quad_segs)
+        pts.extend(arc[1:])
+    elif p.endcap == "square":
+        pts.append((b[0] + d * nl[0] + d * u[0], b[1] + d * nl[1] + d * u[1]))
+        pts.append((b[0] - d * nl[0] + d * u[0], b[1] - d * nl[1] + d * u[1]))
+    pts.append((b[0] - d * nl[0], b[1] - d * nl[1]))
+    pts.append((a[0] - d * nl[0], a[1] - d * nl[1]))
+    if p.endcap == "round":
+        a0 = math.atan2(-nl[1], -nl[0])
+        arc = _fillet_pts(a[0], a[1], d, a0, a0 - math.pi, True, p.quad_segs)
+        pts.extend(arc[1:])
+    elif p.endcap == "square":
+        pts.append((a[0] - d * nl[0] - d * u[0], a[1] - d * nl[1] - d * u[1]))
+        pts.append((a[0] + d * nl[0] - d * u[0], a[1] + d * nl[1] - d * u[1]))
+    pts.append(pts[0])
+    return ("Polygon", [np.asarray(pts, dtype=np.float64)])
+
+
+# ---------------------------------------------------------------------------
 # top-level dispatcher
 # ---------------------------------------------------------------------------
 
@@ -304,7 +408,7 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
     GEOS 3.12 rows (test_functions.py:706-724): positive side keeps the
     input, negative side yields the ring band input minus erode(|d|)."""
     from sedona_db_spark.geometry import kernels as K
-    from sedona_db_spark.geometry.overlay import union_all
+    from sedona_db_spark.geometry.overlay import union_polygons
 
     if isinstance(params, str) or params is None:
         params = parse_buffer_params(params)
@@ -322,7 +426,7 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
     if name == "GeometryCollection":
         parts = [geom_buffer_styled(q, dist, params) for q in payload]
         parts = [q for q in parts if q is not None and not _is_empty(q)]
-        return union_all(parts) if parts else ("Polygon", [])
+        return union_polygons(parts) if parts else ("Polygon", [])
 
     if name == "Point":
         c = np.asarray(payload[:2], dtype=np.float64)
@@ -343,21 +447,24 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
         parts = [geom_buffer_styled(("Point", c), dist, params)
                  for c in coords]
         parts = [q for q in parts if not _is_empty(q)]
-        return union_all(parts) if parts else ("Polygon", [])
+        return union_polygons(parts) if parts else ("Polygon", [])
 
     if name in ("LineString", "MultiLineString"):
         if dist < 0:
             return ("Polygon", [])
         lines = [payload] if name == "LineString" else payload
+        lines = [_dedupe_consecutive(np.asarray(l, dtype=np.float64))
+                 for l in lines]
+        lines = [l for l in lines if len(l)]
+        # closed-form fast path: one straight segment needs no overlay
+        if len(lines) == 1 and len(lines[0]) == 2:
+            return _segment_buffer(lines[0][0], lines[0][1], dist, params)
         parts = []
         for line in lines:
-            line = _dedupe_consecutive(np.asarray(line, dtype=np.float64))
-            if len(line) == 0:
-                continue
             closed = len(line) > 3 and bool(np.all(line[0] == line[-1]))
             parts.extend(_polyline_parts(line[:-1] if closed else line,
                                          dist, params, closed))
-        return union_all(parts) if parts else ("Polygon", [])
+        return union_polygons(parts) if parts else ("Polygon", [])
 
     if name in ("Polygon", "MultiPolygon"):
         rings_sets = [payload] if name == "Polygon" else payload
@@ -366,6 +473,18 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
             return ("Polygon", [])
         if dist < 0:
             return _erode(g, -dist, params)
+        # closed-form fast path: a single hole-free strictly convex ring's
+        # buffer boundary is the traced offset (vertex-identical to the
+        # part-union result; no overlay) — boxes/cells, the common case
+        if len(rings_sets) == 1 and len(rings_sets[0]) == 1:
+            ring = _dedupe_consecutive(
+                np.asarray(rings_sets[0][0], dtype=np.float64))
+            if len(ring) > 3 and np.array_equal(ring[0], ring[-1]):
+                ring = ring[:-1]
+            if _is_convex_ccw(ring):
+                return _convex_ring_buffer(ring, dist, params)
+            if _is_convex_ccw(ring[::-1]):
+                return _convex_ring_buffer(ring[::-1].copy(), dist, params)
         parts = [(name, payload)]
         for rings in rings_sets:
             for ring in rings:
@@ -374,7 +493,7 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
                     continue
                 closed_pts = ring[:-1] if np.all(ring[0] == ring[-1]) else ring
                 parts.extend(_polyline_parts(closed_pts, dist, params, True))
-        return union_all(parts)
+        return union_polygons(parts)
 
     return ("Polygon", [])
 
@@ -404,7 +523,7 @@ def _single_sided(g, dist: float, params: BufferParams):
     """side=left keeps dist > 0, side=right arrives negated (GEOS
     convention).  Lines: directed-curve winding extraction.  Polygons:
     observed GEOS 3.12 semantics from the reference rows."""
-    from sedona_db_spark.geometry.overlay import union_all
+    from sedona_db_spark.geometry.overlay import union_polygons
     name, payload = g
     d = abs(dist)
     left = dist > 0
@@ -425,11 +544,11 @@ def _single_sided(g, dist: float, params: BufferParams):
             region = _single_sided_line(line, d, left, params)
             if region is not None and not _is_empty(region):
                 parts.append(region)
-        return union_all(parts) if parts else ("Polygon", [])
+        return union_polygons(parts) if parts else ("Polygon", [])
     if name == "GeometryCollection":
         parts = [_single_sided(q, dist, params) for q in payload]
         parts = [q for q in parts if q is not None and not _is_empty(q)]
-        return union_all(parts) if parts else ("Polygon", [])
+        return union_polygons(parts) if parts else ("Polygon", [])
     # points have no sides
     return ("Polygon", [])
 

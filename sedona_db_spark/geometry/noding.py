@@ -72,7 +72,7 @@ def winding_region(ring_pts: list, positive: bool | None = True):
     crossing an edge directed rightward (dx > 0) adds +1, leftward -1 —
     the standard nonzero rule; self-crossing loops of the opposite
     orientation cancel to zero and vanish (no buffer artifacts)."""
-    from sedona_db_spark.geometry.overlay import union_all
+    from sedona_db_spark.geometry.overlay import union_polygons
     pts = [tuple(p) for p in ring_pts]
     if len(pts) > 1 and pts[0] != pts[-1]:
         pts.append(pts[0])
@@ -105,7 +105,7 @@ def winding_region(ring_pts: list, positive: bool | None = True):
                     traps.append(t)
     if not traps:
         return ("Polygon", [])
-    out = union_all(traps)
+    out = union_polygons(traps)
     return out if out is not None else ("Polygon", [])
 
 
@@ -117,7 +117,7 @@ def arrangement_faces(segments) -> list:
     union-find links pieces across slab boundaries where their y-intervals
     overlap with positive length.  A face leaking past the first/last slab
     or into an uncovered interval is unbounded and dropped."""
-    from sedona_db_spark.geometry.overlay import union_all
+    from sedona_db_spark.geometry.overlay import union_polygons
     segs = [tuple(map(float, s)) for s in segments
             if (s[0], s[1]) != (s[2], s[3])]
     if not segs:
@@ -231,7 +231,7 @@ def arrangement_faces(segments) -> list:
                 traps.append(t)
         if not traps:
             continue
-        face = union_all(traps)
+        face = union_polygons(traps)
         if face is not None and face[0] in ("Polygon", "MultiPolygon"):
             if face[0] == "MultiPolygon":
                 faces.extend(_clean_rings(rings) for rings in face[1])

@@ -157,6 +157,12 @@ def boolean_op(gA, gB, op: str):
         if vbands:
             slabs.append((x0, x1, vbands))
 
+    return _slabs_to_geometry(slabs)
+
+
+def _slabs_to_geometry(slabs: list):
+    """Per-slab bands → merged quads → dissolved minimal-vertex rings
+    (shared by the 2-way boolean op and the N-way winding union)."""
     # greedy horizontal dissolve: merge a band into its left neighbor when
     # the shared vertical edge matches exactly
     quads = []  # each: [xl, xr, ylo_l, ylo_r, yhi_l, yhi_r]
@@ -213,6 +219,177 @@ def boolean_op(gA, gB, op: str):
     if len(polys) == 1:
         return ("Polygon", polys[0])
     return ("MultiPolygon", polys)
+
+
+def _directed_edges_of(parts: list) -> np.ndarray:
+    """(n, 4) directed segments from polygonal parts with winding-true
+    orientation: outer rings CCW, holes CW (so interior winding sums to
+    the number of covering parts)."""
+    from sedona_db_spark.geometry import kernels as K
+    segs = []
+
+    def add_ring(ring, want_ccw: bool):
+        r = np.asarray(ring, dtype=np.float64)[:, :2]
+        if len(r) > 1 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        if len(r) < 3:
+            return
+        closed = np.vstack([r, r[:1]])
+        ccw = K._ring_area2(closed) > 0
+        if ccw != want_ccw:
+            r = r[::-1]
+        n = len(r)
+        for i in range(n):
+            a, b = r[i], r[(i + 1) % n]
+            if a[0] != b[0] or a[1] != b[1]:
+                segs.append((a[0], a[1], b[0], b[1]))
+
+    def add_part(g):
+        if g is None:
+            return
+        name, payload = g
+        if name == "Polygon":
+            for k, ring in enumerate(payload):
+                add_ring(ring, want_ccw=(k == 0))
+        elif name == "MultiPolygon":
+            for rings in payload:
+                for k, ring in enumerate(rings):
+                    add_ring(ring, want_ccw=(k == 0))
+        elif name == "GeometryCollection":
+            for q in payload:
+                add_part(q)
+
+    for g in parts:
+        add_part(g)
+    return np.asarray(segs, dtype=np.float64).reshape(-1, 4)
+
+
+def _pairwise_intersection_xs_vec(e: np.ndarray) -> np.ndarray:
+    """Vectorized proper-intersection x's among one directed edge set
+    (row-chunked: 500-vertex buffers produce ~10⁴ edges, and the full
+    triu index set would not fit comfortably in memory)."""
+    n = len(e)
+    if n < 2:
+        return np.empty(0)
+    ax1, ay1, ax2, ay2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    bxmin = np.minimum(ax1, ax2)
+    bxmax = np.maximum(ax1, ax2)
+    bymin = np.minimum(ay1, ay2)
+    bymax = np.maximum(ay1, ay2)
+    out = []
+    chunk = max(1, 8_000_000 // max(n, 1))
+    for lo in range(0, n - 1, chunk):
+        hi = min(lo + chunk, n - 1)
+        i = np.arange(lo, hi)[:, None]           # (c, 1)
+        j = np.arange(n)[None, :]                # (1, n)
+        mask = j > i
+        # bbox reject before the arithmetic (most edge pairs are far apart)
+        mask &= (bxmin[i] <= bxmax[j]) & (bxmin[j] <= bxmax[i]) \
+            & (bymin[i] <= bymax[j]) & (bymin[j] <= bymax[i])
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            continue
+        ii = ii + lo
+        x1, y1, x2, y2 = ax1[ii], ay1[ii], ax2[ii], ay2[ii]
+        x3, y3, x4, y4 = ax1[jj], ay1[jj], ax2[jj], ay2[jj]
+        d1x, d1y = x2 - x1, y2 - y1
+        d2x, d2y = x4 - x3, y4 - y3
+        den = d1x * d2y - d1y * d2x
+        ok = den != 0
+        den_s = np.where(ok, den, 1.0)
+        t = ((x3 - x1) * d2y - (y3 - y1) * d2x) / den_s
+        u = ((x3 - x1) * d1y - (y3 - y1) * d1x) / den_s
+        hit = ok & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        if hit.any():
+            out.append((x1 + t * d1x)[hit])
+    return np.concatenate(out) if out else np.empty(0)
+
+
+def union_polygons(parts: list):
+    """N-way polygon union in ONE slab sweep (nonzero winding over
+    orientation-normalized edges) — replaces the O(N²) pairwise
+    ``union_all`` fold for part soups like the styled buffer's
+    rectangles + wedges + caps (round-4 perf: the fold was ~5 buffers/s
+    on 10-vertex polygons; this path is two orders faster with identical
+    region output through the same band merge + dissolve)."""
+    e = _directed_edges_of(parts)
+    if not len(e):
+        return ("GeometryCollection", [])
+    xs = np.unique(np.concatenate([
+        e[:, 0], e[:, 2], _pairwise_intersection_xs_vec(e)]))
+    if len(xs) < 2:
+        return ("GeometryCollection", [])
+    # vectorized endpoint-snapped y(x) for every edge at every slab x
+    x1e, y1e, x2e, y2e = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    nonvert = x1e != x2e
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where(nonvert, (y2e - y1e) / np.where(nonvert,
+                                                         x2e - x1e, 1.0), 0.0)
+    exmin = np.minimum(x1e, x2e)
+    exmax = np.maximum(x1e, x2e)
+    sign = np.where(x2e > x1e, 1, -1)
+
+    def y_at(a: np.ndarray, xq: float) -> np.ndarray:
+        y = y1e[a] + (xq - x1e[a]) * slope[a]
+        y = np.where(xq == x1e[a], y1e[a], y)
+        y = np.where(xq == x2e[a], y2e[a], y)
+        return y
+
+    # incremental active set (slab boundaries include every endpoint x, so
+    # any edge alive in (x0, x1) started at or before x0) — O(S·active)
+    # instead of O(S·E), and no (S, E) y-grid materialization
+    admit_order = np.argsort(exmin, kind="stable")
+    ptr = 0
+    active: list[int] = []
+    slabs: list = []
+    for k in range(len(xs) - 1):
+        x0, x1 = float(xs[k]), float(xs[k + 1])
+        if x1 - x0 <= 0:
+            continue
+        while ptr < len(admit_order) and exmin[admit_order[ptr]] <= x0:
+            idx = int(admit_order[ptr])
+            ptr += 1
+            if nonvert[idx]:
+                active.append(idx)
+        if not active:
+            continue
+        a = np.asarray(active, dtype=np.int64)
+        alive = exmax[a] >= x1
+        if not alive.all():
+            a = a[alive]
+            active = a.tolist()
+        if not len(a):
+            continue
+        xm = (x0 + x1) / 2.0
+        ym = y1e[a] + (xm - x1e[a]) * slope[a]
+        order = np.argsort(ym, kind="stable")
+        yl_row = y_at(a, x0)
+        yr_row = y_at(a, x1)
+        signs = sign[a]
+        w = 0
+        inside = False
+        band_start = None
+        bands = []
+        for oi in order:
+            w += int(signs[oi])
+            now = w != 0
+            if now and not inside:
+                band_start = (yl_row[oi], yr_row[oi])
+            elif inside and not now:
+                bands.append((band_start[0], band_start[1],
+                              yl_row[oi], yr_row[oi]))
+                band_start = None
+            inside = now
+        vbands: list = []
+        for band in bands:
+            if vbands and vbands[-1][2] == band[0] and vbands[-1][3] == band[1]:
+                prev = vbands.pop()
+                vbands.append((prev[0], prev[1], band[2], band[3]))
+            else:
+                vbands.append(band)
+        if vbands:
+            slabs.append((x0, x1, vbands))
+    return _slabs_to_geometry(slabs)
 
 
 def union_all(geoms: list):

@@ -235,3 +235,41 @@ def test_buffer_sql_three_arg(spark):
     rows = spark.sql(
         "SELECT ST_Buffer(NULL, 1.0, 'join=mitre') AS b").collect()
     assert rows[0]["b"] is None
+
+
+def test_fast_paths_match_part_union():
+    """Round-4 perf: convex rings and single segments take a traced
+    closed-form path (no overlay) — must stay vertex-identical in area
+    with the part-union construction across join/cap styles."""
+    from sedona_db_spark.geometry import buffer as B
+    from sedona_db_spark.geometry.overlay import union_polygons
+    rng = np.random.default_rng(7)
+
+    def rand_convex(n):
+        th = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(4, 8)
+        ring = np.column_stack([20 + r * np.cos(th), 20 + r * np.sin(th)])
+        return np.vstack([ring, ring[:1]])
+
+    for params in (None, "join=mitre", "join=bevel", "quad_segs=3",
+                   "join=miter miter_limit=1.05"):
+        for _ in range(6):
+            ring = rand_convex(int(rng.integers(4, 12)))
+            poly = ("Polygon", [ring])
+            d = float(rng.uniform(0.3, 2.5))
+            fast = geom_buffer_styled(poly, d, params)
+            parts = [poly] + B._polyline_parts(
+                ring[:-1], d, B.parse_buffer_params(params), True)
+            slow = union_polygons(parts)
+            assert geom_area(fast) == pytest.approx(geom_area(slow),
+                                                    abs=1e-9)
+    for params in (None, "endcap=flat", "endcap=square"):
+        for _ in range(6):
+            seg = rng.uniform(0, 50, (2, 2))
+            d = float(rng.uniform(0.3, 2.5))
+            fast = geom_buffer_styled(("LineString", seg), d, params)
+            parts = B._polyline_parts(seg, d,
+                                      B.parse_buffer_params(params), False)
+            slow = union_polygons(parts) if parts else ("Polygon", [])
+            assert geom_area(fast) == pytest.approx(geom_area(slow),
+                                                    abs=1e-9)
