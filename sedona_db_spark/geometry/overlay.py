@@ -395,11 +395,17 @@ def union_polygons(parts: list):
 def union_all(geoms: list):
     """N-way union folded with the mixed-dimension op so point/line group
     members survive (GEOS returns a GEOMETRYCOLLECTION preserving them;
-    the areal-only boolean_op would silently drop lower-dim parts)."""
+    the areal-only boolean_op would silently drop lower-dim parts).
+
+    All-polygonal groups of 3+ members take the one-pass winding union
+    instead of the O(N²) pairwise fold (round 4 — ST_Union_Agg over large
+    polygon groups was quadratic in group size)."""
+    live = [g for g in geoms if g is not None]
+    if len(live) > 2 and all(g[0] in ("Polygon", "MultiPolygon")
+                             for g in live):
+        return union_polygons(live)
     acc = None
-    for g in geoms:
-        if g is None:
-            continue
+    for g in live:
         acc = g if acc is None else mixed_boolean_op(acc, g, "union")
     return acc if acc is not None else ("GeometryCollection", [])
 

@@ -175,3 +175,25 @@ def hilbert_ids(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     iy = np.clip(((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * n)
                  .astype(np.int64), 0, n - 1)
     return hilbert_d(ix, iy, res)
+
+
+def neighbor_cells_expr_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """SQL array of the (up to) 9 cell ids in the 3x3 neighborhood of the
+    point's cell — lon wraps, lat clamps, duplicates removed.
+
+    The stream-stream spatial join's expansion key: two points within one
+    cell size of each other always share at least one array element with
+    the other side's single cell (pure JVM, no UDF)."""
+    n = 1 << res
+    ix = (f"least(greatest(cast(floor((({lon_expr}) + 180.0) "
+          f"/ cast(360 as double) * {n}) as bigint), 0), {n - 1})")
+    iy = (f"least(greatest(cast(floor((({lat_expr}) + 90.0) "
+          f"/ cast(180 as double) * {n}) as bigint), 0), {n - 1})")
+    cells = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            jx = f"pmod(({ix}) + ({dx}), {n})"          # lon wraps
+            jy = f"least(greatest(({iy}) + ({dy}), 0), {n - 1})"  # lat clamps
+            cells.append(f"(cast({res} as bigint) * {1 << _RES_SHIFT} + "
+                         f"({jx}) * {1 << _X_SHIFT} + ({jy}))")
+    return "array_distinct(array(" + ", ".join(cells) + "))"

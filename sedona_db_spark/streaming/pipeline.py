@@ -172,3 +172,51 @@ def streaming_sessionize(stream: DataFrame, user_col: str = "user_id",
             .groupBy(F.col(user_col))
             .applyInPandasWithState(fn, out_t, state_t, "append",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_costream_join(left: DataFrame, right: DataFrame,
+                            max_dist_deg: float,
+                            time_window: str = "10 minutes",
+                            watermark: str = "30 minutes",
+                            l_ts: str = "warc_ts", r_ts: str = "warc_ts",
+                            l_url: str = "url", r_url: str = "url"
+                            ) -> DataFrame:
+    """Stream × stream spatial join (co-visit detection): pairs of events
+    from two unbounded page streams within ``max_dist_deg`` of each other
+    AND within ``time_window`` of each other in event time.
+
+    Beyond-reference (SedonaDB is batch-only) and fully Spark-native:
+    both sides carry watermarks, the left keys on its single cell while
+    the right explodes to its 3x3 neighbor cells (grid resolution chosen
+    so one cell >= max_dist_deg — any qualifying pair shares exactly one
+    key), and Spark's stream-stream inner join with the time-range
+    condition bounds the state store by the watermark.  The distance
+    refine is whole-stage-codegen arithmetic; no Python anywhere."""
+    import math as _math
+    res = max(0, min(int(_math.floor(_math.log2(180.0 / max_dist_deg))),
+                     grid.MAX_RES))
+    lgeo = (streaming_geocode(left, url_col=l_url, res=res)
+            .withWatermark(l_ts, watermark)
+            .select(F.col(l_url).alias("l_url"),
+                    F.col(l_ts).alias("l_ts"),
+                    F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"),
+                    F.col("cell")))
+    rgeo = (streaming_geocode(right, url_col=r_url, res=res)
+            .withWatermark(r_ts, watermark)
+            .withColumn("__cells", F.expr(
+                grid.neighbor_cells_expr_sql("lon", "lat", res)))
+            .select(F.col(r_url).alias("r_url"),
+                    F.col(r_ts).alias("r_ts"),
+                    F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
+                    F.explode("__cells").alias("cell")))
+    d2 = float(max_dist_deg) * float(max_dist_deg)
+    cond = (
+        (lgeo["cell"] == rgeo["cell"])
+        & (rgeo["r_ts"] >= lgeo["l_ts"] - F.expr(f"INTERVAL {time_window}"))
+        & (rgeo["r_ts"] <= lgeo["l_ts"] + F.expr(f"INTERVAL {time_window}"))
+        & ((lgeo["l_lon"] - rgeo["r_lon"]) * (lgeo["l_lon"] - rgeo["r_lon"])
+           + (lgeo["l_lat"] - rgeo["r_lat"]) * (lgeo["l_lat"] - rgeo["r_lat"])
+           <= F.lit(d2)))
+    return (lgeo.join(rgeo, on=cond, how="inner")
+            .select("l_url", "r_url", "l_ts", "r_ts",
+                    "l_lon", "l_lat", "r_lon", "r_lat"))

@@ -164,3 +164,47 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
            if r["user_id"] != "zz"}
     assert exp <= got
     assert {g[0] for g in got} <= {"a", "b", "zz"}
+
+
+def test_streaming_costream_join_matches_batch(spark, tmp_path):
+    """Stream×stream co-visit join == the equivalent batch computation
+    (pairs within max_dist_deg and the event-time window)."""
+    from sedona_db_spark.streaming.pipeline import streaming_costream_join
+    from sedona_db_spark.webtext.pages import geocode_cols
+
+    srcA = str(tmp_path / "a_src")
+    srcB = str(tmp_path / "b_src")
+    ckpt = str(tmp_path / "cs_ckpt")
+    a = synth_pages(spark, 1500)
+    b = synth_pages(spark, 1500).withColumn(
+        "url", F.concat(F.lit("b-"), F.col("url")))
+    a.write.mode("overwrite").parquet(srcA)
+    b.write.mode("overwrite").parquet(srcB)
+
+    sa = spark.readStream.schema(a.schema).parquet(srcA)
+    sb = spark.readStream.schema(b.schema).parquet(srcB)
+    D = 0.35
+    j = streaming_costream_join(sa, sb, max_dist_deg=D,
+                                time_window="10 minutes",
+                                watermark="30 minutes")
+    q = (j.writeStream.format("memory").queryName("costream")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["l_url"], r["r_url"])
+           for r in spark.sql("SELECT * FROM costream").collect()}
+
+    # batch oracle: crossJoin + the same conditions
+    lon_a, lat_a = geocode_cols(F.col("url"))
+    ab = a.select(F.col("url").alias("l_url"), F.col("warc_ts").alias("l_ts"),
+                  lon_a.alias("l_lon"), lat_a.alias("l_lat"))
+    lon_b, lat_b = geocode_cols(F.col("url"))
+    bb = b.select(F.col("url").alias("r_url"), F.col("warc_ts").alias("r_ts"),
+                  lon_b.alias("r_lon"), lat_b.alias("r_lat"))
+    exp = {(r["l_url"], r["r_url"]) for r in ab.crossJoin(bb).where(
+        (F.abs(F.col("l_ts").cast("double") - F.col("r_ts").cast("double"))
+         <= 600)
+        & ((F.col("l_lon") - F.col("r_lon")) ** 2
+           + (F.col("l_lat") - F.col("r_lat")) ** 2 <= D * D)
+    ).collect()}
+    assert got == exp and len(exp) > 0

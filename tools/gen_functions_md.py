@@ -35,7 +35,7 @@ FULL_NOTES = {
     "st_difference": "slab overlay + boundary dissolve to minimal-vertex rings (round 2)",
     "st_symdifference": "slab overlay + boundary dissolve to minimal-vertex rings (round 2)",
     "st_intersection": "exact points/lines vs polygons and convex clips; general polygons via slab overlay + dissolve (minimal-vertex output, round 2)",
-    "st_union_agg": "via functions.aggregates.union_agg (n-way slab overlay + dissolve)",
+    "st_union_agg": "via functions.aggregates.union_agg — round 4: all-polygonal groups union in ONE winding slab sweep (linear in group size, not the pairwise quadratic fold)",
     "st_intersection_agg": "via functions.aggregates.intersection_agg (n-way overlay + dissolve)",
     "st_makevalid": "valid→identity; invalid polygons rebuilt by even-odd slab decomposition + dissolve (GEOS linework semantics: bowtie → two triangles); convex hull only as degenerate last resort",
     "st_force3dm": "appends an M dimension with ISO type +2000 (round-2 fix)",
