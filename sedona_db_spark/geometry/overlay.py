@@ -80,58 +80,84 @@ def _intersection_xs(ea: np.ndarray, eb: np.ndarray) -> list:
 
 def boolean_op(gA, gB, op: str):
     """Region-exact boolean op on polygonal geometries → MultiPolygon/
-    Polygon/empty GeometryCollection."""
+    Polygon/empty GeometryCollection.
+
+    Round 4: intersection x's are found by the chunked vectorized kernel
+    and the slab loop carries an incremental active set — O(S·active +
+    E log E) instead of O(S·E) — with the endpoint-snapped y evaluation
+    kept operation-for-operation identical (the dissolved boundary graph
+    depends on exact float equality at shared vertices)."""
     fn = OPS[op]
     ra, rb = _rings_of(gA), _rings_of(gB)
     if not ra and not rb:
         return ("GeometryCollection", [])
     ea, eb = _edges_of(ra), _edges_of(rb)
 
-    xs = []
-    for e in (ea, eb):
-        if len(e):
-            xs.extend(e[:, 0].tolist())
-            xs.extend(e[:, 2].tolist())
-    xs.extend(_intersection_xs(ea, eb))
-    # SELF-intersections too: invalid (bowtie) inputs cross within one
-    # geometry; without these split points a slab would contain crossing
-    # edges and the even-odd bands would be nonsense (ST_MakeValid path)
+    # combined edge table: [x1, y1, x2, y2, is_a]
+    both = []
     if len(ea):
-        xs.extend(_intersection_xs(ea, ea))
+        both.append(np.column_stack([ea, np.ones(len(ea))]))
     if len(eb):
-        xs.extend(_intersection_xs(eb, eb))
-    xs = np.unique(np.asarray(xs, dtype=np.float64))
+        both.append(np.column_stack([eb, np.zeros(len(eb))]))
+    e = np.vstack(both)
+    # SELF- and cross-intersections in one pass over the combined set
+    # (bowtie inputs cross within one geometry; without those split points
+    # a slab would contain crossing edges — the ST_MakeValid path)
+    xs = np.unique(np.concatenate([
+        e[:, 0], e[:, 2], _pairwise_intersection_xs_vec(e[:, :4])]))
     if len(xs) < 2:
         return ("GeometryCollection", [])
 
+    x1e, y1e, x2e, y2e = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    is_a_col = e[:, 4] > 0.5
+    nonvert = x1e != x2e
+    exmin = np.minimum(x1e, x2e)
+    exmax = np.maximum(x1e, x2e)
+
+    def y_at(a: np.ndarray, xq: float) -> np.ndarray:
+        # endpoint-snapped evaluation: two edges meeting at a vertex must
+        # produce the IDENTICAL float there, or the dissolved boundary
+        # graph fails to close (1-ulp interpolation drift); same op order
+        # as the original scalar form: y1 + (xq-x1)/(x2-x1)*(y2-y1)
+        y = y1e[a] + (xq - x1e[a]) / (x2e[a] - x1e[a]) * (y2e[a] - y1e[a])
+        y = np.where(xq == x1e[a], y1e[a], y)
+        y = np.where(xq == x2e[a], y2e[a], y)
+        return y
+
+    admit_order = np.argsort(exmin, kind="stable")
+    ptr = 0
+    active: list[int] = []
     # per-slab trapezoid bands: slab -> list of (ylo_l, ylo_r, yhi_l, yhi_r)
     slabs: list[tuple[float, float, list]] = []
     for k in range(len(xs) - 1):
         x0, x1 = float(xs[k]), float(xs[k + 1])
         if x1 - x0 <= 0:
             continue
-        xm = (x0 + x1) / 2.0
-        rows = []  # (ym, y_at_x0, y_at_x1, is_A)
-        for e, is_a in ((ea, True), (eb, False)):
-            if not len(e):
-                continue
-            exmin = np.minimum(e[:, 0], e[:, 2])
-            exmax = np.maximum(e[:, 0], e[:, 2])
-            act = (exmin <= x0 + 0.0) & (exmax >= x1) & (e[:, 0] != e[:, 2])
-            for x1e, y1e, x2e, y2e in e[act]:
-                # endpoint-snapped evaluation: two edges meeting at a vertex
-                # must produce the IDENTICAL float there, or the dissolved
-                # boundary graph fails to close (1-ulp interpolation drift)
-                def yat(xq):
-                    if xq == x1e:
-                        return y1e
-                    if xq == x2e:
-                        return y2e
-                    return y1e + (xq - x1e) / (x2e - x1e) * (y2e - y1e)
-                rows.append((yat(xm), yat(x0), yat(x1), is_a))
-        if not rows:
+        while ptr < len(admit_order) and exmin[admit_order[ptr]] <= x0:
+            idx = int(admit_order[ptr])
+            ptr += 1
+            if nonvert[idx]:
+                active.append(idx)
+        if active:
+            a = np.asarray(active, dtype=np.int64)
+            alive = exmax[a] >= x1
+            if not alive.all():
+                a = a[alive]
+                active = a.tolist()
+        else:
+            a = np.empty(0, dtype=np.int64)
+        if not len(a):
             continue
-        rows.sort(key=lambda r: r[0])
+        xm = (x0 + x1) / 2.0
+        ym = y_at(a, xm)
+        yl = y_at(a, x0)
+        yr = y_at(a, x1)
+        flags = is_a_col[a]
+        rows = [(float(ym[i]), float(yl[i]), float(yr[i]), bool(flags[i]))
+                for i in range(len(a))]
+        # A-before-B on equal mid-y keeps the historical toggle order for
+        # collinear shared edges (the pre-round-4 scan appended A first)
+        rows.sort(key=lambda r: (r[0], not r[3]))
         in_a = in_b = False
         inside = False
         band_start = None  # (y_l, y_r)
