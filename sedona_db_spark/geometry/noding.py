@@ -25,11 +25,12 @@ import numpy as np
 
 
 def _pair_intersection_xs(e: np.ndarray) -> list:
-    """x's of proper pairwise intersections within one edge set."""
-    from sedona_db_spark.geometry.overlay import _intersection_xs
+    """x's of proper pairwise intersections within one edge set
+    (round 4: the chunked vectorized kernel, not the python double loop)."""
+    from sedona_db_spark.geometry.overlay import _pairwise_intersection_xs_vec
     if not len(e):
         return []
-    return _intersection_xs(e, e)
+    return _pairwise_intersection_xs_vec(e).tolist()
 
 
 def _slab_rows(e: np.ndarray, x0: float, x1: float):

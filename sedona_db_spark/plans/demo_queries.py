@@ -1541,6 +1541,52 @@ def _oracle_buffer_styles() -> str:
 
 
 # ---------------------------------------------------------------------------
+# 27. polygonize with planar noding (round 4: crossing soups form faces)
+# ---------------------------------------------------------------------------
+
+def q_polygonize_faces(spark, sf_dir):
+    """Per nation: polygonize the rect boundary + BOTH diagonals — a
+    crossing edge soup that only nodes correctly with planar noding
+    (round-4 ST_Polygonize tier).  Faces tile the rectangle: 4 triangles,
+    total area exactly w*h, so counts and round(1e6)-quantized areas are
+    closed-form SQL."""
+    from sedona_db_spark.functions.scalar import (st_area, st_geomfromtext,
+                                                  st_numgeometries)
+    from sedona_db_spark.functions.scalar4 import st_polygonize
+    n = _t(spark, sf_dir, "nation")
+    for k, sql in RECT.items():
+        n = n.withColumn(k, F.expr(sql))
+
+    def s(c):
+        return F.col(c).cast("string")
+
+    soup_wkt = F.concat(
+        F.lit("MULTILINESTRING (("),
+        s("lon0"), F.lit(" "), s("lat0"), F.lit(", "),
+        s("lon1"), F.lit(" "), s("lat0"), F.lit(", "),
+        s("lon1"), F.lit(" "), s("lat1"), F.lit(", "),
+        s("lon0"), F.lit(" "), s("lat1"), F.lit(", "),
+        s("lon0"), F.lit(" "), s("lat0"), F.lit("), ("),
+        s("lon0"), F.lit(" "), s("lat0"), F.lit(", "),
+        s("lon1"), F.lit(" "), s("lat1"), F.lit("), ("),
+        s("lon1"), F.lit(" "), s("lat0"), F.lit(", "),
+        s("lon0"), F.lit(" "), s("lat1"), F.lit("))"))
+    faces = st_polygonize(st_geomfromtext(soup_wkt))
+    return n.select(
+        "n_nationkey",
+        st_numgeometries(faces).alias("n_faces"),
+        F.round(st_area(faces) * F.lit(1e6)).cast("long").alias("area_q"))
+
+
+ORACLE_POLYGONIZE = (
+    "WITH " + _rects_cte() + """
+ SELECT n_nationkey,
+        4 AS n_faces,
+        CAST(round((lon1 - lon0) * (lat1 - lat0) * 1e6) AS BIGINT) AS area_q
+ FROM rects""")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1581,6 +1627,7 @@ QUERIES = {
     "sphere_line_distance": q_sphere_line_distance,
     "overlay_rect_areas": q_overlay_rect_areas,
     "buffer_styles": q_buffer_styles,
+    "polygonize_faces": q_polygonize_faces,
     "training_pipeline": q_training_pipeline,
     "simhash_neardup": q_simhash_neardup,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1626,6 +1673,7 @@ ORACLE_SQL = {
     "sphere_line_distance": _oracle_sphere_line(),
     "overlay_rect_areas": ORACLE_OVERLAY,
     "buffer_styles": _oracle_buffer_styles(),
+    "polygonize_faces": ORACLE_POLYGONIZE,
     "training_pipeline": _oracle_training_pipeline(),
     "multimodal_meta": ORACLE_MULTIMODAL,
     "simhash_neardup": _oracle_simhash(),
