@@ -353,6 +353,7 @@ def laea_inv(x, y, lon0, lat0, fe, fn, ell: Ellipsoid = GRS80):
 
 AIRY = Ellipsoid(6377563.396, 1.0 / 299.3249646)        # OSGB36
 BESSEL = Ellipsoid(6377397.155, 1.0 / 299.1528128)      # DHDN
+INTL1924 = Ellipsoid(6378388.0, 1.0 / 297.0)            # ED50
 
 
 def geodetic_to_ecef(lon, lat, ell: Ellipsoid):
@@ -406,6 +407,8 @@ TOWGS84 = {
     "OSGB36": (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
     # DHDN → WGS84 (EPSG:1777)
     "DHDN": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+    # ED50 → WGS84 (EPSG:1311 mean-European 3-parameter shift)
+    "ED50": (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0),
 }
 
 
@@ -487,6 +490,12 @@ _NAMED = {
     **{str(31464 + z): _datum_tm(BESSEL, TOWGS84["DHDN"], 3.0 * z, 0.0,
                                  1.0, z * 1_000_000.0 + 500_000.0, 0.0)
        for z in (2, 3, 4, 5)},
+    # ED50 / UTM zones 28-38 (legacy European mapping) — International
+    # 1924 + the EPSG mean 3-parameter shift
+    **{str(23000 + z): _datum_tm(INTL1924, TOWGS84["ED50"],
+                                 float(z * 6 - 183), 0.0, 0.9996,
+                                 500_000.0, 0.0)
+       for z in range(28, 39)},
 }
 
 

@@ -356,3 +356,21 @@ def test_transform_sql_osgb(spark):
         "'EPSG:4326', 'EPSG:27700')) AS wkt").collect()
     x, y = map(float, rows[0]["wkt"].replace("POINT (", "").rstrip(")").split())
     assert 529000 < x < 531000 and 179400 < y < 181400
+
+
+def test_ed50_utm_roundtrip_and_offset_direction():
+    """ED50/UTM (EPSG:230zz, Intl 1924 + 3-param shift): round trips and
+    the well-known ~100-200 m NE-ish offset vs WGS84 UTM in Europe."""
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    fwd50, inv50 = P.projection_for("23031")   # zone 31 (Benelux/France)
+    fwd84, _ = P.projection_for("32631")
+    lon = np.array([2.0, 4.5, 5.9])
+    lat = np.array([44.0, 50.0, 52.2])
+    e50, n50 = fwd50(lon, lat)
+    e84, n84 = fwd84(lon, lat)
+    d = np.hypot(e50 - e84, n50 - n84)
+    assert ((d > 50) & (d < 350)).all()  # the classic ED50-WGS84 shift
+    lo, la = inv50(e50, n50)
+    assert np.abs(lo - lon).max() < 5e-7
+    assert np.abs(la - lat).max() < 5e-7
