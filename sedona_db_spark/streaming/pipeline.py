@@ -220,3 +220,62 @@ def streaming_costream_join(left: DataFrame, right: DataFrame,
     return (lgeo.join(rgeo, on=cond, how="inner")
             .select("l_url", "r_url", "l_ts", "r_ts",
                     "l_lon", "l_lat", "r_lon", "r_lat"))
+
+
+def _row_minhash_col(text_col: str, p: int, n: int = 3):
+    """Per-row MinHash value for 'permutation' p as ONE higher-order
+    expression (shingle array -> md5 per shingle -> array_min): no
+    aggregation, so it composes with stream-stream joins.  Value-identical
+    to textops.minhash_signatures (min over distinct shingles == min over
+    all shingles)."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    k = f"greatest(size({toks}) - {n - 1}, 0)"
+    shingle = "concat_ws(' ', " + ", ".join(
+        f"element_at({toks}, i + {j})" for j in range(n)) + ")"
+    return F.expr(
+        f"array_min(transform(sequence(1, {k}), "
+        f"i -> md5(cast(concat('perm{p}|', {shingle}) as binary))))")
+
+
+def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
+                            id_col: str = "url", ts_col: str = "warc_ts",
+                            num_perm: int = 8, bands: int = 4, n: int = 3,
+                            time_window: str = "30 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: pairs of documents
+    arriving within ``time_window`` of each other that collide in any LSH
+    band (beyond-reference; the streaming twin of
+    textops.minhash_lsh_candidates, value-identical signatures).
+
+    Signatures are per-row higher-order expressions (no shuffle agg), so
+    the banded keys feed a watermark-bounded stream-stream SELF join —
+    the state store only holds the watermark horizon."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = stream
+    for p in range(num_perm):
+        sig = sig.withColumn(f"mh_{p}", _row_minhash_col(text_col, p, n))
+    pairs_expr = ", ".join(
+        f"{b}, concat_ws('|', " + ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")" for b in range(bands))
+    keyed = (sig.selectExpr(id_col, ts_col,
+                            f"stack({bands}, {pairs_expr}) AS (band, band_key)")
+             .where(F.col("band_key").isNotNull())
+             .withWatermark(ts_col, watermark))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cond = ((F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col(f"b.{ts_col}")
+               >= F.col(f"a.{ts_col}") - F.expr(f"INTERVAL {time_window}"))
+            & (F.col(f"b.{ts_col}")
+               <= F.col(f"a.{ts_col}") + F.expr(f"INTERVAL {time_window}")))
+    # NOTE: a pair colliding in k bands emits k rows — deduplicate
+    # downstream per micro-batch (a global streaming dropDuplicates on the
+    # pair key would hold unbounded state; the duplicates are bounded by
+    # the band count, not the stream length)
+    return (a.join(b, on=cond, how="inner")
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b")))

@@ -208,3 +208,38 @@ def test_streaming_costream_join_matches_batch(spark, tmp_path):
            + (F.col("l_lat") - F.col("r_lat")) ** 2 <= D * D)
     ).collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup pairs == the batch
+    minhash_lsh_candidates pair set (same signatures, same banding),
+    restricted to the event-time window."""
+    from sedona_db_spark.streaming.pipeline import streaming_neardup_pairs
+    from sedona_db_spark.textops.dedup import minhash_lsh_candidates
+
+    src = str(tmp_path / "nd_src")
+    ckpt = str(tmp_path / "nd_ckpt")
+    base = synth_pages(spark, 400).select("url", "warc_ts", "text")
+    # inject exact/near duplicates so collisions exist
+    dups = base.limit(40).withColumn(
+        "url", F.concat(F.lit("dup-"), F.col("url")))
+    docs = base.unionByName(dups)
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    nd = streaming_neardup_pairs(stream, text_col="text", id_col="url",
+                                 ts_col="warc_ts", time_window="2 hours",
+                                 watermark="4 hours")
+    q = (nd.writeStream.format("memory").queryName("neardup")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.sql("SELECT * FROM neardup").collect()}
+
+    cand = minhash_lsh_candidates(docs, text_col="text", id_col="url")
+    ts = {r["url"]: r["warc_ts"] for r in docs.select("url",
+                                                      "warc_ts").collect()}
+    exp = {(r["id_a"], r["id_b"]) for r in cand.collect()
+           if abs((ts[r["id_a"]] - ts[r["id_b"]]).total_seconds()) <= 7200}
+    assert got == exp and len(exp) >= 40
