@@ -205,3 +205,55 @@ def test_union_agg_sql_preserves_points(spark):
         "SELECT ST_AsText(ST_Union_Agg(ST_GeomFromText(g))) AS w "
         "FROM mixed_union_src").collect()[0]
     assert "POINT (5 5)" in row["w"] and "POLYGON" in row["w"]
+
+
+def test_union_polygons_matches_pairwise_fold_fuzz():
+    """Round-4 perf rewrite safety: the one-pass winding union must be
+    region-identical to the old pairwise mixed_boolean_op fold on random
+    overlapping soups (area + membership sampling)."""
+    import numpy as np
+    from sedona_db_spark.geometry.kernels import geom_area, points_in_geom
+    from sedona_db_spark.geometry.overlay import (mixed_boolean_op,
+                                                  union_polygons)
+    rng = np.random.default_rng(23)
+
+    def rand_part():
+        kind = rng.integers(0, 3)
+        cx, cy = rng.uniform(0, 30, 2)
+        if kind == 0:  # rect
+            w, h = rng.uniform(1, 6, 2)
+            ring = np.array([[cx, cy], [cx + w, cy], [cx + w, cy + h],
+                             [cx, cy + h], [cx, cy]])
+        elif kind == 1:  # triangle
+            p = cx + rng.uniform(-4, 4, (3, 2)) + [0, cy - cx]
+            ring = np.vstack([p, p[:1]])
+            if np.cross(p[1] - p[0], p[2] - p[0]) == 0:
+                return rand_part()
+        else:  # random convex-ish pentagon
+            th = np.sort(rng.uniform(0, 2 * np.pi, 5))
+            r = rng.uniform(1, 4)
+            ring = np.column_stack([cx + r * np.cos(th),
+                                    cy + r * np.sin(th)])
+            ring = np.vstack([ring, ring[:1]])
+        return ("Polygon", [ring])
+
+    for trial in range(8):
+        parts = [rand_part() for _ in range(int(rng.integers(3, 9)))]
+        fast = union_polygons(parts)
+        acc = None
+        for g2 in parts:
+            acc = g2 if acc is None else mixed_boolean_op(acc, g2, "union")
+        assert geom_area(fast) == pytest.approx(geom_area(acc), rel=1e-9), \
+            f"trial {trial}"
+        qx = rng.uniform(-2, 38, 300)
+        qy = rng.uniform(-2, 38, 300)
+        mf = points_in_geom(qx, qy, fast)
+        ms = points_in_geom(qx, qy, acc)
+        dis = np.flatnonzero(mf != ms)
+        # allow exact-boundary flips only
+        for i in dis:
+            on_any = any(
+                points_in_geom(np.array([qx[i]]), np.array([qy[i]]), p)[0]
+                for p in parts)
+            inside_any = on_any
+            assert mf[i] == inside_any or ms[i] == inside_any
