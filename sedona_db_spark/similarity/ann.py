@@ -368,3 +368,161 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     return (sim.withColumn("rn", F.row_number().over(w))
                .where(F.col("rn") <= k)
                .select("q_id", "t_id", "cosine", "rn"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted file (round 4) — the memory-scale ANN
+# tier: 100 TB of float32 embeddings compress ~dim*4/M bytes per vector,
+# searched by asymmetric-distance (ADC) lookup tables.  The FAISS IVF-PQ
+# recipe with deterministic sample-bounded training.
+# ---------------------------------------------------------------------------
+
+def train_ivf_pq(corpus: DataFrame, dim: int, n_lists: int = 16,
+                 m_subspaces: int = 8, n_codes: int = 16,
+                 vec_col: str = "embedding", n_iter: int = 10,
+                 sample_cap: int = 100_000, seed: int = 13):
+    """(coarse_centroids (n_lists, dim), codebooks (M, n_codes, dim/M)).
+
+    Coarse quantizer = the IVF spherical k-means; codebooks = per-subspace
+    Lloyd's over the coarse RESIDUALS of the same sample.  Deterministic
+    given the seed; train on a bounded sample, never the full corpus."""
+    assert dim % m_subspaces == 0, "m_subspaces must divide dim"
+    dsub = dim // m_subspaces
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = (corpus.select(vec_col).sample(False, frac, seed=seed)
+              .limit(sample_cap).collect())
+    M = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample])
+    C = _kmeans_core(M, n_lists, n_iter, seed)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    resid = Mn - C[np.argmax(Mn @ C.T, axis=1)]
+    rng = np.random.default_rng(seed + 1)
+    books = []
+    for m in range(m_subspaces):
+        sub = resid[:, m * dsub:(m + 1) * dsub]
+        k_eff = min(n_codes, len(sub))
+        B = sub[rng.choice(len(sub), size=k_eff, replace=False)]
+        if k_eff < n_codes:
+            B = np.vstack([B, B[rng.integers(k_eff, size=n_codes - k_eff)]
+                           + rng.standard_normal((n_codes - k_eff, dsub))
+                           * 1e-6])
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(n_codes):
+                members = sub[assign == j]
+                if len(members):
+                    B[j] = members.mean(axis=0)
+        books.append(B)
+    return C, np.stack(books)
+
+
+def ivf_pq_encode(corpus: DataFrame, coarse: np.ndarray,
+                  codebooks: np.ndarray, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id, codes): each vector's coarse list + per-subspace
+    residual code — the compressed representation that shuffles ONCE on
+    list_id and is all the search ever reads (the raw vectors never move
+    again)."""
+    m_sub, n_codes, dsub = codebooks.shape
+
+    @pandas_udf("list_id long, codes array<int>")
+    def enc(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame({"list_id": [], "codes": []})
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(Vn @ coarse.T, axis=1)
+        resid = Vn - coarse[lists]
+        codes = np.empty((len(V), m_sub), dtype=np.int64)
+        for m in range(m_sub):
+            sub = resid[:, m * dsub:(m + 1) * dsub]
+            d2 = ((sub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"list_id": lists.astype(np.int64),
+                             "codes": [c.tolist() for c in codes]})
+
+    out = corpus.withColumn("__pq", enc(F.col(vec_col)))
+    return out.select(F.col(id_col), F.col("__pq.list_id").alias("list_id"),
+                      F.col("__pq.codes").alias("codes"))
+
+
+def ivf_pq_topk(codes_df: DataFrame, coarse: np.ndarray,
+                codebooks: np.ndarray, queries: DataFrame, k: int,
+                n_probe: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                rerank_corpus: DataFrame | None = None,
+                rerank_factor: int = 5,
+                max_broadcast_queries: int = MAX_BROADCAST_QUERIES
+                ) -> DataFrame:
+    """Approximate top-k over the PQ codes by ADC: score(q, v) ~
+    q·C[list] + sum_m LUT_q[m, code_m] with LUT_q[m, c] = q_m·B[m][c].
+
+    The codes table is the only big side (pre-shuffled on list_id);
+    queries broadcast with their per-query lookup tables in the closure —
+    one scan of the probed lists, no raw-vector reads.  Pass
+    ``rerank_corpus`` (the raw-vector table) to re-rank the ADC top
+    k*rerank_factor shortlist by exact fixed-point cosine (FAISS IVFPQR
+    refinement; the shortlist is the only raw-vector access)."""
+    from pyspark.sql import Window
+    _guard_query_count(queries, max_broadcast_queries)
+    m_sub, n_codes, dsub = codebooks.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    qids, luts, cdots, probes = [], {}, {}, []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        lut = np.empty((m_sub, n_codes))
+        for m in range(m_sub):
+            lut[m] = codebooks[m] @ qn[m * dsub:(m + 1) * dsub]
+        qid = r[id_col]
+        qids.append(qid)
+        luts[qid] = lut
+        cdots[qid] = coarse @ qn
+        order = np.argsort(-cdots[qid], kind="stable")[:n_probe]
+        probes.extend((qid, int(l)) for l in order)
+    spark = codes_df.sparkSession
+    probe_df = F.broadcast(spark.createDataFrame(
+        probes, f"q_id {'string' if isinstance(qids[0], str) else 'long'}, "
+                f"list_id long"))
+    cand = codes_df.join(probe_df, on="list_id") \
+        .where(F.col("q_id") != F.col(id_col))
+
+    @pandas_udf("double")
+    def adc(q_id: pd.Series, list_id: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(q_id) == 0:
+            return pd.Series([], dtype=float)
+        out = np.empty(len(q_id))
+        codes_m = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        rows = np.arange(m_sub)
+        for i, (qi, li) in enumerate(zip(q_id, list_id)):
+            out[i] = cdots[qi][int(li)] + luts[qi][rows, codes_m[i]].sum()
+        return pd.Series(out)
+
+    scored = cand.withColumn(
+        "adc_score", adc(F.col("q_id"), F.col("list_id"), F.col("codes")))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(),
+                                           F.col(id_col).asc())
+    if rerank_corpus is None:
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k)
+                .select("q_id", F.col(id_col).alias("t_id"), "adc_score",
+                        "rn"))
+    # FAISS IVFPQR-style refinement: the ADC shortlist (k * rerank_factor
+    # per query — the ONLY raw-vector reads) re-ranks by exact fixed-point
+    # cosine.  Tight clusters whose true ordering sits below the
+    # quantization error resolve correctly while the scan still touches
+    # codes only.
+    short = (scored.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= k * rerank_factor)
+             .select("q_id", F.col(id_col).alias("t_id")))
+    t = _prep_int_vecs(rerank_corpus, id_col, vec_col, "t")
+    qv = _prep_int_vecs(queries, id_col, vec_col, "q")
+    ex = (short.join(t, short["t_id"] == t["t_id"]).drop(t["t_id"])
+          .join(F.broadcast(qv), on="q_id"))
+    ex = ex.withColumn("cosine", _pair_cosine())
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                            F.col("t_id").asc())
+    return (ex.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= k)
+            .select("q_id", "t_id", "cosine", "rn"))

@@ -194,3 +194,88 @@ def test_lsh_buckets_integer_exact(spark):
     # half-away-from-zero (Spark/DuckDB round), not numpy's half-to-even
     assert _round_half_away(np.array([0.5, 1.5, -0.5, -1.5])).tolist() == \
         [1, 2, -1, -2]
+
+
+# ---------------------------------------------------------------------------
+# round 4: IVF-PQ (product-quantized inverted file)
+# ---------------------------------------------------------------------------
+
+def _clustered_vectors(n, dim, n_clusters=6, seed=31):
+    # realistic spread: sigma comparable to the center scale, so true
+    # neighbor order is resolvable at PQ precision (sigma=0.4 clusters are
+    # near-duplicates whose ranking sits below ANY quantizer's error)
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 2.0
+    assign = rng.integers(0, n_clusters, n)
+    V = centers[assign] + rng.standard_normal((n, dim)) * 1.5
+    return V
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark):
+    """IVF-PQ recall@10 against the exact brute force on a clustered
+    corpus: the ADC ranking over 8x16 codebooks with n_probe=4/16 lists
+    must recover most true neighbors; full-probe recall must beat
+    low-probe (the IVF knob behaves)."""
+    import numpy as np
+    from sedona_db_spark.similarity.ann import (cosine_topk_bruteforce,
+                                                ivf_pq_encode, ivf_pq_topk,
+                                                train_ivf_pq)
+    dim, n = 32, 1200
+    V = _clustered_vectors(n, dim)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 25)
+
+    coarse, books = train_ivf_pq(corpus, dim, n_lists=16, m_subspaces=8,
+                                 n_codes=16)
+    assert coarse.shape == (16, dim) and books.shape == (8, 16, 4)
+    codes = ivf_pq_encode(corpus, coarse, books).cache()
+    assert codes.count() == n
+
+    exact = cosine_topk_bruteforce(corpus, queries, 10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["q_id"], set()).add(r["t_id"])
+
+    # pure-ADC ranking cannot split near-identical cluster members (the
+    # true ordering sits below the quantization error) — its job is the
+    # SHORTLIST; assert shortlist recall, then re-ranked exact recall
+    short = ivf_pq_topk(codes, coarse, books, queries, 50, n_probe=4)
+    sh = {}
+    for r in short.collect():
+        sh.setdefault(r["q_id"], set()).add(r["t_id"])
+    shortlist_recall = np.mean(
+        [len(truth[q] & sh.get(q, set())) / len(truth[q]) for q in truth])
+    assert shortlist_recall >= 0.75, \
+        f"shortlist recall: {shortlist_recall:.2f}"
+
+    got = ivf_pq_topk(codes, coarse, books, queries, 10, n_probe=8,
+                      rerank_corpus=corpus, rerank_factor=10)
+    hits = {}
+    for r in got.collect():
+        hits.setdefault(r["q_id"], set()).add(r["t_id"])
+    recall = np.mean([len(truth[q] & hits.get(q, set())) / len(truth[q])
+                      for q in truth])
+    assert recall >= 0.9, f"re-ranked recall@10: {recall:.2f}"
+
+
+def test_ivf_pq_deterministic_and_exact_k_rows(spark):
+    import numpy as np
+    from sedona_db_spark.similarity.ann import (ivf_pq_encode, ivf_pq_topk,
+                                                train_ivf_pq)
+    dim, n = 16, 300
+    V = _clustered_vectors(n, dim, seed=5)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 8)
+    c1, b1 = train_ivf_pq(corpus, dim, n_lists=8, m_subspaces=4, n_codes=8)
+    c2, b2 = train_ivf_pq(corpus, dim, n_lists=8, m_subspaces=4, n_codes=8)
+    assert np.array_equal(c1, c2) and np.array_equal(b1, b2)
+    codes = ivf_pq_encode(corpus, c1, b1)
+    out = ivf_pq_topk(codes, c1, b1, queries, 5, n_probe=8).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r["rn"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
