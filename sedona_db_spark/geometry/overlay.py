@@ -59,25 +59,6 @@ def _edges_of(rings) -> np.ndarray:
     return np.array(segs, dtype=np.float64).reshape(-1, 4)
 
 
-def _intersection_xs(ea: np.ndarray, eb: np.ndarray) -> list:
-    """x coordinates of proper A-edge × B-edge intersections."""
-    out = []
-    for x1, y1, x2, y2 in ea:
-        for x3, y3, x4, y4 in eb:
-            if max(x1, x2) < min(x3, x4) or max(x3, x4) < min(x1, x2):
-                continue
-            d1x, d1y = x2 - x1, y2 - y1
-            d2x, d2y = x4 - x3, y4 - y3
-            denom = d1x * d2y - d1y * d2x
-            if denom == 0:
-                continue
-            t = ((x3 - x1) * d2y - (y3 - y1) * d2x) / denom
-            u = ((x3 - x1) * d1y - (y3 - y1) * d1x) / denom
-            if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
-                out.append(x1 + t * d1x)
-    return out
-
-
 def boolean_op(gA, gB, op: str):
     """Region-exact boolean op on polygonal geometries → MultiPolygon/
     Polygon/empty GeometryCollection.
