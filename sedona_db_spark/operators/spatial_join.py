@@ -93,6 +93,58 @@ def _covering_cells_udf(res: int, pad: float = 0.0):
     return cover.asNondeterministic()
 
 
+_RES_SHIFT = 58  # cell-id layout: res << 58 | ix << 29 | iy (grid.py)
+
+
+def _covering_cells_adaptive_udf(res: int, pad: float = 0.0,
+                                 max_cells: int = 64):
+    """Per-geometry adaptive covering: each geometry covers at the finest
+    level ≤ ``res`` whose covering stays ≤ max_cells (north-rule "adaptive
+    cell splitting to finer resolutions" — equivalently, coarser cells for
+    oversized geometries so their fanout never explodes).  All cells of
+    one geometry share one level; the level rides in the cell id."""
+    @pandas_udf(ArrayType(LongType()))
+    def cover(b: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[bytes, list] = {}
+        for v in b:
+            if v is None:
+                out.append([])
+                continue
+            raw = bytes(v)
+            cells = cache.get(raw)
+            if cells is None:
+                xmin, ymin, xmax, ymax = K.geom_bbox(W.decode(raw))
+                if np.isnan(xmin):
+                    cells = []
+                else:
+                    x0, y0 = xmin - pad, ymin - pad
+                    x1, y1 = xmax + pad, ymax + pad
+                    res_g = grid.pick_covering_res(x0, y0, x1, y1,
+                                                   max_cells=max_cells,
+                                                   res_cap=res)
+                    cells = grid.covering_cells(x0, y0, x1, y1,
+                                                res_g).tolist()
+                cache[raw] = cells
+            out.append(cells)
+        return pd.Series(out)
+    return cover.asNondeterministic()
+
+
+def _cells_multilevel_udf(levels: list):
+    """Point probe cells at each build-side covering level (heterogeneous
+    layers only; one output row per level)."""
+    lv = sorted(set(int(x) for x in levels))
+
+    @pandas_udf(ArrayType(LongType()))
+    def cells(b: pd.Series) -> pd.Series:
+        x, y = W.wkb_to_points(b)
+        per = [grid.cell_ids(x, y, l) for l in lv]
+        return pd.Series([[int(per[j][i]) for j in range(len(lv))]
+                          for i in range(len(x))])
+    return cells.asNondeterministic()
+
+
 def _covering_cells_padcol_udf(res: int):
     """Covering cells with a per-row pad column (dwithin distance_side=build:
     each build row's bbox expands by its own distance)."""
@@ -502,6 +554,7 @@ def _spatial_join_impl(
         right = right.withColumn("__rid", F.monotonically_increasing_id())
 
     # ---- phase 1: cell keys -------------------------------------------------
+    levels = [res]  # build-side covering levels (adaptive branch overrides)
     if predicate in ("dwithin_sphere", "intersects_sphere"):
         d_cover = float(distance) if predicate == "dwithin_sphere" else 0.0
         r_cells = right.withColumn(
@@ -513,7 +566,33 @@ def _spatial_join_impl(
             "__cells_r", _covering_cells_padcol_udf(res)(F.col(rgeom),
                                                          F.col(dist_col))
         ).withColumn("__cell", F.explode("__cells_r")).drop("__cells_r")
+    elif not l_is_exploded:
+        # ADAPTIVE per-geometry resolution (north-rule "adaptive cell
+        # splitting"): a continent-sized geometry in a layer of parcels
+        # covers at a COARSER level (fanout bounded by max_cells) while
+        # small geometries keep the fine level's pruning power.  The cell
+        # id embeds its res in the high bits, so mixed-level keys never
+        # collide; point probes emit one cell per level PRESENT on the
+        # build side (one extra probe row per extra level — zero when the
+        # layer is homogeneous, the common case).  The exploded-left path
+        # keeps a single res (its min-common-cell dedup needs one level).
+        from pyspark import StorageLevel
+        r_cells = right.withColumn(
+            "__cells_r", _covering_cells_adaptive_udf(res, pad)(F.col(rgeom)))
+        # persist the pre-explode coverings: the level scan below and the
+        # join both read them — without this the covering UDF would run
+        # twice over the whole build side
+        r_cells = r_cells.persist(StorageLevel.MEMORY_AND_DISK)
+        levels = [int(r[0]) for r in
+                  (r_cells.where(F.size("__cells_r") > 0)
+                   .select(F.shiftright(F.element_at("__cells_r", 1),
+                                        _RES_SHIFT).alias("__lv"))
+                   .distinct().collect())]
+        levels = sorted(levels) or [res]
+        r_cells = r_cells.withColumn(
+            "__cell", F.explode("__cells_r")).drop("__cells_r")
     else:
+        levels = [res]
         r_cells = right.withColumn(
             "__cells_r", _covering_cells_udf(res, pad)(F.col(rgeom))
         ).withColumn("__cell", F.explode("__cells_r")).drop("__cells_r")
@@ -542,10 +621,20 @@ def _spatial_join_impl(
             from sedona_db_spark.functions.scalar import st_point
             left = left.withColumn(left_geom, st_point(F.col(lon_c), F.col(lat_c)))
             lcols = list(left.columns)
-        l_cells = left.withColumn(
-            "__cell", F.expr(grid.cell_expr_sql(lon_c, lat_c, res)))
+        if len(levels) == 1:
+            l_cells = left.withColumn(
+                "__cell", F.expr(grid.cell_expr_sql(lon_c, lat_c, levels[0])))
+        else:
+            l_cells = left.withColumn("__cell", F.explode(F.array(*[
+                F.expr(grid.cell_expr_sql(lon_c, lat_c, lv))
+                for lv in levels])))
     else:
-        l_cells = left.withColumn("__cell", _cell_udf(res)(F.col(left_geom)))
+        if len(levels) == 1:
+            l_cells = left.withColumn(
+                "__cell", _cell_udf(levels[0])(F.col(left_geom)))
+        else:
+            l_cells = left.withColumn("__cell", F.explode(
+                _cells_multilevel_udf(levels)(F.col(left_geom))))
 
     if salt == "auto":
         # adaptive hot-cell salting: sample the probe side's cell histogram,
@@ -831,11 +920,17 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
             if np.isnan(xmin):
                 continue
             p_i = r_pads[i] if r_pads is not None else pad
+            # adaptive per-geometry level (north-rule adaptive splitting):
+            # oversized geometries cover coarser so the index stays small
+            res_g = grid.pick_covering_res(xmin - p_i, ymin - p_i,
+                                           xmax + p_i, ymax + p_i,
+                                           max_cells=64, res_cap=res)
             cover = grid.covering_cells(xmin - p_i, ymin - p_i,
-                                        xmax + p_i, ymax + p_i, res)
+                                        xmax + p_i, ymax + p_i, res_g)
         for c in cover:
             cellmap.setdefault(int(c), []).append(i)
     cellmap = {c: np.asarray(v, dtype=np.int64) for c, v in cellmap.items()}
+    levels = sorted({c >> _RES_SHIFT for c in cellmap}) or [res]
     dist = float(distance) if isinstance(distance, (int, float)) else None
 
     out_schema = StructType(left.schema.fields + [StructField("__ridx", LongType())])
@@ -844,10 +939,11 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     pred = predicate
     ldist = ldist_col  # probe-side per-row distance (build covers use max)
     # ship the index once per executor (not per task) via a broadcast var
-    bc = left.sparkSession.sparkContext.broadcast((r_wkbs, cellmap, r_pads))
+    bc = left.sparkSession.sparkContext.broadcast(
+        (r_wkbs, cellmap, r_pads, levels))
 
     def gen(batches):
-        wkbs, cmap, pads = bc.value
+        wkbs, cmap, pads, lvls = bc.value
         geoms: dict = {}
 
         def geom_of(i: int):
@@ -868,13 +964,17 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                 px, py = W.wkb_to_points(pdf[geom_col])
             ld = (pdf[ldist].to_numpy(dtype=np.float64)
                   if ldist is not None else None)
-            cells = grid.cell_ids(px, py, res)
-            order = np.argsort(cells, kind="stable")
-            sc = cells[order]
-            bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
             hit_rows = []
             hit_ridx = []
-            for b0, b1 in zip(bounds, np.r_[bounds[1:], len(sc)]):
+            # one pass per covering LEVEL present in the index (adaptive
+            # splitting: each geometry indexed at exactly one level, so no
+            # pair repeats across levels); homogeneous layers loop once
+            for lv in lvls:
+              cells = grid.cell_ids(px, py, lv)
+              order = np.argsort(cells, kind="stable")
+              sc = cells[order]
+              bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+              for b0, b1 in zip(bounds, np.r_[bounds[1:], len(sc)]):
                 cand = cmap.get(int(sc[b0]))
                 if cand is None:
                     continue

@@ -580,3 +580,62 @@ def test_jvm_refine_exact_boundary_parity(spark):
         exp = {(i, gi) for i, p in enumerate(P) for gi, g in enumerate(polys)
                if fn(p, g)}
         assert got == exp, pred
+
+
+def test_adaptive_covering_mixed_size_layer(spark):
+    """North-rule adaptive cell splitting: a layer mixing a world-spanning
+    polygon with small parcels — the giant geometry must cover at a
+    coarser level (bounded fanout) while results stay exact on BOTH the
+    broadcast and shuffle paths."""
+    import numpy as np
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.geometry import kernels as K
+    from sedona_db_spark.operators.spatial_join import (
+        _covering_cells_adaptive_udf)
+
+    rng = np.random.default_rng(12)
+    polys = []
+    # giant: covers most of the world
+    giant = np.array([[-170.0, -80.0], [170.0, -80.0], [170.0, 80.0],
+                      [-170.0, 80.0], [-170.0, -80.0]])
+    polys.append((0, W.encode(("Polygon", [giant]))))
+    for i in range(1, 30):
+        cx, cy = rng.uniform(-160, 160), rng.uniform(-70, 70)
+        w, h = rng.uniform(0.5, 3.0, 2)
+        ring = np.array([[cx, cy], [cx + w, cy], [cx + w, cy + h],
+                         [cx, cy + h], [cx, cy]])
+        polys.append((i, W.encode(("Polygon", [ring]))))
+    pts = [(i, W.encode(("Point", np.array(
+        [rng.uniform(-175, 175), rng.uniform(-85, 85)]))))
+        for i in range(400)]
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+    sch = StructType([StructField("id", LongType()),
+                      StructField("geom", BinaryType())])
+    pdf = spark.createDataFrame([(i, bytes(b)) for i, b in pts], sch)
+    gdf = spark.createDataFrame([(i, bytes(b)) for i, b in polys], sch)
+
+    # fanout bound: at a fine res the giant's adaptive covering is <= 64
+    cov = gdf.select(_covering_cells_adaptive_udf(10)(F.col("geom"))
+                     .alias("c")).collect()
+    sizes = [len(r["c"]) for r in cov]
+    assert max(sizes) <= 64  # fanout bounded for EVERY geometry
+    # the giant geometry sits at a strictly coarser level than the parcels
+    lvl = [r["c"][0] >> 58 for r in cov]
+    assert lvl[0] < min(lvl[1:])
+
+    brute = set()
+    pg = {i: W.decode(bytes(b)) for i, b in pts}
+    gg = {i: W.decode(bytes(b)) for i, b in polys}
+    for pi, p in pg.items():
+        for gi, g2 in gg.items():
+            if K.points_in_geom(np.array([p[1][0]]), np.array([p[1][1]]),
+                                g2)[0]:
+                brute.add((pi, gi))
+
+    for bt in (200_000, 0):  # broadcast and shuffle planner paths
+        got = {(r["id"], r["id_r"]) for r in spatial_join(
+            pdf, gdf, "intersects", broadcast_threshold=bt,
+            res=10).collect()}
+        assert got == brute, f"threshold={bt}"
