@@ -260,6 +260,61 @@ def ps_inv(x, y, lon0: float, lat_ts: float, fe: float, fn: float,
     return np.degrees(lam), np.degrees(phi)
 
 
+def ups_fwd(lon, lat, north: bool, ell: Ellipsoid = WGS84):
+    """Universal Polar Stereographic (variant A, EPSG 9810: k0 = 0.994 at
+    the pole, FE = FN = 2,000,000; Snyder 21-33)."""
+    k0, fe, fn = 0.994, 2_000_000.0, 2_000_000.0
+    e = ell.e
+    phi = np.radians(np.asarray(lat, float) if north
+                     else -np.asarray(lat, float))
+    t = _lcc_t(ell, phi)
+    rho = 2.0 * ell.a * k0 * t / math.sqrt(
+        (1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    th = np.radians(np.asarray(lon, float))
+    x = fe + rho * np.sin(th)
+    y = fn + rho * np.cos(th) if not north else fn - rho * np.cos(th)
+    return x, y
+
+
+def ups_inv(x, y, north: bool, ell: Ellipsoid = WGS84):
+    k0, fe, fn = 0.994, 2_000_000.0, 2_000_000.0
+    e = ell.e
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    rho = np.hypot(xp, yp)
+    t = rho * math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)) \
+        / (2.0 * ell.a * k0)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+    lam = np.arctan2(xp, -yp) if north else np.arctan2(xp, yp)
+    return np.degrees(lam), np.degrees(phi if north else -phi)
+
+
+def merc_fwd(lon, lat, ell: Ellipsoid = WGS84):
+    """World Mercator (ellipsoidal, EPSG 9804/EPSG:3395; Snyder 7-7)."""
+    phi = np.radians(np.asarray(lat, float))
+    sp = np.sin(phi)
+    x = ell.a * np.radians(np.asarray(lon, float))
+    y = ell.a * np.log(np.tan(np.pi / 4 + phi / 2)
+                       * ((1 - ell.e * sp) / (1 + ell.e * sp))
+                       ** (ell.e / 2))
+    return x, y
+
+
+def merc_inv(x, y, ell: Ellipsoid = WGS84):
+    t = np.exp(-np.asarray(y, dtype=np.float64) / ell.a)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - ell.e * sp) / (1 + ell.e * sp)) ** (ell.e / 2))
+    return np.degrees(np.asarray(x, dtype=np.float64) / ell.a), \
+        np.degrees(phi)
+
+
 # ---------------------------------------------------------------------------
 # Sinusoidal, ellipsoidal (Snyder 30-8, 30-9): equal-area pseudocylindrical
 # ---------------------------------------------------------------------------
@@ -496,6 +551,14 @@ _NAMED = {
                                  float(z * 6 - 183), 0.0, 0.9996,
                                  500_000.0, 0.0)
        for z in range(28, 39)},
+    # WGS84 / World Mercator (ellipsoidal — NOT the 3857 sphere)
+    "3395": (lambda lon, lat: merc_fwd(lon, lat, WGS84),
+             lambda x, y: merc_inv(x, y, WGS84)),
+    # WGS84 / UPS North & South (variant A, k0=0.994, FE=FN=2e6)
+    "32661": (lambda lon, lat: ups_fwd(lon, lat, True, WGS84),
+              lambda x, y: ups_inv(x, y, True, WGS84)),
+    "32761": (lambda lon, lat: ups_fwd(lon, lat, False, WGS84),
+              lambda x, y: ups_inv(x, y, False, WGS84)),
 }
 
 

@@ -374,3 +374,50 @@ def test_ed50_utm_roundtrip_and_offset_direction():
     lo, la = inv50(e50, n50)
     assert np.abs(lo - lon).max() < 5e-7
     assert np.abs(la - lat).max() < 5e-7
+
+
+def test_world_mercator_3395_epsg_worked_example():
+    """EPSG Guidance 7-2 Mercator (1SP variant B essence): at the equator
+    x = a*lam exactly; known pair: lat 53N lon 3E -> y ~ 6,948,386 m
+    (published EPSG:3395 coordinate for the Dutch coast area); round trip
+    to 1e-9 deg."""
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    x, y = P.merc_fwd(np.array([3.0]), np.array([53.0]))
+    assert abs(x[0] - 3.0 * np.pi / 180 * 6378137.0) < 1e-6
+    assert 6.90e6 < y[0] < 7.00e6
+    lo, la = P.merc_inv(x, y)
+    assert abs(lo[0] - 3.0) < 1e-11 and abs(la[0] - 53.0) < 1e-11
+    # differs from the spherical 3857 northing by the ellipsoidal term
+    y_sph = 6378137.0 * np.log(np.tan(np.pi / 4 + np.radians(53.0) / 2))
+    assert abs(y[0] - y_sph) > 10_000
+
+
+def test_ups_worked_example_and_roundtrip():
+    """EPSG guidance UPS example: 73N 44E -> E 3320416.75, N 632668.43
+    (EPSG:32661); plus round trips both poles."""
+    import numpy as np
+    from sedona_db_spark.geometry import proj as P
+    x, y = P.ups_fwd(np.array([44.0]), np.array([73.0]), True)
+    assert abs(x[0] - 3320416.75) < 0.02
+    assert abs(y[0] - 632668.43) < 0.02
+    for north in (True, False):
+        rng = np.random.default_rng(9)
+        lon = rng.uniform(-179, 179, 60)
+        lat = rng.uniform(60, 89.5, 60) * (1 if north else -1)
+        e, n = P.ups_fwd(lon, lat, north)
+        lo, la = P.ups_inv(e, n, north)
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+
+
+def test_transform_sql_3395_and_ups(spark):
+    r = spark.sql(
+        "SELECT ST_AsText(ST_Transform(ST_Point(3.0d, 53.0d), 'EPSG:4326', "
+        "'EPSG:3395')) AS m, "
+        "ST_AsText(ST_Transform(ST_Point(44.0d, 73.0d), 'EPSG:4326', "
+        "'EPSG:32661')) AS ups").collect()[0]
+    mx, my = map(float, r["m"].replace("POINT (", "").rstrip(")").split())
+    ux, uy = map(float, r["ups"].replace("POINT (", "").rstrip(")").split())
+    assert 6.90e6 < my < 7.00e6
+    assert abs(ux - 3320416.75) < 0.02 and abs(uy - 632668.43) < 0.02

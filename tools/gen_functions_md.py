@@ -13,7 +13,7 @@ REF_DOCS = "/root/reference/docs/reference/sql"
 
 NOTES = {
     # ---- ◐ partial: documented approximation or subset -------------------
-    "st_transform": "4326/CRS84 ↔ 3857, UTM 326zz/327zz + NZTM 2193 (TM series), Lambert-93 2154, Canada LCC 3978, CONUS Albers 5070, polar stereographic 3413/3031, LAEA Europe 3035, sinusoidal 54008, and — round-4 Helmert datum-shift tier (EPSG 9606 position vector, OS/EPSG worked-example exact) — OSGB36 27700 (Airy), DHDN Gauss-Krüger 31466-31469 (Bessel), ED50/UTM 23028-23038 (International 1924); any pair via a 4326 hub (geometry/proj.py); reference: PROJ, any CRS",
+    "st_transform": "4326/CRS84 ↔ 3857, UTM 326zz/327zz + NZTM 2193 (TM series), Lambert-93 2154, Canada LCC 3978, CONUS Albers 5070, polar stereographic 3413/3031, LAEA Europe 3035, sinusoidal 54008, World Mercator 3395 (ellipsoidal), UPS 32661/32761 (EPSG worked-example exact), and — round-4 Helmert datum-shift tier (EPSG 9606 position vector, OS/EPSG worked-example exact) — OSGB36 27700 (Airy), DHDN Gauss-Krüger 31466-31469 (Bessel), ED50/UTM 23028-23038 (International 1924); any pair via a 4326 hub (geometry/proj.py); reference: PROJ, any CRS",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); use operators.knn_join",
     "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical tier via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere (any geometry) + ST_IntersectsSphere/ST_ContainsSphere/ST_DWithinSphere (geometry/sphere.py great-circle kernels; round-4 hardening: pole/dateline/antipodal property suite, degenerate-ray and duplicate-vertex guards — hemisphere-fitting rings remain the documented scope vs S2 full-sphere)",
     "st_geogfromwkt": "alias of ST_GeomFromText (same spherical tier as ST_GeogFromWKB)",
