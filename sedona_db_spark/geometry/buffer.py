@@ -37,6 +37,10 @@ class BufferParams:
     join: str = "round"        # round | mitre | bevel
     mitre_limit: float = 5.0
     side: str = "both"         # both | left | right
+    # whether quad_segs/quadrant_segments appeared explicitly in the style
+    # string (callers merging a separate quad_segs argument must not
+    # override an explicit style value)
+    quad_segs_specified: bool = False
 
 
 def parse_buffer_params(s: str | None) -> BufferParams:
@@ -49,6 +53,7 @@ def parse_buffer_params(s: str | None) -> BufferParams:
     quad_segs, endcap, join = 8, "round", "round"
     mitre_limit, side = 5.0, "both"
     endcap_specified = False
+    quad_segs_specified = False
     for tok in s.split():
         if "=" not in tok:
             raise ValueError(f"Missing value for buffer parameter: {tok}")
@@ -72,6 +77,7 @@ def parse_buffer_params(s: str | None) -> BufferParams:
             mitre_limit = float(v)
         elif k in ("quad_segs", "quadrant_segments"):
             quad_segs = int(v)
+            quad_segs_specified = True
         elif k == "side":
             if v not in ("both", "left", "right"):
                 raise ValueError(f"Invalid side: '{v}'")
@@ -85,7 +91,8 @@ def parse_buffer_params(s: str | None) -> BufferParams:
                 f"Invalid buffer parameter: {k} (accept: 'endcap', 'join', "
                 f"'mitre_limit', 'miter_limit', 'quad_segs', "
                 f"'quadrant_segments' and 'side')")
-    return BufferParams(quad_segs, endcap, join, mitre_limit, side)
+    return BufferParams(quad_segs, endcap, join, mitre_limit, side,
+                        quad_segs_specified)
 
 
 # ---------------------------------------------------------------------------

@@ -783,7 +783,7 @@ def geom_buffer(g, dist: float, quad_segs: int = 8, style: str | None = None):
                                                  parse_buffer_params)
     if style is not None:
         p = parse_buffer_params(style)
-        if p.quad_segs == 8 and quad_segs != 8 and "quad_segs" not in style:
+        if quad_segs != 8 and not p.quad_segs_specified:
             p = BufferParams(quad_segs, p.endcap, p.join, p.mitre_limit,
                              p.side)
     else:

@@ -95,6 +95,20 @@ def _covering_cells_udf(res: int, pad: float = 0.0):
 
 _RES_SHIFT = 58  # cell-id layout: res << 58 | ix << 29 | iy (grid.py)
 
+# covering caches persisted by the adaptive branch, released on the next
+# join (or via cleanup_cached_coverings) so long sessions don't leak cache
+_PERSISTED_COVERINGS: list[DataFrame] = []
+
+
+def cleanup_cached_coverings() -> None:
+    """Unpersist any covering cache left behind by the adaptive join path."""
+    for df in _PERSISTED_COVERINGS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PERSISTED_COVERINGS.clear()
+
 
 def _covering_cells_adaptive_udf(res: int, pad: float = 0.0,
                                  max_cells: int = 64):
@@ -346,12 +360,18 @@ def spatial_join(*args, **kwargs) -> DataFrame:
     the output (the reference propagates type-level CRS through its join,
     rust/sedona-schema/src/datatypes.rs:404-420; Spark loses StructField
     metadata on the mapInPandas paths, so the wrapper restores it)."""
+    import inspect
     from sedona_db_spark import crs as _crs
     out = _spatial_join_impl(*args, **kwargs)
-    left = args[0] if args else kwargs["left"]
-    right = args[1] if len(args) > 1 else kwargs.get("right")
-    lg = kwargs.get("left_geom", "geom")
-    rg = kwargs.get("right_geom", "geom")
+    # bind against the impl signature so positional callers (e.g. passing
+    # left_geom positionally) still get CRS metadata restored on the right
+    # column — kwargs-only peeking would silently miss them
+    bound = inspect.signature(_spatial_join_impl).bind(*args, **kwargs)
+    bound.apply_defaults()
+    left = bound.arguments["left"]
+    right = bound.arguments.get("right")
+    lg = bound.arguments["left_geom"]
+    rg = bound.arguments["right_geom"]
     metas: dict = {}
     lmeta = _crs.get_meta(left, lg)
     if lmeta and lg in out.columns:
@@ -581,8 +601,18 @@ def _spatial_join_impl(
             "__cells_r", _covering_cells_adaptive_udf(res, pad)(F.col(rgeom)))
         # persist the pre-explode coverings: the level scan below and the
         # join both read them — without this the covering UDF would run
-        # twice over the whole build side
+        # twice over the whole build side.  Cached coverings from PREVIOUS
+        # joins are released here (one live covering cache at a time) so a
+        # long-lived session doesn't accumulate them; a prior join whose
+        # output was never materialized just recomputes its covering.
+        for stale in _PERSISTED_COVERINGS:
+            try:
+                stale.unpersist()
+            except Exception:
+                pass
+        _PERSISTED_COVERINGS.clear()
         r_cells = r_cells.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_COVERINGS.append(r_cells)
         levels = [int(r[0]) for r in
                   (r_cells.where(F.size("__cells_r") > 0)
                    .select(F.shiftright(F.element_at("__cells_r", 1),

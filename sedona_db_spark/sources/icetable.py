@@ -304,6 +304,13 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
         for mf in s["manifests"]:
             with open(os.path.join(_meta_dir(path), mf)) as f:
                 live_files.update(e["path"] for e in json.load(f)["entries"])
+    # Iceberg's expire order: commit the pruned metadata FIRST, then delete
+    # the files it no longer references — at every crash point the committed
+    # metadata only names files that still exist (a crash mid-delete leaves
+    # orphan files, never dangling references).
+    meta["snapshots"] = kept
+    _commit_metadata(path, meta)
+    kept_manifests = {m for k in kept for m in k["manifests"]}
     for s in expired:
         for mf in s["manifests"]:
             mfp = os.path.join(_meta_dir(path), mf)
@@ -315,8 +322,6 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
                         fp = os.path.join(path, e["path"])
                         if os.path.exists(fp):
                             os.remove(fp)
-            if mf not in {m for k in kept for m in k["manifests"]}:
+            if mf not in kept_manifests:
                 os.remove(mfp)
-    meta["snapshots"] = kept
-    _commit_metadata(path, meta)
     return [s["snapshot-id"] for s in expired]

@@ -89,7 +89,10 @@ def test_buffer_empty_inputs(wkt):
 def test_param_parsing():
     p = parse_buffer_params("quad_segs=4 endcap=butt join=miter "
                             "miter_limit=3 side=both")
-    assert p == BufferParams(4, "flat", "mitre", 3.0, "both")
+    assert p == BufferParams(4, "flat", "mitre", 3.0, "both",
+                             quad_segs_specified=True)
+    # explicit style quad_segs wins over a separate quad_segs argument
+    assert parse_buffer_params("quadrant_segments=8").quad_segs_specified
     # side without explicit endcap forces flat (st_buffer.rs:221-225)
     assert parse_buffer_params("side=left").endcap == "flat"
     assert parse_buffer_params("endcap=round side=left").endcap == "round"

@@ -162,6 +162,35 @@ ROW_OVERRIDES = {
 CASES = [(cid, sql, ROW_OVERRIDES.get(cid, expected), kwargs)
          for cid, sql, expected, kwargs in _collect()]
 
+# keep the reference's own pinned value for each overridden row so the
+# divergence stays visible (round-4 ADVICE): the pinned-value test below
+# asserts BOTH numbers are intentional, not that the override hid a drift
+REFERENCE_PINNED = {cid: next(e for c, _s, e, _k in _collect() if c == cid)
+                    for cid in ROW_OVERRIDES}
+
+
+@pytest.mark.parametrize("cid", sorted(ROW_OVERRIDES))
+def test_overridden_rows_divergence_is_visible(spark, cid):
+    """Every ROW_OVERRIDES entry is a documented GEOS-version divergence:
+    our engine reproduces the PostGIS/GEOS-3.9 construction exactly, while
+    the reference pins the GEOS-3.13 answer (single-sided reflex buffers
+    changed in GEOS 3.12's inside-turn handling).  Assert our value AND
+    that it genuinely differs from the reference pin — if a future change
+    makes us match the reference, this test fails loudly so the override
+    gets removed rather than silently masking behavior."""
+    sql = next(s for c, s, _e, _k in CASES if c == cid)
+    got = float(spark.sql(f"{sql} AS v" if sql.upper().startswith("SELECT")
+                          else sql).collect()[0][0])
+    ours = float(ROW_OVERRIDES[cid])
+    ref = float(REFERENCE_PINNED[cid])
+    assert got == pytest.approx(ours, rel=1e-12), \
+        f"{cid}: engine drifted off the documented GEOS-3.9 value"
+    assert abs(ours - ref) > 1e-6, \
+        f"{cid}: override equals the reference pin — delete the override"
+    assert got != pytest.approx(ref, rel=1e-9), \
+        f"{cid}: engine now matches reference GEOS-3.13 pin {ref} — " \
+        f"remove the ROW_OVERRIDES entry"
+
 
 def test_harvest_volume():
     assert len(CASES) >= 700, f"harvested only {len(CASES)} cases"
