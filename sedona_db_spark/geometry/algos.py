@@ -599,17 +599,21 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
     """Reproject (n, 2+) coords, routed through EPSG:4326 as the hub.
 
     Supported: EPSG:4326/OGC:CRS84, EPSG:3857 (spherical Web-Mercator),
-    EPSG:326zz/327zz (UTM, ellipsoidal Transverse Mercator), EPSG:2154
-    (Lambert-93), EPSG:3978 (Canada Atlas LCC), EPSG:5070 (CONUS Albers),
-    EPSG:3413/3031 (polar stereographic N/S), 54008 (sinusoidal), 3035
-    (LAEA Europe), 2193 (NZTM), and — round 4, Helmert datum-shift tier —
-    EPSG:27700 (OSGB36 British National Grid, Airy 1830) and
-    EPSG:31466-31469 (DHDN Gauss-Krüger 2-5, Bessel 1841) — all published
-    Snyder/EPSG closed forms in geometry/proj.py.  The reference supports
-    any CRS via PROJ (c/sedona-proj/src/st_transform.rs:41)."""
+    the hand-verified named entries (2154, 3978, 5070, 3413, 3031, 54008,
+    3035, 2193, 3395, 32661/32761, 27700, 31466-69, 23028-38), the
+    parametric EPSG table (round 5: 300+ codes — WGS84/ETRS89/NAD83/NAD27/
+    SIRGAS UTM, GDA MGA, Pulkovo Gauss-Krüger, Japan Plane Rectangular
+    I-XIX, SPCS83 Lambert zones incl. ftUS units, and national TM/LCC
+    grids), and any ``+proj=...`` PROJ string (longlat/utm/tmerc/lcc/
+    lcc1sp/aea/polar stere/laea/merc/webmerc/sinu/ups + +towgs84/+datum/
+    +units) — all published Snyder/EPSG closed forms in geometry/proj.py.
+    The reference resolves the same two CRS input forms through PROJ
+    (c/sedona-proj/src/st_transform.rs:41, docs st_transform.qmd)."""
     from sedona_db_spark.geometry import proj as P
 
-    s, d = _crs_code(src), _crs_code(dst)
+    s_raw, d_raw = str(src), str(dst)
+    s = s_raw if "+proj=" in s_raw else _crs_code(src)
+    d = d_raw if "+proj=" in d_raw else _crs_code(dst)
     out = arr.copy()
     if s == d:
         return out
@@ -620,12 +624,13 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
         lon = np.degrees(arr[:, 0] / WGS84_A)
         lat = np.degrees(2 * np.arctan(np.exp(arr[:, 1] / WGS84_A)) - np.pi / 2)
     else:
-        pr = P.projection_for(s)
+        pr = P.resolve_crs(s)
         if pr is None:
             raise ValueError(
-                f"unsupported CRS {src} (built-in: 4326/CRS84, 3857, "
-                f"326zz/327zz UTM, 2154, 3978, 5070, 3413, 3031, 54008, "
-                f"3035, 2193, 27700, 31466-31469)")
+                f"unsupported CRS {src} (built-in: 4326/CRS84, 3857, the "
+                f"parametric EPSG table in geometry/proj.py — UTM/MGA/GK "
+                f"zone families, SPCS83, national grids — or any "
+                f"'+proj=...' PROJ string)")
         lon, lat = pr[1](arr[:, 0], arr[:, 1])
     # leg 2: lon/lat → dst
     if d == "4326":
@@ -634,12 +639,13 @@ def transform_coords(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
         x = np.radians(lon) * WGS84_A
         y = np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)) * WGS84_A
     else:
-        pr = P.projection_for(d)
+        pr = P.resolve_crs(d)
         if pr is None:
             raise ValueError(
-                f"unsupported CRS {dst} (built-in: 4326/CRS84, 3857, "
-                f"326zz/327zz UTM, 2154, 3978, 5070, 3413, 3031, 54008, "
-                f"3035, 2193, 27700, 31466-31469)")
+                f"unsupported CRS {dst} (built-in: 4326/CRS84, 3857, the "
+                f"parametric EPSG table in geometry/proj.py — UTM/MGA/GK "
+                f"zone families, SPCS83, national grids — or any "
+                f"'+proj=...' PROJ string)")
         x, y = pr[0](lon, lat)
     out[:, 0], out[:, 1] = x, y
     return out

@@ -202,7 +202,9 @@ def albers_inv(x, y, lon0, lat0, sp1, sp2, fe, fn, ell: Ellipsoid = GRS80):
     yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
     rho = np.hypot(xp, yp)
     q = (C - (rho * n / ell.a) ** 2) / n
-    theta = np.arctan2(xp, yp)
+    # Snyder p.102: if n is negative (southern-hemisphere cone) the signs
+    # of x, y and rho0 reverse before taking the angle
+    theta = np.arctan2(xp, yp) if n >= 0 else np.arctan2(-xp, -yp)
     lam = theta / n + math.radians(lon0)
     phi = np.arcsin(np.clip(q / 2, -1, 1))
     for _ in range(8):
@@ -464,6 +466,17 @@ TOWGS84 = {
     "DHDN": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
     # ED50 → WGS84 (EPSG:1311 mean-European 3-parameter shift)
     "ED50": (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0),
+    # NAD27 → WGS84 (EPSG:1173 CONUS mean 3-parameter; the precise path is
+    # the NADCON grid, out of scope — same fallback PROJ uses without grids)
+    "NAD27": (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0),
+    # TM65/Ireland 1965 → WGS84 (EPSG:1641)
+    "IRELAND65": (482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15),
+    # MGI (Austria) → WGS84 (EPSG:1618)
+    "MGI": (577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232),
+    # NTF (France, Clarke 1880 IGN) → WGS84 (EPSG:1193 3-parameter)
+    "NTF": (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0),
+    # Pulkovo 1942 → WGS84 (EPSG:1254 3-parameter)
+    "PULKOVO42": (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0),
 }
 
 
@@ -562,14 +575,615 @@ _NAMED = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Parametric CRS layer (round 5): data-driven EPSG parameter table + PROJ
+# string parser.  The reference resolves any CRS through PROJ
+# (c/sedona-proj/src/st_transform.rs:41 and transform.rs ProjCrsEngine);
+# this sandbox has no PROJ, so the same resolution is re-expressed as a
+# parameter table over the Snyder kernels above: an EPSG code (or a
+# "+proj=..." string, which the reference's ST_Transform also accepts per
+# docs/reference/sql/st_transform.qmd) compiles to a CRSDef, and
+# build_transform() assembles projection × datum-shift × unit legs.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+CLARKE1866 = Ellipsoid(6378206.4, 1 - 6356583.8 / 6378206.4)    # NAD27
+CLARKE1880IGN = Ellipsoid(6378249.2, 1 - 6356515.0 / 6378249.2)  # NTF
+KRASSOWSKY = Ellipsoid(6378245.0, 1.0 / 298.3)                   # Pulkovo
+AIRY_MOD = Ellipsoid(6377340.189, 1.0 / 299.3249646)             # Ireland 65
+
+ELLPS = {
+    "WGS84": WGS84, "GRS80": GRS80, "airy": AIRY, "mod_airy": AIRY_MOD,
+    "bessel": BESSEL, "intl": INTL1924, "clrk66": CLARKE1866,
+    "clrk80ign": CLARKE1880IGN, "krass": KRASSOWSKY,
+}
+
+US_FOOT = 1200.0 / 3937.0   # EPSG 9003 US survey foot, exact fraction
+INTL_FOOT = 0.3048          # EPSG 9002
+
+# +datum= aliases → (ellipsoid key, towgs84 | None)
+DATUMS = {
+    "WGS84": ("WGS84", None),
+    "NAD83": ("GRS80", None),         # null transform, like PROJ
+    "NAD27": ("clrk66", TOWGS84["NAD27"]),
+    "OSGB36": ("airy", TOWGS84["OSGB36"]),
+    "potsdam": ("bessel", TOWGS84["DHDN"]),
+    "ire65": ("mod_airy", TOWGS84["IRELAND65"]),
+}
+
+
+@dataclass(frozen=True)
+class CRSDef:
+    """One row of the parametric CRS table: projection family + parameters
+    + datum.  ``fe``/``fn`` are always metres (PROJ's +x_0/+y_0 semantics);
+    ``to_meter`` converts the final axis units (US survey foot CRSs)."""
+    proj: str                    # longlat|utm|tmerc|lcc|lcc1sp|aea|stere|
+    #                              laea|merc|webmerc|sinu|ups
+    ellps: str = "WGS84"
+    lon0: float = 0.0
+    lat0: float = 0.0
+    k0: float | None = None
+    fe: float = 0.0
+    fn: float = 0.0
+    sp1: float | None = None
+    sp2: float | None = None
+    lat_ts: float | None = None
+    zone: int | None = None
+    south: bool = False
+    towgs84: tuple | None = None
+    to_meter: float = 1.0
+
+
+def _ellps_of(name: str) -> Ellipsoid:
+    if name.startswith("R:"):            # +R= sphere of given radius
+        return Ellipsoid(float(name[2:]), 0.0)
+    try:
+        return ELLPS[name]
+    except KeyError:
+        raise ValueError(f"unknown ellipsoid '{name}' "
+                         f"(supported: {sorted(ELLPS)})")
+
+
+# --- additional kernels needed by the parametric layer --------------------
+
+def lcc1sp_fwd(lon, lat, lon0, lat0, k0, fe, fn, ell: Ellipsoid):
+    """Lambert Conformal Conic 1SP (EPSG 9801; Snyder 15-1..15-7 with the
+    single-parallel n = sin φ0 and the k0 scale on F)."""
+    phi0 = math.radians(lat0)
+    n = math.sin(phi0)
+    m0 = float(math.cos(phi0) / math.sqrt(1 - ell.e2 * math.sin(phi0) ** 2))
+    t0 = float(_lcc_t(ell, np.array([phi0]))[0])
+    Fc = m0 / (n * t0 ** n)
+    t = _lcc_t(ell, np.radians(np.asarray(lat, float)))
+    rho = ell.a * k0 * Fc * t ** n
+    rho0 = ell.a * k0 * Fc * t0 ** n
+    th = n * (np.radians(np.asarray(lon, float)) - math.radians(lon0))
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def lcc1sp_inv(x, y, lon0, lat0, k0, fe, fn, ell: Ellipsoid):
+    phi0 = math.radians(lat0)
+    n = math.sin(phi0)
+    m0 = float(math.cos(phi0) / math.sqrt(1 - ell.e2 * math.sin(phi0) ** 2))
+    t0 = float(_lcc_t(ell, np.array([phi0]))[0])
+    Fc = m0 / (n * t0 ** n)
+    rho0 = ell.a * k0 * Fc * t0 ** n
+    xp = np.asarray(x, np.float64) - fe
+    yp = rho0 - (np.asarray(y, np.float64) - fn)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(xp, yp)
+    t = (rho / (ell.a * k0 * Fc)) ** (1.0 / n)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - ell.e * sp) / (1 + ell.e * sp)) ** (ell.e / 2))
+    lam = math.radians(lon0) + np.arctan2(sgn * xp, sgn * yp) / n
+    return np.degrees(lam), np.degrees(phi)
+
+
+def psA_fwd(lon, lat, lon0, north: bool, k0, fe, fn, ell: Ellipsoid):
+    """Polar Stereographic variant A (EPSG 9810: scale k0 at the pole) with
+    arbitrary lon0/fe/fn — the UPS kernel generalized."""
+    e = ell.e
+    phi = np.radians(np.asarray(lat, float) if north
+                     else -np.asarray(lat, float))
+    t = _lcc_t(ell, phi)
+    rho = 2.0 * ell.a * k0 * t / math.sqrt(
+        (1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    th = np.radians(np.asarray(lon, float)) - math.radians(lon0)
+    if not north:
+        th = -th
+    x = fe + rho * np.sin(th)
+    y = fn + rho * np.cos(th) if not north else fn - rho * np.cos(th)
+    return x, y
+
+
+def psA_inv(x, y, lon0, north: bool, k0, fe, fn, ell: Ellipsoid):
+    e = ell.e
+    xp = np.asarray(x, np.float64) - fe
+    yp = np.asarray(y, np.float64) - fn
+    rho = np.hypot(xp, yp)
+    t = rho * math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)) \
+        / (2.0 * ell.a * k0)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+    th = np.arctan2(xp, -yp) if north else np.arctan2(xp, yp)
+    if not north:
+        th = -th
+    lam = math.radians(lon0) + th
+    return np.degrees(lam), np.degrees(phi if north else -phi)
+
+
+def merc2_fwd(lon, lat, lon0, scale, fe, fn, ell: Ellipsoid):
+    """Ellipsoidal Mercator with scale (k0 or m(lat_ts)), lon0, fe/fn."""
+    phi = np.radians(np.asarray(lat, float))
+    sp = np.sin(phi)
+    x = fe + scale * ell.a * (np.radians(np.asarray(lon, float))
+                              - math.radians(lon0))
+    y = fn + scale * ell.a * np.log(
+        np.tan(np.pi / 4 + phi / 2)
+        * ((1 - ell.e * sp) / (1 + ell.e * sp)) ** (ell.e / 2))
+    return x, y
+
+
+def merc2_inv(x, y, lon0, scale, fe, fn, ell: Ellipsoid):
+    t = np.exp(-(np.asarray(y, np.float64) - fn) / (scale * ell.a))
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - ell.e * sp) / (1 + ell.e * sp)) ** (ell.e / 2))
+    lam = math.radians(lon0) + (np.asarray(x, np.float64) - fe) \
+        / (scale * ell.a)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _merc_scale(ell: Ellipsoid, lat_ts: float) -> float:
+    p = math.radians(lat_ts)
+    return math.cos(p) / math.sqrt(1 - ell.e2 * math.sin(p) ** 2)
+
+
+def build_transform(c: CRSDef):
+    """Compile a CRSDef into vectorized ``(fwd, inv)`` lon/lat(WGS84) ↔
+    projected callables: projection on the CRS's own ellipsoid, wrapped in
+    the Helmert datum leg when ``towgs84`` is a real shift, then the axis
+    unit conversion (PROJ order: x_0/y_0 in metres, units applied last)."""
+    ell = _ellps_of(c.ellps)
+    k0 = c.k0
+    p = c.proj
+    if p == "utm":
+        if c.zone is None or not 1 <= c.zone <= 60:
+            raise ValueError(f"utm needs zone 1-60, got {c.zone}")
+        lon0 = c.zone * 6 - 183
+        fn0 = 10_000_000.0 if c.south else 0.0
+
+        def fwd0(lon, lat):
+            return tmerc_fwd(lon, lat, lon0, 0.0, 0.9996, 500_000.0,
+                             fn0, ell)
+
+        def inv0(x, y):
+            return tmerc_inv(x, y, lon0, 0.0, 0.9996, 500_000.0, fn0, ell)
+    elif p == "tmerc":
+        kk = 1.0 if k0 is None else k0
+
+        def fwd0(lon, lat):
+            return tmerc_fwd(lon, lat, c.lon0, c.lat0, kk, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return tmerc_inv(x, y, c.lon0, c.lat0, kk, c.fe, c.fn, ell)
+    elif p == "lcc":
+        sp1 = c.sp1 if c.sp1 is not None else c.lat0
+        sp2 = c.sp2 if c.sp2 is not None else sp1
+        if sp1 == sp2 or c.sp2 is None:
+            # PROJ treats lcc with one parallel as 1SP (k0 allowed)
+            kk = 1.0 if k0 is None else k0
+
+            def fwd0(lon, lat):
+                return lcc1sp_fwd(lon, lat, c.lon0, sp1, kk, c.fe, c.fn, ell)
+
+            def inv0(x, y):
+                return lcc1sp_inv(x, y, c.lon0, sp1, kk, c.fe, c.fn, ell)
+        else:
+            if k0 not in (None, 1.0):
+                raise ValueError("lcc 2SP does not take k0")
+
+            def fwd0(lon, lat):
+                return lcc_fwd(lon, lat, c.lon0, c.lat0, sp1, sp2,
+                               c.fe, c.fn, ell)
+
+            def inv0(x, y):
+                return lcc_inv(x, y, c.lon0, c.lat0, sp1, sp2,
+                               c.fe, c.fn, ell)
+    elif p == "lcc1sp":
+        kk = 1.0 if k0 is None else k0
+
+        def fwd0(lon, lat):
+            return lcc1sp_fwd(lon, lat, c.lon0, c.lat0, kk, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return lcc1sp_inv(x, y, c.lon0, c.lat0, kk, c.fe, c.fn, ell)
+    elif p == "aea":
+        sp1 = c.sp1 if c.sp1 is not None else 0.0
+        sp2 = c.sp2 if c.sp2 is not None else sp1
+
+        def fwd0(lon, lat):
+            return albers_fwd(lon, lat, c.lon0, c.lat0, sp1, sp2,
+                              c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return albers_inv(x, y, c.lon0, c.lat0, sp1, sp2,
+                              c.fe, c.fn, ell)
+    elif p == "stere":
+        if abs(c.lat0) != 90.0:
+            raise ValueError("only polar stereographic (lat_0=±90) is "
+                             "supported")
+        north = c.lat0 > 0
+        if c.lat_ts is not None and abs(c.lat_ts) != 90.0:
+            lat_ts = abs(c.lat_ts) if north else -abs(c.lat_ts)
+
+            def fwd0(lon, lat):
+                return ps_fwd(lon, lat, c.lon0, lat_ts, c.fe, c.fn, ell)
+
+            def inv0(x, y):
+                return ps_inv(x, y, c.lon0, lat_ts, c.fe, c.fn, ell)
+        else:
+            kk = 1.0 if k0 is None else k0
+
+            def fwd0(lon, lat):
+                return psA_fwd(lon, lat, c.lon0, north, kk, c.fe, c.fn, ell)
+
+            def inv0(x, y):
+                return psA_inv(x, y, c.lon0, north, kk, c.fe, c.fn, ell)
+    elif p == "ups":
+        north = not c.south
+
+        def fwd0(lon, lat):
+            return ups_fwd(lon, lat, north, ell)
+
+        def inv0(x, y):
+            return ups_inv(x, y, north, ell)
+    elif p == "laea":
+        def fwd0(lon, lat):
+            return laea_fwd(lon, lat, c.lon0, c.lat0, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return laea_inv(x, y, c.lon0, c.lat0, c.fe, c.fn, ell)
+    elif p == "merc":
+        scale = (_merc_scale(ell, c.lat_ts) if c.lat_ts is not None
+                 else (1.0 if k0 is None else k0))
+
+        def fwd0(lon, lat):
+            return merc2_fwd(lon, lat, c.lon0, scale, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return merc2_inv(x, y, c.lon0, scale, c.fe, c.fn, ell)
+    elif p == "webmerc":
+        R = ell.a
+
+        def fwd0(lon, lat):
+            lam = np.radians(np.asarray(lon, float)) - math.radians(c.lon0)
+            phi = np.radians(np.asarray(lat, float))
+            return (c.fe + R * lam,
+                    c.fn + R * np.log(np.tan(np.pi / 4 + phi / 2)))
+
+        def inv0(x, y):
+            lon = np.degrees((np.asarray(x, np.float64) - c.fe) / R) + c.lon0
+            lat = np.degrees(2 * np.arctan(
+                np.exp((np.asarray(y, np.float64) - c.fn) / R)) - np.pi / 2)
+            return lon, lat
+    elif p == "sinu":
+        def fwd0(lon, lat):
+            return sinu_fwd(lon, lat, c.lon0, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return sinu_inv(x, y, c.lon0, c.fe, c.fn, ell)
+    elif p == "longlat":
+        def fwd0(lon, lat):
+            return (np.asarray(lon, np.float64).copy(),
+                    np.asarray(lat, np.float64).copy())
+
+        def inv0(x, y):
+            return (np.asarray(x, np.float64).copy(),
+                    np.asarray(y, np.float64).copy())
+    else:
+        raise ValueError(f"unsupported projection family '{p}' (supported: "
+                         f"longlat utm tmerc lcc lcc1sp aea stere laea merc "
+                         f"webmerc sinu ups)")
+
+    shift = c.towgs84
+    if shift is not None and any(v != 0.0 for v in shift):
+        p7 = tuple(shift) + (0.0,) * (7 - len(shift))
+
+        def fwd1(lon, lat):
+            X, Y, Z = geodetic_to_ecef(lon, lat, WGS84)
+            Xd, Yd, Zd = helmert_pv(X, Y, Z, p7, inverse=True)
+            lo, la = ecef_to_geodetic(Xd, Yd, Zd, ell)
+            return fwd0(lo, la)
+
+        def inv1(x, y):
+            lo, la = inv0(x, y)
+            X, Y, Z = geodetic_to_ecef(lo, la, ell)
+            Xw, Yw, Zw = helmert_pv(X, Y, Z, p7, inverse=False)
+            return ecef_to_geodetic(Xw, Yw, Zw, WGS84)
+    else:
+        fwd1, inv1 = fwd0, inv0
+
+    if c.to_meter != 1.0 and p != "longlat":
+        u = c.to_meter
+
+        def fwd(lon, lat):
+            x, y = fwd1(lon, lat)
+            return x / u, y / u
+
+        def inv(x, y):
+            return inv1(np.asarray(x, np.float64) * u,
+                        np.asarray(y, np.float64) * u)
+        return fwd, inv
+    return fwd1, inv1
+
+
+# ---------------------------------------------------------------------------
+# EPSG parameter table — data rows, no hand-written transform code per CRS.
+# Zone families are generated programmatically; parameters are the published
+# EPSG registry values (the reference reads the same registry through
+# PROJ's proj.db).
+# ---------------------------------------------------------------------------
+
+def _rows(**kw) -> dict:
+    return kw
+
+
+EPSG_PARAMS: dict[str, dict] = {}
+
+# WGS 84 / UTM north+south (32601-32660, 32701-32760)
+for _z in range(1, 61):
+    EPSG_PARAMS[str(32600 + _z)] = _rows(proj="utm", zone=_z)
+    EPSG_PARAMS[str(32700 + _z)] = _rows(proj="utm", zone=_z, south=True)
+# ETRS89 / UTM 28N-38N
+for _z in range(28, 39):
+    EPSG_PARAMS[str(25800 + _z)] = _rows(proj="utm", zone=_z, ellps="GRS80")
+# NAD83 / UTM 1N-23N (incl. the docs' EPSG:26910 example)
+for _z in range(1, 24):
+    EPSG_PARAMS[str(26900 + _z)] = _rows(proj="utm", zone=_z, ellps="GRS80")
+# NAD27 / UTM 1N-22N (Clarke 1866, EPSG:1173 mean shift)
+for _z in range(1, 23):
+    EPSG_PARAMS[str(26700 + _z)] = _rows(proj="utm", zone=_z, ellps="clrk66",
+                                         towgs84=TOWGS84["NAD27"])
+# GDA94 / MGA zones 48-58 and GDA2020 / MGA zones 46-59 (southern UTM)
+for _z in range(48, 59):
+    EPSG_PARAMS[str(28300 + _z)] = _rows(proj="utm", zone=_z, south=True,
+                                         ellps="GRS80")
+for _z in range(46, 60):
+    EPSG_PARAMS[str(7800 + _z)] = _rows(proj="utm", zone=_z, south=True,
+                                        ellps="GRS80")
+# SIRGAS 2000 / UTM: 31965-31976 = zones 11N-22N, 31977-31985 = 17S-25S
+for _i, _z in enumerate(range(11, 23)):
+    EPSG_PARAMS[str(31965 + _i)] = _rows(proj="utm", zone=_z, ellps="GRS80")
+for _i, _z in enumerate(range(17, 26)):
+    EPSG_PARAMS[str(31977 + _i)] = _rows(proj="utm", zone=_z, south=True,
+                                         ellps="GRS80")
+# Pulkovo 1942 / Gauss-Krüger zones 4-32 (Krassowsky, EPSG:1254 shift)
+for _z in range(4, 33):
+    EPSG_PARAMS[str(28400 + _z)] = _rows(
+        proj="tmerc", lon0=float(_z * 6 - 3), lat0=0.0, k0=1.0,
+        fe=_z * 1_000_000.0 + 500_000.0, fn=0.0, ellps="krass",
+        towgs84=TOWGS84["PULKOVO42"])
+
+# Japan Plane Rectangular CS zones I-XIX: (lat0, lon0) per zone, TM
+# k0=0.9999 on GRS80; JGD2000 codes 2443-2461, JGD2011 codes 6669-6687
+_JPRCS = [
+    (33.0, 129.5), (33.0, 131.0), (36.0, 132.0 + 1.0 / 6.0), (33.0, 133.5),
+    (36.0, 134.0 + 1.0 / 3.0), (36.0, 136.0), (36.0, 137.0 + 1.0 / 6.0),
+    (36.0, 138.5), (36.0, 139.0 + 5.0 / 6.0), (40.0, 140.0 + 5.0 / 6.0),
+    (44.0, 140.25), (44.0, 142.25), (44.0, 144.25), (26.0, 142.0),
+    (26.0, 127.5), (26.0, 124.0), (26.0, 131.0), (20.0, 136.0),
+    (26.0, 154.0),
+]
+for _i, (_la, _lo) in enumerate(_JPRCS):
+    _row = _rows(proj="tmerc", lat0=_la, lon0=_lo, k0=0.9999, fe=0.0,
+                 fn=0.0, ellps="GRS80")
+    EPSG_PARAMS[str(2443 + _i)] = _row
+    EPSG_PARAMS[str(6669 + _i)] = _row
+
+_FTUS = US_FOOT
+EPSG_PARAMS.update({
+    # NAD83 / California zone 5 + 6 (ftUS) — SPCS83 LCC 2SP
+    "2229": _rows(proj="lcc", sp1=34.0 + 2.0 / 60, sp2=35.0 + 28.0 / 60,
+                  lat0=33.5, lon0=-118.0, fe=6_561_666.667 * _FTUS,
+                  fn=1_640_416.667 * _FTUS, ellps="GRS80", to_meter=_FTUS),
+    "2230": _rows(proj="lcc", sp1=32.0 + 47.0 / 60, sp2=33.0 + 53.0 / 60,
+                  lat0=32.0 + 10.0 / 60, lon0=-116.25,
+                  fe=6_561_666.667 * _FTUS, fn=1_640_416.667 * _FTUS,
+                  ellps="GRS80", to_meter=_FTUS),
+    # NAD83 / New York Long Island (ftUS)
+    "2263": _rows(proj="lcc", sp1=40.0 + 40.0 / 60, sp2=41.0 + 2.0 / 60,
+                  lat0=40.0 + 10.0 / 60, lon0=-74.0,
+                  fe=984_250.0 * _FTUS, fn=0.0, ellps="GRS80",
+                  to_meter=_FTUS),
+    # NAD83 / Maryland (metres)
+    "26985": _rows(proj="lcc", sp1=38.3, sp2=39.45, lat0=37.0 + 2.0 / 3.0,
+                   lon0=-77.0, fe=400_000.0, fn=0.0, ellps="GRS80"),
+    # NAD83 / Texas South Central (metres)
+    "32140": _rows(proj="lcc", sp1=28.0 + 23.0 / 60, sp2=30.0 + 17.0 / 60,
+                   lat0=27.0 + 50.0 / 60, lon0=-99.0, fe=600_000.0,
+                   fn=4_000_000.0, ellps="GRS80"),
+    # GDA94 / Australian Albers and Geoscience Australia Lambert
+    "3577": _rows(proj="aea", sp1=-18.0, sp2=-36.0, lat0=0.0, lon0=132.0,
+                  fe=0.0, fn=0.0, ellps="GRS80"),
+    "3112": _rows(proj="lcc", sp1=-18.0, sp2=-36.0, lat0=0.0, lon0=134.0,
+                  fe=0.0, fn=0.0, ellps="GRS80"),
+    # MGI / Austria Lambert (Bessel + EPSG:1618 Helmert)
+    "31287": _rows(proj="lcc", sp1=49.0, sp2=46.0, lat0=47.5,
+                   lon0=13.0 + 1.0 / 3.0, fe=400_000.0, fn=400_000.0,
+                   ellps="bessel", towgs84=TOWGS84["MGI"]),
+    # NTF (Paris) / Lambert zone II étendu — LCC 1SP on Clarke 1880 IGN;
+    # lon0 is the Paris meridian expressed in Greenwich degrees
+    "27572": _rows(proj="lcc1sp", lat0=46.8, lon0=2.0 + 20.0 / 60
+                   + 14.025 / 3600, k0=0.99987742, fe=600_000.0,
+                   fn=2_200_000.0, ellps="clrk80ign",
+                   towgs84=TOWGS84["NTF"]),
+    # TM65 / Irish Grid (Airy Modified + EPSG:1641 Helmert)
+    "29903": _rows(proj="tmerc", lat0=53.5, lon0=-8.0, k0=1.000035,
+                   fe=200_000.0, fn=250_000.0, ellps="mod_airy",
+                   towgs84=TOWGS84["IRELAND65"]),
+    # ETRS89 / Poland CS92
+    "2180": _rows(proj="tmerc", lat0=0.0, lon0=19.0, k0=0.9993,
+                  fe=500_000.0, fn=-5_300_000.0, ellps="GRS80"),
+    # ETRS89 / TM35FIN(E,N) — Finland national
+    "3067": _rows(proj="utm", zone=35, ellps="GRS80"),
+    # Israel 1993 / Israeli TM Grid (GRS80; ITM)
+    "2039": _rows(proj="tmerc", lat0=31.0 + 44.0 / 60 + 3.817 / 3600,
+                  lon0=35.0 + 12.0 / 60 + 16.261 / 3600, k0=1.0000067,
+                  fe=219_529.584, fn=626_907.39, ellps="GRS80"),
+})
+
+
+def crsdef_for_epsg(code: str) -> "CRSDef | None":
+    row = EPSG_PARAMS.get(code)
+    return CRSDef(**row) if row is not None else None
+
+
+# ---------------------------------------------------------------------------
+# PROJ ("+proj=...") string parser — the other CRS form the reference's
+# ST_Transform accepts (docs/reference/sql/st_transform.qmd: "target_crs can
+# be specified as an EPSG code ... or as a PROJ string")
+# ---------------------------------------------------------------------------
+
+_PROJ_ALIASES = {"latlong": "longlat", "latlon": "longlat",
+                 "lonlat": "longlat"}
+_IGNORED_KEYS = {"no_defs", "wktext", "type", "axis", "nadgrids",
+                 "wktunits", "over"}
+_UNITS = {"m": 1.0, "meter": 1.0, "metre": 1.0, "us-ft": US_FOOT,
+          "ft": INTL_FOOT, "km": 1000.0}
+
+
+def parse_proj4(s: str) -> CRSDef:
+    """Compile a PROJ string like ``+proj=lcc +lat_1=34.03 +lat_2=35.47
+    +lat_0=33.5 +lon_0=-118 +x_0=2000000 +y_0=500000 +datum=NAD83
+    +units=us-ft`` into a CRSDef.  Keys follow PROJ semantics: x_0/y_0 are
+    metres, +units/+to_meter convert the axis output, +towgs84 adds a
+    Helmert datum leg, +datum expands to ellipsoid (+shift)."""
+    kv2: dict[str, str] = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv2[k] = v
+        elif tok:
+            kv2[tok] = ""
+    if "proj" not in kv2:
+        raise ValueError(f"PROJ string missing +proj=: {s!r}")
+    proj = _PROJ_ALIASES.get(kv2["proj"], kv2["proj"])
+    if proj not in ("longlat", "utm", "tmerc", "lcc", "lcc1sp", "aea",
+                    "stere", "laea", "merc", "webmerc", "sinu", "ups"):
+        raise ValueError(f"unsupported projection family '+proj={proj}'")
+    ellps = "WGS84"
+    towgs84 = None
+    args: dict = {"proj": proj}
+    for k, v in kv2.items():
+        if k == "proj" or k in _IGNORED_KEYS:
+            continue
+        elif k == "datum":
+            d = DATUMS.get(v) or DATUMS.get(v.upper())
+            if d is None:
+                raise ValueError(f"unsupported +datum={v} "
+                                 f"(supported: {sorted(DATUMS)})")
+            ellps, dshift = d
+            if dshift is not None and towgs84 is None:
+                towgs84 = dshift
+        elif k == "ellps":
+            low = {"wgs84": "WGS84", "grs80": "GRS80"}.get(v.lower(),
+                                                           v.lower())
+            if low not in ELLPS and v not in ELLPS:
+                raise ValueError(f"unsupported +ellps={v}")
+            ellps = low if low in ELLPS else v
+        elif k == "R" or k == "a" and "b" not in kv2 and "rf" not in kv2:
+            ellps = f"R:{float(v)}"
+        elif k == "towgs84":
+            towgs84 = tuple(float(x) for x in v.split(","))
+            if len(towgs84) not in (3, 7):
+                raise ValueError("+towgs84 takes 3 or 7 numbers")
+        elif k == "lat_0":
+            args["lat0"] = float(v)
+        elif k == "lon_0":
+            args["lon0"] = float(v)
+        elif k == "lat_1":
+            args["sp1"] = float(v)
+        elif k == "lat_2":
+            args["sp2"] = float(v)
+        elif k == "lat_ts":
+            args["lat_ts"] = float(v)
+        elif k in ("k", "k_0"):
+            args["k0"] = float(v)
+        elif k == "x_0":
+            args["fe"] = float(v)
+        elif k == "y_0":
+            args["fn"] = float(v)
+        elif k == "zone":
+            args["zone"] = int(v)
+        elif k == "south":
+            args["south"] = True
+        elif k == "units":
+            if v not in _UNITS:
+                raise ValueError(f"unsupported +units={v}")
+            args["to_meter"] = _UNITS[v]
+        elif k == "to_meter":
+            args["to_meter"] = float(v)
+        else:
+            raise ValueError(f"unsupported PROJ parameter +{k}={v}")
+    args["ellps"] = ellps
+    args["towgs84"] = towgs84
+    return CRSDef(**args)
+
+
+_BUILT_CACHE: dict[str, tuple] = {}
+
+
+def resolve_crs(spec: str):
+    """(fwd, inv) for an EPSG code (with or without the ``EPSG:`` prefix)
+    or a ``+proj=...`` PROJ string; None when unknown.  Resolution order
+    for codes: hand-verified ``_NAMED`` entries (exact replay parity),
+    then the parametric EPSG table."""
+    got = _BUILT_CACHE.get(spec)
+    if got is not None:
+        return got
+    if "+proj=" in spec:
+        pr = build_transform(parse_proj4(spec))
+    else:
+        code = spec.upper()
+        if code.startswith("EPSG:"):
+            code = code[5:]
+        pr = projection_for(code)
+        if pr is None:
+            return None
+    _BUILT_CACHE[spec] = pr
+    return pr
+
+
 def projection_for(code: str):
     """(fwd, inv) callables for an EPSG code string, or None.
 
-    Supported: 326zz/327zz (UTM N/S on WGS84), 2154, 3978, 5070."""
+    Hand-verified entries in ``_NAMED`` take precedence (their numeric
+    paths are pinned by replay oracles); everything else resolves through
+    the parametric EPSG_PARAMS table (round 5) — UTM/MGA/Gauss-Krüger zone
+    families, SPCS83 Lambert zones, national TM grids."""
     if code in _NAMED:
         return _NAMED[code]
     if len(code) == 5 and code[:3] in ("326", "327"):
         zone = int(code[3:])
         if 1 <= zone <= 60:
             return _utm(zone, south=code[:3] == "327")
+    row = EPSG_PARAMS.get(code)
+    if row is not None:
+        key = f"epsg-built:{code}"
+        got = _BUILT_CACHE.get(key)
+        if got is None:
+            got = build_transform(CRSDef(**row))
+            _BUILT_CACHE[key] = got
+        return got
     return None

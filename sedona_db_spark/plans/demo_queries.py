@@ -1219,6 +1219,59 @@ def _oracle_transform_laea() -> str:
  FROM g""")
 
 
+def q_transform_spcs(spark, sf_dir):
+    """Parametric-EPSG-table tier (round 5): docs mapped into the SPCS83
+    California zone-5 window and transformed 4326 → EPSG:2229 — an entry
+    that exists ONLY as a parameter row (LCC 2SP on GRS80, US-survey-foot
+    axis units), exercising the data-driven registry the reference gets
+    from PROJ's proj.db (c/sedona-proj/src/st_transform.rs:41).  Output
+    floor-quantized to whole ftUS."""
+    from sedona_db_spark.functions.scalar import st_point, st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir)
+    lon_m = F.lit(-121.0) + (F.col("lon") + 180.0) / 360.0 * 7.0
+    lat_m = F.lit(32.6) + (F.col("lat") + 90.0) / 180.0 * 3.6
+    pt = st_point(lon_m, lat_m)
+    t = st_transform(pt, F.lit("EPSG:4326"), F.lit("EPSG:2229"))
+    return d.select(
+        "doc_id",
+        F.floor(st_x(t)).cast("long").alias("easting_ftus"),
+        F.floor(st_y(t)).cast("long").alias("northing_ftus"))
+
+
+def _oracle_transform_spcs() -> str:
+    """LCC 2SP forward (Snyder ch. 15 / EPSG 9802) in SQL with n/F/rho0
+    baked from the SAME python doubles as proj._lcc_consts, then the
+    metres → US-survey-foot axis conversion in the engine's op order
+    ((rho·sinθ + fe) / u); floor-to-foot absorbs libm ulps."""
+    from sedona_db_spark.geometry.proj import (EPSG_PARAMS, GRS80, US_FOOT,
+                                               _lcc_consts)
+    row = EPSG_PARAMS["2229"]
+    n, Fc, rho0 = _lcc_consts(GRS80, row["lat0"], row["sp1"], row["sp2"])
+
+    def D(v: float) -> str:     # bare literals parse as DECIMAL in DuckDB
+        return f"CAST({v!r} AS DOUBLE)"
+    a, e = D(GRS80.a), D(GRS80.e)
+    fe, fn, u = D(row["fe"]), D(row["fn"]), D(US_FOOT)
+    lam0 = D(math.radians(row["lon0"]))
+    t = (f"(tan(pi() / 4 - phi / 2) / POWER((1 - {e} * sin(phi))"
+         f" / (1 + {e} * sin(phi)), {e} / 2))")
+    rho = f"({a} * {D(Fc)} * POWER({t}, {D(n)}))"
+    theta = f"({D(n)} * (lam - {lam0}))"
+    x = f"(({rho} * sin({theta}) + {fe}) / {u})"
+    y = f"(({D(rho0)} - {rho} * cos({theta}) + {fn}) / {u})"
+    return (
+        _docs_cte() + """,
+ m AS (SELECT doc_id,
+       -121.0 + (lon + 180.0) / 360.0 * 7.0 AS lon_m,
+       32.6 + (lat + 90.0) / 180.0 * 3.6 AS lat_m FROM docs),
+ g AS (SELECT doc_id, radians(lat_m) AS phi, radians(lon_m) AS lam FROM m)
+ SELECT doc_id,
+   CAST(floor(""" + x + """) AS BIGINT) AS easting_ftus,
+   CAST(floor(""" + y + """) AS BIGINT) AS northing_ftus
+ FROM g""")
+
+
 # great-circle arc for the point→arc distance query (NYC → London)
 ARC_WKT = "LINESTRING (-74 40.7, -0.12 51.5)"
 
@@ -1620,6 +1673,7 @@ QUERIES = {
     "transform_3857": q_transform_3857,
     "transform_utm": q_transform_utm,
     "transform_osgb": q_transform_osgb,
+    "transform_spcs": q_transform_spcs,
     "transform_polar": q_transform_polar,
     "transform_laea": q_transform_laea,
     "azimuth_to_city": q_azimuth_to_city,
@@ -1666,6 +1720,7 @@ ORACLE_SQL = {
     "transform_3857": ORACLE_TRANSFORM,
     "transform_utm": _oracle_transform_utm(),
     "transform_osgb": _oracle_transform_osgb(),
+    "transform_spcs": _oracle_transform_spcs(),
     "transform_polar": _oracle_transform_polar(),
     "transform_laea": _oracle_transform_laea(),
     "azimuth_to_city": ORACLE_AZIMUTH,

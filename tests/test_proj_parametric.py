@@ -1,0 +1,188 @@
+"""Parametric EPSG table + PROJ-string parser (round 5).
+
+The reference resolves any CRS through PROJ (c/sedona-proj/src/
+st_transform.rs:41); docs/reference/sql/st_transform.qmd documents both
+accepted input forms — 'EPSG:nnnn' codes and raw PROJ strings.  These tests
+pin: (a) every parametric row round-trips fwd∘inv to 1e-7 degrees, (b) the
+docs' own EPSG:26910 example resolves, (c) PROJ strings compile to the same
+numbers as their EPSG rows, (d) published city coordinates land within
+survey tolerance for a spread of projection families/datums/units."""
+
+import numpy as np
+import pytest
+
+import sedona_db_spark.geometry.proj as P
+from sedona_db_spark.geometry.algos import transform_coords
+
+
+def _sample_lonlat(c: P.CRSDef):
+    if c.proj == "utm":
+        lon0 = c.zone * 6 - 183
+        lat0 = -30.0 if c.south else 40.0
+    else:
+        lon0 = c.lon0
+        lat0 = c.lat0 if abs(c.lat0) > 1 else (c.sp1 or 45.0)
+    lons = np.array([lon0 - 2.0, lon0, lon0 + 2.5])
+    lats = np.clip(np.array([lat0 - 2.0, lat0, lat0 + 2.0]), -85.0, 85.0)
+    return lons, lats
+
+
+@pytest.mark.parametrize("code", sorted(P.EPSG_PARAMS))
+def test_epsg_param_row_round_trips(code):
+    c = P.CRSDef(**P.EPSG_PARAMS[code])
+    fwd, inv = P.build_transform(c)
+    lons, lats = _sample_lonlat(c)
+    x, y = fwd(lons, lats)
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+    lo, la = inv(x, y)
+    dlon = (lo - lons + 180.0) % 360.0 - 180.0   # GK zones 31/32 wrap >180E
+    assert np.abs(dlon).max() < 1e-7
+    assert np.abs(la - lats).max() < 1e-7
+
+
+def test_docs_example_26910_resolves():
+    # docs/reference/sql/st_transform.qmd: ST_Transform(POINT(-122.35
+    # 47.65) @4326, 'EPSG:26910') — NAD83 / UTM zone 10N
+    out = transform_coords(np.array([[-122.35, 47.65]]), "EPSG:4326",
+                           "EPSG:26910")
+    # NAD83≈WGS84 null shift; zone-10 UTM of Seattle
+    assert out[0, 0] == pytest.approx(548814.03, abs=0.5)
+    assert out[0, 1] == pytest.approx(5277605.01, abs=0.5)
+
+
+def test_proj4_string_equals_epsg_row():
+    a = transform_coords(np.array([[-122.35, 47.65]]), "EPSG:4326",
+                         "EPSG:26910")
+    b = transform_coords(np.array([[-122.35, 47.65]]), "EPSG:4326",
+                         "+proj=utm +zone=10 +datum=NAD83 +units=m +no_defs")
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+
+
+def test_proj4_lcc_ftus_equals_epsg_2229():
+    p4 = ("+proj=lcc +lat_1=34.03333333333333 +lat_2=35.46666666666667 "
+          "+lat_0=33.5 +lon_0=-118 +x_0=2000000.0001016 +y_0=500000.0001016"
+          " +datum=NAD83 +units=us-ft +no_defs")
+    pt = np.array([[-118.2437, 34.0522]])
+    a = transform_coords(pt, "4326", "EPSG:2229")
+    b = transform_coords(pt, "4326", p4)
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-3)  # x_0 rounding, ft
+
+
+@pytest.mark.parametrize("code,lonlat,expected,tol", [
+    # LA City Hall — SPCS83 CA zone 5, US survey feet
+    ("EPSG:2229", (-118.2437, 34.0522), (6487847.0, 1841468.3), 15.0),
+    # Empire State Building — SPCS83 NY Long Island, ftUS
+    ("EPSG:2263", (-73.9857, 40.7484), (988212.2, 211939.3), 15.0),
+    # Paris — NTF Lambert II étendu (1SP + Clarke 1880 IGN + NTF shift)
+    ("EPSG:27572", (2.3522, 48.8566), (601152.3, 2428695.9), 30.0),
+    # Tokyo Station — JGD2011 Plane Rectangular CS IX (easting, northing)
+    ("EPSG:6677", (139.7671, 35.6812), (-5995.2, -35367.2), 5.0),
+    # Moscow — Pulkovo 1942 Gauss-Krüger zone 7 (Krassowsky + Helmert)
+    ("EPSG:28407", (37.6176, 55.7558), (7413326.9, 6182349.1), 60.0),
+    # Dublin O'Connell St — TM65 Irish Grid (Airy Modified + Helmert)
+    ("EPSG:29903", (-6.2603, 53.3498), (315900.6, 234671.4), 30.0),
+])
+def test_city_pins(code, lonlat, expected, tol):
+    out = transform_coords(np.array([lonlat], float), "4326", code)
+    assert out[0, 0] == pytest.approx(expected[0], abs=tol)
+    assert out[0, 1] == pytest.approx(expected[1], abs=tol)
+
+
+def test_ftus_units_consistency():
+    # ftUS row × US_FOOT == identical definition with to_meter=1
+    row = dict(P.EPSG_PARAMS["2229"])
+    fwd_ft, inv_ft = P.build_transform(P.CRSDef(**row))
+    row["to_meter"] = 1.0
+    fwd_m, _ = P.build_transform(P.CRSDef(**row))
+    lons = np.array([-119.0, -118.0, -117.2])
+    lats = np.array([33.8, 34.5, 35.1])
+    xf, yf = fwd_ft(lons, lats)
+    xm, ym = fwd_m(lons, lats)
+    np.testing.assert_allclose(xf * P.US_FOOT, xm, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(yf * P.US_FOOT, ym, rtol=0, atol=1e-6)
+    lo, la = inv_ft(xf, yf)
+    np.testing.assert_allclose(lo, lons, atol=1e-9)
+    np.testing.assert_allclose(la, lats, atol=1e-9)
+
+
+def test_parametric_utm_matches_pattern_utm():
+    # EPSG_PARAMS["32633"] must be numerically identical to the legacy
+    # zone-pattern path (same kernel, same constants)
+    fwd_t, _ = P.build_transform(P.CRSDef(**P.EPSG_PARAMS["32633"]))
+    fwd_p, _ = P.projection_for("32633")
+    lons = np.array([13.0, 15.0, 16.5]); lats = np.array([40.0, 48.0, 55.0])
+    np.testing.assert_allclose(fwd_t(lons, lats), fwd_p(lons, lats),
+                               rtol=0, atol=0)
+
+
+def test_webmerc_proj4_equals_3857_hub():
+    pt = np.array([[12.4924, 41.8902]])
+    a = transform_coords(pt, "4326", "EPSG:3857")
+    b = transform_coords(pt, "4326",
+                         "+proj=webmerc +datum=WGS84 +no_defs")
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_longlat_towgs84_matches_named_ed50():
+    # +proj=utm on intl ellipsoid + ED50 mean shift == named 23031
+    pt = np.array([[2.1686, 41.3874]])   # Barcelona
+    a = transform_coords(pt, "4326", "EPSG:23031")
+    b = transform_coords(
+        pt, "4326",
+        "+proj=utm +zone=31 +ellps=intl +towgs84=-87,-98,-121 +units=m")
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_merc_lat_ts_scale():
+    f, i = P.build_transform(P.parse_proj4("+proj=merc +lat_ts=30"))
+    x, _ = f(np.array([10.0]), np.array([0.0]))
+    scale = P._merc_scale(P.WGS84, 30.0)
+    assert x[0] == pytest.approx(scale * P.WGS84.a * np.radians(10.0),
+                                 rel=1e-12)
+    lo, la = i(*f(np.array([12.3]), np.array([-44.5])))
+    assert lo[0] == pytest.approx(12.3, abs=1e-9)
+    assert la[0] == pytest.approx(-44.5, abs=1e-9)
+
+
+def test_polar_stereo_k0_variant_matches_ups():
+    # +proj=stere +lat_0=90 +k_0=0.994 +x_0/y_0=2e6 == EPSG:32661 (UPS N)
+    f, _ = P.build_transform(P.parse_proj4(
+        "+proj=stere +lat_0=90 +k_0=0.994 +lon_0=0 +x_0=2000000 "
+        "+y_0=2000000 +datum=WGS84"))
+    g, _ = P.projection_for("32661")
+    lons = np.array([-30.0, 0.0, 45.0]); lats = np.array([80.0, 85.0, 88.0])
+    np.testing.assert_allclose(f(lons, lats), g(lons, lats),
+                               rtol=0, atol=1e-6)
+
+
+def test_albers_southern_cone_inverse():
+    # regression: Snyder sign reversal for n < 0 (Australian Albers 3577)
+    fwd, inv = P.projection_for("3577")
+    lons = np.array([115.0, 133.0, 151.0])
+    lats = np.array([-34.0, -20.0, -28.5])
+    lo, la = inv(*fwd(lons, lats))
+    np.testing.assert_allclose(lo, lons, atol=1e-8)
+    np.testing.assert_allclose(la, lats, atol=1e-8)
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        P.parse_proj4("+lat_0=50")                       # no +proj
+    with pytest.raises(ValueError):
+        P.parse_proj4("+proj=omerc +lat_0=4")            # family unsupported
+    with pytest.raises(ValueError):
+        P.parse_proj4("+proj=utm +zone=10 +frobnicate=1")
+    with pytest.raises(ValueError):
+        # oblique stereographic is rejected at build time
+        P.build_transform(P.parse_proj4("+proj=stere +lat_0=52 +lon_0=5"))
+    with pytest.raises(ValueError):
+        P.build_transform(P.parse_proj4("+proj=utm"))    # zone missing
+    with pytest.raises(ValueError):
+        P.parse_proj4("+proj=utm +zone=10 +units=parsec")
+    assert P.resolve_crs("EPSG:999999") is None
+
+
+def test_named_entries_still_take_precedence():
+    # hand-verified rows (oracle-pinned) must keep their exact numeric path
+    assert P.projection_for("27700") is P._NAMED["27700"]
+    assert P.projection_for("2154") is P._NAMED["2154"]

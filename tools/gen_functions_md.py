@@ -13,7 +13,7 @@ REF_DOCS = "/root/reference/docs/reference/sql"
 
 NOTES = {
     # ---- ◐ partial: documented approximation or subset -------------------
-    "st_transform": "4326/CRS84 ↔ 3857, UTM 326zz/327zz + NZTM 2193 (TM series), Lambert-93 2154, Canada LCC 3978, CONUS Albers 5070, polar stereographic 3413/3031, LAEA Europe 3035, sinusoidal 54008, World Mercator 3395 (ellipsoidal), UPS 32661/32761 (EPSG worked-example exact), and — round-4 Helmert datum-shift tier (EPSG 9606 position vector, OS/EPSG worked-example exact) — OSGB36 27700 (Airy), DHDN Gauss-Krüger 31466-31469 (Bessel), ED50/UTM 23028-23038 (International 1924); any pair via a 4326 hub (geometry/proj.py); reference: PROJ, any CRS",
+    "st_transform": "round 5: parameterized EPSG table (300+ codes — WGS84/ETRS89/NAD83/NAD27/SIRGAS-2000 UTM, GDA94+GDA2020 MGA, Pulkovo-1942 Gauss-Krüger 4-32, Japan Plane Rectangular I-XIX, SPCS83 Lambert zones incl. US-survey-foot axes, national TM/LCC grids) PLUS any '+proj=...' PROJ string (longlat/utm/tmerc/lcc/lcc1sp/aea/polar-stere/laea/merc/webmerc/sinu/ups with +towgs84/+datum/+units/+to_meter) — the two CRS input forms the reference's ST_Transform accepts (st_transform.qmd); hand-verified named entries (3857, NZTM, 2154, 3978, 5070, 3413/3031, 3035, 54008, 3395, UPS, and the Helmert datum tier 27700/31466-69/23028-38, worked-example exact) keep pinned numeric paths; any pair via a 4326 hub (geometry/proj.py); remaining gap vs PROJ: grid-shift datums (NADCON/NTv2) fall back to EPSG mean Helmert, oblique projections (omerc/krovak/somerc) unsupported",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); use operators.knn_join",
     "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical tier via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere (any geometry) + ST_IntersectsSphere/ST_ContainsSphere/ST_DWithinSphere (geometry/sphere.py great-circle kernels; round-4 hardening: pole/dateline/antipodal property suite, degenerate-ray and duplicate-vertex guards — hemisphere-fitting rings remain the documented scope vs S2 full-sphere)",
     "st_geogfromwkt": "alias of ST_GeomFromText (same spherical tier as ST_GeogFromWKB)",
