@@ -593,6 +593,44 @@ def st_lengthsphere(b: pd.Series) -> pd.Series:
                       for g in _decode_series(b)])
 
 
+@pandas_udf(BooleanType())
+def st_intersectssphere_oriented(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    """Full-sphere (S2-semantics) spherical ST_Intersects: polygon
+    interiors are the regions LEFT of their directed rings, so
+    larger-than-hemisphere interiors and polar caps are expressible —
+    s2geography's oriented=true reading (the reference's default reading
+    normalizes to the smaller region, which ST_IntersectsSphere mirrors).
+    """
+    from sedona_db_spark.geometry import sphere as SPH
+    return pd.Series([
+        None if g1 is None or g2 is None
+        else SPH.geog_intersects(g1, g2, oriented=True)
+        for g1, g2 in zip(_decode_series(b1), _decode_series(b2))])
+
+
+@pandas_udf(BooleanType())
+def st_containssphere_oriented(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    """Full-sphere spherical covers-style containment (oriented rings)."""
+    from sedona_db_spark.geometry import sphere as SPH
+    return pd.Series([
+        None if g1 is None or g2 is None
+        else SPH.geog_contains(g1, g2, oriented=True)
+        for g1, g2 in zip(_decode_series(b1), _decode_series(b2))])
+
+
+@pandas_udf(DoubleType())
+def st_areasphere_oriented(b: pd.Series) -> pd.Series:
+    """Full-sphere geodesic area: each ring contributes the area LEFT of
+    its direction (mod 4πR²) — a clockwise ring yields the world-minus-cap
+    complement the smallest-polygon rule cannot represent."""
+    return pd.Series([np.nan if g is None
+                      else A.spherical_area_m2(g, oriented=True)
+                      for g in _decode_series(b)])
+
+
 UDFS2["ST_AreaSphere"] = st_areasphere
 UDFS2["ST_LengthSphere"] = st_lengthsphere
 UDFS2["ST_PerimeterSphere"] = st_lengthsphere
+UDFS2["ST_IntersectsSphereOriented"] = st_intersectssphere_oriented
+UDFS2["ST_ContainsSphereOriented"] = st_containssphere_oriented
+UDFS2["ST_AreaSphereOriented"] = st_areasphere_oriented

@@ -671,22 +671,46 @@ def spherical_ring_area_m2(ring: np.ndarray) -> float:
     return float(s) * EARTH_RADIUS_M ** 2 / 2.0
 
 
-def spherical_area_m2(g) -> float:
-    """Geodesic (mean-sphere) area in m² of polygonal geometries."""
+def spherical_area_m2(g, oriented: bool = False) -> float:
+    """Geodesic (mean-sphere) area in m² of polygonal geometries.
+
+    Default: smallest-polygon rule (|outer| − Σ|holes|), matching the
+    non-oriented reading the reference's s2geography layer defaults to.
+    ``oriented=True`` is the S2 full-sphere tier: each ring contributes
+    the area of the region to its LEFT, i.e. −(line integral) reduced
+    mod 4πR² — a clockwise ring yields the larger-than-hemisphere
+    complement (world-minus-cap), CCW-shell + CW-holes reduce to
+    shell − holes exactly as in the default."""
     if g is None:
         return float("nan")
     name, p = g
     if name == "Polygon":
         if not p:
             return 0.0
-        a = abs(spherical_ring_area_m2(p[0]))
+        if oriented:
+            sphere = 4.0 * np.pi * EARTH_RADIUS_M ** 2
+            s = -spherical_ring_area_m2(p[0]) % sphere
+            for hole in p[1:]:
+                s += -spherical_ring_area_m2(hole) % sphere - sphere
+            return max(s, 0.0)
+        sphere = 4.0 * np.pi * EARTH_RADIUS_M ** 2
+
+        def smallest(r: np.ndarray) -> float:
+            # uniform smallest-region rule: the raw line integral of a
+            # pole-enclosing ring carries a 4π ambiguity (it measures the
+            # area south of the curve), so reduce mod 4πR² and take the
+            # smaller side — consistent with the default containment rule
+            m = abs(spherical_ring_area_m2(r)) % sphere
+            return min(m, sphere - m)
+        a = smallest(p[0])
         for hole in p[1:]:
-            a -= abs(spherical_ring_area_m2(hole))
+            a -= smallest(hole)
         return a
     if name == "MultiPolygon":
-        return sum(spherical_area_m2(("Polygon", rings)) for rings in p)
+        return sum(spherical_area_m2(("Polygon", rings), oriented)
+                   for rings in p)
     if name == "GeometryCollection":
-        return sum(spherical_area_m2(q) for q in p)
+        return sum(spherical_area_m2(q, oriented) for q in p)
     return 0.0
 
 

@@ -113,16 +113,51 @@ def _outside_ref(ring_v: np.ndarray) -> np.ndarray:
     return _norm(q + 0.04567 * _norm(t))
 
 
-def point_in_spherical_ring(p: np.ndarray, ring_v: np.ndarray) -> bool:
+def _left_witness(ring_v: np.ndarray) -> np.ndarray:
+    """A point just inside the LEFT region of the directed ring: the
+    midpoint of the longest edge, nudged ~0.64 m left of the travel
+    direction (left of travel τ at m is m×τ — τ rotated +90° about m).
+    Valid as long as the left region is locally thicker than the nudge at
+    that midpoint (documented tolerance of the oriented tier)."""
+    a = ring_v
+    b = np.roll(ring_v, -1, axis=0)
+    i = int(np.argmax(arc_angle(a, b)))
+    m = _norm(a[i] + b[i])
+    tau = _norm(b[i] - m * float(np.dot(m, b[i])))
+    return _norm(m + 1e-7 * np.cross(m, tau))
+
+
+def _left_contains_ref(ring_v: np.ndarray, q: np.ndarray) -> bool:
+    """Whether the parity reference point q lies in the directed ring's
+    LEFT region — decided once per ring by crossing-parity against the
+    left witness, so every per-point query can reuse the (vectorized)
+    parity kernels regardless of how large the interior is."""
+    w = _left_witness(ring_v)
+    if arc_angle(w[None, :], q[None, :])[0] < 1e-12:
+        return True
+    a = ring_v
+    b = np.roll(ring_v, -1, axis=0)
+    crossings = sum(arcs_cross(w, q, a[i], b[i]) for i in range(len(a)))
+    return crossings % 2 == 0
+
+
+def point_in_spherical_ring(p: np.ndarray, ring_v: np.ndarray,
+                            oriented: bool = False) -> bool:
     """Containment of unit vector p in the spherical polygon bounded by
     ring_v (closed implicitly); boundary points count inside.
 
-    Crossing parity along the minor arc from p to a reference point known
-    to be OUTSIDE: the antipode of the ring's centroid direction.  Assumes
-    the polygon fits in a hemisphere (the standard geography-lite
-    interpretation — BigQuery GEOGRAPHY's smallest-polygon rule makes the
-    same choice); a winding-angle sum cannot distinguish p from its
-    antipode, which broke antipodal test points."""
+    Crossing parity along the minor arc from p to a reference point q (the
+    nudged antipode of the ring's centroid direction).  Default mode takes
+    q to be OUTSIDE — the smallest-polygon rule (the reference's own
+    default: s2geography's WKT/WKB readers run with oriented=false and
+    normalize to the smaller region; BigQuery GEOGRAPHY does the same), so
+    the polygon must fit in a hemisphere.  ``oriented=True`` is the
+    S2/full-sphere tier: the interior is the region to the LEFT of the
+    directed ring (larger-than-hemisphere interiors and polar caps
+    included) — q's own side is then determined per ring via
+    _left_contains_ref instead of being assumed.  A winding-angle sum
+    cannot distinguish p from its antipode, which is why both modes stay
+    on crossing parity."""
     a = ring_v
     b = np.roll(ring_v, -1, axis=0)
     # boundary tolerance ~1 mm
@@ -130,10 +165,11 @@ def point_in_spherical_ring(p: np.ndarray, ring_v: np.ndarray) -> bool:
         if point_arc_dist_m(p[None, :], a[i], b[i])[0] < 1e-3:
             return True
     q = _outside_ref(ring_v)
+    q_in = _left_contains_ref(ring_v, q) if oriented else False
     if arc_angle(p[None, :], q[None, :])[0] < 1e-12:
-        return False  # p IS the outside reference point
+        return q_in  # p IS the reference point
     crossings = sum(arcs_cross(p, q, a[i], b[i]) for i in range(len(a)))
-    return crossings % 2 == 1
+    return (crossings % 2 == 1) != q_in
 
 
 def _geom_arcs(g):
@@ -167,8 +203,15 @@ def _geom_points(g) -> np.ndarray | None:
     return unit_vecs(c[:, 0], c[:, 1])
 
 
-def point_in_geog(p: np.ndarray, g) -> bool:
-    """Unit vector p inside/on geometry g under spherical semantics."""
+def point_in_geog(p: np.ndarray, g, oriented: bool = False) -> bool:
+    """Unit vector p inside/on geometry g under spherical semantics.
+
+    ``oriented=True`` (S2 tier): every ring's interior is the region to
+    its LEFT, and a polygon's interior is the intersection of its rings'
+    left regions — an outer CCW shell with CW holes reproduces shell-minus-
+    holes, while a single CW ring expresses the larger-than-hemisphere
+    complement (e.g. world-minus-cap), which the default smallest-polygon
+    rule cannot represent."""
     name, payload = g
     if name == "Point":
         return bool(arc_angle(p[None, :], unit_vecs(
@@ -183,14 +226,19 @@ def point_in_geog(p: np.ndarray, g) -> bool:
         rings = payload
         if not rings:
             return False
+        if oriented:
+            return all(point_in_spherical_ring(p, _ring_vecs(r),
+                                               oriented=True)
+                       for r in rings)
         if not point_in_spherical_ring(p, _ring_vecs(rings[0])):
             return False
         return not any(point_in_spherical_ring(p, _ring_vecs(h))
                        and not _on_ring_boundary(p, h) for h in rings[1:])
     if name == "MultiPolygon":
-        return any(point_in_geog(p, ("Polygon", rings)) for rings in payload)
+        return any(point_in_geog(p, ("Polygon", rings), oriented)
+                   for rings in payload)
     if name == "GeometryCollection":
-        return any(point_in_geog(p, q) for q in payload)
+        return any(point_in_geog(p, q, oriented) for q in payload)
     return False
 
 
@@ -200,14 +248,19 @@ def _on_ring_boundary(p: np.ndarray, ring: np.ndarray) -> bool:
                for i in range(len(v)))
 
 
-def geog_intersects(g1, g2) -> bool:
-    """Spherical ST_Intersects for Point/Line/Polygon combos."""
+def geog_intersects(g1, g2, oriented: bool = False) -> bool:
+    """Spherical ST_Intersects for Point/Line/Polygon combos.
+
+    oriented=True evaluates polygon interiors under the S2 full-sphere
+    rule (region left of each directed ring) instead of the default
+    smallest-polygon rule."""
     if g1 is None or g2 is None:
         return False
     for a, b in ((g1, g2), (g2, g1)):
         if a[0] in ("Point", "MultiPoint"):
             pts = _geom_points(a)
-            return pts is not None and any(point_in_geog(p, b) for p in pts)
+            return pts is not None and any(point_in_geog(p, b, oriented)
+                                           for p in pts)
     arcs1, arcs2 = _geom_arcs(g1), _geom_arcs(g2)
     for a, b in arcs1:
         for c, d in arcs2:
@@ -215,14 +268,14 @@ def geog_intersects(g1, g2) -> bool:
                 return True
     # containment without boundary crossing
     p1, p2 = _geom_points(g1), _geom_points(g2)
-    if p1 is not None and len(p1) and point_in_geog(p1[0], g2):
+    if p1 is not None and len(p1) and point_in_geog(p1[0], g2, oriented):
         return True
-    if p2 is not None and len(p2) and point_in_geog(p2[0], g1):
+    if p2 is not None and len(p2) and point_in_geog(p2[0], g1, oriented):
         return True
     return False
 
 
-def geog_contains(g1, g2) -> bool:
+def geog_contains(g1, g2, oriented: bool = False) -> bool:
     """Spherical covers-style containment: every vertex of g2 inside g1
     and no boundary crossing (boundary-inclusive, i.e. ST_Covers)."""
     if g1 is None or g2 is None or g1[0] not in ("Polygon", "MultiPolygon"):
@@ -230,14 +283,14 @@ def geog_contains(g1, g2) -> bool:
     pts = _geom_points(g2)
     if pts is None or not len(pts):
         return False
-    if not all(point_in_geog(p, g1) for p in pts):
+    if not all(point_in_geog(p, g1, oriented) for p in pts):
         return False
     if g2[0] in ("Point", "MultiPoint"):
         return True
     # edge midpoints must stay inside; boundary arcs must not properly cross
     for c, d in _geom_arcs(g2):
         mid = _norm((c + d) / 2.0)
-        if not point_in_geog(mid, g1):
+        if not point_in_geog(mid, g1, oriented):
             return False
     return True
 
@@ -273,31 +326,40 @@ def _arcs_cross_vec(p: np.ndarray, q: np.ndarray, a: np.ndarray,
     return out
 
 
-def points_in_spherical_polygon(p: np.ndarray, rings: list) -> np.ndarray:
+def points_in_spherical_polygon(p: np.ndarray, rings: list,
+                                oriented: bool = False) -> np.ndarray:
     """Vectorized point-in-spherical-polygon over unit vectors p (n, 3):
-    crossing parity along the arc to each ring's outside reference point
-    (antipode of the ring centroid — see point_in_spherical_ring)."""
-    def ring_parity(ring_v: np.ndarray) -> np.ndarray:
+    crossing parity along the arc to each ring's reference point (antipode
+    of the ring centroid — see point_in_spherical_ring).  oriented=True is
+    the S2 full-sphere tier: interior = ∩ of the rings' LEFT regions."""
+    def ring_parity(ring_v: np.ndarray, want_left: bool) -> np.ndarray:
         a = ring_v
         b = np.roll(ring_v, -1, axis=0)
         q = _outside_ref(ring_v)
+        q_in = _left_contains_ref(ring_v, q) if want_left else False
         crossings = np.zeros(len(p), dtype=np.int64)
         for i in range(len(a)):
             crossings += _arcs_cross_vec(p, q, a[i], b[i])
-        parity = crossings % 2 == 1
-        # p coinciding with the reference point is outside by construction
-        parity[arc_angle(p, q[None, :]) < 1e-12] = False
+        parity = (crossings % 2 == 1) != q_in
+        # p coinciding with the reference point takes q's own side
+        parity[arc_angle(p, q[None, :]) < 1e-12] = q_in
         return parity
 
     if not rings:
         return np.zeros(len(p), dtype=bool)
-    inside = ring_parity(_ring_vecs(rings[0]))
+    if oriented:
+        inside = ring_parity(_ring_vecs(rings[0]), True)
+        for r in rings[1:]:
+            inside &= ring_parity(_ring_vecs(r), True)
+        return inside
+    inside = ring_parity(_ring_vecs(rings[0]), False)
     for h in rings[1:]:
-        inside &= ~ring_parity(_ring_vecs(h))
+        inside &= ~ring_parity(_ring_vecs(h), False)
     return inside
 
 
-def _ring_member_vec(p: np.ndarray, ring: np.ndarray):
+def _ring_member_vec(p: np.ndarray, ring: np.ndarray,
+                     oriented: bool = False):
     """Vectorized point_in_spherical_ring over unit vectors p (n, 3).
     Returns (member, on_boundary) so polygon hole semantics can mirror the
     scalar kernel (hole interior excludes, hole boundary stays inside)."""
@@ -308,15 +370,17 @@ def _ring_member_vec(p: np.ndarray, ring: np.ndarray):
     for i in range(len(a)):
         onb |= point_arc_dist_m(p, a[i], b[i]) < 1e-3
     q = _outside_ref(v)
+    q_in = _left_contains_ref(v, q) if oriented else False
     crossings = np.zeros(len(p), dtype=np.int64)
     for i in range(len(a)):
         crossings += _arcs_cross_vec(p, q, a[i], b[i])
-    parity = crossings % 2 == 1
-    parity[arc_angle(p, q[None, :]) < 1e-12] = False
+    parity = (crossings % 2 == 1) != q_in
+    parity[arc_angle(p, q[None, :]) < 1e-12] = q_in
     return onb | parity, onb
 
 
-def points_in_geog(px: np.ndarray, py: np.ndarray, g) -> np.ndarray:
+def points_in_geog(px: np.ndarray, py: np.ndarray, g,
+                   oriented: bool = False) -> np.ndarray:
     """Vectorized point_in_geog over lon/lat arrays — agrees row-for-row
     with the scalar kernel so the broadcast join refine and the generic
     pairwise st_intersectssphere refine produce identical results."""
@@ -341,6 +405,12 @@ def points_in_geog(px: np.ndarray, py: np.ndarray, g) -> np.ndarray:
         rings = payload
         if not rings:
             return np.zeros(len(p), dtype=bool)
+        if oriented:
+            inside, _ = _ring_member_vec(p, rings[0], oriented=True)
+            for r in rings[1:]:
+                mr, _ = _ring_member_vec(p, r, oriented=True)
+                inside &= mr
+            return inside
         inside, _ = _ring_member_vec(p, rings[0])
         for h in rings[1:]:
             mh, onb_h = _ring_member_vec(p, h)
@@ -349,12 +419,12 @@ def points_in_geog(px: np.ndarray, py: np.ndarray, g) -> np.ndarray:
     if name == "MultiPolygon":
         out = np.zeros(len(p), dtype=bool)
         for rings in payload:
-            out |= points_in_geog(px, py, ("Polygon", rings))
+            out |= points_in_geog(px, py, ("Polygon", rings), oriented)
         return out
     if name == "GeometryCollection":
         out = np.zeros(len(p), dtype=bool)
         for q in payload:
-            out |= points_in_geog(px, py, q)
+            out |= points_in_geog(px, py, q, oriented)
         return out
     return np.zeros(len(p), dtype=bool)
 
