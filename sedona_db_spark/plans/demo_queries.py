@@ -148,6 +148,59 @@ def q_pip_count_by_nation(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+# --- icetable read-through (round-5 VERDICT gap #3) ------------------------
+# The north-rule input is "an Iceberg table of Common-Crawl-style web
+# pages": this query routes the driver's own correctness gate THROUGH the
+# Iceberg-analogue scan (sources/icetable.py) — manifest-level bbox file
+# pruning, pushed covering row-group predicates, exact refine — instead of
+# a bare parquet read.  The ingest clusters files by longitude ranges so
+# the manifest actually prunes (the 100 TB layout: spatially-clustered
+# data files + metadata pruning before the scan lists a single file).
+
+_ICE_TABLES: dict[str, str] = {}
+ICE_BBOX = (-30.0, 30.0, 40.0, 72.0)      # Europe-ish query window
+
+
+def _ice_docs_path(spark, sf_dir) -> str:
+    import os
+    import tempfile
+    key = os.path.abspath(sf_dir)
+    path = _ICE_TABLES.get(key)
+    if path is None or not os.path.exists(
+            os.path.join(path, "metadata", "version-hint.text")):
+        from sedona_db_spark.sources import icetable
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="sedona_ice_docs_"), "t")
+        docs = doc_points(spark, sf_dir).select("doc_id", "lon", "lat",
+                                                "geom")
+        icetable.create(spark, path, docs.repartitionByRange(8, "lon"),
+                        geom_col="geom", res=4)
+        _ICE_TABLES[key] = path
+    return path
+
+
+def q_ice_pip_count(spark, sf_dir):
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import icetable
+    pts = icetable.read(spark, _ice_docs_path(spark, sf_dir), bbox=ICE_BBOX)
+    rects = nation_rects(spark, sf_dir)
+    j = spatial_join(pts.select("doc_id", "lon", "lat", "geom"), rects,
+                     "coveredby", "inner",
+                     left_geom="geom", right_geom="geom")
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("doc_id").cast("long").alias("chk"))
+
+
+ORACLE_ICE_PIP_COUNT = (
+    _docs_cte() + ", " + _rects_cte() +
+    " SELECT r.n_name, count(*) AS cnt, CAST(SUM(d.doc_id) AS BIGINT) AS chk"
+    " FROM docs d JOIN rects r"
+    " ON d.lon BETWEEN r.lon0 AND r.lon1 AND d.lat BETWEEN r.lat0 AND r.lat1"
+    " WHERE d.lon BETWEEN -30.0 AND 40.0 AND d.lat BETWEEN 30.0 AND 72.0"
+    " GROUP BY r.n_name")
+
+
 ORACLE_PIP_COUNT = (
     _docs_cte() + ", " + _rects_cte() +
     " SELECT r.n_name, count(*) AS cnt FROM docs d JOIN rects r "
@@ -1648,6 +1701,7 @@ QUERIES = {
     "pip_pairs": q_pip_pairs,
     "pip_hex_pairs": q_pip_hex_pairs,
     "pip_count_by_nation": q_pip_count_by_nation,
+    "ice_pip_count": q_ice_pip_count,
     "pip_exists_mark": q_pip_exists_mark,
     "touches_pairs": q_touches_pairs,
     "dwithin_pairs": q_dwithin_pairs,
@@ -1695,6 +1749,7 @@ ORACLE_SQL = {
     "pip_pairs": ORACLE_PIP_PAIRS,
     "pip_hex_pairs": ORACLE_PIP_HEX,
     "pip_count_by_nation": ORACLE_PIP_COUNT,
+    "ice_pip_count": ORACLE_ICE_PIP_COUNT,
     "pip_exists_mark": ORACLE_PIP_MARK,
     "touches_pairs": ORACLE_TOUCHES,
     "dwithin_pairs": ORACLE_DWITHIN,

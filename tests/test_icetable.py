@@ -118,3 +118,54 @@ def test_schema_survives_in_metadata(spark, tmp_path):
         f".metadata.json")))
     names = [f["name"] for f in meta["schema"]["fields"]]
     assert "geom" in names and meta["geometry-column"] == "geom"
+
+
+def test_driver_query_path_reads_through_icetable_and_prunes(spark):
+    """The round-5 driver query ice_pip_count ingests documents into an
+    icetable clustered by longitude ranges; the Europe query window must
+    prune whole files at the MANIFEST (before Spark lists anything), and
+    the read-through result must equal the bare-parquet equivalent."""
+    from sedona_db_spark.plans.demo_queries import (ICE_BBOX, _ice_docs_path,
+                                                    doc_points)
+    sf_dir = "/root/testdata/sf0.001"
+    path = _ice_docs_path(spark, sf_dir)
+    scan = I.scan_files(path, bbox=ICE_BBOX)
+    assert scan["files_pruned"] > 0, "lon-range clustering must let the " \
+        "manifest bbox stats drop files for a window query"
+    assert scan["rows_after_prune"] < scan["rows_total"]
+    got = sorted(r.doc_id for r in I.read(spark, path, bbox=ICE_BBOX)
+                 .select("doc_id").collect())
+    xmin, ymin, xmax, ymax = ICE_BBOX
+    want = sorted(r.doc_id for r in doc_points(spark, sf_dir).where(
+        (F.col("lon") >= xmin) & (F.col("lon") <= xmax)
+        & (F.col("lat") >= ymin) & (F.col("lat") <= ymax)).collect())
+    assert got == want and len(want) > 0
+
+
+def test_expire_order_metadata_commits_before_file_deletes(spark, tmp_path,
+                                                           monkeypatch):
+    """Round-4 ADVICE: a crash between expire's metadata commit and its
+    file deletions must leave a table whose committed metadata references
+    only live files (Iceberg's expire order).  Simulate the crash by
+    failing the first os.remove."""
+    path = str(tmp_path / "t8")
+    I.create(spark, path, _pts(spark, 20, seed=21))
+    I.overwrite(spark, path, _pts(spark, 6, seed=22))
+
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def boom(p):
+        calls["n"] += 1
+        raise OSError("simulated crash during expire file deletion")
+
+    monkeypatch.setattr(os, "remove", boom)
+    with pytest.raises(OSError):
+        I.expire_snapshots(path, keep_last=1)
+    monkeypatch.setattr(os, "remove", real_remove)
+    assert calls["n"] >= 1
+    # metadata already committed: snapshot 1 is gone from history...
+    with pytest.raises(KeyError):
+        I.read(spark, path, snapshot_id=1)
+    # ...and the CURRENT snapshot still reads fine (no dangling refs)
+    assert I.read(spark, path).count() == 6
