@@ -117,13 +117,29 @@ def _fillet_pts(cx: float, cy: float, r: float, a0: float, a1: float,
              cy + r * math.sin(a0 + f * i * inc)) for i in range(nsegs)]
 
 
+_CIRCLE_TMPL: dict[int, np.ndarray] = {}
+
+
+def circle_template(quad_segs: int) -> np.ndarray:
+    """Closed CCW unit-circle ring at the origin (GEOS createCircle vertex
+    angles), cached per quad_segs — every point buffer is this template
+    scaled + translated, so batches of point buffers cost one numpy
+    broadcast instead of 4·quad_segs trig calls per geometry."""
+    t = _CIRCLE_TMPL.get(quad_segs)
+    if t is None:
+        pts = _fillet_pts(0.0, 0.0, 1.0, 0.0, -2.0 * math.pi, True,
+                          quad_segs)
+        t = np.array(pts + [pts[0]], dtype=np.float64)[::-1].copy()
+        _CIRCLE_TMPL[quad_segs] = t
+    return t
+
+
 def _circle_ring(cx: float, cy: float, r: float, quad_segs: int) -> np.ndarray:
     """GEOS createCircle: start at (cx+r, cy), sweep clockwise 2*pi —
     a regular 4*quad_segs-gon inscribed in the circle (so ST_Area matches
-    the reference's point-buffer rows bit-for-float)."""
-    pts = _fillet_pts(cx, cy, r, 0.0, -2.0 * math.pi, True, quad_segs)
-    ring = np.array(pts + [pts[0]], dtype=np.float64)
-    return ring[::-1].copy()  # normalize CCW (orientation-agnostic overlay)
+    the reference's point-buffer rows bit-for-float; cx + r·cosθ is
+    float-identical to the pre-template per-vertex construction)."""
+    return circle_template(quad_segs) * r + np.array([cx, cy])
 
 
 def _square_ring(cx: float, cy: float, r: float) -> np.ndarray:
