@@ -90,14 +90,22 @@ def raster_vector_join(tiles: DataFrame, vectors: DataFrame,
     t = (tiles.withColumn("__tx0", tx0).withColumn("__ty0", ty0)
               .withColumn("__tx1", tx1).withColumn("__ty1", ty1))
 
-    # pin ids so the collected geometry map and the JVM payload join see
-    # the identical assignment (localCheckpoint, not best-effort persist)
-    right_i = (vectors.withColumn("__ridx", F.monotonically_increasing_id())
-               .localCheckpoint(eager=True))
-    geo_rows = right_i.select("__ridx", geom_col).collect()
-    r_geoms = {int(r["__ridx"]):
-               (None if r[geom_col] is None else W.decode(bytes(r[geom_col])))
-               for r in geo_rows}
+    # ONE driver collect of the dimension side (round-5 perf fix: the old
+    # path eagerly localCheckpoint-ed vectors to pin executor-generated
+    # ids, then collected the geometry column — two serialized jobs before
+    # any work).  Ids are now assigned in driver order over the single
+    # collected row set, and the broadcast payload side is rebuilt from
+    # those same rows, so id consistency is structural, not checkpointed.
+    from pyspark.sql.types import LongType, StructField, StructType
+    vec_rows = vectors.collect()
+    r_geoms = {i: (None if row[geom_col] is None
+                   else W.decode(bytes(row[geom_col])))
+               for i, row in enumerate(vec_rows)}
+    spark0 = tiles.sparkSession
+    right_i = spark0.createDataFrame(
+        [(i, *row) for i, row in enumerate(vec_rows)],
+        schema=StructType([StructField("__ridx", LongType(), False),
+                           *vectors.schema.fields]))
     all_rect = (any(g is not None for g in r_geoms.values())
                 and all(g is None or _is_axis_rect(g) for g in r_geoms.values()))
 
