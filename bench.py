@@ -35,6 +35,10 @@ HEADLINE = [
     "pip_pairs", "pip_hex_pairs", "pip_count_by_nation", "knn_pairs",
     "dwithin_pairs", "dwithin_sphere_pairs",
     "tile_assignments", "geocode_cells",
+    # round 5: Iceberg-analogue read-through (manifest pruning + PIP), the
+    # parametric-EPSG transform tier (LCC 2SP, ftUS axis units), and the
+    # batched buffer/area pipeline
+    "ice_pip_count", "transform_spcs", "buffer_point_areas",
     # training-data ops
     "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "ann_topk", "token_counts", "quality_scores",

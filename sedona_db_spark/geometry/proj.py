@@ -882,6 +882,14 @@ def build_transform(c: CRSDef):
 
         def inv0(x, y):
             return sinu_inv(x, y, c.lon0, c.fe, c.fn, ell)
+    elif p == "somerc":
+        kk = 1.0 if k0 is None else k0
+
+        def fwd0(lon, lat):
+            return somerc_fwd(lon, lat, c.lon0, c.lat0, kk, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return somerc_inv(x, y, c.lon0, c.lat0, kk, c.fe, c.fn, ell)
     elif p == "longlat":
         def fwd0(lon, lat):
             return (np.asarray(lon, np.float64).copy(),
@@ -1080,7 +1088,8 @@ def parse_proj4(s: str) -> CRSDef:
         raise ValueError(f"PROJ string missing +proj=: {s!r}")
     proj = _PROJ_ALIASES.get(kv2["proj"], kv2["proj"])
     if proj not in ("longlat", "utm", "tmerc", "lcc", "lcc1sp", "aea",
-                    "stere", "laea", "merc", "webmerc", "sinu", "ups"):
+                    "stere", "laea", "merc", "webmerc", "sinu", "ups",
+                    "somerc"):
         raise ValueError(f"unsupported projection family '+proj={proj}'")
     ellps = "WGS84"
     towgs84 = None
@@ -1187,3 +1196,78 @@ def projection_for(code: str):
             _BUILT_CACHE[key] = got
         return got
     return None
+
+
+# ---------------------------------------------------------------------------
+# Swiss Oblique Mercator ("somerc", EPSG method 9815 with azimuth 90° at
+# the projection centre) — the swisstopo rigorous double projection:
+# ellipsoid → conformal (Gauss) sphere → sphere rotation putting the
+# projection centre on the pseudo-equator → Mercator.  Used by CH1903 /
+# LV03 (EPSG:21781) and CH1903+ / LV95 (EPSG:2056).
+# ---------------------------------------------------------------------------
+
+def _somerc_consts(ell: Ellipsoid, lat0: float, k0: float):
+    e, e2 = ell.e, ell.e2
+    p0 = math.radians(lat0)
+    sp0 = math.sin(p0)
+    alpha = math.sqrt(1 + (e2 / (1 - e2)) * math.cos(p0) ** 4)
+    R = k0 * ell.a * math.sqrt(1 - e2) / (1 - e2 * sp0 * sp0)
+    b0 = math.asin(sp0 / alpha)
+    K = (math.log(math.tan(math.pi / 4 + b0 / 2))
+         - alpha * math.log(math.tan(math.pi / 4 + p0 / 2))
+         + alpha * e / 2 * math.log((1 + e * sp0) / (1 - e * sp0)))
+    return alpha, R, b0, K
+
+
+def somerc_fwd(lon, lat, lon0, lat0, k0, fe, fn, ell: Ellipsoid):
+    e = ell.e
+    alpha, R, b0, K = _somerc_consts(ell, lat0, k0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    sp = np.sin(phi)
+    S = (alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+         - alpha * e / 2 * np.log((1 + e * sp) / (1 - e * sp)) + K)
+    b = 2 * (np.arctan(np.exp(S)) - np.pi / 4)        # conformal-sphere lat
+    li = alpha * (np.radians(np.asarray(lon, np.float64))
+                  - math.radians(lon0))
+    sb0, cb0 = math.sin(b0), math.cos(b0)
+    sb, cb = np.sin(b), np.cos(b)
+    bbar = np.arcsin(np.clip(cb0 * sb - sb0 * cb * np.cos(li), -1.0, 1.0))
+    lbar = np.arctan2(cb * np.sin(li), sb0 * sb + cb0 * cb * np.cos(li))
+    x = fe + R * lbar
+    y = fn + R * np.log(np.tan(np.pi / 4 + bbar / 2))
+    return x, y
+
+
+def somerc_inv(x, y, lon0, lat0, k0, fe, fn, ell: Ellipsoid):
+    e = ell.e
+    alpha, R, b0, K = _somerc_consts(ell, lat0, k0)
+    lbar = (np.asarray(x, np.float64) - fe) / R
+    bbar = 2 * (np.arctan(np.exp((np.asarray(y, np.float64) - fn) / R))
+                - np.pi / 4)
+    sb0, cb0 = math.sin(b0), math.cos(b0)
+    sbb, cbb = np.sin(bbar), np.cos(bbar)
+    b = np.arcsin(np.clip(cb0 * sbb + sb0 * cbb * np.cos(lbar), -1.0, 1.0))
+    li = np.arctan2(cbb * np.sin(lbar),
+                    cb0 * np.cos(lbar) * cbb - sb0 * sbb)
+    lam = math.radians(lon0) + li / alpha
+    # invert the Gauss-sphere conformal latitude back to geodetic
+    S = np.log(np.tan(np.pi / 4 + b / 2))
+    phi = b
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = 2 * (np.arctan(np.exp(
+            (S - K) / alpha + e / 2 * np.log((1 + e * sp) / (1 - e * sp))))
+            - np.pi / 4)
+    return np.degrees(lam), np.degrees(phi)
+
+
+_SWISS = dict(proj="somerc", lat0=46.0 + 57.0 / 60 + 8.66 / 3600,
+              lon0=7.0 + 26.0 / 60 + 22.5 / 3600, k0=1.0, ellps="bessel")
+EPSG_PARAMS.update({
+    # CH1903 / LV03 (EPSG:1313 Helmert)
+    "21781": dict(_SWISS, fe=600_000.0, fn=200_000.0,
+                  towgs84=(674.4, 15.1, 405.3)),
+    # CH1903+ / LV95 (EPSG:1676 — CH1903+ differs only in the shift)
+    "2056": dict(_SWISS, fe=2_600_000.0, fn=1_200_000.0,
+                 towgs84=(674.374, 15.056, 405.346)),
+})

@@ -1556,6 +1556,31 @@ FROM keepers WHERE rn = 1 GROUP BY lang"""
 OVL_DX, OVL_DY = 10.0, 19.0  # shift making the pair overlap partially
 
 
+def q_buffer_point_areas(spark, sf_dir):
+    """Bench-scale buffer throughput under the correctness gate (round 5):
+    every document point buffered with a per-row distance through the
+    BATCHED template path (functions/scalar.py), areas via the batched
+    einsum shoelace.  The inscribed regular 4·quad_segs-gon has the closed
+    form (k/2)·r²·sin(2π/k); round(x·1e3) quantization absorbs the
+    shoelace-at-offset-centers cancellation (~3e-11 absolute) on both
+    engines."""
+    from sedona_db_spark.functions.scalar import st_area, st_buffer
+    d = doc_points(spark, sf_dir)
+    r = F.lit(0.5) + (F.col("doc_id") % 16).cast("double") / 8.0
+    return d.select(
+        "doc_id",
+        F.round(st_area(st_buffer(F.col("geom"), r)) * 1000.0, 0)
+         .cast("long").alias("area_q3"))
+
+
+ORACLE_BUFFER_POINT_AREAS = (
+    _docs_cte() + """
+ SELECT doc_id,
+   CAST(round((16.0 * POWER(0.5 + CAST(doc_id % 16 AS DOUBLE) / 8.0, 2)
+        * sin(2 * pi() / 32)) * 1000.0, 0) AS BIGINT) AS area_q3
+ FROM docs""")
+
+
 def q_overlay_rect_areas(spark, sf_dir):
     """Per nation: boolean-op areas of (rect, rect shifted by (10, 19)).
 
@@ -1735,6 +1760,7 @@ QUERIES = {
     "sphere_line_distance": q_sphere_line_distance,
     "overlay_rect_areas": q_overlay_rect_areas,
     "buffer_styles": q_buffer_styles,
+    "buffer_point_areas": q_buffer_point_areas,
     "polygonize_faces": q_polygonize_faces,
     "training_pipeline": q_training_pipeline,
     "simhash_neardup": q_simhash_neardup,
@@ -1783,6 +1809,7 @@ ORACLE_SQL = {
     "sphere_line_distance": _oracle_sphere_line(),
     "overlay_rect_areas": ORACLE_OVERLAY,
     "buffer_styles": _oracle_buffer_styles(),
+    "buffer_point_areas": ORACLE_BUFFER_POINT_AREAS,
     "polygonize_faces": ORACLE_POLYGONIZE,
     "training_pipeline": _oracle_training_pipeline(),
     "multimodal_meta": ORACLE_MULTIMODAL,

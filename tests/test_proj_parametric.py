@@ -186,3 +186,38 @@ def test_named_entries_still_take_precedence():
     # hand-verified rows (oracle-pinned) must keep their exact numeric path
     assert P.projection_for("27700") is P._NAMED["27700"]
     assert P.projection_for("2154") is P._NAMED["2154"]
+
+
+def test_swiss_somerc():
+    """CH1903 / LV03 (EPSG:21781) and CH1903+ / LV95 (EPSG:2056) via the
+    swisstopo rigorous double projection (EPSG method 9815, azimuth 90°).
+    The fundamental point (old Bern observatory) maps to exactly
+    (600000, 200000) on the CH1903 datum by definition."""
+    fwd, inv = P.build_transform(P.CRSDef(**dict(
+        P.EPSG_PARAMS["21781"], towgs84=None)))   # datum-free: exact pin
+    lon0 = 7.0 + 26.0 / 60 + 22.5 / 3600
+    lat0 = 46.0 + 57.0 / 60 + 8.66 / 3600
+    x, y = fwd(np.array([lon0]), np.array([lat0]))
+    assert x[0] == pytest.approx(600000.0, abs=1e-4)
+    assert y[0] == pytest.approx(200000.0, abs=1e-4)
+    # full WGS84 → LV03 chain: Zurich lands in the known city window
+    out = transform_coords(np.array([[8.5417, 47.3769]]), "4326",
+                           "EPSG:21781")
+    assert out[0, 0] == pytest.approx(683210.0, abs=500.0)
+    assert out[0, 1] == pytest.approx(247800.0, abs=500.0)
+    # LV95 = LV03 + (2'000'000, 1'000'000) modulo the CH1903→CH1903+
+    # Helmert refinement (sub-metre)
+    out95 = transform_coords(np.array([[8.5417, 47.3769]]), "4326",
+                             "EPSG:2056")
+    assert out95[0, 0] - out[0, 0] == pytest.approx(2_000_000.0, abs=2.0)
+    assert out95[0, 1] - out[0, 1] == pytest.approx(1_000_000.0, abs=2.0)
+    # round trip through the datum chain
+    back = transform_coords(out, "EPSG:21781", "4326")
+    assert back[0, 0] == pytest.approx(8.5417, abs=1e-7)
+    assert back[0, 1] == pytest.approx(47.3769, abs=1e-7)
+    # proj4-string form compiles to the same numbers
+    p4 = ("+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+          "+k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel "
+          "+towgs84=674.4,15.1,405.3 +units=m +no_defs")
+    alt = transform_coords(np.array([[8.5417, 47.3769]]), "4326", p4)
+    np.testing.assert_allclose(alt, out, rtol=0, atol=1e-6)
