@@ -1556,6 +1556,67 @@ FROM keepers WHERE rn = 1 GROUP BY lang"""
 OVL_DX, OVL_DY = 10.0, 19.0  # shift making the pair overlap partially
 
 
+MIX_RATES = {"en": 0.9, "de": 1.5, "fr": 0.25}
+PACK_CAP = 4096
+PACK_BUCKETS = 64
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Corpus-mixture resampling (training-data pipeline op, round 5):
+    per-language keep/upsample rates via deterministic integer-hash
+    Bernoulli + exact copies — whole-stage-codegen only, reproducible
+    across retries (textops/mixture.py)."""
+    from sedona_db_spark.textops.mixture import sample_mixture
+    d = _t(spark, sf_dir, "documents")
+    out = sample_mixture(d, MIX_RATES, key_col="lang", id_col="doc_id",
+                         seed=7, default_rate=0.5)
+    return out.select("doc_id", "lang", "copy_n")
+
+
+def _oracle_sample_mixture() -> str:
+    from sedona_db_spark.textops.mixture import mixture_oracle_sql
+    _rate, _u, n = mixture_oracle_sql(MIX_RATES, key_col="lang",
+                                      id_col="doc_id", seed=7,
+                                      default_rate=0.5)
+    return (f"""WITH d AS (SELECT doc_id, lang, {n} AS n FROM documents)
+ SELECT doc_id, lang,
+        CAST(unnest(generate_series(0, n - 1)) AS INT) AS copy_n
+ FROM d WHERE n > 0""")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into fixed budgets (the packing step of an
+    LLM pretraining pipeline): hash-bucketed first-fit-by-id-order, one
+    applyInPandas pass per independent bucket (textops/mixture.py)."""
+    from sedona_db_spark.textops.mixture import pack_sequences
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pack_sequences(d, PACK_CAP, len_col="n_chars", id_col="doc_id",
+                         n_buckets=PACK_BUCKETS)
+    return out.select("doc_id", "bucket", "bin_id", "bin_fill")
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_chars, CAST(doc_id % {PACK_BUCKETS} AS INT) AS bucket,
+         row_number() OVER (PARTITION BY doc_id % {PACK_BUCKETS}
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+ rec AS (
+  SELECT bucket, rn, doc_id, CAST(0 AS BIGINT) AS bin_local,
+         CAST(n_chars AS BIGINT) AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id,
+         CASE WHEN rec.fill > 0 AND rec.fill + d.n_chars > {PACK_CAP}
+              THEN rec.bin_local + 1 ELSE rec.bin_local END,
+         CAST(CASE WHEN rec.fill > 0 AND rec.fill + d.n_chars > {PACK_CAP}
+              THEN d.n_chars ELSE rec.fill + d.n_chars END AS BIGINT)
+  FROM rec JOIN d ON d.bucket = rec.bucket AND d.rn = rec.rn + 1)
+ SELECT doc_id, bucket,
+        bucket * 4294967296 + bin_local AS bin_id, fill AS bin_fill
+ FROM rec"""
+
+
 def q_buffer_point_areas(spark, sf_dir):
     """Bench-scale buffer throughput under the correctness gate (round 5):
     every document point buffered with a per-row distance through the
@@ -1761,6 +1822,8 @@ QUERIES = {
     "overlay_rect_areas": q_overlay_rect_areas,
     "buffer_styles": q_buffer_styles,
     "buffer_point_areas": q_buffer_point_areas,
+    "sample_mixture": q_sample_mixture,
+    "pack_sequences": q_pack_sequences,
     "polygonize_faces": q_polygonize_faces,
     "training_pipeline": q_training_pipeline,
     "simhash_neardup": q_simhash_neardup,
@@ -1810,6 +1873,8 @@ ORACLE_SQL = {
     "overlay_rect_areas": ORACLE_OVERLAY,
     "buffer_styles": _oracle_buffer_styles(),
     "buffer_point_areas": ORACLE_BUFFER_POINT_AREAS,
+    "sample_mixture": _oracle_sample_mixture(),
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "polygonize_faces": ORACLE_POLYGONIZE,
     "training_pipeline": _oracle_training_pipeline(),
     "multimodal_meta": ORACLE_MULTIMODAL,
