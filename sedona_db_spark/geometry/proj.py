@@ -633,6 +633,11 @@ class CRSDef:
     south: bool = False
     towgs84: tuple | None = None
     to_meter: float = 1.0
+    # oblique Mercator (omerc): centre lon, azimuth and rectified grid
+    # angle of the initial line at the centre
+    lonc: float | None = None
+    alpha: float | None = None
+    gamma: float | None = None
 
 
 def _ellps_of(name: str) -> Ellipsoid:
@@ -890,6 +895,21 @@ def build_transform(c: CRSDef):
 
         def inv0(x, y):
             return somerc_inv(x, y, c.lon0, c.lat0, kk, c.fe, c.fn, ell)
+    elif p == "omerc":
+        kk = 1.0 if k0 is None else k0
+        if c.alpha is None:
+            raise ValueError("omerc needs +alpha (initial-line azimuth); "
+                             "the two-point variant is unsupported")
+        lonc = c.lonc if c.lonc is not None else c.lon0
+        gam = c.gamma if c.gamma is not None else c.alpha
+
+        def fwd0(lon, lat):
+            return omerc_fwd(lon, lat, lonc, c.lat0, c.alpha, gam, kk,
+                             c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return omerc_inv(x, y, lonc, c.lat0, c.alpha, gam, kk,
+                             c.fe, c.fn, ell)
     elif p == "longlat":
         def fwd0(lon, lat):
             return (np.asarray(lon, np.float64).copy(),
@@ -1089,7 +1109,7 @@ def parse_proj4(s: str) -> CRSDef:
     proj = _PROJ_ALIASES.get(kv2["proj"], kv2["proj"])
     if proj not in ("longlat", "utm", "tmerc", "lcc", "lcc1sp", "aea",
                     "stere", "laea", "merc", "webmerc", "sinu", "ups",
-                    "somerc"):
+                    "somerc", "omerc"):
         raise ValueError(f"unsupported projection family '+proj={proj}'")
     ellps = "WGS84"
     towgs84 = None
@@ -1135,6 +1155,12 @@ def parse_proj4(s: str) -> CRSDef:
             args["fn"] = float(v)
         elif k == "zone":
             args["zone"] = int(v)
+        elif k == "lonc":
+            args["lonc"] = float(v)
+        elif k == "alpha":
+            args["alpha"] = float(v)
+        elif k == "gamma":
+            args["gamma"] = float(v)
         elif k == "south":
             args["south"] = True
         elif k == "units":
@@ -1271,3 +1297,86 @@ EPSG_PARAMS.update({
     "2056": dict(_SWISS, fe=2_600_000.0, fn=1_200_000.0,
                  towgs84=(674.374, 15.056, 405.346)),
 })
+
+
+# ---------------------------------------------------------------------------
+# Hotine Oblique Mercator (EPSG 9812 variant A; Snyder 9-1..9-39).
+# Supported through "+proj=omerc" PROJ strings (alpha = azimuth of the
+# initial line at the projection centre; gamma defaults to alpha).  The
+# azimuth-90 case is cross-checked against the independent somerc double
+# projection in the tests.
+# ---------------------------------------------------------------------------
+
+def _omerc_consts(ell: Ellipsoid, lat0: float, alphac: float, k0: float):
+    e, e2 = ell.e, ell.e2
+    p0 = math.radians(lat0)
+    sp0, cp0 = math.sin(p0), math.cos(p0)
+    B = math.sqrt(1 + e2 * cp0 ** 4 / (1 - e2))
+    A = ell.a * B * k0 * math.sqrt(1 - e2) / (1 - e2 * sp0 * sp0)
+    t0 = math.tan(math.pi / 4 - p0 / 2) / (
+        (1 - e * sp0) / (1 + e * sp0)) ** (e / 2)
+    D = B * math.sqrt(1 - e2) / (cp0 * math.sqrt(1 - e2 * sp0 * sp0))
+    D2 = max(D * D, 1.0)
+    F = D + math.copysign(math.sqrt(D2 - 1.0), p0 if p0 != 0 else 1.0)
+    E = F * t0 ** B
+    G = (F - 1.0 / F) / 2.0
+    g0 = math.asin(min(1.0, max(-1.0, math.sin(math.radians(alphac)) / D)))
+    lam0_off = math.asin(min(1.0, max(-1.0, G * math.tan(g0)))) / B
+    # u at the projection centre (EPSG 9815 / PROJ default origin):
+    # uc = (A/B)·atan2(√(D²−1), cos αc), carrying φ0's sign
+    uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0),
+                              math.cos(math.radians(alphac)))
+    if p0 < 0:
+        uc = -uc
+    return B, A, E, g0, lam0_off, uc
+
+
+def omerc_fwd(lon, lat, lonc, lat0, alphac, gammac, k0, fe, fn,
+              ell: Ellipsoid):
+    e = ell.e
+    B, A, E, g0, lam0_off, uc = _omerc_consts(ell, lat0, alphac, k0)
+    lam0 = math.radians(lonc) - lam0_off
+    phi = np.radians(np.asarray(lat, np.float64))
+    sp = np.sin(phi)
+    t = np.tan(np.pi / 4 - phi / 2) / ((1 - e * sp) / (1 + e * sp)) ** (e / 2)
+    Q = E / t ** B
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dl = np.radians(np.asarray(lon, np.float64)) - lam0
+    dl = np.where(dl > np.pi, dl - 2 * np.pi, dl)
+    dl = np.where(dl < -np.pi, dl + 2 * np.pi, dl)
+    V = np.sin(B * dl)
+    U = (-V * math.cos(g0) + S * math.sin(g0)) / T
+    v = A * np.log((1 - U) / (1 + U)) / (2.0 * B)
+    u = A * np.arctan2(S * math.cos(g0) + V * math.sin(g0),
+                       np.cos(B * dl)) / B - uc
+    gc = math.radians(gammac)
+    x = fe + v * math.cos(gc) + u * math.sin(gc)
+    y = fn + u * math.cos(gc) - v * math.sin(gc)
+    return x, y
+
+
+def omerc_inv(x, y, lonc, lat0, alphac, gammac, k0, fe, fn,
+              ell: Ellipsoid):
+    e = ell.e
+    B, A, E, g0, lam0_off, uc = _omerc_consts(ell, lat0, alphac, k0)
+    lam0 = math.radians(lonc) - lam0_off
+    gc = math.radians(gammac)
+    xp = np.asarray(x, np.float64) - fe
+    yp = np.asarray(y, np.float64) - fn
+    u = xp * math.sin(gc) + yp * math.cos(gc) + uc
+    v = xp * math.cos(gc) - yp * math.sin(gc)
+    Qp = np.exp(-B * v / A)
+    Sp = (Qp - 1.0 / Qp) / 2.0
+    Tp = (Qp + 1.0 / Qp) / 2.0
+    Vp = np.sin(B * u / A)
+    Up = (Vp * math.cos(g0) + Sp * math.sin(g0)) / Tp
+    t = (E / np.sqrt((1 + Up) / (1 - Up))) ** (1.0 / B)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+    lam = lam0 - np.arctan2(Sp * math.cos(g0) - Vp * math.sin(g0),
+                            np.cos(B * u / A)) / B
+    return np.degrees(lam), np.degrees(phi)

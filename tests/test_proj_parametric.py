@@ -169,7 +169,7 @@ def test_parse_errors():
     with pytest.raises(ValueError):
         P.parse_proj4("+lat_0=50")                       # no +proj
     with pytest.raises(ValueError):
-        P.parse_proj4("+proj=omerc +lat_0=4")            # family unsupported
+        P.parse_proj4("+proj=krovak +lat_0=49.5")        # family unsupported
     with pytest.raises(ValueError):
         P.parse_proj4("+proj=utm +zone=10 +frobnicate=1")
     with pytest.raises(ValueError):
@@ -221,3 +221,51 @@ def test_swiss_somerc():
           "+towgs84=674.4,15.1,405.3 +units=m +no_defs")
     alt = transform_coords(np.array([[8.5417, 47.3769]]), "4326", p4)
     np.testing.assert_allclose(alt, out, rtol=0, atol=1e-6)
+
+
+def test_omerc_matches_somerc_at_azimuth_90():
+    """Hotine oblique Mercator (omerc, Snyder 9-1..9-39 closed forms)
+    cross-validated against the INDEPENDENT somerc double projection:
+    azimuth-90 omerc at the Swiss centre must reproduce somerc to
+    sub-micrometre (two derivations, one surface)."""
+    lon0 = 7.0 + 26.0 / 60 + 22.5 / 3600
+    lat0 = 46.0 + 57.0 / 60 + 8.66 / 3600
+    f_s, _ = P.build_transform(P.CRSDef(
+        proj="somerc", lon0=lon0, lat0=lat0, k0=1.0, fe=600_000.0,
+        fn=200_000.0, ellps="bessel"))
+    f_o, i_o = P.build_transform(P.parse_proj4(
+        f"+proj=omerc +lat_0={lat0} +lonc={lon0} +alpha=90 +gamma=90 "
+        f"+k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel"))
+    lons = np.array([6.5, 7.44, 8.5, 9.8])
+    lats = np.array([45.9, 46.95, 47.4, 46.2])
+    np.testing.assert_allclose(f_o(lons, lats), f_s(lons, lats),
+                               rtol=0, atol=1e-6)
+    lo, la = i_o(*f_o(lons, lats))
+    np.testing.assert_allclose(lo, lons, atol=1e-12)
+    np.testing.assert_allclose(la, lats, atol=1e-12)
+
+
+def test_omerc_oblique_centre_and_roundtrip():
+    # Borneo RSO-style parameters: centre maps to (FE, FN), oblique
+    # azimuth round-trips at machine precision, both hemispheres
+    f, i = P.build_transform(P.parse_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.315 +gamma=53.13 "
+        "+k_0=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=intl"))
+    x, y = f(np.array([115.0]), np.array([4.0]))
+    assert x[0] == pytest.approx(590476.87, abs=1e-6)
+    assert y[0] == pytest.approx(442857.65, abs=1e-6)
+    lons = np.linspace(113, 118, 7)
+    lats = np.linspace(1, 7, 7)
+    lo, la = i(*f(lons, lats))
+    np.testing.assert_allclose(lo, lons, atol=1e-12)
+    np.testing.assert_allclose(la, lats, atol=1e-12)
+    fs, si = P.build_transform(P.parse_proj4(
+        "+proj=omerc +lat_0=-20 +lonc=30 +alpha=45 +k_0=1 +ellps=WGS84"))
+    lo, la = si(*fs(np.array([30.0, 31.0]), np.array([-20.0, -21.5])))
+    np.testing.assert_allclose(lo, [30.0, 31.0], atol=1e-12)
+    np.testing.assert_allclose(la, [-20.0, -21.5], atol=1e-12)
+
+
+def test_omerc_requires_alpha():
+    with pytest.raises(ValueError):
+        P.build_transform(P.parse_proj4("+proj=omerc +lat_0=4 +lonc=115"))
