@@ -612,15 +612,20 @@ def _st_buffer_impl(*cols):
             param_cache[key] = p
         dd = float(dd)
         if (g[0] == "Point" and dd > 0 and p.side == "both"
-                and p.endcap == "round"):
+                and p.endcap in ("round", "square")):
             c = g[1]
             x, y = float(c[0]), float(c[1])
             if x == x and y == y:                     # NaN-free center
-                batches.setdefault(p.quad_segs, []).append((i, x, y, dd))
+                key = p.quad_segs if p.endcap == "round" else "square"
+                batches.setdefault(key, []).append((i, x, y, dd))
                 continue
         rest.append((i, g, dd, p))
+    # unit-square template for square-cap point buffers (matches
+    # buffer._square_ring's vertex order)
+    square_tmpl = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0],
+                            [-1.0, 1.0], [-1.0, -1.0]])
     for qs, rows in batches.items():
-        tmpl = circle_template(qs)                    # (k, 2) closed ring
+        tmpl = square_tmpl if qs == "square" else circle_template(qs)
         k = len(tmpl)
         arr = np.array(rows, dtype=np.float64)        # (n, 4)
         idx = arr[:, 0].astype(np.int64)

@@ -165,3 +165,24 @@ def test_sql_surface_oriented(spark):
     assert row.a > 2 * np.pi * R2
     assert row.a_default < 2 * np.pi * R2
     assert row.a + row.a_default == pytest.approx(4 * np.pi * R2, rel=1e-6)
+
+
+def test_oriented_predicate_in_sql_join_on_clause(spark):
+    """Full-sphere predicates compose with the SQL theta-join fallback:
+    an inner join ON ST_ContainsSphereOriented(...) — so oriented
+    (larger-than-hemisphere) regions work in join position without any
+    dedicated planner path (Catalyst rewrites to cross + filter, the same
+    route as the other ST_ predicates in ON clauses)."""
+    lons = list(range(0, 360, 30))[::-1]
+    cap_w = ", ".join(f"{lo} 80" for lo in lons) + f", {lons[0]} 80"
+    spark.sql(f"""SELECT 1 AS rid,
+        ST_GeomFromText('POLYGON (({cap_w}))') AS region""") \
+        .createOrReplaceTempView("regions_o")
+    spark.sql("""SELECT * FROM VALUES
+        (1, 151.2D, -33.9D), (2, 10.0D, 89.0D), (3, 0.0D, -90.0D)
+        AS pts(pid, lon, lat)""").createOrReplaceTempView("pts_o")
+    rows = spark.sql("""
+        SELECT p.pid, r.rid FROM pts_o p JOIN regions_o r
+        ON ST_ContainsSphereOriented(r.region, ST_Point(p.lon, p.lat))
+    """).collect()
+    assert sorted(r.pid for r in rows) == [1, 3]   # world-minus-cap
