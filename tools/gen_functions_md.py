@@ -15,14 +15,14 @@ NOTES = {
     # ---- ◐ partial: documented approximation or subset -------------------
     "st_transform": "round 5: parameterized EPSG table (300+ codes — WGS84/ETRS89/NAD83/NAD27/SIRGAS-2000 UTM, GDA94+GDA2020 MGA, Pulkovo-1942 Gauss-Krüger 4-32, Japan Plane Rectangular I-XIX, SPCS83 Lambert zones incl. US-survey-foot axes, national TM/LCC grids) PLUS any '+proj=...' PROJ string (longlat/utm/tmerc/lcc/lcc1sp/aea/polar-stere/laea/merc/webmerc/sinu/ups/somerc/omerc with +towgs84/+datum/+units/+to_meter) — the two CRS input forms the reference's ST_Transform accepts (st_transform.qmd); hand-verified named entries (3857, NZTM, 2154, 3978, 5070, 3413/3031, 3035, 54008, 3395, UPS, and the Helmert datum tier 27700/31466-69/23028-38, worked-example exact) keep pinned numeric paths; any pair via a 4326 hub (geometry/proj.py); remaining gap vs PROJ: grid-shift datums (NADCON/NTv2) fall back to EPSG mean Helmert, Swiss Oblique Mercator (somerc: CH1903/LV03 21781, CH1903+/LV95 2056, swisstopo rigorous double projection, fundamental-point exact) supported; Hotine omerc supported via '+proj=omerc' (EPSG 9815 centre origin, cross-validated against the independent somerc double projection at azimuth 90); krovak unsupported",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); use operators.knn_join",
-    "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical tier via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere (any geometry) + ST_IntersectsSphere/ST_ContainsSphere/ST_DWithinSphere (geometry/sphere.py great-circle kernels; round-4 hardening: pole/dateline/antipodal property suite). Round 5 adds the FULL-SPHERE oriented tier — ST_IntersectsSphereOriented/ST_ContainsSphereOriented/ST_AreaSphereOriented evaluate interiors as the region LEFT of each directed ring (S2 semantics: larger-than-hemisphere polygons, polar caps, world-minus-cap complements), while the unsuffixed functions keep the smallest-polygon reading that s2geography's default (oriented=false) readers use; remaining difference vs S2 is numeric (double-precision crossing tests vs S2 exact predicates), not expressive scope",
-    "st_geogfromwkt": "alias of ST_GeomFromText (same spherical tier as ST_GeogFromWKB)",
-    "st_geogpoint": "alias of ST_Point (same spherical tier)",
-    "st_distancesphere": "IUGG mean sphere: point×point haversine fast path; any other combo via great-circle kernels (point→arc cross-track, arc×arc)",
 }
 
 # names that carry an explanatory note but are FULL tier (round-2 upgrades)
 FULL_NOTES = {
+    "st_geogfromwkb": "alias of ST_GeomFromWKB; spherical tier via ST_AreaSphere/ST_LengthSphere/ST_DistanceSphere (any geometry) + ST_IntersectsSphere/ST_ContainsSphere/ST_DWithinSphere (geometry/sphere.py great-circle kernels; round-4 hardening: pole/dateline/antipodal property suite). Upgraded to full tier in round 5: the FULL-SPHERE oriented mode — ST_IntersectsSphereOriented/ST_ContainsSphereOriented/ST_AreaSphereOriented evaluate interiors as the region LEFT of each directed ring (S2 semantics: larger-than-hemisphere polygons, polar caps, world-minus-cap complements; join position via the SQL theta-join fallback), while the unsuffixed functions keep the smallest-polygon reading that s2geography's default (oriented=false) readers use — so both of S2's reading modes are now expressible; the remaining difference vs S2 is numeric robustness (double-precision crossing tests vs S2 exact predicates), not expressive scope",
+    "st_geogfromwkt": "alias of ST_GeomFromText (same spherical tier as ST_GeogFromWKB, incl. the round-5 oriented mode)",
+    "st_geogpoint": "alias of ST_Point (same spherical tier)",
+    "st_distancesphere": "IUGG mean sphere, all geometry combinations: point×point haversine fast path, any other combo via great-circle kernels (point→arc cross-track clamped to segments, arc×arc crossing minimum) — full combination coverage, driver-oracle-gated (sphere_distances, sphere_line_distance)",
     "st_setsrid": "EWKB SRID embed for per-value interop; round 4 adds the type-level tier — crs.with_crs/set CRS in Spark column metadata (GeoArrow-style {crs, edges}), propagated through spatial_join and GeoParquet write/read without byte rewrites (tests/test_crs.py)",
     "st_setcrs": "metadata-first (crs.with_crs, no byte re-encode) with the EWKB re-encode kept for per-value SQL use — the reference carries CRS in the type (datatypes.rs:404-420); our sidecar is StructField.metadata + the geo footer crs/edges fields",
     "st_crs": "column-metadata CRS when tagged (crs.get_crs), EPSG:<srid> from EWKB per value, else engine default OGC:CRS84",
