@@ -631,6 +631,38 @@ def st_areasphere_oriented(b: pd.Series) -> pd.Series:
 UDFS2["ST_AreaSphere"] = st_areasphere
 UDFS2["ST_LengthSphere"] = st_lengthsphere
 UDFS2["ST_PerimeterSphere"] = st_lengthsphere
+@pandas_udf(DoubleType())
+def st_distancespheroid(b1: pd.Series, b2: pd.Series) -> pd.Series:
+    """WGS84 geodesic point-to-point distance in metres (vectorized
+    Vincenty inverse, exact quarter-meridian/equator pins).
+    Beyond-reference: SedonaDB's only spheroid hook is st_knn's
+    use_spheroid flag, which it stubs (spatial_predicate.rs:279-283);
+    PostGIS exposes this as ST_DistanceSpheroid.  Points only — densify
+    other geometries or use ST_DistanceSphere."""
+    from sedona_db_spark.geometry import wkb as W
+    lons1, lats1, lons2, lats2, idx = [], [], [], [], []
+    n = len(b1)
+    out = np.full(n, np.nan)
+    for i, (r1, r2) in enumerate(zip(b1, b2)):
+        if r1 is None or r2 is None:
+            continue
+        g1, g2 = W.decode(bytes(r1)), W.decode(bytes(r2))
+        if g1 is None or g2 is None:
+            continue
+        if g1[0] != "Point" or g2[0] != "Point":
+            raise ValueError("ST_DistanceSpheroid supports points only; "
+                             "use ST_DistanceSphere for other geometries")
+        lons1.append(float(g1[1][0])); lats1.append(float(g1[1][1]))
+        lons2.append(float(g2[1][0])); lats2.append(float(g2[1][1]))
+        idx.append(i)
+    if idx:
+        d = A.vincenty_inverse_m(np.array(lons1), np.array(lats1),
+                                 np.array(lons2), np.array(lats2))
+        out[idx] = d
+    return pd.Series(out)
+
+
+UDFS2["ST_DistanceSpheroid"] = st_distancespheroid
 UDFS2["ST_IntersectsSphereOriented"] = st_intersectssphere_oriented
 UDFS2["ST_ContainsSphereOriented"] = st_containssphere_oriented
 UDFS2["ST_AreaSphereOriented"] = st_areasphere_oriented

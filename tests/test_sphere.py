@@ -432,3 +432,48 @@ def test_containment_matches_winding_bruteforce_random_rings():
                 continue
             assert S.point_in_geog(p, g) == expected, (plon, plat, clon,
                                                        clat, r)
+
+
+class TestVincentySpheroid:
+    """WGS84 geodesic inverse (algos.vincenty_inverse_m) — exact closed
+    pins plus sphere-consistency envelope."""
+
+    def test_quarter_meridian_exact(self):
+        import numpy as np
+        from sedona_db_spark.geometry.algos import vincenty_inverse_m
+        d = vincenty_inverse_m(np.array([0.0]), np.array([0.0]),
+                               np.array([0.0]), np.array([90.0]))[0]
+        assert d == pytest.approx(10001965.7293, abs=1e-3)
+
+    def test_equator_arc_exact(self):
+        import numpy as np
+        from sedona_db_spark.geometry.algos import vincenty_inverse_m
+        d = vincenty_inverse_m(np.array([0.0]), np.array([0.0]),
+                               np.array([1.0]), np.array([0.0]))[0]
+        assert d == pytest.approx(6378137.0 * np.pi / 180.0, abs=1e-3)
+
+    def test_envelope_vs_sphere_and_symmetry(self):
+        import numpy as np
+        from sedona_db_spark.geometry.algos import (haversine_m,
+                                                    vincenty_inverse_m)
+        rng = np.random.default_rng(11)
+        lon1, lat1 = rng.uniform(-180, 180, 500), rng.uniform(-80, 80, 500)
+        lon2, lat2 = rng.uniform(-180, 180, 500), rng.uniform(-80, 80, 500)
+        v = vincenty_inverse_m(lon1, lat1, lon2, lat2)
+        h = haversine_m(lon1, lat1, lon2, lat2)
+        assert np.all(np.abs(v - h) / np.maximum(h, 1.0) < 0.006)
+        v2 = vincenty_inverse_m(lon2, lat2, lon1, lat1)
+        assert np.allclose(v, v2, rtol=0, atol=1e-6)
+        z = vincenty_inverse_m(np.array([10.0]), np.array([20.0]),
+                               np.array([10.0]), np.array([20.0]))[0]
+        assert z == 0.0
+
+    def test_sql_surface(self, spark):
+        row = spark.sql("""SELECT
+            ST_DistanceSpheroid(ST_Point(0.0d, 0.0d),
+                                ST_Point(0.0d, 90.0d)) AS qm,
+            ST_DistanceSpheroid(ST_Point(2.3522d, 48.8566d),
+                                ST_Point(-0.1276d, 51.5072d)) AS par_lon
+        """).collect()[0]
+        assert row.qm == pytest.approx(10001965.73, abs=0.01)
+        assert row.par_lon == pytest.approx(343900, rel=0.01)  # ~344 km
