@@ -1325,6 +1325,38 @@ def _oracle_transform_spcs() -> str:
  FROM g""")
 
 
+# world-minus-cap ring: lat-80 vertices every 10°, lon DESCENDING so the
+# region to the LEFT of travel is everything except the northern cap —
+# the round-5 full-sphere oriented tier's canonical shape
+WMC_WKT = ("POLYGON ((" + ", ".join(
+    f"{lon} 80" for lon in range(350, -1, -10)) + ", 350 80))")
+
+
+def q_sphere_oriented_membership(spark, sf_dir):
+    """Full-sphere oriented containment under the exact gate: every doc
+    point tested against the world-minus-northern-cap polygon (interior
+    LEFT of the directed ring — larger than a hemisphere, inexpressible
+    under the default smallest-polygon rule).  Docs inside the great-
+    circle bulge band (lat 79.9..80.6 — chords at lat 80 with 10° spacing
+    bulge to ~80.55) are excluded in BOTH engines, so membership has the
+    closed form lat < 80 and the oracle is pure arithmetic."""
+    from sedona_db_spark.functions.scalar import st_geomfromtext
+    from sedona_db_spark.functions.scalar2 import (
+        st_containssphere_oriented)
+    d = doc_points(spark, sf_dir).where(
+        (F.col("lat") < 79.9) | (F.col("lat") > 80.6))
+    poly = st_geomfromtext(F.lit(WMC_WKT))
+    return d.select(
+        "doc_id",
+        st_containssphere_oriented(poly, F.col("geom")).alias("in_wmc"))
+
+
+ORACLE_SPHERE_ORIENTED = (
+    _docs_cte() +
+    " SELECT doc_id, (lat < 80.0) AS in_wmc FROM docs"
+    " WHERE lat < 79.9 OR lat > 80.6")
+
+
 # great-circle arc for the point→arc distance query (NYC → London)
 ARC_WKT = "LINESTRING (-74 40.7, -0.12 51.5)"
 
@@ -1814,6 +1846,7 @@ QUERIES = {
     "transform_utm": q_transform_utm,
     "transform_osgb": q_transform_osgb,
     "transform_spcs": q_transform_spcs,
+    "sphere_oriented_membership": q_sphere_oriented_membership,
     "transform_polar": q_transform_polar,
     "transform_laea": q_transform_laea,
     "azimuth_to_city": q_azimuth_to_city,
@@ -1865,6 +1898,7 @@ ORACLE_SQL = {
     "transform_utm": _oracle_transform_utm(),
     "transform_osgb": _oracle_transform_osgb(),
     "transform_spcs": _oracle_transform_spcs(),
+    "sphere_oriented_membership": ORACLE_SPHERE_ORIENTED,
     "transform_polar": _oracle_transform_polar(),
     "transform_laea": _oracle_transform_laea(),
     "azimuth_to_city": ORACLE_AZIMUTH,
