@@ -1043,6 +1043,28 @@ def q_transform_utm(spark, sf_dir):
         F.floor(st_y(t)).cast("long").alias("northing_m"))
 
 
+def q_transform_proj4(spark, sf_dir):
+    """The PROJ-string CRS form under the exact gate (round 5): the same
+    per-row UTM transform as transform_utm, but the target CRS arrives as
+    a '+proj=utm +zone=N [+south] +datum=WGS84' string per row — routed
+    through parse_proj4/build_transform instead of the EPSG registry.  The
+    oracle is transform_utm's unrolled TM series: both paths must floor to
+    the identical metre."""
+    from sedona_db_spark.functions.scalar import st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir)
+    zone = (F.floor((F.col("lon") + 180.0) / 6.0) + 1).cast("int")
+    dst = F.concat(F.lit("+proj=utm +zone="), zone.cast("string"),
+                   F.when(F.col("lat") >= 0, F.lit("")).otherwise(
+                       F.lit(" +south")),
+                   F.lit(" +datum=WGS84 +units=m +no_defs"))
+    t = st_transform(F.col("geom"), F.lit("EPSG:4326"), dst)
+    return d.select(
+        "doc_id", zone.alias("zone"),
+        F.floor(st_x(t)).cast("long").alias("easting_m"),
+        F.floor(st_y(t)).cast("long").alias("northing_m"))
+
+
 def _oracle_transform_utm() -> str:
     """TM forward series (Snyder ch. 8) in SQL with coefficients baked from
     the SAME python-double arithmetic as geometry/proj.py (floor-to-meter
@@ -1847,6 +1869,7 @@ QUERIES = {
     "transform_osgb": q_transform_osgb,
     "transform_spcs": q_transform_spcs,
     "sphere_oriented_membership": q_sphere_oriented_membership,
+    "transform_proj4": q_transform_proj4,
     "transform_polar": q_transform_polar,
     "transform_laea": q_transform_laea,
     "azimuth_to_city": q_azimuth_to_city,
@@ -1899,6 +1922,7 @@ ORACLE_SQL = {
     "transform_osgb": _oracle_transform_osgb(),
     "transform_spcs": _oracle_transform_spcs(),
     "sphere_oriented_membership": ORACLE_SPHERE_ORIENTED,
+    "transform_proj4": _oracle_transform_utm(),
     "transform_polar": _oracle_transform_polar(),
     "transform_laea": _oracle_transform_laea(),
     "azimuth_to_city": ORACLE_AZIMUTH,
