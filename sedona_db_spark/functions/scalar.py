@@ -620,10 +620,10 @@ def _st_buffer_impl(*cols):
                 batches.setdefault(key, []).append((i, x, y, dd))
                 continue
         rest.append((i, g, dd, p))
-    # unit-square template for square-cap point buffers (matches
-    # buffer._square_ring's vertex order)
-    square_tmpl = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0],
-                            [-1.0, 1.0], [-1.0, -1.0]])
+    # unit-square template for square-cap point buffers — DERIVED from
+    # buffer._square_ring so the two construction paths cannot drift
+    from sedona_db_spark.geometry.buffer import _square_ring
+    square_tmpl = _square_ring(0.0, 0.0, 1.0)
     for qs, rows in batches.items():
         tmpl = square_tmpl if qs == "square" else circle_template(qs)
         k = len(tmpl)

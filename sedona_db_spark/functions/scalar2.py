@@ -650,8 +650,8 @@ def st_distancespheroid(b1: pd.Series, b2: pd.Series) -> pd.Series:
         if g1 is None or g2 is None:
             continue
         if g1[0] != "Point" or g2[0] != "Point":
-            raise ValueError("ST_DistanceSpheroid supports points only; "
-                             "use ST_DistanceSphere for other geometries")
+            continue    # non-points yield NULL/NaN (points-only surface —
+            #             a bad row must not poison the whole job)
         lons1.append(float(g1[1][0])); lats1.append(float(g1[1][1]))
         lons2.append(float(g2[1][0])); lats2.append(float(g2[1][1]))
         idx.append(i)

@@ -652,28 +652,36 @@ def _ellps_of(name: str) -> Ellipsoid:
 
 # --- additional kernels needed by the parametric layer --------------------
 
-def lcc1sp_fwd(lon, lat, lon0, lat0, k0, fe, fn, ell: Ellipsoid):
+def _lcc1sp_consts(ell: Ellipsoid, lat0: float, sp: float, k0: float):
+    """n/F from the standard parallel ``sp``; rho0 at the latitude of
+    ORIGIN ``lat0`` (PROJ/EPSG semantics: lcc with lat_1 == lat_2 != lat_0
+    keeps its northing origin at lat_0, not at the parallel)."""
+    p_sp = math.radians(sp)
+    n = math.sin(p_sp)
+    m0 = float(math.cos(p_sp) / math.sqrt(1 - ell.e2 * math.sin(p_sp) ** 2))
+    t_sp = float(_lcc_t(ell, np.array([p_sp]))[0])
+    Fc = m0 / (n * t_sp ** n)
+    t0 = float(_lcc_t(ell, np.array([math.radians(lat0)]))[0])
+    rho0 = ell.a * k0 * Fc * t0 ** n
+    return n, Fc, rho0
+
+
+def lcc1sp_fwd(lon, lat, lon0, lat0, k0, fe, fn, ell: Ellipsoid,
+               sp: float | None = None):
     """Lambert Conformal Conic 1SP (EPSG 9801; Snyder 15-1..15-7 with the
-    single-parallel n = sin φ0 and the k0 scale on F)."""
-    phi0 = math.radians(lat0)
-    n = math.sin(phi0)
-    m0 = float(math.cos(phi0) / math.sqrt(1 - ell.e2 * math.sin(phi0) ** 2))
-    t0 = float(_lcc_t(ell, np.array([phi0]))[0])
-    Fc = m0 / (n * t0 ** n)
+    single-parallel n = sin φ_sp and the k0 scale on F).  ``sp`` defaults
+    to lat0 (the classic 1SP); a distinct ``sp`` covers PROJ's
+    lat_1-with-separate-lat_0 reading."""
+    n, Fc, rho0 = _lcc1sp_consts(ell, lat0, lat0 if sp is None else sp, k0)
     t = _lcc_t(ell, np.radians(np.asarray(lat, float)))
     rho = ell.a * k0 * Fc * t ** n
-    rho0 = ell.a * k0 * Fc * t0 ** n
     th = n * (np.radians(np.asarray(lon, float)) - math.radians(lon0))
     return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
 
 
-def lcc1sp_inv(x, y, lon0, lat0, k0, fe, fn, ell: Ellipsoid):
-    phi0 = math.radians(lat0)
-    n = math.sin(phi0)
-    m0 = float(math.cos(phi0) / math.sqrt(1 - ell.e2 * math.sin(phi0) ** 2))
-    t0 = float(_lcc_t(ell, np.array([phi0]))[0])
-    Fc = m0 / (n * t0 ** n)
-    rho0 = ell.a * k0 * Fc * t0 ** n
+def lcc1sp_inv(x, y, lon0, lat0, k0, fe, fn, ell: Ellipsoid,
+               sp: float | None = None):
+    n, Fc, rho0 = _lcc1sp_consts(ell, lat0, lat0 if sp is None else sp, k0)
     xp = np.asarray(x, np.float64) - fe
     yp = rho0 - (np.asarray(y, np.float64) - fn)
     sgn = 1.0 if n >= 0 else -1.0
@@ -681,9 +689,9 @@ def lcc1sp_inv(x, y, lon0, lat0, k0, fe, fn, ell: Ellipsoid):
     t = (rho / (ell.a * k0 * Fc)) ** (1.0 / n)
     phi = np.pi / 2 - 2 * np.arctan(t)
     for _ in range(8):
-        sp = np.sin(phi)
+        sphi = np.sin(phi)
         phi = np.pi / 2 - 2 * np.arctan(
-            t * ((1 - ell.e * sp) / (1 + ell.e * sp)) ** (ell.e / 2))
+            t * ((1 - ell.e * sphi) / (1 + ell.e * sphi)) ** (ell.e / 2))
     lam = math.radians(lon0) + np.arctan2(sgn * xp, sgn * yp) / n
     return np.degrees(lam), np.degrees(phi)
 
@@ -697,9 +705,9 @@ def psA_fwd(lon, lat, lon0, north: bool, k0, fe, fn, ell: Ellipsoid):
     t = _lcc_t(ell, phi)
     rho = 2.0 * ell.a * k0 * t / math.sqrt(
         (1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    # EPSG 9810: theta is (lon - lon0) in BOTH aspects — the south case
+    # mirrors only the northing term (matches ups_fwd / EPSG:32761)
     th = np.radians(np.asarray(lon, float)) - math.radians(lon0)
-    if not north:
-        th = -th
     x = fe + rho * np.sin(th)
     y = fn + rho * np.cos(th) if not north else fn - rho * np.cos(th)
     return x, y
@@ -718,8 +726,6 @@ def psA_inv(x, y, lon0, north: bool, k0, fe, fn, ell: Ellipsoid):
         phi = np.pi / 2 - 2 * np.arctan(
             t * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
     th = np.arctan2(xp, -yp) if north else np.arctan2(xp, yp)
-    if not north:
-        th = -th
     lam = math.radians(lon0) + th
     return np.degrees(lam), np.degrees(phi if north else -phi)
 
@@ -785,14 +791,18 @@ def build_transform(c: CRSDef):
         sp1 = c.sp1 if c.sp1 is not None else c.lat0
         sp2 = c.sp2 if c.sp2 is not None else sp1
         if sp1 == sp2 or c.sp2 is None:
-            # PROJ treats lcc with one parallel as 1SP (k0 allowed)
+            # PROJ's single-parallel lcc: n/F from lat_1, northing origin
+            # still at lat_0 (review finding: lat_0 must not collapse
+            # into the parallel)
             kk = 1.0 if k0 is None else k0
 
             def fwd0(lon, lat):
-                return lcc1sp_fwd(lon, lat, c.lon0, sp1, kk, c.fe, c.fn, ell)
+                return lcc1sp_fwd(lon, lat, c.lon0, c.lat0, kk, c.fe, c.fn,
+                                  ell, sp=sp1)
 
             def inv0(x, y):
-                return lcc1sp_inv(x, y, c.lon0, sp1, kk, c.fe, c.fn, ell)
+                return lcc1sp_inv(x, y, c.lon0, c.lat0, kk, c.fe, c.fn,
+                                  ell, sp=sp1)
         else:
             if k0 not in (None, 1.0):
                 raise ValueError("lcc 2SP does not take k0")
@@ -845,13 +855,17 @@ def build_transform(c: CRSDef):
             def inv0(x, y):
                 return psA_inv(x, y, c.lon0, north, kk, c.fe, c.fn, ell)
     elif p == "ups":
+        # honour explicit overrides (review finding: ups_fwd hardcodes
+        # k0/FE/FN) — psA with the UPS defaults is value-identical to
+        # ups_fwd, and user +k_0/+x_0/+y_0/+lon_0 now take effect
         north = not c.south
+        kk = 0.994 if k0 is None else k0
 
         def fwd0(lon, lat):
-            return ups_fwd(lon, lat, north, ell)
+            return psA_fwd(lon, lat, c.lon0, north, kk, c.fe, c.fn, ell)
 
         def inv0(x, y):
-            return ups_inv(x, y, north, ell)
+            return psA_inv(x, y, c.lon0, north, kk, c.fe, c.fn, ell)
     elif p == "laea":
         def fwd0(lon, lat):
             return laea_fwd(lon, lat, c.lon0, c.lat0, c.fe, c.fn, ell)
@@ -1173,6 +1187,11 @@ def parse_proj4(s: str) -> CRSDef:
             raise ValueError(f"unsupported PROJ parameter +{k}={v}")
     args["ellps"] = ellps
     args["towgs84"] = towgs84
+    if proj == "ups":
+        # PROJ's ups defaults: FE = FN = 2,000,000 (overridable via
+        # +x_0/+y_0; k_0 defaults to 0.994 in build_transform)
+        args.setdefault("fe", 2_000_000.0)
+        args.setdefault("fn", 2_000_000.0)
     return CRSDef(**args)
 
 

@@ -95,19 +95,26 @@ def _covering_cells_udf(res: int, pad: float = 0.0):
 
 _RES_SHIFT = 58  # cell-id layout: res << 58 | ix << 29 | iy (grid.py)
 
-# covering caches persisted by the adaptive branch, released on the next
-# join (or via cleanup_cached_coverings) so long sessions don't leak cache
+# covering caches persisted by the adaptive branch, released when more
+# than _MAX_CACHED_COVERINGS accumulate (or via cleanup_cached_coverings)
+# so long sessions don't leak cache; the small LRU window plus the lock
+# keeps a concurrent join's still-in-flight covering cached
+import threading
+
 _PERSISTED_COVERINGS: list[DataFrame] = []
+_PERSISTED_LOCK = threading.Lock()
+_MAX_CACHED_COVERINGS = 4
 
 
 def cleanup_cached_coverings() -> None:
     """Unpersist any covering cache left behind by the adaptive join path."""
-    for df in _PERSISTED_COVERINGS:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _PERSISTED_COVERINGS.clear()
+    with _PERSISTED_LOCK:
+        for df in _PERSISTED_COVERINGS:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _PERSISTED_COVERINGS.clear()
 
 
 def _covering_cells_adaptive_udf(res: int, pad: float = 0.0,
@@ -604,18 +611,20 @@ def _spatial_join_impl(
             "__cells_r", _covering_cells_adaptive_udf(res, pad)(F.col(rgeom)))
         # persist the pre-explode coverings: the level scan below and the
         # join both read them — without this the covering UDF would run
-        # twice over the whole build side.  Cached coverings from PREVIOUS
-        # joins are released here (one live covering cache at a time) so a
-        # long-lived session doesn't accumulate them; a prior join whose
-        # output was never materialized just recomputes its covering.
-        for stale in _PERSISTED_COVERINGS:
-            try:
-                stale.unpersist()
-            except Exception:
-                pass
-        _PERSISTED_COVERINGS.clear()
+        # twice over the whole build side.  Coverings cached by OLDER
+        # joins are released once more than _MAX_CACHED_COVERINGS are
+        # alive (LRU window, lock-guarded: a concurrent join's in-flight
+        # covering stays cached); an evicted join whose output was never
+        # materialized just recomputes its covering.
         r_cells = r_cells.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED_COVERINGS.append(r_cells)
+        with _PERSISTED_LOCK:
+            _PERSISTED_COVERINGS.append(r_cells)
+            while len(_PERSISTED_COVERINGS) > _MAX_CACHED_COVERINGS:
+                stale = _PERSISTED_COVERINGS.pop(0)
+                try:
+                    stale.unpersist()
+                except Exception:
+                    pass
         levels = [int(r[0]) for r in
                   (r_cells.where(F.size("__cells_r") > 0)
                    .select(F.shiftright(F.element_at("__cells_r", 1),

@@ -31,6 +31,8 @@ table, no Python in the axis-aligned hot path.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 
@@ -76,7 +78,8 @@ def _covering_cells_sql(x0: str, y0: str, x1: str, y1: str, res: int) -> str:
 
 def raster_vector_join(tiles: DataFrame, vectors: DataFrame,
                        raster_col: str = "raster", geom_col: str = "geom",
-                       res: int | None = None) -> DataFrame:
+                       res: int | None = None,
+                       vector_id_col: str | None = None) -> DataFrame:
     """Inner join of tiles × vector geometries on RS_Intersects semantics
     (raster extent ∩ geometry ≠ ∅).  Returns tile columns + vector columns.
 
@@ -96,16 +99,40 @@ def raster_vector_join(tiles: DataFrame, vectors: DataFrame,
     # any work).  Ids are now assigned in driver order over the single
     # collected row set, and the broadcast payload side is rebuilt from
     # those same rows, so id consistency is structural, not checkpointed.
+    # A caller whose vector side carries a unique id column can pass
+    # ``vector_id_col`` to collect ONLY (id, geom) and keep wide payloads
+    # off the driver entirely (the payload broadcast joins by that id);
+    # otherwise full rows are collected under a 512 MB byte guard.
     from pyspark.sql.types import LongType, StructField, StructType
-    vec_rows = vectors.collect()
-    r_geoms = {i: (None if row[geom_col] is None
-                   else W.decode(bytes(row[geom_col])))
-               for i, row in enumerate(vec_rows)}
     spark0 = tiles.sparkSession
-    right_i = spark0.createDataFrame(
-        [(i, *row) for i, row in enumerate(vec_rows)],
-        schema=StructType([StructField("__ridx", LongType(), False),
-                           *vectors.schema.fields]))
+    if vector_id_col is not None:
+        id_rows = vectors.select(vector_id_col, geom_col).collect()
+        r_geoms = {i: (None if row[geom_col] is None
+                       else W.decode(bytes(row[geom_col])))
+                   for i, row in enumerate(id_rows)}
+        right_i = vectors.join(
+            F.broadcast(spark0.createDataFrame(
+                [(i, row[vector_id_col]) for i, row in enumerate(id_rows)],
+                schema=StructType([
+                    StructField("__ridx", LongType(), False),
+                    vectors.schema[vector_id_col]]))),
+            on=vector_id_col)
+    else:
+        vec_rows = vectors.collect()
+        approx = sum(sys.getsizeof(v) for row in vec_rows[:1000]
+                     for v in row) * max(1, len(vec_rows) // 1000)
+        if approx > 512 * 1024 * 1024:
+            raise ValueError(
+                "raster_vector_join: the vector side is too wide/large to "
+                "collect (~%d MB) — pass vector_id_col=<unique id column> "
+                "so only (id, geom) is collected" % (approx >> 20))
+        r_geoms = {i: (None if row[geom_col] is None
+                       else W.decode(bytes(row[geom_col])))
+                   for i, row in enumerate(vec_rows)}
+        right_i = spark0.createDataFrame(
+            [(i, *row) for i, row in enumerate(vec_rows)],
+            schema=StructType([StructField("__ridx", LongType(), False),
+                               *vectors.schema.fields]))
     all_rect = (any(g is not None for g in r_geoms.values())
                 and all(g is None or _is_axis_rect(g) for g in r_geoms.values()))
 
@@ -154,7 +181,10 @@ def raster_vector_join(tiles: DataFrame, vectors: DataFrame,
 
     helper = ["__tx0", "__ty0", "__tx1", "__ty1",
               "__cell", "__x0", "__y0", "__x1", "__y1"]
-    out = (matched.join(F.broadcast(right_i), on="__ridx")
+    # with a declared id the payload side stays distributed (AQE picks the
+    # strategy); the default collected path is small by the byte guard
+    right_j = right_i if vector_id_col is not None else F.broadcast(right_i)
+    out = (matched.join(right_j, on="__ridx")
            .select(*tiles.columns, *vectors.columns,
                    *[F.col(c) for c in ("__tx0", "__ty0", "__tx1", "__ty1")]))
 

@@ -33,10 +33,15 @@ _MIX_P = 1000003
 
 
 def mixture_u(id_col: F.Column, seed: int) -> F.Column:
-    """Deterministic uniform-ish variate in [0, 1): ((id*A + seed*B) mod P)
-    / P, as a whole-stage-codegen expression (no RNG, no UDF)."""
-    h = F.pmod(id_col.cast("long") * F.lit(_MIX_A)
-               + F.lit(int(seed)) * F.lit(_MIX_B), F.lit(_MIX_P))
+    """Deterministic uniform-ish variate in [0, 1): ((id·A + seed·B) mod P)
+    / P as a whole-stage-codegen expression (no RNG, no UDF).  The id is
+    reduced mod P BEFORE the multiply — (id mod P)·(A mod P) < P² ≈ 10¹²,
+    overflow-free int64 for ANY id (id·A directly would overflow past
+    id ≈ 3.5·10⁹, i.e. well inside the 10^12-row design range; the
+    congruence keeps the values identical for all ids)."""
+    h = F.pmod(F.pmod(id_col.cast("long"), F.lit(_MIX_P))
+               * F.lit(_MIX_A % _MIX_P)
+               + F.lit((int(seed) * _MIX_B) % _MIX_P), F.lit(_MIX_P))
     return h.cast("double") / F.lit(float(_MIX_P))
 
 
@@ -73,7 +78,10 @@ def mixture_oracle_sql(rates: dict[str, float], key_col: str = "lang",
         f"WHEN {key_col} = '{k}' THEN CAST({float(v)!r} AS DOUBLE)"
         for k, v in sorted(rates.items()))
     rate = f"(CASE {cases} ELSE CAST({float(default_rate)!r} AS DOUBLE) END)"
-    u = (f"(CAST(({id_col} * {_MIX_A} + {int(seed)} * {_MIX_B}) % {_MIX_P} "
+    # (id % P + P) % P mirrors Spark's pmod for negative ids too
+    u = (f"(CAST((((({id_col} % {_MIX_P}) + {_MIX_P}) % {_MIX_P})"
+         f" * {_MIX_A % _MIX_P} "
+         f"+ {(int(seed) * _MIX_B) % _MIX_P}) % {_MIX_P} "
          f"AS DOUBLE) / {float(_MIX_P)!r})")
     n = (f"(CAST(floor({rate}) AS INT) + CASE WHEN {u} < {rate} - "
          f"floor({rate}) THEN 1 ELSE 0 END)")

@@ -83,3 +83,33 @@ def test_pack_groups_are_independent_of_partitioning(docs):
         docs.coalesce(1), 4096, len_col="n_tokens",
         n_buckets=8).collect()]).sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_mixture_u_no_overflow_at_huge_ids(spark):
+    """Review regression: id·A overflowed int64 above id ≈ 3.5e9 (ANSI
+    mode would raise; non-ANSI silently wrapped).  The mod-P pre-reduction
+    must be overflow-free AND congruent with the small-id arithmetic."""
+    from sedona_db_spark.textops.mixture import (_MIX_A, _MIX_B, _MIX_P,
+                                                 mixture_u)
+    ids = [0, 1, 999_999, 3_470_000_000, 10**12, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    got = {r.doc_id: r.u for r in df.select(
+        "doc_id", mixture_u(F.col("doc_id"), 7).alias("u")).collect()}
+    for i in ids:
+        want = ((i * _MIX_A + 7 * _MIX_B) % _MIX_P) / _MIX_P  # python bigint
+        assert got[i] == pytest.approx(want, abs=0), i
+
+
+def test_sample_mixture_under_ansi_mode(spark):
+    # huge ids through the full operator with ANSI on (overflow would
+    # raise ArithmeticException before the fix)
+    old = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [(10**12 + i, "en") for i in range(50)], "doc_id: long, "
+                                                     "lang: string")
+        out = sample_mixture(df, {"en": 0.5}, seed=3).collect()
+        assert 10 <= len(out) <= 40
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

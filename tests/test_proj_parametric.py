@@ -269,3 +269,57 @@ def test_omerc_oblique_centre_and_roundtrip():
 def test_omerc_requires_alpha():
     with pytest.raises(ValueError):
         P.build_transform(P.parse_proj4("+proj=omerc +lat_0=4 +lonc=115"))
+
+
+def test_south_polar_stereo_proj4_matches_ups_south():
+    """Review regression: the south-aspect '+proj=stere' easting was
+    mirrored about the false easting (theta must be lon−lon0 in BOTH
+    aspects; only the northing term flips)."""
+    f, i = P.build_transform(P.parse_proj4(
+        "+proj=stere +lat_0=-90 +k_0=0.994 +lon_0=0 +x_0=2000000 "
+        "+y_0=2000000 +datum=WGS84"))
+    g, _ = P.projection_for("32761")
+    lons = np.array([120.0, -45.0, 0.0, 179.0])
+    lats = np.array([-75.0, -80.0, -88.0, -70.0])
+    np.testing.assert_allclose(f(lons, lats), g(lons, lats),
+                               rtol=0, atol=1e-6)
+    lo, la = i(*f(lons, lats))
+    np.testing.assert_allclose(lo, lons, atol=1e-9)
+    np.testing.assert_allclose(la, lats, atol=1e-9)
+
+
+def test_lcc_single_parallel_respects_lat_0():
+    """Review regression: lcc with lat_1 == lat_2 (or only lat_1) must
+    keep the northing origin at lat_0, not at the parallel."""
+    f_a, i_a = P.build_transform(P.parse_proj4(
+        "+proj=lcc +lat_1=49 +lat_0=0 +lon_0=-93 +datum=WGS84"))
+    f_b, _ = P.build_transform(P.parse_proj4(
+        "+proj=lcc +lat_1=49 +lat_0=49 +lon_0=-93 +datum=WGS84"))
+    xa, ya = f_a(np.array([-90.0]), np.array([47.0]))
+    xb, yb = f_b(np.array([-90.0]), np.array([47.0]))
+    assert abs(xa[0] - xb[0]) < 1e-6          # easting unaffected
+    assert abs(ya[0] - yb[0]) > 1_000_000.0   # origin moved ~49 degrees
+    # lat_0 form must agree with the 2SP kernel at sp1=sp2 (same rho0-at-
+    # lat_0 semantics, independent derivation)
+    x2, y2 = P.lcc_fwd(np.array([-90.0]), np.array([47.0]), -93.0, 0.0,
+                       49.0, 49.0, 0.0, 0.0, P.WGS84)
+    assert xa[0] == pytest.approx(x2[0], abs=1e-6)
+    assert ya[0] == pytest.approx(y2[0], abs=1e-6)
+    lo, la = i_a(xa, ya)
+    assert lo[0] == pytest.approx(-90.0, abs=1e-9)
+    assert la[0] == pytest.approx(47.0, abs=1e-9)
+
+
+def test_ups_proj4_honours_overrides():
+    """Review regression: '+proj=ups' silently dropped +x_0/+y_0/+k_0."""
+    f_default, _ = P.build_transform(P.parse_proj4("+proj=ups +datum=WGS84"))
+    g, _ = P.projection_for("32661")
+    lons = np.array([-30.0, 45.0]); lats = np.array([80.0, 87.0])
+    np.testing.assert_allclose(f_default(lons, lats), g(lons, lats),
+                               rtol=0, atol=1e-6)
+    f_zero, _ = P.build_transform(P.parse_proj4(
+        "+proj=ups +x_0=0 +y_0=0 +datum=WGS84"))
+    x0, y0 = f_zero(lons, lats)
+    xd, yd = f_default(lons, lats)
+    np.testing.assert_allclose(x0 + 2_000_000.0, xd, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(y0 + 2_000_000.0, yd, rtol=0, atol=1e-6)

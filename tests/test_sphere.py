@@ -477,3 +477,14 @@ class TestVincentySpheroid:
         """).collect()[0]
         assert row.qm == pytest.approx(10001965.73, abs=0.01)
         assert row.par_lon == pytest.approx(343900, rel=0.01)  # ~344 km
+
+    def test_non_point_rows_yield_null_not_job_failure(self, spark):
+        # review regression: one bad row must not poison the job
+        row = spark.sql("""SELECT
+            ST_DistanceSpheroid(ST_GeomFromText('LINESTRING (0 0, 1 1)'),
+                                ST_Point(0.0d, 0.0d)) AS bad,
+            ST_DistanceSpheroid(ST_Point(0.0d, 0.0d),
+                                ST_Point(1.0d, 0.0d)) AS good
+        """).collect()[0]
+        assert row.bad is None or row.bad != row.bad   # NULL/NaN
+        assert row.good == pytest.approx(111319.49, abs=0.1)
