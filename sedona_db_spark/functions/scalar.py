@@ -433,9 +433,43 @@ def _st_area_impl(b: pd.Series) -> pd.Series:
 st_area = pandas_udf(_st_area_impl, DoubleType())
 
 
-@pandas_udf(DoubleType())
-def st_length(b: pd.Series) -> pd.Series:
-    return pd.Series([np.nan if g is None else K.geom_length(g) for g in _decode_series(b)])
+def _st_length_impl(b: pd.Series) -> pd.Series:
+    """Batch fast path (mirrors _st_area_impl): little-endian 2-D
+    LineString WKB rows group by vertex count and run one vectorized
+    segment-length pass per group; everything else (multi, Z/M, EWKB)
+    takes the per-row kernel.  Axis-batched hypot+sum can differ from the
+    per-row pairwise sum in the last ulp — length consumers all compare
+    with tolerances far above that."""
+    import struct
+    out = np.full(len(b), np.nan)
+    groups: dict[tuple, list] = {}
+    rest = []
+    vals = b.tolist()
+    for i, bt in enumerate(vals):
+        if bt is None:
+            continue
+        bt = bytes(bt)
+        if len(bt) >= 9 and bt[0] == 1 and bt[1:5] == b"\x02\x00\x00\x00":
+            k = struct.unpack_from("<I", bt, 5)[0]
+            if len(bt) == 9 + 16 * k and k >= 2:
+                groups.setdefault((len(bt), k), []).append(i)
+                continue
+        rest.append(i)
+    for (L, k), idx in groups.items():
+        blob = np.frombuffer(b"".join(vals[i] for i in idx), dtype=np.uint8)
+        coords = np.ascontiguousarray(
+            blob.reshape(len(idx), L)[:, 9:]).view(np.float64).reshape(
+                len(idx), k, 2)
+        d = np.diff(coords, axis=1)
+        out[idx] = np.hypot(d[:, :, 0], d[:, :, 1]).sum(axis=1)
+    if rest:
+        for i in rest:
+            g = W.decode(bytes(vals[i]))
+            out[i] = np.nan if g is None else K.geom_length(g)
+    return pd.Series(out)
+
+
+st_length = pandas_udf(_st_length_impl, DoubleType())
 
 
 @pandas_udf(DoubleType())
