@@ -71,9 +71,9 @@ def sample_mixture(df: DataFrame, rates: dict[str, float],
 
 def mixture_oracle_sql(rates: dict[str, float], key_col: str = "lang",
                        id_col: str = "doc_id", seed: int = 42,
-                       default_rate: float = 0.0) -> str:
+                       default_rate: float = 0.0) -> tuple[str, str, str]:
     """The exact acceptance arithmetic as portable SQL fragments:
-    (u_expr, n_copies_expr) for an oracle engine."""
+    (rate_expr, u_expr, n_copies_expr) for an oracle engine."""
     cases = " ".join(
         f"WHEN {key_col} = '{k}' THEN CAST({float(v)!r} AS DOUBLE)"
         for k, v in sorted(rates.items()))
