@@ -909,6 +909,21 @@ def build_transform(c: CRSDef):
 
         def inv0(x, y):
             return somerc_inv(x, y, c.lon0, c.lat0, kk, c.fe, c.fn, ell)
+    elif p == "krovak":
+        kk = 0.9999 if k0 is None else k0
+        sp = 78.5 if c.sp1 is None else c.sp1
+        al = 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0 \
+            if c.alpha is None else c.alpha
+        la0 = 49.5 if c.lat0 == 0.0 else c.lat0
+        lo0 = c.lonc if c.lonc is not None else (
+            c.lon0 if c.lon0 != 0.0 else 42.5 - (17.0 + 40.0 / 60.0))
+
+        def fwd0(lon, lat):
+            return krovak_fwd(lon, lat, lo0, la0, al, sp, kk, c.fe, c.fn,
+                              ell)
+
+        def inv0(x, y):
+            return krovak_inv(x, y, lo0, la0, al, sp, kk, c.fe, c.fn, ell)
     elif p == "omerc":
         kk = 1.0 if k0 is None else k0
         if c.alpha is None:
@@ -1123,7 +1138,7 @@ def parse_proj4(s: str) -> CRSDef:
     proj = _PROJ_ALIASES.get(kv2["proj"], kv2["proj"])
     if proj not in ("longlat", "utm", "tmerc", "lcc", "lcc1sp", "aea",
                     "stere", "laea", "merc", "webmerc", "sinu", "ups",
-                    "somerc", "omerc"):
+                    "somerc", "omerc", "krovak"):
         raise ValueError(f"unsupported projection family '+proj={proj}'")
     ellps = "WGS84"
     towgs84 = None
@@ -1399,3 +1414,87 @@ def omerc_inv(x, y, lonc, lat0, alphac, gammac, k0, fe, fn,
     lam = lam0 - np.arctan2(Sp * math.cos(g0) - Vp * math.sin(g0),
                             np.cos(B * u / A)) / B
     return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Krovak (EPSG method 9819) — the Czech/Slovak S-JTSK oblique conformal
+# conic: Gauss conformal sphere → rotation to the cartographic pole
+# (azimuth 30°17'17.3031" at 49.5°N) → conic with pseudo standard
+# parallel 78.5°.  Constants verified against the EPSG Guidance Note 7-2
+# worked example to the centimetre (50°12'32.442"N 16°50'59.179"E →
+# southing 1050538.63, westing 568991.00).  EPSG:5514 'Krovak East North'
+# emits (E, N) = (−westing, −southing), PROJ's default sign convention.
+# ---------------------------------------------------------------------------
+
+def _krovak_consts(ell: Ellipsoid, lat0: float, alphac: float,
+                   sp: float, k0: float):
+    e, e2 = ell.e, ell.e2
+    pc = math.radians(lat0)
+    ac = math.radians(alphac)
+    pp = math.radians(sp)
+    A_ = ell.a * math.sqrt(1 - e2) / (1 - e2 * math.sin(pc) ** 2)
+    B = math.sqrt(1 + e2 * math.cos(pc) ** 4 / (1 - e2))
+    g0 = math.asin(math.sin(pc) / B)
+    t0 = (math.tan(math.pi / 4 + g0 / 2)
+          * ((1 + e * math.sin(pc)) / (1 - e * math.sin(pc)))
+          ** (e * B / 2)
+          / math.tan(math.pi / 4 + pc / 2) ** B)
+    n = math.sin(pp)
+    r0 = k0 * A_ / math.tan(pp)
+    return B, t0, n, r0, ac, pp
+
+
+def krovak_fwd(lon, lat, lon0, lat0, alphac, sp, k0, fe, fn,
+               ell: Ellipsoid):
+    e = ell.e
+    B, t0, n, r0, ac, pp = _krovak_consts(ell, lat0, alphac, sp, k0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    spi = np.sin(phi)
+    U = 2 * (np.arctan(t0 * np.tan(np.pi / 4 + phi / 2) ** B
+                       / ((1 + e * spi) / (1 - e * spi)) ** (e * B / 2))
+             - np.pi / 4)
+    V = B * (math.radians(lon0) - np.radians(np.asarray(lon, np.float64)))
+    S = np.arcsin(np.clip(math.cos(ac) * np.sin(U)
+                          + math.sin(ac) * np.cos(U) * np.cos(V),
+                          -1.0, 1.0))
+    D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(S), -1.0, 1.0))
+    theta = n * D
+    r = r0 * (math.tan(math.pi / 4 + pp / 2)
+              / np.tan(np.pi / 4 + S / 2)) ** n
+    Xs = r * np.cos(theta)            # southing
+    Yw = r * np.sin(theta)            # westing
+    return fe - Yw, fn - Xs           # Krovak East North
+
+
+def krovak_inv(x, y, lon0, lat0, alphac, sp, k0, fe, fn, ell: Ellipsoid):
+    e = ell.e
+    B, t0, n, r0, ac, pp = _krovak_consts(ell, lat0, alphac, sp, k0)
+    Yw = fe - np.asarray(x, np.float64)
+    Xs = fn - np.asarray(y, np.float64)
+    r = np.hypot(Xs, Yw)
+    theta = np.arctan2(Yw, Xs)
+    D = theta / n
+    S = 2 * (np.arctan(math.tan(math.pi / 4 + pp / 2)
+                       * (r0 / r) ** (1.0 / n)) - np.pi / 4)
+    U = np.arcsin(np.clip(math.cos(ac) * np.sin(S)
+                          - math.sin(ac) * np.cos(S) * np.cos(D),
+                          -1.0, 1.0))
+    V = np.arcsin(np.clip(np.cos(S) * np.sin(D) / np.cos(U), -1.0, 1.0))
+    lam = math.radians(lon0) - V / B
+    # invert the conformal-sphere latitude U back to geodetic phi
+    phi = U.copy()
+    for _ in range(8):
+        spi = np.sin(phi)
+        phi = 2 * (np.arctan(
+            np.tan(np.pi / 4 + U / 2) ** (1.0 / B) * t0 ** (-1.0 / B)
+            * ((1 + e * spi) / (1 - e * spi)) ** (e / 2)) - np.pi / 4)
+    return np.degrees(lam), np.degrees(phi)
+
+
+_KROVAK_SJTSK = dict(
+    proj="krovak", lat0=49.5,
+    lon0=42.5 - (17.0 + 40.0 / 60.0),       # 42°30' E of Ferro
+    alpha=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+    sp1=78.5, k0=0.9999, fe=0.0, fn=0.0, ellps="bessel")
+# S-JTSK / Krovak East North — EPSG:1622 3-parameter shift
+EPSG_PARAMS["5514"] = dict(_KROVAK_SJTSK, towgs84=(589.0, 76.0, 480.0))

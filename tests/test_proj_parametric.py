@@ -169,7 +169,7 @@ def test_parse_errors():
     with pytest.raises(ValueError):
         P.parse_proj4("+lat_0=50")                       # no +proj
     with pytest.raises(ValueError):
-        P.parse_proj4("+proj=krovak +lat_0=49.5")        # family unsupported
+        P.parse_proj4("+proj=tpeqd +lat_1=10")           # family unsupported
     with pytest.raises(ValueError):
         P.parse_proj4("+proj=utm +zone=10 +frobnicate=1")
     with pytest.raises(ValueError):
@@ -323,3 +323,44 @@ def test_ups_proj4_honours_overrides():
     xd, yd = f_default(lons, lats)
     np.testing.assert_allclose(x0 + 2_000_000.0, xd, rtol=0, atol=1e-6)
     np.testing.assert_allclose(y0 + 2_000_000.0, yd, rtol=0, atol=1e-6)
+
+
+def test_krovak_epsg_worked_example():
+    """EPSG Guidance Note 7-2 method 9819 worked example, reproduced to
+    the centimetre on the S-JTSK datum (datum-free kernel check):
+    50°12'32.442"N 16°50'59.179"E → southing 1050538.63, westing
+    568991.00; EPSG:5514 'Krovak East North' emits the negated pair."""
+    fwd, inv = P.build_transform(P.CRSDef(**dict(
+        P.EPSG_PARAMS["5514"], towgs84=None)))
+    lat = 50 + 12 / 60 + 32.442 / 3600
+    lon = 16 + 50 / 60 + 59.179 / 3600
+    x, y = fwd(np.array([lon]), np.array([lat]))
+    assert x[0] == pytest.approx(-568991.00, abs=0.02)
+    assert y[0] == pytest.approx(-1050538.63, abs=0.02)
+    lo, la = inv(x, y)
+    assert lo[0] == pytest.approx(lon, abs=1e-9)
+    assert la[0] == pytest.approx(lat, abs=1e-9)
+
+
+def test_krovak_prague_via_wgs84_chain():
+    # Prague centre through the Helmert chain lands in the known S-JTSK
+    # window (published Czech coords ≈ (-743000, -1043000) ± the 3-param
+    # mean-shift accuracy)
+    out = transform_coords(np.array([[14.42, 50.087]]), "4326",
+                           "EPSG:5514")
+    assert out[0, 0] == pytest.approx(-742900.0, abs=400.0)
+    assert out[0, 1] == pytest.approx(-1043100.0, abs=400.0)
+    back = transform_coords(out, "EPSG:5514", "4326")
+    assert back[0, 0] == pytest.approx(14.42, abs=1e-7)
+    assert back[0, 1] == pytest.approx(50.087, abs=1e-7)
+
+
+def test_krovak_proj4_string():
+    p4 = ("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+          "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
+          "+towgs84=589,76,480 +units=m +no_defs")
+    a = transform_coords(np.array([[14.42, 50.087]]), "4326", p4)
+    b = transform_coords(np.array([[14.42, 50.087]]), "4326", "EPSG:5514")
+    # the proj4 literal lon_0 differs from 42.5-17.666... in the last
+    # double bit; mm-level agreement is the right assertion
+    np.testing.assert_allclose(a, b, rtol=0, atol=0.01)
