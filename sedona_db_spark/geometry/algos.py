@@ -583,6 +583,9 @@ _CRS_ALIASES = {
     "EPSG:4326": "4326", "OGC:CRS84": "4326", "CRS84": "4326", "4326": "4326",
     "EPSG:3857": "3857", "3857": "3857",
     "ESRI:54008": "54008",
+    # legacy web-mercator spellings
+    "EPSG:900913": "3857", "900913": "3857", "ESRI:102100": "3857",
+    "102100": "3857",
 }
 
 

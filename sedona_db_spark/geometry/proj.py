@@ -1093,6 +1093,9 @@ EPSG_PARAMS.update({
                   fe=500_000.0, fn=-5_300_000.0, ellps="GRS80"),
     # ETRS89 / TM35FIN(E,N) — Finland national
     "3067": _rows(proj="utm", zone=35, ellps="GRS80"),
+    # SWEREF99 TM — Sweden national (TM, lon0 15°, k0 0.9996)
+    "3006": _rows(proj="tmerc", lat0=0.0, lon0=15.0, k0=0.9996,
+                  fe=500_000.0, fn=0.0, ellps="GRS80"),
     # Israel 1993 / Israeli TM Grid (GRS80; ITM)
     "2039": _rows(proj="tmerc", lat0=31.0 + 44.0 / 60 + 3.817 / 3600,
                   lon0=35.0 + 12.0 / 60 + 16.261 / 3600, k0=1.0000067,
