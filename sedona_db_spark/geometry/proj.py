@@ -643,6 +643,9 @@ class CRSDef:
 def _ellps_of(name: str) -> Ellipsoid:
     if name.startswith("R:"):            # +R= sphere of given radius
         return Ellipsoid(float(name[2:]), 0.0)
+    if name.startswith("AB:"):           # custom +a/+b or +a/+rf ellipsoid
+        _, a, f = name.split(":")
+        return Ellipsoid(float(a), float(f))
     try:
         return ELLPS[name]
     except KeyError:
@@ -1165,6 +1168,21 @@ def parse_proj4(s: str) -> CRSDef:
             ellps = low if low in ELLPS else v
         elif k == "R" or k == "a" and "b" not in kv2 and "rf" not in kv2:
             ellps = f"R:{float(v)}"
+        elif k == "a":
+            # +a with +b or +rf: custom ellipsoid (e.g. the canonical
+            # legacy web-mercator string '+proj=merc +a=6378137
+            # +b=6378137 ...' — a == b degenerates to a sphere).
+            a = float(v)
+            if "b" in kv2:
+                b = float(kv2["b"])
+                f = 1.0 - b / a
+            else:
+                f = 1.0 / float(kv2["rf"])
+            ellps = f"R:{a}" if f == 0.0 else f"AB:{a}:{f}"
+        elif k in ("b", "rf") and "a" in kv2:
+            continue            # consumed by the +a branch above
+        elif k == "rf" and "a" not in kv2:
+            raise ValueError("+rf requires +a")
         elif k == "towgs84":
             towgs84 = tuple(float(x) for x in v.split(","))
             if len(towgs84) not in (3, 7):

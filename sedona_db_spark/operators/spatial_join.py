@@ -429,6 +429,15 @@ def _spatial_join_impl(
 
     Column-name collisions are resolved by suffixing right-side duplicates
     with ``_r``.
+
+    ``left_id`` / ``right_id`` declare a UNIQUE, NON-NULL id column on the
+    corresponding input; for ``how`` other than ``inner`` the outer/semi/
+    anti/mark finisher then keys row identity on that single column instead
+    of value-identity over every column (which at 100 TB means not hashing
+    wide payloads in the anti-join).  The uniqueness contract is trusted —
+    a non-unique id silently produces wrong outer results.  Set the Spark
+    conf ``spark.sedona_db_spark.validateIdKeys=true`` to pay one extra
+    aggregation job that raises on duplicate ids before the join finishes.
     """
     predicate = predicate.lower()
     if predicate == "relate":
@@ -686,13 +695,13 @@ def _spatial_join_impl(
         # (rust/sedona-spatial-join/src/partitioning/bbox_sampler.rs).
         K_SALT = 8
         HOT_FACTOR = 4.0
-        hist = (l_cells.sample(False, 0.05, seed=7)
-                .groupBy("__cell").count().collect())
-        if hist:
-            mean = sum(r["count"] for r in hist) / len(hist)
-            hot = [r["__cell"] for r in hist if r["count"] > HOT_FACTOR * mean]
-        else:
-            hot = []
+        # the hot-cell filter runs IN the Spark job (round-6 fix: the old
+        # path collected the full sampled per-cell histogram — unbounded by
+        # anything but distinct-cell count, millions of rows at planet
+        # scale).  Only cells above HOT_FACTOR x mean come back, capped at
+        # the MAX_HOT_CELLS heaviest; a cell missing the cap just stays
+        # unsalted (correct, AQE skew-join still backstops it).
+        hot = _auto_hot_cells(l_cells, hot_factor=HOT_FACTOR)
         if hot:
             spark = left.sparkSession
             hot_df = F.broadcast(
@@ -824,6 +833,62 @@ def _null_safe_cond(cols: list, prefix: str) -> Column:
     return cond
 
 
+MAX_HOT_CELLS = 4096
+
+
+def _auto_hot_cells(l_cells: DataFrame, hot_factor: float = 4.0,
+                    sample_frac: float = 0.05,
+                    cap: int = MAX_HOT_CELLS) -> list:
+    """Hot probe-side cells for salt="auto", computed IN the Spark job.
+
+    Round-6 fix: the old path collected the full sampled per-cell
+    histogram to the driver — bounded only by distinct-cell count, which
+    at planet scale with a fine resolution is millions of rows.  Now the
+    count > hot_factor x mean filter and a heaviest-``cap`` LIMIT run
+    job-side, so the collect returns at most ``cap`` cell ids.  A hot
+    cell beyond the cap stays unsalted — still correct (AQE skew-join
+    backstops it), just not pre-split."""
+    cnt = (l_cells.sample(False, sample_frac, seed=7)
+           .groupBy("__cell").count())
+    return [r["__cell"] for r in
+            (cnt.crossJoin(F.broadcast(
+                 cnt.agg(F.avg("count").alias("__mean"))))
+             .filter(F.col("count") > hot_factor * F.col("__mean"))
+             .orderBy(F.col("count").desc())
+             .limit(cap)
+             .select("__cell").collect())]
+
+
+def _maybe_validate_id_keys(left: DataFrame, right: DataFrame, how: str,
+                            left_id: str | None, right_id: str | None):
+    """Debug assertion behind ``spark.sedona_db_spark.validateIdKeys``:
+    the id-keyed finisher trusts the caller's uniqueness contract, so a
+    duplicate (or duplicate-null) id would silently corrupt outer/semi/
+    anti/mark output.  When the conf is true, spend one aggregation job
+    per declared side to fail loudly instead."""
+    try:
+        flag = left.sparkSession.conf.get(
+            "spark.sedona_db_spark.validateIdKeys", "false")
+    except Exception:
+        flag = "false"
+    if str(flag).lower() != "true":
+        return
+    sides = [("left_id", left, left_id)]
+    if how == "full":
+        sides.append(("right_id", right, right_id))
+    for name, df, col in sides:
+        if col is None:
+            continue
+        dup = (df.groupBy(col).count()
+                 .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                f"spatial_join: {name}={col!r} is not unique (duplicate "
+                f"values or duplicate nulls) — the id-keyed "
+                f"outer/semi/anti/mark finisher requires a unique id; "
+                f"drop the {name} kwarg to use exact value-identity")
+
+
 def _finish_join_type(left: DataFrame, right: DataFrame, matched: DataFrame,
                       how: str, lcols: list, rcols: list,
                       left_id: str | None = None,
@@ -840,6 +905,8 @@ def _finish_join_type(left: DataFrame, right: DataFrame, matched: DataFrame,
     column.  Reference join-type surface: exec.rs:235-240."""
     if how == "inner":
         return matched
+    if left_id or right_id:
+        _maybe_validate_id_keys(left, right, how, left_id, right_id)
     lid = [left_id] if left_id else lcols
     lkeys = _keyed(matched, lid, "__k_")
     lcond = _null_safe_cond(lid, "__k_")

@@ -42,6 +42,20 @@ from sedona_db_spark import grid
 from sedona_db_spark.geometry import kernels as K, wkb as W
 
 
+def _deep_sizeof(v, _depth: int = 0) -> int:
+    """Approximate recursive byte size of a collected value: containers
+    (list/tuple/dict/Row) add their elements, bytes/str are already flat.
+    Depth-capped — this feeds a coarse collect guard, not an accountant."""
+    n = sys.getsizeof(v)
+    if _depth < 4:
+        if isinstance(v, dict):
+            n += sum(_deep_sizeof(x, _depth + 1) for kv in v.items()
+                     for x in kv)
+        elif isinstance(v, (list, tuple)) or hasattr(v, "__fields__"):
+            n += sum(_deep_sizeof(x, _depth + 1) for x in v)
+    return n
+
+
 def raster_extent_cols(raster_col: str):
     """(xmin, ymin, xmax, ymax) Columns of a raster's extent: envelope of
     the 4 affine-transformed corners (exact for any skew)."""
@@ -119,8 +133,14 @@ def raster_vector_join(tiles: DataFrame, vectors: DataFrame,
             on=vector_id_col)
     else:
         vec_rows = vectors.collect()
-        approx = sum(sys.getsizeof(v) for row in vec_rows[:1000]
-                     for v in row) * max(1, len(vec_rows) // 1000)
+        # approximate size check: sample up to 1000 rows, scale by the true
+        # row ratio as a float (a floor here under-counted ~2x at 1999
+        # rows), and deep-size nested values — sys.getsizeof alone is
+        # shallow for lists/dicts/Rows.
+        sample = vec_rows[:1000]
+        approx = int(
+            sum(_deep_sizeof(v) for row in sample for v in row)
+            * (len(vec_rows) / max(1, len(sample))))
         if approx > 512 * 1024 * 1024:
             raise ValueError(
                 "raster_vector_join: the vector side is too wide/large to "

@@ -364,3 +364,33 @@ def test_krovak_proj4_string():
     # the proj4 literal lon_0 differs from 42.5-17.666... in the last
     # double bit; mm-level agreement is the right assertion
     np.testing.assert_allclose(a, b, rtol=0, atol=0.01)
+
+
+def test_custom_ellipsoid_a_b_rf():
+    # +a with +b (sphere): the canonical legacy web-mercator PROJ string
+    # must resolve and match the 3857 spherical formulas exactly
+    pt = np.array([[-122.4194, 37.7749]])
+    a = transform_coords(
+        pt, "4326",
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+        "+y_0=0 +k=1 +units=m +nadgrids=@null +no_defs")
+    b = transform_coords(pt, "4326", "EPSG:3857")
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+    # +a with +rf == WGS84 → identical to the zone-family UTM path
+    c = transform_coords(
+        pt, "4326", "+proj=utm +zone=10 +a=6378137 +rf=298.257223563")
+    d = transform_coords(pt, "4326", "EPSG:32610")
+    np.testing.assert_allclose(c, d, rtol=0, atol=1e-6)
+    # +a/+b non-sphere (airy) == +ellps=airy
+    ln = np.array([[-0.1278, 51.5074]])
+    e = transform_coords(
+        ln, "4326",
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+        "+y_0=-100000 +a=6377563.396 +b=6356256.909 +units=m")
+    g = transform_coords(
+        ln, "4326",
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+        "+y_0=-100000 +ellps=airy +units=m")
+    np.testing.assert_allclose(e, g, rtol=0, atol=1e-4)
+    with pytest.raises(ValueError):
+        P.parse_proj4("+proj=utm +zone=10 +rf=298.25")   # +rf without +a

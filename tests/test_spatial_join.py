@@ -683,3 +683,46 @@ def test_id_based_join_finisher_matches_value_identity(spark):
     import re
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti and all("payload" not in ln for ln in anti)
+
+
+def test_auto_salt_hot_cell_collect_is_capped(spark):
+    """The salt="auto" histogram must never collect more than MAX_HOT_CELLS
+    rows: the hot filter + top-K limit run job-side (round-6 VERDICT #3)."""
+    import pandas as pd
+    from sedona_db_spark.operators.spatial_join import _auto_hot_cells
+    # 500 distinct cells, 10 of them 100x hotter than the rest
+    rows = []
+    for c in range(500):
+        rows.extend([(c,)] * (200 if c < 10 else 2))
+    cells = spark.createDataFrame(pd.DataFrame(rows, columns=["__cell"]))
+    hot = _auto_hot_cells(cells, sample_frac=1.0, cap=5)
+    assert len(hot) <= 5                      # capped by the LIMIT
+    assert set(hot) <= set(range(10))         # only genuinely hot cells
+    hot_all = _auto_hot_cells(cells, sample_frac=1.0)
+    assert sorted(hot_all) == list(range(10))
+
+
+def test_validate_id_keys_flag(spark):
+    """spark.sedona_db_spark.validateIdKeys=true raises on a duplicate
+    left_id before the id-keyed finisher silently corrupts outer output."""
+    import pandas as pd
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": [0, 1, 1, 2],
+        "geom": [W.encode(("Point", np.array([[float(i), 0.0]])))
+                 for i in range(4)]}))
+    rects = spark.createDataFrame(pd.DataFrame({
+        "rid": [0],
+        "geom": [W.encode(("Polygon", [np.array(
+            [[-.5, -.5], [9.5, -.5], [9.5, .5], [-.5, .5], [-.5, -.5]])]))]}))
+    spark.conf.set("spark.sedona_db_spark.validateIdKeys", "true")
+    try:
+        with pytest.raises(ValueError, match="not unique"):
+            spatial_join(pts, rects, "within", "left", broadcast_threshold=0,
+                         left_id="pid").collect()
+        # unique ids pass under the flag
+        ok = spatial_join(pts.dropDuplicates(["pid"]), rects, "within",
+                          "left", broadcast_threshold=0,
+                          left_id="pid").collect()
+        assert len(ok) == 3
+    finally:
+        spark.conf.set("spark.sedona_db_spark.validateIdKeys", "false")
