@@ -389,7 +389,9 @@ def st_knn(b1: pd.Series, b2: pd.Series, k: pd.Series) -> pd.Series:
     # join-only marker, exactly like the reference's stub
     # (rust/sedona-functions/src/st_knn.rs:25-30)
     raise NotImplementedError(
-        "ST_KNN is a join predicate; use sedona_db_spark.operators.knn_join")
+        "ST_KNN is a join predicate; use sedona_db_spark.operators.knn_join "
+        "or the SQL form sedona_db_spark.sql(spark, 'SELECT ... FROM a JOIN "
+        "b ON ST_KNN(a.geom, b.geom, k)')")
 
 
 UDFS4 = {

@@ -117,3 +117,48 @@ def test_sql_spatial_theta_join(spark):
     cnt = spark.sql(
         "SELECT count(*) AS c FROM sql_pts q WHERE ST_X(q.geom) > 0").collect()
     assert cnt[0]["c"] >= 0
+
+
+def test_sql_knn_join(spark):
+    """SQL ST_KNN join entry point (round-6 VERDICT #6): the reference
+    plans JOIN ... ON ST_KNN(q, t, k) via KnnJoinEarlyRewrite
+    (rust/sedona-query-planner/src/optimizer.rs:112-152); our text-level
+    front end must produce exactly knn_join's rows."""
+    import numpy as np
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators import knn_join
+    rng = np.random.default_rng(5)
+    import pandas as pd
+    q = pd.DataFrame({"id": np.arange(12),
+                      "geom": W.points_to_wkb(rng.uniform(-10, 10, 12),
+                                              rng.uniform(-10, 10, 12))})
+    t = pd.DataFrame({"id": np.arange(200),
+                      "geom": W.points_to_wkb(rng.uniform(-10, 10, 200),
+                                              rng.uniform(-10, 10, 200))})
+    qdf, tdf = spark.createDataFrame(q), spark.createDataFrame(t)
+    qdf.createOrReplaceTempView("knn_q")
+    tdf.createOrReplaceTempView("knn_t")
+    got = sd_sql(spark,
+                 "SELECT a.id AS qid, b.id AS tid FROM knn_q AS a "
+                 "JOIN knn_t b ON ST_KNN(a.geom, b.geom, 3)")
+    api = knn_join(qdf, tdf, 3, query_id="id", target_id="id")
+    assert ({(r["qid"], r["tid"]) for r in got.collect()}
+            == {(r["id"], r["id_t"]) for r in api.collect()})
+    assert got.count() == 36
+    # trailing WHERE applies AFTER neighbor selection (the pushdown hazard
+    # the reference's early rewrite exists to prevent)
+    flt = sd_sql(spark,
+                 "SELECT a.id AS qid, b.id AS tid, knn_dist FROM knn_q a "
+                 "JOIN knn_t b ON ST_KNN(a.geom, b.geom, 3) "
+                 "WHERE a.id < 4 ORDER BY qid, knn_dist")
+    assert ({(r["qid"], r["tid"]) for r in flt.collect()}
+            == {(r["id"], r["id_t"]) for r in api.collect() if r["id"] < 4})
+    # non-kNN statements pass through untouched
+    n = sd_sql(spark, "SELECT count(*) AS c FROM knn_q").collect()[0]["c"]
+    assert n == 12
+    # unsupported shapes fail loudly, not silently wrong
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unsupported ST_KNN"):
+        sd_sql(spark, "SELECT 1 FROM knn_q a, knn_t b, knn_t c "
+                      "ON ST_KNN(a.geom, b.geom, 2)")
