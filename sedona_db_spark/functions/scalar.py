@@ -620,9 +620,10 @@ def _st_buffer_impl(*cols):
     replays the reference's GEOS area rows exactly."""
     import struct
 
-    from sedona_db_spark.geometry.buffer import (circle_template,
-                                                 geom_buffer_styled,
+    from sedona_db_spark.geometry.buffer import (buffer_route,
+                                                 circle_template,
                                                  parse_buffer_params)
+    from sedona_db_spark.geometry.winding_batch import union_polygons_batch
     b, d = cols[0], cols[1]
     style = cols[2] if len(cols) > 2 else None
     out: list = [None] * len(b)
@@ -679,9 +680,27 @@ def _st_buffer_impl(*cols):
         buf[:, len(hdr):] = rings.reshape(n, -1).view(np.uint8)
         for j in range(n):
             out[idx[j]] = buf[j].tobytes()
+    # generic tier: route each row (closed-form result, offset-curve edge
+    # soup, or polygon part soup) and run ALL union rows of the batch in
+    # one flattened winding sweep (winding_batch — byte-identical to the
+    # per-row union_polygons/union_edges path, property-tested in
+    # tests/test_buffer_batch.py)
+    union_rows: list = []
     for i, g, dd, p in rest:
-        res = geom_buffer_styled(g, dd, p)
-        out[i] = None if res is None else W.encode(res)
+        route = buffer_route(g, dd, p)
+        if route is None:
+            continue
+        tag, val = route
+        if tag == "geom":
+            out[i] = W.encode(val)
+        elif tag == "edges" or val:
+            union_rows.append((i, val))
+        else:                                   # empty part soup
+            out[i] = W.encode(("Polygon", []))
+    if union_rows:
+        results = union_polygons_batch([v for _, v in union_rows])
+        for (i, _), res in zip(union_rows, results):
+            out[i] = W.encode(res)
     return pd.Series(out, dtype=object)
 
 

@@ -315,6 +315,205 @@ def _dedupe_consecutive(pts: np.ndarray) -> np.ndarray:
     return pts[keep]
 
 
+def _normalized_rings(rings_sets: list) -> list:
+    """Clean + orient the rings of a Polygon/MultiPolygon payload exactly
+    as ``overlay._directed_edges_of`` will (dedupe, drop closing dup,
+    shell CCW / holes CW by the same shoelace float path).  Returns one
+    list of open oriented rings per polygon; degenerate rings dropped."""
+    from sedona_db_spark.geometry import kernels as K
+    out = []
+    for rings in rings_sets:
+        norm = []
+        for k, ring in enumerate(rings):
+            rr = _dedupe_consecutive(np.asarray(ring, dtype=np.float64))
+            if len(rr) > 1 and np.all(rr[0] == rr[-1]):
+                rr = rr[:-1]
+            if len(rr) < 3:
+                continue
+            closed = np.vstack([rr, rr[:1]])
+            if (K._ring_area2(closed) > 0) != (k == 0):
+                rr = rr[::-1].copy()
+            norm.append(rr)
+        if norm:
+            out.append(norm)
+    return out
+
+
+def _corner_chain_pts(v, u1, u2, d: float, p: BufferParams) -> list:
+    """Join boundary from offset end p0 = v + d·n1 to offset start
+    p1 = v + d·n2 at a left-turn (exterior-gap) corner, EXCLUDING the
+    endpoints — the interior points of _join_wedge's ring for the
+    non-round styles (mitre apex / truncated mitre chord; bevel = none)."""
+    n1 = (u1[1], -u1[0])
+    n2 = (u2[1], -u2[0])
+    cross = u1[0] * u2[1] - u1[1] * u2[0]
+    dot = u1[0] * u2[0] + u1[1] * u2[1]
+    theta = math.atan2(abs(cross), dot)
+    if p.join == "bevel" or theta >= math.pi - 1e-12:
+        if p.join == "mitre" and theta >= math.pi - 1e-12:
+            # near-U-turn: _join_wedge truncates the (infinite) mitre
+            p0 = (v[0] + d * n1[0], v[1] + d * n1[1])
+            p1 = (v[0] + d * n2[0], v[1] + d * n2[1])
+            w = _truncated_mitre(v, n1, n2, p0, p1, u1, u2, d, p)
+            return [tuple(q) for q in w[2:-2]]
+        return []
+    ratio = 1.0 / math.cos(theta / 2.0)
+    bis = (n1[0] + n2[0], n1[1] + n2[1])
+    bl = math.hypot(*bis)
+    if bl < 1e-15:
+        return []
+    bis = (bis[0] / bl, bis[1] / bl)
+    if ratio <= p.mitre_limit:
+        return [(v[0] + d * ratio * bis[0], v[1] + d * ratio * bis[1])]
+    p0 = (v[0] + d * n1[0], v[1] + d * n1[1])
+    p1 = (v[0] + d * n2[0], v[1] + d * n2[1])
+    w = _truncated_mitre(v, n1, n2, p0, p1, u1, u2, d, p)
+    # ring is [v, p0, c1, c2, p1, v] — interior chord points only
+    return [tuple(q) for q in w[2:-2]]
+
+
+def _band_edges(poly_rings: list, d: float,
+                p: BufferParams) -> np.ndarray | None:
+    """Directed offset-curve edges of the one-sided buffer decomposition.
+
+    buffer(P, d) = nonzero-winding region of the ring offset curves: per
+    oriented ring (interior on the left), the exterior-side offset
+    segments chained through left-turn corner joins (round fillet /
+    mitre / bevel per the style) and, at right-turn (reflex) corners,
+    through the vertex itself — Clipper-style corner closing, winding-
+    equivalent to the full P ∪ half-rects ∪ wedges Minkowski soup after
+    exact reverse-pair cancellation (the rect inner edges annihilate the
+    ring, the rect ends annihilate the wedge radials; what survives is
+    exactly this curve).  Region parity with the double-sided part soup
+    is property-tested in tests/test_buffer_batch.py.
+
+    Round-join fillets are vectorized across all corners of a ring
+    (GEOS addDirectedFillet discretization: quantum = pi/(2*quad_segs),
+    nsegs = int(theta/quantum + 0.5)).
+
+    Returns None when a ring contains an exact U-turn spike (the
+    exterior half-disk there is not expressible one-sided) — caller
+    falls back to the double-sided part soup."""
+    chunks: list = []
+    for norm in poly_rings:
+        for rr in norm:
+            n = len(rr)
+            nxt = np.vstack([rr[1:], rr[:1]])
+            ax, ay = rr[:, 0], rr[:, 1]
+            bx, by = nxt[:, 0], nxt[:, 1]
+            ln = np.hypot(bx - ax, by - ay)
+            ux = (bx - ax) / ln
+            uy = (by - ay) / ln
+            nx = d * uy
+            ny = d * (-ux)
+            # offset segments (A+n -> B+n), one per ring edge
+            segs = np.empty((n, 4))
+            segs[:, 0] = ax + nx
+            segs[:, 1] = ay + ny
+            segs[:, 2] = bx + nx
+            segs[:, 3] = by + ny
+            chunks.append(segs)
+            # corner classification: incoming edge i-1, outgoing edge i
+            pux = np.concatenate([ux[-1:], ux[:-1]])
+            puy = np.concatenate([uy[-1:], uy[:-1]])
+            pnx = np.concatenate([nx[-1:], nx[:-1]])
+            pny = np.concatenate([ny[-1:], ny[:-1]])
+            crosses = pux * uy - puy * ux
+            dots = pux * ux + puy * uy
+            if bool(np.any((crosses == 0.0) & (dots < 0.0))):
+                return None          # exact U-turn spike
+            vx, vy = ax, ay          # vertex i
+            p0x = vx + pnx
+            p0y = vy + pny
+            p1x = vx + nx
+            p1y = vy + ny
+            left = crosses > 0.0
+            # reflex / collinear corners: through-the-vertex closing pair
+            # (p0 -> v), (v -> p1); bitwise-equal normals cancel to nothing
+            refl = ~left & ((pnx != nx) | (pny != ny))
+            if bool(refl.any()):
+                rj = np.flatnonzero(refl)
+                rc = np.empty((2 * len(rj), 4))
+                rc[0::2, 0] = p0x[rj]
+                rc[0::2, 1] = p0y[rj]
+                rc[0::2, 2] = vx[rj]
+                rc[0::2, 3] = vy[rj]
+                rc[1::2, 0] = vx[rj]
+                rc[1::2, 1] = vy[rj]
+                rc[1::2, 2] = p1x[rj]
+                rc[1::2, 3] = p1y[rj]
+                chunks.append(rc)
+            lj = np.flatnonzero(left)
+            if not len(lj):
+                continue
+            if p.join == "round":
+                # vectorized GEOS fillet chains p0 -> arc pts -> p1
+                theta = np.arctan2(np.abs(crosses[lj]), dots[lj])
+                quantum = math.pi / 2.0 / p.quad_segs
+                nsegs = (theta / quantum + 0.5).astype(np.int64)
+                a0 = np.arctan2(-pux[lj], puy[lj])   # atan2(n1y, n1x)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    inc = np.where(nsegs > 0, theta / np.maximum(nsegs, 1),
+                                   0.0)
+                m = nsegs.astype(np.int64)
+                tot = int(m.sum())
+                if tot:
+                    cid = np.repeat(np.arange(len(lj)), m)
+                    base = np.concatenate([[0], np.cumsum(m)[:-1]])
+                    k = np.arange(tot) - base[cid]
+                    ang = a0[cid] + k * inc[cid]
+                    arcx = vx[lj][cid] + d * np.cos(ang)
+                    arcy = vy[lj][cid] + d * np.sin(ang)
+                else:
+                    cid = np.empty(0, dtype=np.int64)
+                    arcx = arcy = np.empty(0)
+                # chain points per corner: p0, arc_0..arc_{m-1}, p1
+                cnt = m + 2
+                tot_p = int(cnt.sum())
+                px = np.empty(tot_p)
+                py = np.empty(tot_p)
+                starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+                px[starts] = p0x[lj]
+                py[starts] = p0y[lj]
+                ends = starts + cnt - 1
+                px[ends] = p1x[lj]
+                py[ends] = p1y[lj]
+                if tot:
+                    mid = np.setdiff1d(np.arange(tot_p),
+                                       np.concatenate([starts, ends]),
+                                       assume_unique=False)
+                    px[mid] = arcx
+                    py[mid] = arcy
+                # consecutive-pair edges within each chain
+                is_last = np.zeros(tot_p, dtype=bool)
+                is_last[ends] = True
+                ei = np.flatnonzero(~is_last)
+                ce = np.empty((len(ei), 4))
+                ce[:, 0] = px[ei]
+                ce[:, 1] = py[ei]
+                ce[:, 2] = px[ei + 1]
+                ce[:, 3] = py[ei + 1]
+                keep = (ce[:, 0] != ce[:, 2]) | (ce[:, 1] != ce[:, 3])
+                chunks.append(ce[keep] if not keep.all() else ce)
+            else:
+                rows = []
+                for i in lj:
+                    j = (int(i) - 1) % n
+                    pts = ([(p0x[i], p0y[i])]
+                           + _corner_chain_pts(
+                               (float(vx[i]), float(vy[i])),
+                               (float(ux[j]), float(uy[j])),
+                               (float(ux[i]), float(uy[i])), d, p)
+                           + [(p1x[i], p1y[i])])
+                    for q in range(len(pts) - 1):
+                        if pts[q] != pts[q + 1]:
+                            rows.append((pts[q][0], pts[q][1],
+                                         pts[q + 1][0], pts[q + 1][1]))
+                if rows:
+                    chunks.append(np.asarray(rows, dtype=np.float64))
+    return np.concatenate(chunks) if chunks else np.empty((0, 4))
+
+
 # ---------------------------------------------------------------------------
 # closed-form fast paths (no overlay): convex rings and single segments
 # ---------------------------------------------------------------------------
@@ -324,9 +523,9 @@ def _is_convex_ccw(pts: np.ndarray) -> bool:
     n = len(pts)
     if n < 3:
         return False
-    d = np.roll(pts, -1, axis=0) - pts
-    cross = d[:, 0] * np.roll(d, -1, axis=0)[:, 1] \
-        - d[:, 1] * np.roll(d, -1, axis=0)[:, 0]
+    d = np.concatenate([pts[1:], pts[:1]]) - pts
+    d2 = np.concatenate([d[1:], d[:1]])
+    cross = d[:, 0] * d2[:, 1] - d[:, 1] * d2[:, 0]
     return bool((cross > 0).all())
 
 
@@ -430,72 +629,95 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
     (st_buffer.rs:131-134); single-sided polygons follow the observed
     GEOS 3.12 rows (test_functions.py:706-724): positive side keeps the
     input, negative side yields the ring band input minus erode(|d|)."""
-    from sedona_db_spark.geometry import kernels as K
-    from sedona_db_spark.geometry.overlay import union_polygons
+    from sedona_db_spark.geometry.overlay import union_edges, union_polygons
 
     if isinstance(params, str) or params is None:
         params = parse_buffer_params(params)
+    route = buffer_route(g, dist, params)
+    if route is None:
+        return None
+    tag, val = route
+    if tag == "geom":
+        return val
+    if tag == "edges":
+        return union_edges(val)
+    if not val:
+        return ("Polygon", [])
+    return union_polygons(val)
+
+
+def buffer_route(g, dist: float, params: BufferParams):
+    """Buffer dispatcher without the final union: returns None (null in →
+    null out), ("geom", result) for closed-form paths, or
+    ("parts", soup) / ("parts_cancel", soup) when the result is
+    ``union_polygons(soup, cancel=...)``.  Lets the Arrow-batch UDF pool
+    many rows' soups into one flattened sweep
+    (winding_batch.union_polygons_batch)."""
+    from sedona_db_spark.geometry import kernels as K
+
     if g is None:
         return None
     if dist == 0:
-        return g
+        return ("geom", g)
     if params.side == "right":
         dist = -dist
     name, payload = g
 
     if params.side != "both":
-        return _single_sided(g, dist, params)
+        return ("geom", _single_sided(g, dist, params))
 
     if name == "GeometryCollection":
         parts = [geom_buffer_styled(q, dist, params) for q in payload]
         parts = [q for q in parts if q is not None and not _is_empty(q)]
-        return union_polygons(parts) if parts else ("Polygon", [])
+        return ("parts", parts)
 
     if name == "Point":
         c = np.asarray(payload[:2], dtype=np.float64)
         if np.any(np.isnan(c)) or dist < 0:
-            return ("Polygon", [])
+            return ("geom", ("Polygon", []))
         if params.endcap == "flat":
-            return ("Polygon", [])  # GEOS: flat cap of a point is empty
+            return ("geom", ("Polygon", []))  # GEOS: flat cap of a point
         if params.endcap == "square":
-            return ("Polygon", [_square_ring(c[0], c[1], dist)])
-        return ("Polygon", [_circle_ring(c[0], c[1], dist, params.quad_segs)])
+            return ("geom", ("Polygon", [_square_ring(c[0], c[1], dist)]))
+        return ("geom", ("Polygon", [_circle_ring(c[0], c[1], dist,
+                                                  params.quad_segs)]))
 
     if name == "MultiPoint":
         if dist < 0:
-            return ("Polygon", [])
+            return ("geom", ("Polygon", []))
         coords = K._all_coords(g)
         if coords is None or not len(coords):
-            return ("Polygon", [])
+            return ("geom", ("Polygon", []))
         parts = [geom_buffer_styled(("Point", c), dist, params)
                  for c in coords]
         parts = [q for q in parts if not _is_empty(q)]
-        return union_polygons(parts) if parts else ("Polygon", [])
+        return ("parts", parts)
 
     if name in ("LineString", "MultiLineString"):
         if dist < 0:
-            return ("Polygon", [])
+            return ("geom", ("Polygon", []))
         lines = [payload] if name == "LineString" else payload
         lines = [_dedupe_consecutive(np.asarray(l, dtype=np.float64))
                  for l in lines]
         lines = [l for l in lines if len(l)]
         # closed-form fast path: one straight segment needs no overlay
         if len(lines) == 1 and len(lines[0]) == 2:
-            return _segment_buffer(lines[0][0], lines[0][1], dist, params)
+            return ("geom", _segment_buffer(lines[0][0], lines[0][1],
+                                            dist, params))
         parts = []
         for line in lines:
             closed = len(line) > 3 and bool(np.all(line[0] == line[-1]))
             parts.extend(_polyline_parts(line[:-1] if closed else line,
                                          dist, params, closed))
-        return union_polygons(parts) if parts else ("Polygon", [])
+        return ("parts", parts)
 
     if name in ("Polygon", "MultiPolygon"):
         rings_sets = [payload] if name == "Polygon" else payload
         rings_sets = [rs for rs in rings_sets if rs]
         if not rings_sets:
-            return ("Polygon", [])
+            return ("geom", ("Polygon", []))
         if dist < 0:
-            return _erode(g, -dist, params)
+            return ("geom", _erode(g, -dist, params))
         # closed-form fast path: a single hole-free strictly convex ring's
         # buffer boundary is the traced offset (vertex-identical to the
         # part-union result; no overlay) — boxes/cells, the common case
@@ -505,9 +727,20 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
             if len(ring) > 3 and np.array_equal(ring[0], ring[-1]):
                 ring = ring[:-1]
             if _is_convex_ccw(ring):
-                return _convex_ring_buffer(ring, dist, params)
+                return ("geom", _convex_ring_buffer(ring, dist, params))
             if _is_convex_ccw(ring[::-1]):
-                return _convex_ring_buffer(ring[::-1].copy(), dist, params)
+                return ("geom", _convex_ring_buffer(ring[::-1].copy(),
+                                                    dist, params))
+        # one-sided decomposition: polygon + exterior half-rects + convex
+        # wedges.  With the exact-cancellation union the soup collapses to
+        # the offset curve — same region, a fraction of the slab work.
+        norm = _normalized_rings(rings_sets)
+        if not norm:
+            return ("geom", ("Polygon", []))
+        edges = _band_edges(norm, dist, params)
+        if edges is not None:
+            return ("edges", edges)
+        # U-turn spike fallback: classic double-sided soup
         parts = [(name, payload)]
         for rings in rings_sets:
             for ring in rings:
@@ -516,9 +749,9 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
                     continue
                 closed_pts = ring[:-1] if np.all(ring[0] == ring[-1]) else ring
                 parts.extend(_polyline_parts(closed_pts, dist, params, True))
-        return union_polygons(parts)
+        return ("parts", parts)
 
-    return ("Polygon", [])
+    return ("geom", ("Polygon", []))
 
 
 def _is_empty(g) -> bool:

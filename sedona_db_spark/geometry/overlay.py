@@ -312,14 +312,75 @@ def _pairwise_intersection_xs_vec(e: np.ndarray) -> np.ndarray:
     return np.concatenate(out) if out else np.empty(0)
 
 
-def union_polygons(parts: list):
+def cancel_opposite_edges(e: np.ndarray) -> np.ndarray:
+    """Remove exact reverse directed-segment pairs from an edge soup.
+
+    The winding number of any point is a sum of per-edge contributions, so
+    deleting a segment together with its exact float-reverse leaves the
+    nonzero-winding region unchanged everywhere.  Part soups built to
+    share arithmetic (the one-sided buffer decomposition: polygon +
+    exterior half-rects + convex wedges) collapse to just their outer
+    offset curve, shrinking both the slab grid and the band structure.
+
+    Survivors keep their original relative order (the sweep's admission
+    tie-break depends on it); within one coincident segment group the
+    earliest edges of the majority direction survive.  Deterministic.
+    """
+    n = len(e)
+    if n < 2:
+        return e
+    swap = (e[:, 0] > e[:, 2]) | ((e[:, 0] == e[:, 2]) & (e[:, 1] > e[:, 3]))
+    canon = np.where(swap[:, None], e[:, [2, 3, 0, 1]], e)
+    sgn = np.where(swap, -1, 1)
+    order = np.lexsort((np.arange(n), sgn,
+                        canon[:, 3], canon[:, 2], canon[:, 1], canon[:, 0]))
+    c = canon[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (c[1:] != c[:-1]).any(axis=1)
+    gid = np.cumsum(new_grp) - 1
+    n_grp = int(gid[-1]) + 1
+    net = np.zeros(n_grp, dtype=np.int64)
+    np.add.at(net, gid, sgn[order])
+    neg_cnt = np.zeros(n_grp, dtype=np.int64)
+    np.add.at(neg_cnt, gid, (sgn[order] < 0).astype(np.int64))
+    # within each group the lexsort puts the -1 edges first (by original
+    # index), then the +1 edges (by original index); rank within group:
+    gstart = np.flatnonzero(new_grp)
+    rank = np.arange(n) - np.repeat(gstart, np.diff(np.append(gstart, n)))
+    g_net = net[gid]
+    g_neg = neg_cnt[gid]
+    is_neg = sgn[order] < 0
+    # keep earliest |net| of the majority direction
+    keep = np.where(
+        is_neg,
+        (g_net < 0) & (rank < -g_net),
+        (g_net > 0) & ((rank - g_neg) < g_net))
+    survivors = np.sort(order[keep])
+    return e[survivors]
+
+
+def union_polygons(parts: list, cancel: bool = False):
     """N-way polygon union in ONE slab sweep (nonzero winding over
     orientation-normalized edges) — replaces the O(N²) pairwise
     ``union_all`` fold for part soups like the styled buffer's
     rectangles + wedges + caps (round-4 perf: the fold was ~5 buffers/s
     on 10-vertex polygons; this path is two orders faster with identical
-    region output through the same band merge + dissolve)."""
-    e = _directed_edges_of(parts)
+    region output through the same band merge + dissolve).
+
+    ``cancel=True`` first drops exact reverse directed-edge pairs
+    (winding-invariant; see :func:`cancel_opposite_edges`) — used by the
+    one-sided buffer decomposition where interior structure cancels."""
+    return union_edges(_directed_edges_of(parts), cancel)
+
+
+def union_edges(e: np.ndarray, cancel: bool = False):
+    """Core of :func:`union_polygons` over a pre-built directed edge soup
+    (outer rings CCW / holes CW): nonzero-winding region via the slab
+    sweep.  The styled buffer feeds this directly from its vectorized
+    band-edge builder (buffer._band_edges)."""
+    if cancel and len(e):
+        e = cancel_opposite_edges(e)
     if not len(e):
         return ("GeometryCollection", [])
     xs = np.unique(np.concatenate([
