@@ -617,44 +617,62 @@ def _st_buffer_impl(*cols):
     PostGIS-style parameter-string overload (reference signature
     docs/reference/sql/st_buffer.qmd:30-41: quad_segs, endcap, join,
     mitre_limit, side).  Styled construction in geometry/buffer.py
-    replays the reference's GEOS area rows exactly."""
+    replays the reference's GEOS area rows exactly.
+
+    Three cross-row batch tiers, detected on RAW little-endian WKB so
+    grouped rows never pay a per-row decode (mirrors _st_area_impl):
+    point buffers (shared circle template, round 5), single-ring convex
+    polygon buffers (flattened offset-curve trace, round 6 — the
+    reference benchmark's polygons_simple/complex shape), and the
+    pooled winding sweep for everything routed to a part/edge union."""
     import struct
 
-    from sedona_db_spark.geometry.buffer import (buffer_route,
+    from sedona_db_spark.geometry.buffer import (batch_convex_offset_rings,
+                                                 buffer_route,
                                                  circle_template,
                                                  parse_buffer_params)
     from sedona_db_spark.geometry.winding_batch import union_polygons_batch
     b, d = cols[0], cols[1]
     style = cols[2] if len(cols) > 2 else None
-    out: list = [None] * len(b)
+    nrow = len(b)
+    out: list = [None] * nrow
     param_cache: dict = {}
-    geoms = _decode_series(b)
-    styles = style if style is not None else [None] * len(b)
-    # batch-vectorized point fast path (round-5 perf item): positive-
-    # distance round-cap point buffers are one shared circle template
-    # scaled + translated — group them per quad_segs and emit rings AND
-    # their WKB bytes in single numpy passes (float-identical to the
-    # per-geometry path; everything else falls through to it)
-    batches: dict[int, list] = {}
-    rest = []
-    for i, (g, dd, s) in enumerate(zip(geoms, d, styles)):
-        if g is None or dd is None or (isinstance(dd, float) and dd != dd):
+    vals = b.tolist()
+    dvals = d.tolist()
+    svals = style.tolist() if style is not None else None
+    batches: dict[int, list] = {}          # point tier
+    poly_groups: dict[tuple, list] = {}    # convex-candidate tier
+    rest_raw: list = []                    # (i, wkb, dd, p) per-row rows
+    for i in range(nrow):
+        bt = vals[i]
+        dd = dvals[i]
+        if bt is None or dd is None:
             continue
-        key = s or ""
-        p = param_cache.get(key)
-        if p is None:
-            p = parse_buffer_params(s)
-            param_cache[key] = p
         dd = float(dd)
-        if (g[0] == "Point" and dd > 0 and p.side == "both"
+        if dd != dd:                       # NaN distance
+            continue
+        skey = (svals[i] if svals is not None else None) or ""
+        p = param_cache.get(skey)
+        if p is None:
+            p = parse_buffer_params(skey or None)
+            param_cache[skey] = p
+        bt = bytes(bt)
+        if (dd > 0 and p.side == "both" and len(bt) == 21
+                and bt[:5] == b"\x01\x01\x00\x00\x00"
                 and p.endcap in ("round", "square")):
-            c = g[1]
-            x, y = float(c[0]), float(c[1])
+            x, y = struct.unpack_from("<2d", bt, 5)
             if x == x and y == y:                     # NaN-free center
                 key = p.quad_segs if p.endcap == "round" else "square"
                 batches.setdefault(key, []).append((i, x, y, dd))
                 continue
-        rest.append((i, g, dd, p))
+        if (dd > 0 and p.side == "both" and p.join == "round"
+                and len(bt) >= 77 and bt[0] == 1
+                and bt[1:9] == b"\x03\x00\x00\x00\x01\x00\x00\x00"):
+            k = struct.unpack_from("<I", bt, 9)[0]
+            if len(bt) == 13 + 16 * k:     # single ring, k >= 4 points
+                poly_groups.setdefault((len(bt), k, skey), []).append(i)
+                continue
+        rest_raw.append((i, bt, dd, p))
     # unit-square template for square-cap point buffers — DERIVED from
     # buffer._square_ring so the two construction paths cannot drift
     from sedona_db_spark.geometry.buffer import _square_ring
@@ -680,13 +698,40 @@ def _st_buffer_impl(*cols):
         buf[:, len(hdr):] = rings.reshape(n, -1).view(np.uint8)
         for j in range(n):
             out[idx[j]] = buf[j].tobytes()
+    # convex polygon tier (round 6): batch-decode each (bytes, k, style)
+    # group straight from the WKB buffer, trace all accepted rows' offset
+    # curves in one flat numpy pass, and write WKB per row; rows rejected
+    # by the strict convexity screen fall to the per-row route below
+    for (L, k, skey), idx in poly_groups.items():
+        p = param_cache[skey]
+        blob = np.frombuffer(b"".join(vals[i] for i in idx), dtype=np.uint8)
+        coords = np.ascontiguousarray(
+            blob.reshape(len(idx), L)[:, 13:]).view(np.float64).reshape(
+                len(idx), k, 2)
+        darr = np.array([float(dvals[i]) for i in idx], dtype=np.float64)
+        okm, pts, rstart, rcnt = batch_convex_offset_rings(coords, darr, p)
+        j = 0
+        for i, o in zip(idx, okm):
+            if o:
+                s = int(rstart[j])
+                c = int(rcnt[j])
+                j += 1
+                ring = pts[s:s + c]
+                out[i] = (b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"
+                          + struct.pack("<I", c + 1)
+                          + ring.tobytes() + ring[0].tobytes())
+            else:
+                rest_raw.append((i, bytes(vals[i]), float(dvals[i]), p))
     # generic tier: route each row (closed-form result, offset-curve edge
     # soup, or polygon part soup) and run ALL union rows of the batch in
     # one flattened winding sweep (winding_batch — byte-identical to the
     # per-row union_polygons/union_edges path, property-tested in
     # tests/test_buffer_batch.py)
     union_rows: list = []
-    for i, g, dd, p in rest:
+    for i, bt, dd, p in rest_raw:
+        g = W.decode(bt)
+        if g is None:
+            continue
         route = buffer_route(g, dd, p)
         if route is None:
             continue

@@ -372,146 +372,318 @@ def _corner_chain_pts(v, u1, u2, d: float, p: BufferParams) -> list:
     return [tuple(q) for q in w[2:-2]]
 
 
-def _band_edges(poly_rings: list, d: float,
-                p: BufferParams) -> np.ndarray | None:
-    """Directed offset-curve edges of the one-sided buffer decomposition.
+def _ring_offset_curve(rr: np.ndarray, d: float,
+                       p: BufferParams) -> np.ndarray | None:
+    """Ordered offset-curve points of one oriented ring (interior on the
+    left): per edge the exterior-side offset segment, chained through
+    left-turn corner joins (round fillet / mitre / bevel per style) and,
+    at right-turn (reflex) corners, through the vertex itself --
+    Clipper-style corner closing.  Open traversal-ordered point list with
+    consecutive bitwise duplicates dropped; None when the ring contains
+    an exact U-turn spike (the exterior half-disk there is not
+    expressible one-sided -- caller falls back to the part soup).
 
-    buffer(P, d) = nonzero-winding region of the ring offset curves: per
-    oriented ring (interior on the left), the exterior-side offset
-    segments chained through left-turn corner joins (round fillet /
-    mitre / bevel per the style) and, at right-turn (reflex) corners,
-    through the vertex itself — Clipper-style corner closing, winding-
-    equivalent to the full P ∪ half-rects ∪ wedges Minkowski soup after
-    exact reverse-pair cancellation (the rect inner edges annihilate the
-    ring, the rect ends annihilate the wedge radials; what survives is
-    exactly this curve).  Region parity with the double-sided part soup
-    is property-tested in tests/test_buffer_batch.py.
+    The curve is winding-equivalent to the full P / half-rects / wedges
+    Minkowski soup after exact reverse-pair cancellation (the rect inner
+    edges annihilate the ring, the rect ends annihilate the wedge
+    radials; what survives is exactly this curve).  Region parity with
+    the double-sided part soup is property-tested in
+    tests/test_buffer_batch.py.
 
     Round-join fillets are vectorized across all corners of a ring
     (GEOS addDirectedFillet discretization: quantum = pi/(2*quad_segs),
-    nsegs = int(theta/quantum + 0.5)).
+    nsegs = int(theta/quantum + 0.5))."""
+    n = len(rr)
+    nxt = np.vstack([rr[1:], rr[:1]])
+    ax, ay = rr[:, 0], rr[:, 1]
+    bx, by = nxt[:, 0], nxt[:, 1]
+    ln = np.hypot(bx - ax, by - ay)
+    ux = (bx - ax) / ln
+    uy = (by - ay) / ln
+    nx = d * uy
+    ny = d * (-ux)
+    # corner at vertex i joins incoming edge i-1 to outgoing edge i
+    pux = np.concatenate([ux[-1:], ux[:-1]])
+    puy = np.concatenate([uy[-1:], uy[:-1]])
+    pnx = np.concatenate([nx[-1:], nx[:-1]])
+    pny = np.concatenate([ny[-1:], ny[:-1]])
+    crosses = pux * uy - puy * ux
+    dots = pux * ux + puy * uy
+    if bool(np.any((crosses == 0.0) & (dots < 0.0))):
+        return None          # exact U-turn spike
+    vx, vy = ax, ay          # vertex i
+    p0x = vx + pnx           # incoming offset end   v + d*n_{i-1}
+    p0y = vy + pny
+    p1x = vx + nx            # outgoing offset start v + d*n_i
+    p1y = vy + ny
+    left = crosses > 0.0
+    refl = ~left & ((pnx != nx) | (pny != ny))
+    lj = np.flatnonzero(left)
 
-    Returns None when a ring contains an exact U-turn spike (the
-    exterior half-disk there is not expressible one-sided) — caller
-    falls back to the double-sided part soup."""
-    chunks: list = []
-    for norm in poly_rings:
-        for rr in norm:
-            n = len(rr)
-            nxt = np.vstack([rr[1:], rr[:1]])
-            ax, ay = rr[:, 0], rr[:, 1]
-            bx, by = nxt[:, 0], nxt[:, 1]
-            ln = np.hypot(bx - ax, by - ay)
-            ux = (bx - ax) / ln
-            uy = (by - ay) / ln
-            nx = d * uy
-            ny = d * (-ux)
-            # offset segments (A+n -> B+n), one per ring edge
-            segs = np.empty((n, 4))
-            segs[:, 0] = ax + nx
-            segs[:, 1] = ay + ny
-            segs[:, 2] = bx + nx
-            segs[:, 3] = by + ny
-            chunks.append(segs)
-            # corner classification: incoming edge i-1, outgoing edge i
-            pux = np.concatenate([ux[-1:], ux[:-1]])
-            puy = np.concatenate([uy[-1:], uy[:-1]])
-            pnx = np.concatenate([nx[-1:], nx[:-1]])
-            pny = np.concatenate([ny[-1:], ny[:-1]])
-            crosses = pux * uy - puy * ux
-            dots = pux * ux + puy * uy
-            if bool(np.any((crosses == 0.0) & (dots < 0.0))):
-                return None          # exact U-turn spike
-            vx, vy = ax, ay          # vertex i
-            p0x = vx + pnx
-            p0y = vy + pny
-            p1x = vx + nx
-            p1y = vy + ny
-            left = crosses > 0.0
-            # reflex / collinear corners: through-the-vertex closing pair
-            # (p0 -> v), (v -> p1); bitwise-equal normals cancel to nothing
-            refl = ~left & ((pnx != nx) | (pny != ny))
-            if bool(refl.any()):
-                rj = np.flatnonzero(refl)
-                rc = np.empty((2 * len(rj), 4))
-                rc[0::2, 0] = p0x[rj]
-                rc[0::2, 1] = p0y[rj]
-                rc[0::2, 2] = vx[rj]
-                rc[0::2, 3] = vy[rj]
-                rc[1::2, 0] = vx[rj]
-                rc[1::2, 1] = vy[rj]
-                rc[1::2, 2] = p1x[rj]
-                rc[1::2, 3] = p1y[rj]
-                chunks.append(rc)
-            lj = np.flatnonzero(left)
-            if not len(lj):
-                continue
-            if p.join == "round":
-                # vectorized GEOS fillet chains p0 -> arc pts -> p1
-                theta = np.arctan2(np.abs(crosses[lj]), dots[lj])
-                quantum = math.pi / 2.0 / p.quad_segs
-                nsegs = (theta / quantum + 0.5).astype(np.int64)
-                a0 = np.arctan2(-pux[lj], puy[lj])   # atan2(n1y, n1x)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    inc = np.where(nsegs > 0, theta / np.maximum(nsegs, 1),
-                                   0.0)
-                m = nsegs.astype(np.int64)
-                tot = int(m.sum())
-                if tot:
-                    cid = np.repeat(np.arange(len(lj)), m)
-                    base = np.concatenate([[0], np.cumsum(m)[:-1]])
-                    k = np.arange(tot) - base[cid]
-                    ang = a0[cid] + k * inc[cid]
-                    arcx = vx[lj][cid] + d * np.cos(ang)
-                    arcy = vy[lj][cid] + d * np.sin(ang)
-                else:
-                    cid = np.empty(0, dtype=np.int64)
-                    arcx = arcy = np.empty(0)
-                # chain points per corner: p0, arc_0..arc_{m-1}, p1
-                cnt = m + 2
-                tot_p = int(cnt.sum())
-                px = np.empty(tot_p)
-                py = np.empty(tot_p)
-                starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-                px[starts] = p0x[lj]
-                py[starts] = p0y[lj]
-                ends = starts + cnt - 1
-                px[ends] = p1x[lj]
-                py[ends] = p1y[lj]
-                if tot:
-                    mid = np.setdiff1d(np.arange(tot_p),
-                                       np.concatenate([starts, ends]),
-                                       assume_unique=False)
-                    px[mid] = arcx
-                    py[mid] = arcy
-                # consecutive-pair edges within each chain
-                is_last = np.zeros(tot_p, dtype=bool)
-                is_last[ends] = True
-                ei = np.flatnonzero(~is_last)
-                ce = np.empty((len(ei), 4))
-                ce[:, 0] = px[ei]
-                ce[:, 1] = py[ei]
-                ce[:, 2] = px[ei + 1]
-                ce[:, 3] = py[ei + 1]
-                keep = (ce[:, 0] != ce[:, 2]) | (ce[:, 1] != ce[:, 3])
-                chunks.append(ce[keep] if not keep.all() else ce)
-            else:
-                rows = []
-                for i in lj:
-                    j = (int(i) - 1) % n
-                    pts = ([(p0x[i], p0y[i])]
-                           + _corner_chain_pts(
-                               (float(vx[i]), float(vy[i])),
-                               (float(ux[j]), float(uy[j])),
-                               (float(ux[i]), float(uy[i])), d, p)
-                           + [(p1x[i], p1y[i])])
-                    for q in range(len(pts) - 1):
-                        if pts[q] != pts[q + 1]:
-                            rows.append((pts[q][0], pts[q][1],
-                                         pts[q + 1][0], pts[q + 1][1]))
-                if rows:
-                    chunks.append(np.asarray(rows, dtype=np.float64))
-    return np.concatenate(chunks) if chunks else np.empty((0, 4))
+    # interior corner points C_i (between p0_i and p1_i), per vertex
+    m = np.zeros(n, dtype=np.int64)
+    m[refl] = 1                          # through-the-vertex closing
+    if p.join == "round" and len(lj):
+        theta = np.arctan2(np.abs(crosses[lj]), dots[lj])
+        quantum = math.pi / 2.0 / p.quad_segs
+        nsegs = (theta / quantum + 0.5).astype(np.int64)
+        m[lj] = nsegs
+        a0 = np.arctan2(-pux[lj], puy[lj])       # atan2(n1y, n1x)
+        inc = np.where(nsegs > 0, theta / np.maximum(nsegs, 1), 0.0)
+    chains: dict[int, list] | None = None
+    if p.join != "round" and len(lj):
+        chains = {}
+        for i in lj:
+            j = (int(i) - 1) % n
+            cps = _corner_chain_pts((float(vx[i]), float(vy[i])),
+                                    (float(ux[j]), float(uy[j])),
+                                    (float(ux[i]), float(uy[i])), d, p)
+            chains[int(i)] = cps
+            m[i] = len(cps)
+
+    # assemble blocks [p0_i] + C_i + [p1_i]; the offset segment of edge i
+    # is the consecutive pair (p1_i -> p0_{i+1}) across blocks
+    cnt = m + 2
+    tot = int(cnt.sum())
+    px = np.empty(tot)
+    py = np.empty(tot)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    ends = starts + cnt - 1
+    px[starts] = p0x
+    py[starts] = p0y
+    px[ends] = p1x
+    py[ends] = p1y
+    rj = np.flatnonzero(refl)
+    if len(rj):
+        px[starts[rj] + 1] = vx[rj]
+        py[starts[rj] + 1] = vy[rj]
+    if p.join == "round" and len(lj):
+        tot_arc = int(nsegs.sum())
+        if tot_arc:
+            cid = np.repeat(np.arange(len(lj)), nsegs)
+            base = np.concatenate([[0], np.cumsum(nsegs)[:-1]])
+            k = np.arange(tot_arc) - base[cid]
+            ang = a0[cid] + k * inc[cid]
+            pos = starts[lj][cid] + 1 + k
+            px[pos] = vx[lj][cid] + d * np.cos(ang)
+            py[pos] = vy[lj][cid] + d * np.sin(ang)
+    elif chains:
+        for i, cps in chains.items():
+            for k, (cx, cy) in enumerate(cps):
+                px[starts[i] + 1 + k] = cx
+                py[starts[i] + 1 + k] = cy
+
+    pts = np.column_stack([px, py])
+    # drop consecutive bitwise duplicates (incl. the closing wrap)
+    keep = np.empty(tot, dtype=bool)
+    keep[0] = True
+    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+    pts = pts[keep]
+    if len(pts) > 1 and np.all(pts[0] == pts[-1]):
+        pts = pts[:-1]
+    return pts if len(pts) >= 3 else None
+
+
+def _rings_cross_info(curves: list):
+    """Edge soup + proper-crossing x's + simplicity for a set of closed
+    offset-curve rings, in ONE chunked pairwise pass shared by the
+    simplicity test and the winding sweep's slab grid.
+
+    Intra-ring adjacent pairs (consecutive chain edges, which meet at a
+    shared endpoint by construction) are excluded.  Every other hit both
+    marks the curve set non-simple and contributes its crossing x to the
+    slab grid (an exact endpoint touch between non-adjacent edges counts
+    as a hit -- conservative); a collinear overlap marks non-simple
+    without an x (coincident edges never swap vertical order inside a
+    slab, so no extra boundary is needed).
+
+    Returns (edges (N,4), cross_xs, simple).  Feeding cross_xs to
+    overlay.union_edges skips its O(E^2) re-scan AND omits the ~1-ulp
+    degenerate slabs the generic scan injects at every chain vertex
+    (adjacent edges' endpoint touches resolve to x's one rounding error
+    away from the vertex x)."""
+    echunks = []
+    rid_chunks = []
+    eidx_chunks = []
+    nring = []
+    for r, pts in enumerate(curves):
+        m = len(pts)
+        e = np.concatenate([pts, np.vstack([pts[1:], pts[:1]])], axis=1)
+        echunks.append(e)
+        rid_chunks.append(np.full(m, r, dtype=np.int64))
+        eidx_chunks.append(np.arange(m, dtype=np.int64))
+        nring.append(m)
+    E = np.concatenate(echunks) if len(echunks) > 1 else echunks[0]
+    rid = np.concatenate(rid_chunks) if len(rid_chunks) > 1 \
+        else rid_chunks[0]
+    eidx = np.concatenate(eidx_chunks) if len(eidx_chunks) > 1 \
+        else eidx_chunks[0]
+    rn = np.asarray(nring, dtype=np.int64)
+    n = len(E)
+    ax1, ay1, ax2, ay2 = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    bxmin = np.minimum(ax1, ax2)
+    bxmax = np.maximum(ax1, ax2)
+    bymin = np.minimum(ay1, ay2)
+    bymax = np.maximum(ay1, ay2)
+    xs_out = []
+    simple = True
+    chunk = max(1, 8_000_000 // max(n, 1))
+    for lo in range(0, n - 1, chunk):
+        hi = min(lo + chunk, n - 1)
+        i = np.arange(lo, hi)[:, None]
+        j = np.arange(n)[None, :]
+        mask = j > i
+        # drop intra-ring consecutive pairs (incl. the closing wrap)
+        same = rid[i] == rid[j]
+        dij = eidx[j] - eidx[i]
+        mask &= ~(same & ((dij == 1) | (dij == rn[rid[i]] - 1)))
+        mask &= (bxmin[i] <= bxmax[j]) & (bxmin[j] <= bxmax[i]) \
+            & (bymin[i] <= bymax[j]) & (bymin[j] <= bymax[i])
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            continue
+        ii = ii + lo
+        x1, y1, x2, y2 = ax1[ii], ay1[ii], ax2[ii], ay2[ii]
+        x3, y3, x4, y4 = ax1[jj], ay1[jj], ax2[jj], ay2[jj]
+        d1x, d1y = x2 - x1, y2 - y1
+        d2x, d2y = x4 - x3, y4 - y3
+        den = d1x * d2y - d1y * d2x
+        ok = den != 0
+        den_s = np.where(ok, den, 1.0)
+        t = ((x3 - x1) * d2y - (y3 - y1) * d2x) / den_s
+        u = ((x3 - x1) * d1y - (y3 - y1) * d1x) / den_s
+        hit = ok & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        if hit.any():
+            simple = False
+            xs_out.append((x1 + t * d1x)[hit])
+        col = ~ok & ((x3 - x1) * d1y - (y3 - y1) * d1x == 0.0)
+        if bool(col.any()):
+            simple = False
+    xs = np.concatenate(xs_out) if xs_out else np.empty(0)
+    return E, xs, simple
+
+
+def batch_convex_offset_rings(coords: np.ndarray, d: np.ndarray,
+                              p: BufferParams):
+    """Cross-row batched positive round-join polygon buffer (round-6 perf
+    item: VERDICT r5 #1 "batch part generation across rows like the point
+    tier").  ``coords`` (n, k, 2) single-ring WKB rows INCLUDING the
+    closing vertex; ``d`` (n,) positive finite distances.
+
+    Rows passing the strict screen — closed, no consecutive duplicate
+    vertices, strictly convex after orienting CCW — get their buffer
+    boundary as the traced offset curve built with the exact
+    ``_ring_offset_curve`` formula sequence, flattened across every
+    corner of every row (the outward offset of a strictly convex ring is
+    always simple and CCW, so no crossing test is needed; this is the
+    reference benchmark's own ``polygons_simple`` / ``polygons_complex``
+    shape — regular n-gons, datagen.rs generate_circular_vertices).
+    Everything else is rejected to the caller's per-row route.  Values
+    match the per-row trace up to ufunc-lane last-ulp effects (~1e-16
+    rel), far below every consumer's tolerance; area parity with the
+    per-row path is property-tested in tests/test_buffer_batch.py.
+
+    Returns ``(ok, pts, row_start, row_cnt)``: ``ok`` (n,) accept mask;
+    accepted rows' OPEN output rings packed in ok-order into ``pts``
+    (tot, 2) with per-row offsets/lengths."""
+    n, kc, _ = coords.shape
+    k = kc - 1
+    if k < 3:
+        return np.zeros(n, dtype=bool), np.empty((0, 2)), \
+            np.empty(0, np.int64), np.empty(0, np.int64)
+    closed = (coords[:, 0, 0] == coords[:, -1, 0]) \
+        & (coords[:, 0, 1] == coords[:, -1, 1])
+    r = np.ascontiguousarray(coords[:, :-1, :])
+    # orient CCW (shoelace), then screen: no dup vertices + strictly convex
+    x, y = r[:, :, 0], r[:, :, 1]
+    a2 = np.einsum("ij,ij->i", x, np.roll(y, -1, axis=1)) \
+        - np.einsum("ij,ij->i", y, np.roll(x, -1, axis=1))
+    cw = a2 < 0
+    if cw.any():
+        r = r.copy()
+        r[cw] = r[cw, ::-1]
+    nxt = np.roll(r, -1, axis=1)
+    dup = ((r[:, :, 0] == nxt[:, :, 0])
+           & (r[:, :, 1] == nxt[:, :, 1])).any(axis=1)
+    ex = nxt[:, :, 0] - r[:, :, 0]
+    ey = nxt[:, :, 1] - r[:, :, 1]
+    turn = ex * np.roll(ey, -1, axis=1) - ey * np.roll(ex, -1, axis=1)
+    # total turning must be exactly one revolution: an all-left-turn ring
+    # can still wind twice (pentagram vertex order) — those are invalid
+    # self-intersecting rings, not convex polygons
+    tdot = ex * np.roll(ex, -1, axis=1) + ey * np.roll(ey, -1, axis=1)
+    with np.errstate(invalid="ignore"):
+        turning = np.arctan2(np.abs(turn), tdot).sum(axis=1)
+    ok = closed & ~dup & (a2 != 0.0) & (turn > 0.0).all(axis=1) \
+        & (np.abs(turning - 2.0 * math.pi) < 1e-9)
+    if not ok.any():
+        return ok, np.empty((0, 2)), np.empty(0, np.int64), \
+            np.empty(0, np.int64)
+    r = r[ok]
+    dd = d[ok]
+    m = len(r)
+    # --- _ring_offset_curve formulas, (m, k)-shaped -----------------------
+    ax, ay = r[:, :, 0], r[:, :, 1]
+    bx = np.roll(ax, -1, axis=1)
+    by = np.roll(ay, -1, axis=1)
+    ln = np.hypot(bx - ax, by - ay)
+    ux = (bx - ax) / ln
+    uy = (by - ay) / ln
+    nx = dd[:, None] * uy
+    ny = dd[:, None] * (-ux)
+    pux = np.roll(ux, 1, axis=1)
+    puy = np.roll(uy, 1, axis=1)
+    pnx = np.roll(nx, 1, axis=1)
+    pny = np.roll(ny, 1, axis=1)
+    crosses = pux * uy - puy * ux
+    dots = pux * ux + puy * uy
+    theta = np.arctan2(np.abs(crosses), dots)
+    quantum = math.pi / 2.0 / p.quad_segs
+    nsegs = (theta / quantum + 0.5).astype(np.int64)
+    a0 = np.arctan2(-pux, puy)
+    inc = np.where(nsegs > 0, theta / np.maximum(nsegs, 1), 0.0)
+    p0x = ax + pnx
+    p0y = ay + pny
+    p1x = ax + nx
+    p1y = ay + ny
+    # --- flat assembly: corner blocks [p0, arc_0..arc_{s-1}, p1] ----------
+    cnt = (nsegs + 2).ravel()
+    tot = int(cnt.sum())
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    ends = starts + cnt - 1
+    px = np.empty(tot)
+    py = np.empty(tot)
+    px[starts] = p0x.ravel()
+    py[starts] = p0y.ravel()
+    px[ends] = p1x.ravel()
+    py[ends] = p1y.ravel()
+    sflat = nsegs.ravel()
+    tot_arc = int(sflat.sum())
+    if tot_arc:
+        cid = np.repeat(np.arange(m * k), sflat)
+        base = np.concatenate([[0], np.cumsum(sflat)[:-1]])
+        kk = np.arange(tot_arc) - base[cid]
+        ang = a0.ravel()[cid] + kk * inc.ravel()[cid]
+        pos = starts[cid] + 1 + kk
+        d_corner = np.repeat(dd, k)[cid]
+        px[pos] = ax.ravel()[cid] + d_corner * np.cos(ang)
+        py[pos] = ay.ravel()[cid] + d_corner * np.sin(ang)
+    # --- per-row dedupe of consecutive bitwise duplicates -----------------
+    row_cnt0 = cnt.reshape(m, k).sum(axis=1)
+    row_start0 = np.concatenate([[0], np.cumsum(row_cnt0)[:-1]])
+    keep = np.empty(tot, dtype=bool)
+    keep[0] = True
+    keep[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1])
+    keep[row_start0] = True
+    # wrap duplicate: last point of a row equal to its first
+    row_end0 = row_start0 + row_cnt0 - 1
+    wrap = (px[row_end0] == px[row_start0]) & (py[row_end0] == py[row_start0])
+    keep[row_end0[wrap & keep[row_end0]]] = False
+    pts = np.column_stack([px, py])[keep]
+    kept_row = np.repeat(np.arange(m), row_cnt0)[keep]
+    row_cnt = np.bincount(kept_row, minlength=m).astype(np.int64)
+    row_start = np.concatenate([[0], np.cumsum(row_cnt)[:-1]])
+    return ok, pts, row_start, row_cnt
 
 
 # ---------------------------------------------------------------------------
@@ -519,14 +691,20 @@ def _band_edges(poly_rings: list, d: float,
 # ---------------------------------------------------------------------------
 
 def _is_convex_ccw(pts: np.ndarray) -> bool:
-    """Strictly convex CCW ring (no closing duplicate)."""
+    """Strictly convex CCW ring (no closing duplicate).  Requires total
+    turning == 2π: all-left-turn rings can still wind twice (pentagram
+    vertex order) — those are self-intersecting, not convex."""
     n = len(pts)
     if n < 3:
         return False
     d = np.concatenate([pts[1:], pts[:1]]) - pts
     d2 = np.concatenate([d[1:], d[:1]])
     cross = d[:, 0] * d2[:, 1] - d[:, 1] * d2[:, 0]
-    return bool((cross > 0).all())
+    if not bool((cross > 0).all()):
+        return False
+    dot = (d * d2).sum(axis=1)
+    turning = float(np.arctan2(cross, dot).sum())
+    return abs(turning - 2.0 * math.pi) < 1e-9
 
 
 def _join_pts(v, u1, u2, d: float, p: BufferParams) -> list | None:
@@ -640,7 +818,8 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
     if tag == "geom":
         return val
     if tag == "edges":
-        return union_edges(val)
+        e, xs = val
+        return union_edges(e, cross_xs=xs)
     if not val:
         return ("Polygon", [])
     return union_polygons(val)
@@ -737,9 +916,41 @@ def buffer_route(g, dist: float, params: BufferParams):
         norm = _normalized_rings(rings_sets)
         if not norm:
             return ("geom", ("Polygon", []))
-        edges = _band_edges(norm, dist, params)
-        if edges is not None:
-            return ("edges", edges)
+        # traced fast path: when every ring's offset curve is simple and
+        # no two curves cross, the curves ARE the buffer boundary (Jordan
+        # interior == nonzero-winding region) — no sweep, no dissolve.
+        # Otherwise the same pairwise pass yields the crossing x's the
+        # winding sweep needs, so the O(E²) scan runs exactly once.
+        curves: list = []
+        ring_poly: list = []        # polygon index of each curve
+        uturn = False
+        for pi, rings in enumerate(norm):
+            for rr in rings:
+                c = _ring_offset_curve(rr, dist, params)
+                if c is None:
+                    uturn = True
+                    break
+                curves.append(c)
+                ring_poly.append(pi)
+            if uturn:
+                break
+        if not uturn and curves:
+            e, xs, simple = _rings_cross_info(curves)
+            if simple and len(norm) == 1:
+                areas2 = []
+                for c in curves:
+                    x, y = c[:, 0], c[:, 1]
+                    areas2.append(float(
+                        np.dot(x, np.concatenate([y[1:], y[:1]]))
+                        - np.dot(y, np.concatenate([x[1:], x[:1]]))))
+                # orientation guard: shell must stay CCW and every hole
+                # CW — a collapsed (inverted) hole or degenerate/invalid
+                # input flips a sign; route those through the sweep
+                if areas2[0] > 0 and all(a < 0 for a in areas2[1:]):
+                    return ("geom", ("Polygon",
+                                     [np.vstack([c, c[:1]])
+                                      for c in curves]))
+            return ("edges", (e, xs))
         # U-turn spike fallback: classic double-sided soup
         parts = [(name, payload)]
         for rings in rings_sets:

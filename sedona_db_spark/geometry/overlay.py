@@ -374,17 +374,26 @@ def union_polygons(parts: list, cancel: bool = False):
     return union_edges(_directed_edges_of(parts), cancel)
 
 
-def union_edges(e: np.ndarray, cancel: bool = False):
+def union_edges(e: np.ndarray, cancel: bool = False,
+                cross_xs: np.ndarray | None = None):
     """Core of :func:`union_polygons` over a pre-built directed edge soup
     (outer rings CCW / holes CW): nonzero-winding region via the slab
-    sweep.  The styled buffer feeds this directly from its vectorized
-    band-edge builder (buffer._band_edges)."""
+    sweep.  The styled buffer feeds this directly from its offset-curve
+    builder (buffer._ring_offset_curve).
+
+    ``cross_xs``: pre-computed proper-crossing x's for the soup (the
+    buffer route already runs the pairwise pass to test curve
+    simplicity) — skips the O(E²) re-scan AND omits the ~1-ulp
+    degenerate slabs that adjacent chain edges' endpoint touches inject
+    through the generic scan."""
     if cancel and len(e):
         e = cancel_opposite_edges(e)
     if not len(e):
         return ("GeometryCollection", [])
     xs = np.unique(np.concatenate([
-        e[:, 0], e[:, 2], _pairwise_intersection_xs_vec(e)]))
+        e[:, 0], e[:, 2],
+        _pairwise_intersection_xs_vec(e) if cross_xs is None
+        else cross_xs]))
     if len(xs) < 2:
         return ("GeometryCollection", [])
     # vectorized endpoint-snapped y(x) for every edge at every slab x

@@ -84,10 +84,12 @@ def _edges_of_parts(parts: list) -> np.ndarray:
 
 
 def union_polygons_batch(part_rows: list, cancel: bool = False) -> list:
-    """Union each row's polygonal part list (or pre-built directed edge
-    array); returns one geometry tuple per row.  Equivalent to
-    ``[union_polygons(p, cancel) for p in part_rows]`` (``union_edges``
-    for ndarray rows)."""
+    """Union each row's polygonal part list, pre-built directed edge
+    array, or ``(edges, cross_xs)`` pair from the offset-curve route
+    (buffer._rings_cross_info already ran the pairwise pass — reuse its
+    crossing x's instead of re-scanning); returns one geometry tuple per
+    row.  Equivalent to ``[union_polygons(p, cancel) for p in
+    part_rows]`` (``union_edges`` for ndarray / pair rows)."""
     from sedona_db_spark.geometry.overlay import cancel_opposite_edges
     n_rows = len(part_rows)
     out: list = [None] * n_rows
@@ -95,14 +97,23 @@ def union_polygons_batch(part_rows: list, cancel: bool = False) -> list:
     # ---- per-row prep: directed edges + slab x-grid ----------------------
     edge_rows: list = []           # (row, e, xs) for non-trivial rows
     for r, parts in enumerate(part_rows):
-        e = parts if isinstance(parts, np.ndarray) else _edges_of_parts(parts)
+        pre_xs = None
+        if isinstance(parts, tuple):
+            e, pre_xs = parts
+        elif isinstance(parts, np.ndarray):
+            e = parts
+        else:
+            e = _edges_of_parts(parts)
         if cancel:
             e = cancel_opposite_edges(e)
+            pre_xs = None               # edge set changed — x's stale
         if not len(e):
             out[r] = _EMPTY
             continue
         xs = np.unique(np.concatenate([
-            e[:, 0], e[:, 2], _pairwise_intersection_xs_vec(e)]))
+            e[:, 0], e[:, 2],
+            _pairwise_intersection_xs_vec(e) if pre_xs is None
+            else pre_xs]))
         if len(xs) < 2:
             out[r] = _EMPTY
             continue
@@ -216,8 +227,13 @@ def union_polygons_batch(part_rows: list, cancel: bool = False) -> list:
         from sedona_db_spark.geometry.overlay import union_edges, union_polygons
         for r, _e, _xs in edge_rows:
             pr = part_rows[r]
-            out[r] = (union_edges(pr, cancel) if isinstance(pr, np.ndarray)
-                      else union_polygons(pr, cancel))
+            if isinstance(pr, tuple):
+                out[r] = union_edges(pr[0], cancel,
+                                     cross_xs=None if cancel else pr[1])
+            elif isinstance(pr, np.ndarray):
+                out[r] = union_edges(pr, cancel)
+            else:
+                out[r] = union_polygons(pr, cancel)
         return out
 
     def y_at(idx: np.ndarray, xq: np.ndarray) -> np.ndarray:

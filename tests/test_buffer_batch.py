@@ -1,5 +1,6 @@
 """Batched generic-buffer tier: the one-sided offset-curve decomposition
-(`buffer._band_edges`) and the flattened cross-row winding sweep
+(`buffer._ring_offset_curve` + `buffer._rings_cross_info`) and the
+flattened cross-row winding sweep
 (`winding_batch.union_polygons_batch`) must reproduce the per-row
 part-soup union EXACTLY — region-identical for the decomposition (same
 nonzero-winding region through the same band merge), byte-identical for
@@ -95,10 +96,12 @@ def test_band_edges_region_matches_double_sided_soup():
             d = float(rng.uniform(0.2, 1.5))
             route = B.buffer_route(poly, d, p)
             tag, val = route
-            if tag == "geom":        # convex draw — covered elsewhere
-                continue
-            assert tag == "edges", f"expected edges route, got {tag}"
-            fast = union_edges(val)
+            if tag == "geom":        # closed-form draw — covered below
+                fast = val
+            else:
+                assert tag == "edges", f"expected edges route, got {tag}"
+                e, xs = val
+                fast = union_edges(e, cross_xs=xs)
             slow = union_polygons(_double_sided_soup(poly, d, p))
             assert geom_area(fast) == pytest.approx(geom_area(slow),
                                                     rel=0, abs=1e-9)
@@ -140,8 +143,12 @@ def test_union_polygons_batch_byte_identical_to_per_row():
         rows.append(B._polyline_parts(line, d, p, False))
     batch = union_polygons_batch(rows)
     for row, got in zip(rows, batch):
-        want = (union_edges(row) if isinstance(row, np.ndarray)
-                else union_polygons(row))
+        if isinstance(row, tuple):
+            want = union_edges(row[0], cross_xs=row[1])
+        elif isinstance(row, np.ndarray):
+            want = union_edges(row)
+        else:
+            want = union_polygons(row)
         assert W.encode(got) == W.encode(want)
 
 
@@ -197,3 +204,73 @@ def test_st_buffer_impl_batch_matches_per_row():
             continue
         want = B.geom_buffer_styled(W.decode(gb), d, s)
         assert got[i] == W.encode(want), f"row {i} mismatch"
+
+
+def test_batch_convex_offset_matches_per_row():
+    """Round-6 convex batch tier: cross-row flat trace must match the
+    per-row geom_buffer_styled region (area parity; vertex order may
+    rotate — the batch path emits the offset-curve trace)."""
+    from sedona_db_spark.functions.scalar import _st_buffer_impl
+    rng = np.random.default_rng(11)
+    geoms, dists = [], []
+    shapes = []
+    for i in range(40):
+        k = int(rng.integers(3, 12))
+        # reference polygons_simple shape: regular k-gon, random start
+        th0 = rng.uniform(0, 2 * np.pi)
+        half = rng.uniform(0.5, 7.5)
+        cx, cy = rng.uniform(0, 80), rng.uniform(0, 100)
+        ang = th0 + np.arange(k) * (2 * np.pi / k)
+        ring = np.column_stack([np.cos(ang) * half + cx,
+                                np.sin(ang) * half + cy])
+        if i % 3 == 0:
+            ring = ring[::-1]          # CW input must be accepted too
+        g = ("Polygon", [np.vstack([ring, ring[:1]])])
+        shapes.append(g)
+        geoms.append(W.encode(g))
+        dists.append(float(rng.uniform(0.1, 4.0)))
+    got = _st_buffer_impl(pd.Series(geoms, dtype=object), pd.Series(dists))
+    for i, g in enumerate(shapes):
+        res = W.decode(got[i])
+        assert res[0] == "Polygon" and len(res[1]) == 1
+        ring = res[1][0]
+        assert np.all(ring[0] == ring[-1])          # closed WKB ring
+        want = B.geom_buffer_styled(g, dists[i], None)
+        assert geom_area(res) == pytest.approx(geom_area(want),
+                                               rel=0, abs=1e-9)
+
+
+def test_batch_convex_screen_rejections():
+    """The strict screen must reject everything that is not a valid
+    strictly convex simple ring — including a pentagram vertex order
+    (all-left turns but total turning 4pi)."""
+    p = B.parse_buffer_params(None)
+    k = 5
+    ang = np.arange(k) * (2 * np.pi / k)
+    penta = np.column_stack([np.cos(ang), np.sin(ang)])
+    star = penta[[0, 2, 4, 1, 3]]                    # winds twice
+    cases = []
+    cases.append(np.vstack([star, star[:1]]))
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    cases.append(np.vstack([sq, sq[1:2]]))           # not closed
+    dup = np.array([[0, 0], [1, 0], [1, 0], [1, 1], [0, 1]], float)
+    cases.append(np.vstack([dup, dup[:1]]))          # duplicate vertex
+    nanring = np.array([[0, 0], [1, np.nan], [1, 1], [0, 1]], float)
+    cases.append(np.vstack([nanring, nanring[:1]]))
+    concave = np.array([[0, 0], [4, 0], [2, 1], [4, 4], [0, 4]], float)
+    cases.append(np.vstack([concave, concave[:1]]))
+    kmax = max(len(c) for c in cases)
+    for c in cases:
+        coords = np.full((1, len(c), 2), 0.0)
+        coords[0] = c
+        ok, pts, rs, rc = B.batch_convex_offset_rings(
+            coords, np.array([0.5]), p)
+        assert not ok[0], f"screen accepted invalid ring {c[:3]}"
+    # and the pentagram ring end-to-end still yields the per-row result
+    from sedona_db_spark.functions.scalar import _st_buffer_impl
+    g = ("Polygon", [np.vstack([star, star[:1]])])
+    got = _st_buffer_impl(pd.Series([W.encode(g)], dtype=object),
+                          pd.Series([0.5]))
+    want = B.geom_buffer_styled(g, 0.5, None)
+    assert geom_area(W.decode(got[0])) == pytest.approx(
+        geom_area(want), rel=0, abs=1e-9)
