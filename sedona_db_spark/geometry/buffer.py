@@ -484,6 +484,158 @@ def _ring_offset_curve(rr: np.ndarray, d: float,
     return pts if len(pts) >= 3 else None
 
 
+def _open_offset_chain(rr: np.ndarray, d: float,
+                       p: BufferParams) -> np.ndarray | None:
+    """Right-side offset chain of an OPEN polyline in travel direction:
+    from rr[0]+d·n_0 through corner blocks at the interior vertices to
+    rr[-1]+d·n_last.  Same corner semantics as `_ring_offset_curve`
+    (left-turn corners get the styled join, right-turn corners close
+    through the vertex); None on an exact U-turn corner."""
+    n = len(rr)
+    ax, ay = rr[:-1, 0], rr[:-1, 1]
+    bx, by = rr[1:, 0], rr[1:, 1]
+    ln = np.hypot(bx - ax, by - ay)
+    ux = (bx - ax) / ln
+    uy = (by - ay) / ln
+    nx = d * uy
+    ny = d * (-ux)
+    if n == 2:
+        return np.array([[ax[0] + nx[0], ay[0] + ny[0]],
+                         [bx[0] + nx[0], by[0] + ny[0]]])
+    # corner at interior vertex i (1..n-2) joins edge i-1 to edge i
+    pux, puy = ux[:-1], uy[:-1]
+    cux, cuy = ux[1:], uy[1:]
+    pnx, pny = nx[:-1], ny[:-1]
+    cnx, cny = nx[1:], ny[1:]
+    crosses = pux * cuy - puy * cux
+    dots = pux * cux + puy * cuy
+    if bool(np.any((crosses == 0.0) & (dots < 0.0))):
+        return None          # exact U-turn corner
+    vx, vy = rr[1:-1, 0], rr[1:-1, 1]
+    p0x = vx + pnx
+    p0y = vy + pny
+    p1x = vx + cnx
+    p1y = vy + cny
+    left = crosses > 0.0
+    refl = ~left & ((pnx != cnx) | (pny != cny))
+    lj = np.flatnonzero(left)
+    nc = n - 2
+    m = np.zeros(nc, dtype=np.int64)
+    m[refl] = 1
+    if p.join == "round" and len(lj):
+        theta = np.arctan2(np.abs(crosses[lj]), dots[lj])
+        quantum = math.pi / 2.0 / p.quad_segs
+        nsegs = (theta / quantum + 0.5).astype(np.int64)
+        m[lj] = nsegs
+        a0 = np.arctan2(-pux[lj], puy[lj])
+        inc = np.where(nsegs > 0, theta / np.maximum(nsegs, 1), 0.0)
+    chains: dict[int, list] | None = None
+    if p.join != "round" and len(lj):
+        chains = {}
+        for i in lj:
+            cps = _corner_chain_pts((float(vx[i]), float(vy[i])),
+                                    (float(pux[i]), float(puy[i])),
+                                    (float(cux[i]), float(cuy[i])), d, p)
+            chains[int(i)] = cps
+            m[i] = len(cps)
+    cnt = m + 2
+    tot = int(cnt.sum())
+    px = np.empty(tot + 2)
+    py = np.empty(tot + 2)
+    px[0] = ax[0] + nx[0]
+    py[0] = ay[0] + ny[0]
+    px[-1] = bx[-1] + nx[-1]
+    py[-1] = by[-1] + ny[-1]
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]]) + 1
+    ends = starts + cnt - 1
+    px[starts] = p0x
+    py[starts] = p0y
+    px[ends] = p1x
+    py[ends] = p1y
+    rj = np.flatnonzero(refl)
+    if len(rj):
+        px[starts[rj] + 1] = vx[rj]
+        py[starts[rj] + 1] = vy[rj]
+    if p.join == "round" and len(lj):
+        tot_arc = int(nsegs.sum())
+        if tot_arc:
+            cid = np.repeat(np.arange(len(lj)), nsegs)
+            base = np.concatenate([[0], np.cumsum(nsegs)[:-1]])
+            k = np.arange(tot_arc) - base[cid]
+            ang = a0[cid] + k * inc[cid]
+            pos = starts[lj][cid] + 1 + k
+            px[pos] = vx[lj][cid] + d * np.cos(ang)
+            py[pos] = vy[lj][cid] + d * np.sin(ang)
+    elif chains:
+        for i, cps in chains.items():
+            for k, (cx, cy) in enumerate(cps):
+                px[starts[i] + 1 + k] = cx
+                py[starts[i] + 1 + k] = cy
+    return np.column_stack([px, py])
+
+
+def _cap_pts(e: np.ndarray, ux: float, uy: float, d: float,
+             p: BufferParams) -> np.ndarray:
+    """End-cap points at endpoint ``e`` entered with travel direction
+    (ux, uy): from the right-normal offset (the chain's last point, not
+    re-emitted here except as the round arc's k=0 near-duplicate, same
+    convention as the corner fillets) around to the left-normal offset
+    (the next chain's first point).  Round: CCW half-circle fillet with
+    the GEOS discretization; square: the two outset corners; flat: no
+    points."""
+    if p.endcap == "flat":
+        return np.empty((0, 2))
+    if p.endcap == "square":
+        return np.array([
+            [e[0] + d * uy + d * ux, e[1] - d * ux + d * uy],
+            [e[0] - d * uy + d * ux, e[1] + d * ux + d * uy]])
+    quantum = math.pi / 2.0 / p.quad_segs
+    nsegs = int(math.pi / quantum + 0.5)
+    a0 = math.atan2(-ux, uy)             # right-normal direction
+    inc = math.pi / nsegs
+    k = np.arange(nsegs)
+    ang = a0 + k * inc
+    return np.column_stack([e[0] + d * np.cos(ang),
+                            e[1] + d * np.sin(ang)])
+
+
+def _polyline_offset_curve(rr: np.ndarray, d: float,
+                           p: BufferParams) -> np.ndarray | None:
+    """Closed CCW offset boundary of an open polyline's two-sided buffer:
+    right-side chain forward, end cap, right-side chain of the reversed
+    line (= left side backward), start cap — the GEOS
+    OffsetCurveBuilder::getLineCurve construction.  Winding-equivalent
+    to the `_polyline_parts` rect+wedge soup (property-tested in
+    tests/test_buffer_batch.py) at a fraction of the edge count, so the
+    slab sweep over non-simple curves is several times cheaper; simple
+    curves ARE the buffer boundary (closed form, no sweep).  None on an
+    exact U-turn corner — caller falls back to the part soup."""
+    fwd = _open_offset_chain(rr, d, p)
+    if fwd is None:
+        return None
+    rev = _open_offset_chain(rr[::-1], d, p)
+    if rev is None:
+        return None
+    lux = rr[-1, 0] - rr[-2, 0]
+    luy = rr[-1, 1] - rr[-2, 1]
+    lln = math.hypot(lux, luy)
+    fux = rr[0, 0] - rr[1, 0]
+    fuy = rr[0, 1] - rr[1, 1]
+    fln = math.hypot(fux, fuy)
+    pts = np.concatenate([
+        fwd,
+        _cap_pts(rr[-1], lux / lln, luy / lln, d, p),
+        rev,
+        _cap_pts(rr[0], fux / fln, fuy / fln, d, p)])
+    keep = np.empty(len(pts), dtype=bool)
+    keep[0] = True
+    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+    pts = pts[keep]
+    if len(pts) > 1 and np.all(pts[0] == pts[-1]):
+        pts = pts[:-1]
+    return pts if len(pts) >= 3 else None
+
+
 def _rings_cross_info(curves: list):
     """Edge soup + proper-crossing x's + simplicity for a set of closed
     offset-curve rings, in ONE chunked pairwise pass shared by the
@@ -846,8 +998,65 @@ def buffer_route(g, dist: float, params: BufferParams):
         return ("geom", _single_sided(g, dist, params))
 
     if name == "GeometryCollection":
-        parts = [geom_buffer_styled(q, dist, params) for q in payload]
-        parts = [q for q in parts if q is not None and not _is_empty(q)]
+        # pool every child's decomposition into ONE soup and union once
+        # (nonzero winding of the pooled soup IS the union of the child
+        # regions — winding >= 1 wherever any child part covers, and a
+        # child's CW hole nets 0 only against its own shell).  The old
+        # per-child geom_buffer_styled ran a full slab sweep per child
+        # and then AGAIN over the results — the double sweep made
+        # collections the slowest benchmark shape (round 6).
+        routes: list = []
+        for q in payload:
+            r = buffer_route(q, dist, params)
+            if r is None:
+                continue
+            tag, val = r
+            if tag == "geom" and (val is None or _is_empty(val)):
+                continue
+            routes.append(r)
+        if not routes:
+            return ("geom", ("Polygon", []))
+        if len(routes) == 1:
+            return routes[0]               # union of one = the child
+        # all children closed-form and pairwise bbox-disjoint: the union
+        # IS the multipolygon of the parts — no sweep (the reference
+        # generator places collection children in non-overlapping
+        # sub-rectangles, so this is the common benchmark shape)
+        if all(r[0] == "geom" for r in routes):
+            ring_sets: list = []
+            boxes: list = []
+            for _, g in routes:
+                rs_all = [g[1]] if g[0] == "Polygon" else g[1]
+                for rs in rs_all:
+                    if not rs:
+                        continue
+                    sh = rs[0]
+                    boxes.append((sh[:, 0].min(), sh[:, 1].min(),
+                                  sh[:, 0].max(), sh[:, 1].max()))
+                    ring_sets.append(rs)
+            disjoint = True
+            for i in range(len(boxes)):
+                for j in range(i + 1, len(boxes)):
+                    a, b = boxes[i], boxes[j]
+                    if a[0] <= b[2] and b[0] <= a[2] \
+                            and a[1] <= b[3] and b[1] <= a[3]:
+                        disjoint = False
+                        break
+                if not disjoint:
+                    break
+            if disjoint and ring_sets:
+                if len(ring_sets) == 1:
+                    return ("geom", ("Polygon", ring_sets[0]))
+                return ("geom", ("MultiPolygon", ring_sets))
+        parts: list = []
+        for r in routes:
+            tag, val = r
+            if tag == "geom":
+                parts.append(val)
+            elif tag == "edges":
+                parts.append(val[0])       # raw directed offset-curve edges
+            else:
+                parts.extend(val)
         return ("parts", parts)
 
     if name == "Point":
@@ -883,6 +1092,33 @@ def buffer_route(g, dist: float, params: BufferParams):
         if len(lines) == 1 and len(lines[0]) == 2:
             return ("geom", _segment_buffer(lines[0][0], lines[0][1],
                                             dist, params))
+        # traced offset-curve path for open polylines (round 6): one
+        # closed curve per line instead of the rect+wedge soup — simple
+        # single curves ARE the buffer (no sweep); otherwise the curve
+        # edge soup is several times smaller than the part soup
+        curves = []
+        ok = True
+        for line in lines:
+            if len(line) < 2 or (len(line) > 3
+                                 and bool(np.all(line[0] == line[-1]))):
+                ok = False          # degenerate or closed line: part soup
+                break
+            c = _polyline_offset_curve(line, dist, params)
+            if c is None:
+                ok = False          # exact U-turn corner
+                break
+            curves.append(c)
+        if ok and curves:
+            e, xs, simple = _rings_cross_info(curves)
+            if simple and len(curves) == 1:
+                c = curves[0]
+                x, y = c[:, 0], c[:, 1]
+                a2 = float(np.dot(x, np.concatenate([y[1:], y[:1]]))
+                           - np.dot(y, np.concatenate([x[1:], x[:1]])))
+                if a2 > 0:
+                    return ("geom",
+                            ("Polygon", [np.vstack([c, c[:1]])]))
+            return ("edges", (e, xs))
         parts = []
         for line in lines:
             closed = len(line) > 3 and bool(np.all(line[0] == line[-1]))

@@ -167,6 +167,20 @@ def boolean_op(gA, gB, op: str):
     return _slabs_to_geometry(slabs)
 
 
+def _dissolve_area_matches(g, quads) -> bool:
+    """Dissolve-integrity invariant: the dissolved rings must enclose the
+    same area as the disjoint trapezoid tiling they were traced from
+    (exact up to summation order, ~1e-12 rel)."""
+    q = np.asarray(quads, dtype=np.float64).reshape(-1, 6)
+    xl, xr = q[:, 0], q[:, 1]
+    lo_l, lo_r = q[:, 2], q[:, 3]
+    hi_l, hi_r = q[:, 4], q[:, 5]
+    want = float(np.abs(
+        (xr - xl) * ((hi_l - lo_l) + (hi_r - lo_r))).sum()) / 2.0
+    got = K.geom_area(g)
+    return abs(got - want) <= 1e-9 * max(1.0, want)
+
+
 def _slabs_to_geometry(slabs: list):
     """Per-slab bands → merged quads → dissolved minimal-vertex rings
     (shared by the 2-way boolean op and the N-way winding union)."""
@@ -174,6 +188,18 @@ def _slabs_to_geometry(slabs: list):
     # the shared vertical edge matches exactly
     quads = []  # each: [xl, xr, ylo_l, ylo_r, yhi_l, yhi_r]
     open_by_right: dict = {}
+
+    def put(d, key, quad):
+        # two bands can converge to an IDENTICAL right-edge signature
+        # (e.g. both collapsing to the same corner point) — overwriting
+        # would silently DROP a quad (round-6 bug find: a bevel wedge
+        # riding a rect end edge lost ~1.0 area this way).  Flush the
+        # incumbent instead; it only loses a further-merge opportunity.
+        old = d.get(key)
+        if old is not None:
+            quads.append(old)
+        d[key] = quad
+
     for x0, x1, bands in slabs:
         new_open = {}
         for ylo_l, ylo_r, yhi_l, yhi_r in bands:
@@ -189,21 +215,29 @@ def _slabs_to_geometry(slabs: list):
                 if (abs(lo_slope_prev - lo_slope_new) < 1e-12
                         and abs(hi_slope_prev - hi_slope_new) < 1e-12):
                     merged = [pxl, x1, plo_l, ylo_r, phi_l, yhi_r]
-                    new_open[(round(x1, 12), round(ylo_r, 12), round(yhi_r, 12))] = merged
+                    put(new_open, (round(x1, 12), round(ylo_r, 12),
+                                   round(yhi_r, 12)), merged)
                     continue
                 quads.append(prev)
-            new_open[(round(x1, 12), round(ylo_r, 12), round(yhi_r, 12))] = \
-                [x0, x1, ylo_l, ylo_r, yhi_l, yhi_r]
+            put(new_open, (round(x1, 12), round(ylo_r, 12),
+                           round(yhi_r, 12)),
+                [x0, x1, ylo_l, ylo_r, yhi_l, yhi_r])
         quads.extend(open_by_right.values())
         open_by_right = new_open
     quads.extend(open_by_right.values())
 
     # minimal-vertex form: dissolve the tiling into boundary rings (round-2
     # upgrade; the trapezoid tiling remains the fallback if the boundary
-    # graph fails to close on a degenerate input)
+    # graph fails to close on a degenerate input).  The dissolved area
+    # must equal the exact disjoint-quad sum — 1-ulp band-corner
+    # mismatches (coincident collinear soup edges interpolate vs snap at
+    # a shared x) can make the left-turn trace close a bowtie ring
+    # SILENTLY; the invariant catches every such mangling (round 6)
     from sedona_db_spark.geometry.dissolve import quads_to_polygons
     try:
-        return quads_to_polygons(quads)
+        g = quads_to_polygons(quads)
+        if _dissolve_area_matches(g, quads):
+            return g
     except ValueError:
         pass
 
@@ -253,6 +287,12 @@ def _directed_edges_of(parts: list) -> np.ndarray:
 
     def add_part(g):
         if g is None:
+            return
+        if isinstance(g, np.ndarray):
+            # pre-built directed edges (pooled offset curves from the
+            # collection buffer route) — already winding-true, kept in order
+            for row in g:
+                segs.append((row[0], row[1], row[2], row[3]))
             return
         name, payload = g
         if name == "Polygon":

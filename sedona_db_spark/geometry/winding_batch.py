@@ -64,6 +64,12 @@ def _edges_of_parts(parts: list) -> np.ndarray:
     def add_part(g):
         if g is None:
             return
+        if isinstance(g, np.ndarray):
+            # pre-built directed edges (pooled offset curves from the
+            # collection buffer route) — already winding-true, in order
+            if len(g):
+                segs.append(np.asarray(g, dtype=np.float64))
+            return
         name, payload = g
         if name == "Polygon":
             for k, ring in enumerate(payload):
@@ -308,6 +314,17 @@ def _merge_and_dissolve(slab_id, x0, x1, ylo_l, ylo_r, yhi_l, yhi_r,
     open_by_right: dict = {}
     nb = len(slab_id)
     i = 0
+
+    def put(d, key, quad):
+        # identical right-edge signatures (two bands collapsing to the
+        # same corner) must FLUSH the incumbent, not overwrite it —
+        # overwriting silently drops a quad (same fix as
+        # overlay._slabs_to_geometry, round 6)
+        old = d.get(key)
+        if old is not None:
+            quads.append(old)
+        d[key] = quad
+
     while i < nb:
         s = slab_id[i]
         j = i
@@ -325,12 +342,12 @@ def _merge_and_dissolve(slab_id, x0, x1, ylo_l, ylo_r, yhi_l, yhi_r,
                 if (abs(lo_slope_prev - lo_slope_new) < 1e-12
                         and abs(hi_slope_prev - hi_slope_new) < 1e-12):
                     merged = [pxl, xr, plo_l, ylo_r[j], phi_l, yhi_r[j]]
-                    new_open[(kx1[j], klo_r[j], khi_r[j])] = merged
+                    put(new_open, (kx1[j], klo_r[j], khi_r[j]), merged)
                     j += 1
                     continue
                 quads.append(prev)
-            new_open[(kx1[j], klo_r[j], khi_r[j])] = \
-                [xl, xr, ylo_l[j], ylo_r[j], yhi_l[j], yhi_r[j]]
+            put(new_open, (kx1[j], klo_r[j], khi_r[j]),
+                [xl, xr, ylo_l[j], ylo_r[j], yhi_l[j], yhi_r[j]])
             j += 1
         quads.extend(open_by_right.values())
         open_by_right = new_open
@@ -560,8 +577,11 @@ def _quads_to_polygons_fast(quads):
 
 
 def _quads_final(quads):
+    from sedona_db_spark.geometry.overlay import _dissolve_area_matches
     try:
-        return _quads_to_polygons_fast(quads)
+        g = _quads_to_polygons_fast(quads)
+        if _dissolve_area_matches(g, quads):
+            return g
     except ValueError:
         pass
     # degenerate fallback: trapezoid tiling form (mirrors

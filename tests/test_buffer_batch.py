@@ -274,3 +274,91 @@ def test_batch_convex_screen_rejections():
     want = B.geom_buffer_styled(g, 0.5, None)
     assert geom_area(W.decode(got[0])) == pytest.approx(
         geom_area(want), rel=0, abs=1e-9)
+
+
+def test_polyline_offset_curve_matches_part_soup():
+    """Round-6 open-polyline offset curve (GEOS getLineCurve shape): the
+    curve's winding region must equal the rect+wedge soup union for
+    every join/cap style, including self-overlapping random walks."""
+    rng = np.random.default_rng(9)
+    line_styles = STYLES + ("endcap=square", "endcap=flat")
+    tested = 0
+    for trial in range(120):
+        nv = int(rng.integers(3, 11))
+        hw = rng.uniform(0.3, 8.0)
+        pts = np.column_stack([rng.uniform(0, hw, nv),
+                               rng.uniform(0, hw, nv)])
+        keepm = np.ones(len(pts), bool)
+        keepm[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        pts = pts[keepm]
+        if len(pts) < 3:
+            continue
+        d = float(rng.uniform(0.2, 3.0))
+        p = B.parse_buffer_params(line_styles[trial % len(line_styles)])
+        c = B._polyline_offset_curve(pts, d, p)
+        if c is None:
+            continue
+        tested += 1
+        e, xs, simple = B._rings_cross_info([c])
+        fast = union_edges(e, cross_xs=xs)
+        slow = union_polygons(B._polyline_parts(pts, d, p, False))
+        assert geom_area(fast) == pytest.approx(geom_area(slow),
+                                                rel=0, abs=1e-9)
+    assert tested > 80
+
+
+def test_quad_merge_right_key_collision_keeps_both_quads():
+    """Round-6 bug find: two bands converging to an identical right-edge
+    signature (a bevel wedge riding a rect end edge, both collapsing to
+    the same corner) used to OVERWRITE each other in the open-quad dict,
+    silently dropping ~1.0 of area.  Exact minimal repro."""
+    from sedona_db_spark.geometry.overlay import _directed_edges_of
+    P1 = ("Polygon", [np.array(
+        [[4.070669452354112, 1.520867145721324],
+         [2.828383051113704, 1.2478706640126342],
+         [2.1776626196908424, 4.20901191354904],
+         [3.419949020931251, 4.48200839525773],
+         [4.070669452354112, 1.520867145721324]])])
+    P2 = ("Polygon", [np.array(
+        [[3.7453092366426817, 3.001437770489527],
+         [3.5962704605127183, 4.509992074485236],
+         [4.070669452354112, 1.520867145721324],
+         [3.7453092366426817, 3.001437770489527]])])
+    e = _directed_edges_of([P1, P2])
+    got = geom_area(union_edges(e))
+    assert got == pytest.approx(3.9913104547410203, rel=0, abs=1e-9)
+    # batch path: same fix, same answer
+    got_b = geom_area(union_polygons_batch([[P1, P2]])[0])
+    assert got_b == pytest.approx(3.9913104547410203, rel=0, abs=1e-9)
+
+
+def test_collection_buffer_pooled_union_matches_per_child():
+    """Pooled-soup collection route: area parity with per-child
+    geom_buffer_styled + union; disjoint closed-form children take the
+    no-sweep MultiPolygon path."""
+    rng = np.random.default_rng(21)
+    for trial in range(25):
+        children = []
+        nparts = int(rng.integers(1, 4))
+        for j in range(nparts):
+            cx = 30.0 * j
+            cy = float(rng.uniform(0, 10))
+            kind = int(rng.integers(0, 3))
+            if kind == 0:
+                children.append(("Point", (cx, cy)))
+            elif kind == 1:
+                pts = np.column_stack([rng.uniform(cx, cx + 4, 6),
+                                       rng.uniform(cy, cy + 4, 6)])
+                children.append(("LineString", pts))
+            else:
+                ang = rng.uniform(0, 2 * np.pi) + np.arange(8) * (np.pi / 4)
+                ring = np.column_stack([np.cos(ang) * 3 + cx,
+                                        np.sin(ang) * 3 + cy])
+                children.append(("Polygon", [np.vstack([ring, ring[:1]])]))
+        g = ("GeometryCollection", children)
+        d = float(rng.uniform(0.3, 2.0))
+        got = B.geom_buffer_styled(g, d, None)
+        slow_parts = [B.geom_buffer_styled(q, d, None) for q in children]
+        want = union_polygons([q for q in slow_parts if q is not None])
+        assert geom_area(got) == pytest.approx(geom_area(want),
+                                               rel=0, abs=1e-9)
