@@ -2,13 +2,18 @@
 
 Image/audio/video payloads are BinaryType columns.  The Spark-side
 plumbing — schema, Arrow batch shape, mapInPandas partitioned decode — is
-real and tested; the actual codec step is stubbed (the container has no
-image/audio libraries) behind ``decode_image_stub`` which either raises
-NotImplementedError (strict mode) or produces a deterministic fake frame.
+real and tested.  PNG and WAV are decoded FOR REAL with the stdlib alone
+(round 6): PNG chunk walk + zlib IDAT inflate + scanline un-filtering,
+WAV RIFF/fmt/data parse — no image/audio libraries needed.  Only JPEG
+and video remain stubbed (``decode_image_stub``: NotImplementedError in
+strict mode, deterministic fake frame otherwise) because their codecs
+genuinely aren't in this container.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -26,9 +31,201 @@ MEDIA_META_SCHEMA = StructType([
     StructField("kind", StringType()),       # image | audio | video
     StructField("n_bytes", LongType()),
     StructField("magic", StringType()),      # first-4-bytes hex
-    StructField("width", IntegerType()),     # decoded (stub) dimensions
+    StructField("width", IntegerType()),     # real for PNG; stub 8x8 else
     StructField("height", IntegerType()),
+    StructField("duration_ms", DoubleType()),   # real for PCM WAV
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
 ])
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(b: bytes) -> dict | None:
+    """IHDR fields of a PNG payload (width/height/bit_depth/color_type),
+    None if the signature or IHDR is absent/malformed.  Pure header
+    parse — 33 bytes is enough; no inflate."""
+    if len(b) < 33 or b[:8] != PNG_SIG:
+        return None
+    ln, typ = struct.unpack_from(">I4s", b, 8)
+    if typ != b"IHDR" or ln != 13:
+        return None
+    w, h, depth, color, comp, filt, interlace = \
+        struct.unpack_from(">IIBBBBB", b, 16)
+    if w == 0 or h == 0 or comp != 0 or filt != 0:
+        return None
+    return {"width": int(w), "height": int(h), "bit_depth": int(depth),
+            "color_type": int(color), "interlace": int(interlace)}
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Full PNG decode with the stdlib: chunk walk -> zlib inflate of the
+    concatenated IDAT stream -> per-scanline un-filtering (filters
+    0 none / 1 sub / 2 up / 3 average / 4 paeth).  Supports 8-bit
+    non-interlaced, non-palette images (gray / gray+alpha / RGB / RGBA);
+    returns (h, w) uint8 for grayscale or (h, w, c) otherwise.  Raises
+    ValueError on anything outside that subset."""
+    hdr = parse_png_header(b)
+    if hdr is None:
+        raise ValueError("not a PNG")
+    if hdr["bit_depth"] != 8 or hdr["interlace"] != 0 \
+            or hdr["color_type"] == 3:
+        raise ValueError("unsupported PNG subset "
+                         f"(depth={hdr['bit_depth']} "
+                         f"color={hdr['color_type']} "
+                         f"interlace={hdr['interlace']})")
+    w, h = hdr["width"], hdr["height"]
+    c = _PNG_CHANNELS[hdr["color_type"]]
+    idat = []
+    pos = 8
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * c
+    if len(raw) < h * stride:
+        raise ValueError("truncated PNG pixel data")
+    rows = raw[:h * stride].reshape(h, stride)
+    filt = rows[:, 0]
+    out = np.empty((h, w * c), dtype=np.uint8)
+    bpp = c
+    for y in range(h):
+        cur = rows[y, 1:].copy()
+        f = int(filt[y])
+        prev = out[y - 1] if y > 0 else np.zeros(w * c, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:                         # sub: prefix sum per channel
+            for ch in range(bpp):
+                np.add.accumulate(cur[ch::bpp], out=cur[ch::bpp],
+                                  dtype=np.uint8)
+            out[y] = cur
+        elif f == 2:                         # up
+            out[y] = cur + prev
+        elif f == 3:                         # average
+            row = out[y]
+            for i in range(w * c):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:                         # paeth
+            row = out[y]
+            for i in range(w * c):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                bb = int(prev[i])
+                cc = int(prev[i - bpp]) if i >= bpp else 0
+                pp = a + bb - cc
+                pa, pb, pc = abs(pp - a), abs(pp - bb), abs(pp - cc)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (bb if pb <= pc else cc)
+                row[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    img = out.reshape(h, w, c)
+    return img[:, :, 0] if c == 1 else img
+
+
+def encode_png_gray(img: np.ndarray, level: int = 6) -> bytes:
+    """Minimal 8-bit grayscale PNG writer (filter 0 rows) — the test /
+    fixture counterpart of :func:`decode_png`; deterministic bytes for a
+    given array and zlib level."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scan = np.concatenate([np.zeros((h, 1), dtype=np.uint8), img], axis=1)
+    idat = zlib.compress(scan.tobytes(), level)
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def parse_wav_header(b: bytes) -> dict | None:
+    """RIFF/WAVE fmt+data parse: channels, sample rate, bits per sample,
+    sample count and duration; None when not a PCM WAV."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(b):
+        typ, ln = struct.unpack_from("<4sI", b, pos)
+        if typ == b"fmt ":
+            if ln < 16:
+                return None
+            (audio_fmt, channels, rate, _byte_rate, _align,
+             bits) = struct.unpack_from("<HHIIHH", b, pos + 8)
+            if audio_fmt != 1 or channels == 0 or bits % 8 or rate == 0:
+                return None
+            fmt = (channels, rate, bits)
+        elif typ == b"data":
+            data_size = min(ln, len(b) - pos - 8)
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, bits = fmt
+    n_samples = data_size // (channels * bits // 8)
+    return {"channels": channels, "sample_rate": rate, "bits": bits,
+            "n_samples": int(n_samples),
+            "duration_ms": 1000.0 * n_samples / rate}
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """(samples (n, channels) int array, sample_rate) of a PCM WAV."""
+    hdr = parse_wav_header(b)
+    if hdr is None:
+        raise ValueError("not a PCM WAV")
+    pos = 12
+    while pos + 8 <= len(b):
+        typ, ln = struct.unpack_from("<4sI", b, pos)
+        if typ == b"data":
+            raw = b[pos + 8:pos + 8 + ln]
+            dt = {8: np.uint8, 16: np.dtype("<i2"),
+                  32: np.dtype("<i4")}[hdr["bits"]]
+            n = len(raw) // np.dtype(dt).itemsize // hdr["channels"]
+            arr = np.frombuffer(raw, dtype=dt,
+                                count=n * hdr["channels"])
+            return arr.reshape(n, hdr["channels"]), hdr["sample_rate"]
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("WAV data chunk missing")
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal PCM-16 mono/stereo WAV writer — fixture counterpart of
+    :func:`parse_wav_header` / :func:`decode_wav`."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_media_frame(payload: bytes, strict: bool = False) -> np.ndarray:
+    """Best-real-effort frame decode: real PNG decode (grayscale view of
+    the first channel) when the payload is a supported PNG, else the
+    documented stub (JPEG/video: codecs not in this container)."""
+    if payload[:8] == PNG_SIG:
+        try:
+            img = decode_png(payload)
+            return img if img.ndim == 2 else img[:, :, 0]
+        except ValueError:
+            pass
+    return decode_image_stub(payload, strict=strict)
 
 
 def decode_image_stub(payload: bytes, strict: bool = False) -> np.ndarray:
@@ -60,13 +257,26 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload",
             n = len(pdf)
             widths = np.zeros(n, dtype=np.int32)
             heights = np.zeros(n, dtype=np.int32)
+            dur = np.full(n, np.nan)
+            rate = np.zeros(n, dtype=np.int32)
+            chans = np.zeros(n, dtype=np.int32)
             magic = []
             nbytes = np.zeros(n, dtype=np.int64)
             for i, p in enumerate(payloads):
                 b = bytes(p) if p is not None else b""
                 nbytes[i] = len(b)
                 magic.append(b[:4].hex())
-                frame = decode_image_stub(b)
+                png = parse_png_header(b)
+                if png is not None:
+                    heights[i], widths[i] = png["height"], png["width"]
+                    continue
+                wav = parse_wav_header(b)
+                if wav is not None:
+                    dur[i] = wav["duration_ms"]
+                    rate[i] = wav["sample_rate"]
+                    chans[i] = wav["channels"]
+                    continue
+                frame = decode_image_stub(b)     # JPEG/video: honest stub
                 heights[i], widths[i] = frame.shape
             yield pd.DataFrame({
                 "media_id": pdf[id_col].to_numpy(),
@@ -75,6 +285,9 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload",
                 "magic": magic,
                 "width": widths,
                 "height": heights,
+                "duration_ms": dur,
+                "sample_rate": rate,
+                "channels": chans,
             })
     return df.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
 
@@ -108,11 +321,21 @@ def frame_phash(frame: np.ndarray) -> int:
 
 
 def sample_frames(payload: bytes, n_frames: int) -> list[np.ndarray]:
-    """STUB frame sampler: a real video codec would seek keyframes; here
-    each 'frame' is a deterministic 8×8 view over a payload stride, so the
-    batch plumbing (variable frames per row) is exercised for real."""
+    """Frame sampler: supported PNG payloads decode FOR REAL (a still
+    image repeats across the requested frames, exercising resize/phash
+    on real pixels); video payloads keep the documented stub — a real
+    codec would seek keyframes, here each 'frame' is a deterministic 8×8
+    view over a payload stride so the batch plumbing (variable frames
+    per row) stays exercised."""
     if not payload:
         return []
+    if payload[:8] == PNG_SIG:
+        try:
+            img = decode_png(payload)
+            g = img if img.ndim == 2 else img[:, :, 0]
+            return [g] * n_frames
+        except ValueError:
+            pass
     out = []
     for i in range(n_frames):
         start = (i * 64) % max(len(payload), 1)

@@ -1026,20 +1026,69 @@ SELECT q_id, t_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}"""
 
 
 def q_multimodal_meta(spark, sf_dir):
+    """REAL codec round trip (round 6): synthesize a deterministic PNG
+    (grayscale, dims = f(doc_id)) or PCM WAV (mono 8 kHz, sample count =
+    f(doc_id)) per document with the stdlib encoders, then recover the
+    metadata through extract_media_meta's stdlib decoders
+    (multimodal/media.py parse_png_header / parse_wav_header).  The
+    oracle predicts every output column in closed form from doc_id —
+    if either the encoder or the decoder bends a byte, the dims/duration
+    stop matching."""
+    import pandas as pd
+
     from sedona_db_spark.multimodal import extract_media_meta
-    d = _t(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.col("text").cast("binary").alias("payload"))
-    return extract_media_meta(media)
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType)
+
+    def synth(batches):
+        import numpy as np
+
+        from sedona_db_spark.multimodal.media import (encode_png_gray,
+                                                      encode_wav_pcm16)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads, kinds = [], []
+            for did in ids:
+                did = int(did)
+                if did % 3 == 0:
+                    n = 200 + (did % 97) * 13
+                    s = ((did + np.arange(n)) % 65536 - 32768).astype(
+                        np.int16)
+                    payloads.append(encode_wav_pcm16(s, 8000))
+                    kinds.append("audio")
+                else:
+                    w = 1 + did % 16
+                    h = 1 + did % 9
+                    img = ((did + np.arange(h * w)) % 256).astype(
+                        np.uint8).reshape(h, w)
+                    payloads.append(encode_png_gray(img))
+                    kinds.append("image")
+            yield pd.DataFrame({"media_id": ids, "kind": kinds,
+                                "payload": payloads})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth, schema=StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType())]))
+    meta = extract_media_meta(media)
+    return meta.select(
+        "media_id", "kind", "magic", "width", "height",
+        F.coalesce(F.nanvl(F.col("duration_ms"), F.lit(0.0)),
+                   F.lit(0.0)).alias("duration_ms"),
+        "sample_rate", "channels")
 
 
 ORACLE_MULTIMODAL = """
-SELECT doc_id AS media_id, 'image' AS kind,
-       CAST(strlen(text) AS BIGINT) AS n_bytes,
-       lower(hex(encode(substr(text, 1, 4)))) AS magic,
-       8 AS width, 8 AS height
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CASE WHEN doc_id % 3 = 0 THEN '52494646' ELSE '89504e47' END AS magic,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 + doc_id % 16 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 + doc_id % 9 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0
+            THEN (200 + (doc_id % 97) * 13) / 8.0 ELSE 0.0 END AS DOUBLE) AS duration_ms,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 ELSE 0 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS channels
 FROM documents"""
 
 
