@@ -421,3 +421,100 @@ def test_transform_sql_3395_and_ups(spark):
     ux, uy = map(float, r["ups"].replace("POINT (", "").rstrip(")").split())
     assert 6.90e6 < my < 7.00e6
     assert abs(ux - 3320416.75) < 0.02 and abs(uy - 632668.43) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# round-6 NTv2 grid-shift tier: bilinear mechanism + .gsb round trip
+# ---------------------------------------------------------------------------
+
+def _synth_grid():
+    """Shift field linear in lon/lat (bilinear interpolation of a
+    bilinear field is EXACT at every point, not just at nodes)."""
+    from sedona_db_spark.geometry.proj import ShiftGrid
+    lats = np.arange(40.0, 42.0001, 0.25)
+    lons = np.arange(-106.0, -103.9999, 0.25)
+    LON, LAT = np.meshgrid(lons, lats)
+    dlat = 1.2 + 0.3 * (LAT - 40.0) + 0.1 * (LON + 106.0)   # arc-seconds
+    dlon = -0.8 + 0.05 * (LAT - 40.0) - 0.2 * (LON + 106.0)
+    return ShiftGrid(40.0, 0.25, -106.0, 0.25, dlat, dlon), \
+        (lambda lon, lat: (1.2 + 0.3*(lat-40.0) + 0.1*(lon+106.0)) / 3600.0), \
+        (lambda lon, lat: (-0.8 + 0.05*(lat-40.0) - 0.2*(lon+106.0)) / 3600.0)
+
+
+def test_shift_grid_bilinear_exact_on_linear_field():
+    grid, f_dlat, f_dlon = _synth_grid()
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(-106.0, -104.0, 300)
+    lat = rng.uniform(40.0, 42.0, 300)
+    lo, la, ok = grid.apply(lon, lat)
+    assert ok.all()
+    np.testing.assert_allclose(la - lat, f_dlat(lon, lat), rtol=0, atol=1e-14)
+    np.testing.assert_allclose(lo - lon, f_dlon(lon, lat), rtol=0, atol=1e-14)
+
+
+def test_shift_grid_inverse_fixed_point():
+    grid, _, _ = _synth_grid()
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-105.8, -104.2, 200)
+    lat = rng.uniform(40.2, 41.8, 200)
+    lo_t, la_t, _ = grid.apply(lon, lat)
+    lo_b, la_b, ok = grid.apply_inverse(lo_t, la_t)
+    assert ok.all()
+    np.testing.assert_allclose(lo_b, lon, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(la_b, lat, rtol=0, atol=1e-12)
+
+
+def test_shift_grid_outside_passthrough():
+    grid, _, _ = _synth_grid()
+    lo, la, ok = grid.apply(np.array([0.0]), np.array([0.0]))
+    assert not ok[0] and lo[0] == 0.0 and la[0] == 0.0
+
+
+def test_ntv2_gsb_round_trip():
+    from sedona_db_spark.geometry.proj import load_ntv2, write_ntv2
+    grid, _, _ = _synth_grid()
+    blob = write_ntv2(grid)
+    back = load_ntv2(blob)
+    assert (back.ny, back.nx) == (grid.ny, grid.nx)
+    assert back.lat_min == grid.lat_min and back.lon_min == grid.lon_min
+    assert back.lat_inc == grid.lat_inc and back.lon_inc == grid.lon_inc
+    # float32 storage: shifts survive to f4 precision
+    np.testing.assert_allclose(back.dlat, grid.dlat, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(back.dlon, grid.dlon, rtol=0, atol=1e-4)
+
+
+def test_nadgrids_transform_end_to_end():
+    """'+nadgrids=' leg through resolve_crs: projected output must equal
+    the manual composition grid-shift -> TM, and round-trip."""
+    from sedona_db_spark.geometry.proj import (
+        SHIFT_GRIDS, load_ntv2, resolve_crs, tmerc_fwd, write_ntv2, ELLPS)
+    grid, _, _ = _synth_grid()
+    load_ntv2(write_ntv2(grid), name="synth_test")
+    try:
+        fwd, inv = resolve_crs(
+            "+proj=tmerc +lat_0=0 +lon_0=-105 +k=0.9996 +x_0=500000 "
+            "+ellps=GRS80 +nadgrids=synth_test")
+        rng = np.random.default_rng(10)
+        lon = rng.uniform(-105.8, -104.2, 100)
+        lat = rng.uniform(40.2, 41.8, 100)
+        x, y = fwd(lon, lat)
+        g = SHIFT_GRIDS["synth_test"]
+        lo_l, la_l, _ = g.apply_inverse(lon, lat)   # WGS84 -> local datum
+        xm, ym = tmerc_fwd(lo_l, la_l, -105.0, 0.0, 0.9996, 500000.0, 0.0,
+                           ELLPS["GRS80"])
+        np.testing.assert_allclose(x, xm, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(y, ym, rtol=0, atol=1e-9)
+        lo_b, la_b = inv(x, y)
+        np.testing.assert_allclose(lo_b, lon, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(la_b, lat, rtol=0, atol=1e-9)
+    finally:
+        SHIFT_GRIDS.pop("synth_test", None)
+
+
+def test_nadgrids_missing_grid_errors_and_optional_skips():
+    from sedona_db_spark.geometry.proj import parse_proj4
+    with pytest.raises(ValueError, match="not registered"):
+        parse_proj4("+proj=longlat +nadgrids=missing_grid")
+    # optional '@' grid absent -> silently skipped; 'null' -> identity
+    c = parse_proj4("+proj=longlat +nadgrids=@missing_grid,null")
+    assert c.nadgrids is None
