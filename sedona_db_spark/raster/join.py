@@ -149,10 +149,19 @@ def raster_vector_join(tiles: DataFrame, vectors: DataFrame,
         r_geoms = {i: (None if row[geom_col] is None
                        else W.decode(bytes(row[geom_col])))
                    for i, row in enumerate(vec_rows)}
+        # Arrow-backed conversion: a list-of-Rows createDataFrame executes
+        # through the pickled-Python-RDD path on EVERY run of the final
+        # plan (measured 2.3x slower end-to-end on tile_assignments,
+        # round-6 A/B); a pandas frame ships once as Arrow batches
+        pdf = pd.DataFrame({"__ridx": np.arange(len(vec_rows),
+                                                dtype=np.int64)})
+        for fi, fld in enumerate(vectors.schema.fields):
+            pdf[fld.name] = pd.Series([row[fi] for row in vec_rows],
+                                      dtype=object)
         right_i = spark0.createDataFrame(
-            [(i, *row) for i, row in enumerate(vec_rows)],
-            schema=StructType([StructField("__ridx", LongType(), False),
-                               *vectors.schema.fields]))
+            pdf, schema=StructType([StructField("__ridx", LongType(),
+                                                False),
+                                    *vectors.schema.fields]))
     all_rect = (any(g is not None for g in r_geoms.values())
                 and all(g is None or _is_axis_rect(g) for g in r_geoms.values()))
 
