@@ -39,6 +39,8 @@ HEADLINE = [
     # parametric-EPSG transform tier (LCC 2SP, ftUS axis units), and the
     # batched buffer/area pipeline
     "ice_pip_count", "transform_spcs", "buffer_point_areas",
+    # round 6: the cross-row batched convex polygon buffer tier
+    "buffer_poly_areas",
     # training-data ops
     "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "ann_topk", "token_counts", "quality_scores",

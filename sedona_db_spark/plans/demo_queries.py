@@ -1785,6 +1785,59 @@ ORACLE_BUFFER_POINT_AREAS = (
  FROM docs""")
 
 
+def q_buffer_poly_areas(spark, sf_dir):
+    """Round-6 convex polygon buffer tier under the exact gate: per doc a
+    regular k-gon (k, radius, rotation, buffer distance all functions of
+    doc_id) built as WKT in ONE JVM expression (Spark's double->string is
+    shortest-round-trip, so ST_GeomFromText recovers exact floats),
+    buffered through the cross-row batched offset-curve trace
+    (buffer.batch_convex_offset_rings) and measured with the batched
+    shoelace.  Closed form: area = k·r²·sin(θ)/2 + 2k·r·sin(π/k)·d
+    + k·(d²/2)·m·sin(θ/m) with θ = 2π/k and m = floor(θ/(π/16) + 0.5)
+    arc segments per corner (GEOS fillet discretization, quad_segs=8);
+    round(x·1e3) absorbs the ~1e-9 trig/shoelace spread."""
+    from sedona_db_spark.functions.scalar import (st_area, st_buffer,
+                                                  st_geomfromtext)
+    p = doc_points(spark, sf_dir)
+    p = (p.withColumn("__k", (F.lit(5) + F.col("doc_id") % 8).cast("int"))
+          .withColumn("__r", F.lit(0.4)
+                      + (F.col("doc_id") % 16).cast("double") / 8.0)
+          .withColumn("__t0", (F.col("doc_id") % 32).cast("double")
+                      * F.lit(math.pi / 16.0))
+          .withColumn("__d", F.lit(0.3)
+                      + (F.col("doc_id") % 8).cast("double") / 4.0))
+    wkt = F.expr(
+        "concat('POLYGON((', concat_ws(',', transform(sequence(0, __k), "
+        "i -> concat(cast(lon + __r * cos(__t0 + pmod(i, __k) * 2 * pi() "
+        "/ __k) as string), ' ', cast(lat + __r * sin(__t0 + pmod(i, __k) "
+        "* 2 * pi() / __k) as string)))), '))')")
+    return p.select(
+        "doc_id",
+        F.round(st_area(st_buffer(st_geomfromtext(wkt), F.col("__d")))
+                * 1000.0, 0).cast("long").alias("area_q3"))
+
+
+ORACLE_BUFFER_POLY_AREAS = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(5 + doc_id % 8 AS DOUBLE) AS k,
+         0.4 + CAST(doc_id % 16 AS DOUBLE) / 8.0 AS r,
+         0.3 + CAST(doc_id % 8 AS DOUBLE) / 4.0 AS d
+  FROM documents
+), m AS (
+  SELECT doc_id, k, r, d,
+         2 * pi() / k AS theta,
+         floor((2 * pi() / k) / (pi() / 16.0) + 0.5) AS segs
+  FROM params
+)
+SELECT doc_id,
+       CAST(round((k * r * r * sin(theta) / 2.0
+                   + 2.0 * k * r * sin(pi() / k) * d
+                   + k * (d * d / 2.0) * segs * sin(theta / segs))
+                  * 1000.0, 0) AS BIGINT) AS area_q3
+FROM m"""
+
+
 def q_overlay_rect_areas(spark, sf_dir):
     """Per nation: boolean-op areas of (rect, rect shifted by (10, 19)).
 
@@ -1968,6 +2021,7 @@ QUERIES = {
     "overlay_rect_areas": q_overlay_rect_areas,
     "buffer_styles": q_buffer_styles,
     "buffer_point_areas": q_buffer_point_areas,
+    "buffer_poly_areas": q_buffer_poly_areas,
     "sample_mixture": q_sample_mixture,
     "pack_sequences": q_pack_sequences,
     "polygonize_faces": q_polygonize_faces,
@@ -2022,6 +2076,7 @@ ORACLE_SQL = {
     "overlay_rect_areas": ORACLE_OVERLAY,
     "buffer_styles": _oracle_buffer_styles(),
     "buffer_point_areas": ORACLE_BUFFER_POINT_AREAS,
+    "buffer_poly_areas": ORACLE_BUFFER_POLY_AREAS,
     "sample_mixture": _oracle_sample_mixture(),
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "polygonize_faces": ORACLE_POLYGONIZE,
