@@ -979,10 +979,11 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
 
 def buffer_route(g, dist: float, params: BufferParams):
     """Buffer dispatcher without the final union: returns None (null in →
-    null out), ("geom", result) for closed-form paths, or
-    ("parts", soup) / ("parts_cancel", soup) when the result is
-    ``union_polygons(soup, cancel=...)``.  Lets the Arrow-batch UDF pool
-    many rows' soups into one flattened sweep
+    null out), ("geom", result) for closed-form paths, ("edges",
+    (directed_edges, cross_xs)) for traced offset curves that still need
+    the winding sweep, or ("parts", soup) when the result is
+    ``union_polygons(soup)``.  Lets the Arrow-batch UDF pool many rows'
+    soups into one flattened sweep
     (winding_batch.union_polygons_batch)."""
     from sedona_db_spark.geometry import kernels as K
 

@@ -169,8 +169,14 @@ def boolean_op(gA, gB, op: str):
 
 def _dissolve_area_matches(g, quads) -> bool:
     """Dissolve-integrity invariant: the dissolved rings must enclose the
-    same area as the disjoint trapezoid tiling they were traced from
-    (exact up to summation order, ~1e-12 rel)."""
+    same area as the disjoint trapezoid tiling they were traced from.
+
+    The tolerance must scale with COORDINATE magnitude, not just area:
+    both sides are raw-coordinate shoelace sums whose rounding error is
+    ~n·eps·max|x|·max|y| — at projected-meter offsets (web mercator
+    ~1e7) that is O(1) m² even though the area itself is small, and a
+    fixed 1e-9-relative gate would spuriously reject correct dissolves
+    into the sliver-quad fallback (round-6 review finding)."""
     q = np.asarray(quads, dtype=np.float64).reshape(-1, 6)
     xl, xr = q[:, 0], q[:, 1]
     lo_l, lo_r = q[:, 2], q[:, 3]
@@ -178,7 +184,10 @@ def _dissolve_area_matches(g, quads) -> bool:
     want = float(np.abs(
         (xr - xl) * ((hi_l - lo_l) + (hi_r - lo_r))).sum()) / 2.0
     got = K.geom_area(g)
-    return abs(got - want) <= 1e-9 * max(1.0, want)
+    mag = float(max(np.abs(q[:, :2]).max(initial=0.0),
+                    np.abs(q[:, 2:]).max(initial=0.0)))
+    fp = 16.0 * len(q) * 2.220446049250313e-16 * mag * mag
+    return abs(got - want) <= max(1e-9 * max(1.0, want), fp)
 
 
 def _slabs_to_geometry(slabs: list):
@@ -188,6 +197,13 @@ def _slabs_to_geometry(slabs: list):
     # the shared vertical edge matches exactly
     quads = []  # each: [xl, xr, ylo_l, ylo_r, yhi_l, yhi_r]
     open_by_right: dict = {}
+
+    def _k12(v):
+        # np.round, NOT builtin round: the batched sweep
+        # (winding_batch._merge_and_dissolve) pre-rounds its keys with
+        # np.round, and the two can differ by 1 ulp at decimal ties —
+        # same function on both sides keeps batch/per-row byte-identical
+        return float(np.round(v, 12))
 
     def put(d, key, quad):
         # two bands can converge to an IDENTICAL right-edge signature
@@ -203,7 +219,7 @@ def _slabs_to_geometry(slabs: list):
     for x0, x1, bands in slabs:
         new_open = {}
         for ylo_l, ylo_r, yhi_l, yhi_r in bands:
-            key = (round(x0, 12), round(ylo_l, 12), round(yhi_l, 12))
+            key = (_k12(x0), _k12(ylo_l), _k12(yhi_l))
             prev = open_by_right.pop(key, None)
             if prev is not None:
                 # extend only if edges are collinear through the junction
@@ -215,12 +231,11 @@ def _slabs_to_geometry(slabs: list):
                 if (abs(lo_slope_prev - lo_slope_new) < 1e-12
                         and abs(hi_slope_prev - hi_slope_new) < 1e-12):
                     merged = [pxl, x1, plo_l, ylo_r, phi_l, yhi_r]
-                    put(new_open, (round(x1, 12), round(ylo_r, 12),
-                                   round(yhi_r, 12)), merged)
+                    put(new_open, (_k12(x1), _k12(ylo_r),
+                                   _k12(yhi_r)), merged)
                     continue
                 quads.append(prev)
-            put(new_open, (round(x1, 12), round(ylo_r, 12),
-                           round(yhi_r, 12)),
+            put(new_open, (_k12(x1), _k12(ylo_r), _k12(yhi_r)),
                 [x0, x1, ylo_l, ylo_r, yhi_l, yhi_r])
         quads.extend(open_by_right.values())
         open_by_right = new_open

@@ -1406,7 +1406,8 @@ def parse_proj4(s: str) -> CRSDef:
                 b = float(kv2["b"])
                 f = 1.0 - b / a
             else:
-                f = 1.0 / float(kv2["rf"])
+                rf = float(kv2["rf"])
+                f = 0.0 if rf == 0.0 else 1.0 / rf   # PROJ: rf=0 = sphere
             ellps = f"R:{a}" if f == 0.0 else f"AB:{a}:{f}"
         elif k in ("b", "rf") and "a" in kv2:
             continue            # consumed by the +a branch above

@@ -191,8 +191,12 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         typ, ln = struct.unpack_from("<4sI", b, pos)
         if typ == b"data":
             raw = b[pos + 8:pos + 8 + ln]
-            dt = {8: np.uint8, 16: np.dtype("<i2"),
-                  32: np.dtype("<i4")}[hdr["bits"]]
+            dt = {8: np.dtype(np.uint8), 16: np.dtype("<i2"),
+                  32: np.dtype("<i4")}.get(hdr["bits"])
+            if dt is None:                 # e.g. 24-bit packed PCM
+                raise ValueError(
+                    f"unsupported PCM bit depth {hdr['bits']} for sample "
+                    f"decode (metadata via parse_wav_header still works)")
             n = len(raw) // np.dtype(dt).itemsize // hdr["channels"]
             arr = np.frombuffer(raw, dtype=dt,
                                 count=n * hdr["channels"])
@@ -223,8 +227,8 @@ def decode_media_frame(payload: bytes, strict: bool = False) -> np.ndarray:
         try:
             img = decode_png(payload)
             return img if img.ndim == 2 else img[:, :, 0]
-        except ValueError:
-            pass
+        except (ValueError, zlib.error):   # corrupt IDAT inflates raise
+            pass                           # zlib.error, not ValueError
     return decode_image_stub(payload, strict=strict)
 
 
@@ -334,7 +338,7 @@ def sample_frames(payload: bytes, n_frames: int) -> list[np.ndarray]:
             img = decode_png(payload)
             g = img if img.ndim == 2 else img[:, :, 0]
             return [g] * n_frames
-        except ValueError:
+        except (ValueError, zlib.error):
             pass
     out = []
     for i in range(n_frames):

@@ -92,8 +92,16 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
     qcols, tcols = list(qdf.columns), list(tdf.columns)
     # knn_join groups by a query/target id; synthesize unique ids so the
     # SQL form needs no id-column convention, and drop them afterwards
-    qdf2 = qdf.withColumn("__sd_qid", F.monotonically_increasing_id())
-    tdf2 = tdf.withColumn("__sd_tid", F.monotonically_increasing_id())
+    # eager localCheckpoint pins the executor-generated ids: knn_join
+    # evaluates its inputs in several jobs (side stats, cogroup rounds,
+    # the include_ties self-join), and an unpinned
+    # monotonically_increasing_id can reassign between evaluations on
+    # nondeterministically-ordered upstreams (same mitigation as
+    # spatial_join._broadcast_point_join; round-6 review finding)
+    qdf2 = qdf.withColumn("__sd_qid", F.monotonically_increasing_id()) \
+              .localCheckpoint(eager=True)
+    tdf2 = tdf.withColumn("__sd_tid", F.monotonically_increasing_id()) \
+              .localCheckpoint(eager=True)
     joined = knn_join(
         qdf2, tdf2, int(m["k"]), query_geom=gl, target_geom=gr,
         query_id="__sd_qid", target_id="__sd_tid",

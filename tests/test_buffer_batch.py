@@ -362,3 +362,18 @@ def test_collection_buffer_pooled_union_matches_per_child():
         want = union_polygons([q for q in slow_parts if q is not None])
         assert geom_area(got) == pytest.approx(geom_area(want),
                                                rel=0, abs=1e-9)
+
+
+def test_far_origin_buffer_dissolves_to_minimal_rings():
+    """Round-6 review finding: the dissolve-integrity gate must scale its
+    tolerance with coordinate magnitude — at projected-meter offsets
+    (~1e7) the raw-coordinate shoelace noise is O(1) m^2 and a fixed
+    1e-9-relative gate spuriously degraded correct dissolves to the
+    sliver-quad MultiPolygon fallback."""
+    rng = np.random.default_rng(1)
+    for k in range(12):
+        shell = rand_star(rng, int(rng.integers(6, 12)), cx=1.5e7, cy=8e6,
+                          rlo=200.0, rhi=800.0)
+        g = B.geom_buffer_styled(("Polygon", [shell]), 300.0, None)
+        if g[0] == "MultiPolygon":
+            assert len(g[1]) <= 2, f"sliver fallback: {len(g[1])} parts"
