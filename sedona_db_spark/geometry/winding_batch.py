@@ -309,7 +309,17 @@ def union_polygons_batch(part_rows: list, cancel: bool = False) -> list:
 def _merge_and_dissolve(slab_id, x0, x1, ylo_l, ylo_r, yhi_l, yhi_r,
                         kx0, kx1, klo_l, klo_r, khi_l, khi_r):
     """Sequential greedy horizontal merge with pre-rounded keys — same
-    semantics as overlay._slabs_to_geometry — then the exact dissolve."""
+    semantics as overlay._slabs_to_geometry — then the exact dissolve.
+
+    The loop indexes per band; python lists beat numpy scalar extraction
+    ~5x here (same float values — tolist() round-trips doubles exactly)."""
+    slab_id = slab_id.tolist()
+    x0, x1 = x0.tolist(), x1.tolist()
+    ylo_l, ylo_r = ylo_l.tolist(), ylo_r.tolist()
+    yhi_l, yhi_r = yhi_l.tolist(), yhi_r.tolist()
+    kx0, kx1 = kx0.tolist(), kx1.tolist()
+    klo_l, klo_r = klo_l.tolist(), klo_r.tolist()
+    khi_l, khi_r = khi_l.tolist(), khi_r.tolist()
     quads: list = []
     open_by_right: dict = {}
     nb = len(slab_id)
@@ -463,18 +473,24 @@ def _trace_rings_fast(A: np.ndarray, B: np.ndarray) -> list:
     fidx.sort()
     a_id, b_id = a_id[fidx], b_id[fidx]
     m = len(a_id)
+    # python lists: the walk below indexes one element at a time, where
+    # list access beats numpy scalar extraction ~5x (values identical)
+    a_list = a_id.tolist()
+    b_list = b_id.tolist()
+    cx_l = coords[:, 0].tolist()
+    cy_l = coords[:, 1].tolist()
     out_of: dict = {}
     for ei in range(m):
-        out_of.setdefault(int(a_id[ei]), []).append(ei)
-    used = np.zeros(m, dtype=bool)
+        out_of.setdefault(a_list[ei], []).append(ei)
+    used = [False] * m
     rings = []
     for e0 in range(m):
         if used[e0]:
             continue
-        start = int(a_id[e0])
-        ring_ids = [start, int(b_id[e0])]
+        start = a_list[e0]
+        ring_ids = [start, b_list[e0]]
         used[e0] = True
-        cur, prev = int(b_id[e0]), start
+        cur, prev = b_list[e0], start
         while cur != start:
             cands = [ei for ei in out_of.get(cur, ()) if not used[ei]]
             if not cands:
@@ -482,23 +498,22 @@ def _trace_rings_fast(A: np.ndarray, B: np.ndarray) -> list:
             if len(cands) == 1:
                 nxt_e = cands[0]
             else:
-                cx, cy = coords[cur]
-                px, py = coords[prev]
+                cx, cy = cx_l[cur], cy_l[cur]
+                px, py = cx_l[prev], cy_l[prev]
                 din = math.atan2(cy - py, cx - px)
                 best_e, best_key = None, None
                 for ei in cands:
-                    tx, ty = coords[int(b_id[ei])]
-                    dout = math.atan2(ty - cy, tx - cx)
+                    tb = b_list[ei]
+                    dout = math.atan2(cy_l[tb] - cy, cx_l[tb] - cx)
                     turn = (dout - din + math.pi) % (2 * math.pi)
                     if best_e is None or turn > best_key:
                         best_e, best_key = ei, turn
                 nxt_e = best_e
             used[nxt_e] = True
-            nxt = int(b_id[nxt_e])
+            nxt = b_list[nxt_e]
             ring_ids.append(nxt)
             prev, cur = cur, nxt
-        rings.append([(float(coords[i][0]), float(coords[i][1]))
-                      for i in ring_ids])
+        rings.append([(cx_l[i], cy_l[i]) for i in ring_ids])
     return rings
 
 
