@@ -484,6 +484,135 @@ def _ring_offset_curve(rr: np.ndarray, d: float,
     return pts if len(pts) >= 3 else None
 
 
+def _ring_offset_curve_clipped(rr: np.ndarray, d: float,
+                               p: BufferParams) -> np.ndarray | None:
+    """Variant of `_ring_offset_curve` that CLIPS reflex corners at the
+    intersection of the adjacent offset segments instead of closing
+    through the vertex.  When the result is globally simple, it is the
+    buffer boundary DIRECTLY (the through-the-vertex loop the dip
+    construction adds at each reflex corner lies inside the adjacent
+    offset bands — already-covered region — so excising it preserves the
+    nonzero-winding region; property-tested against the part-soup union
+    in tests/test_buffer_batch.py), with far fewer self-intersections:
+    small-d concave buffers become simple and skip the sweep entirely.
+
+    Returns None when any reflex corner is not locally clippable (the
+    segment intersection falls outside either adjacent offset segment,
+    or cumulative clips on one edge would cross) — the caller falls back
+    to the dip construction, whose winding semantics are exact always."""
+    n = len(rr)
+    nxt = np.vstack([rr[1:], rr[:1]])
+    ax, ay = rr[:, 0], rr[:, 1]
+    bx, by = nxt[:, 0], nxt[:, 1]
+    ln = np.hypot(bx - ax, by - ay)
+    ux = (bx - ax) / ln
+    uy = (by - ay) / ln
+    nx = d * uy
+    ny = d * (-ux)
+    pux = np.concatenate([ux[-1:], ux[:-1]])
+    puy = np.concatenate([uy[-1:], uy[:-1]])
+    pnx = np.concatenate([nx[-1:], nx[:-1]])
+    pny = np.concatenate([ny[-1:], ny[:-1]])
+    pln = np.concatenate([ln[-1:], ln[:-1]])
+    crosses = pux * uy - puy * ux
+    dots = pux * ux + puy * uy
+    if bool(np.any((crosses == 0.0) & (dots < 0.0))):
+        return None          # exact U-turn spike
+    vx, vy = ax, ay
+    p0x = vx + pnx
+    p0y = vy + pny
+    p1x = vx + nx
+    p1y = vy + ny
+    left = crosses > 0.0
+    refl = ~left & ((pnx != nx) | (pny != ny))
+    # reflex-corner clip: X = p0 + t*u_prev = p1 + s*u_cur on the two
+    # offset LINES; locally valid iff X lies ON both finite segments
+    # (t in [-len_prev, 0], s in [0, len_cur])
+    cxp = np.zeros(n)
+    cyp = np.zeros(n)
+    t_in = np.zeros(n)       # clip depth at the END of edge i-1 (<= 0)
+    s_out = np.zeros(n)      # clip depth at the START of edge i (>= 0)
+    rj = np.flatnonzero(refl)
+    if len(rj):
+        den = crosses[rj]
+        if bool(np.any(den == 0.0)):
+            return None      # parallel reflex (collinear ulp case)
+        wx = p1x[rj] - p0x[rj]
+        wy = p1y[rj] - p0y[rj]
+        tt = (wx * uy[rj] - wy * ux[rj]) / den
+        ss = (wx * puy[rj] - wy * pux[rj]) / den
+        if bool(np.any((tt > 0.0) | (tt < -pln[rj])
+                       | (ss < 0.0) | (ss > ln[rj]))):
+            return None
+        t_in[rj] = tt
+        s_out[rj] = ss
+        cxp[rj] = p0x[rj] + tt * pux[rj]
+        cyp[rj] = p0y[rj] + tt * puy[rj]
+    # per-edge consistency: clips from both ends must not cross
+    nxt_t = np.concatenate([t_in[1:], t_in[:1]])
+    if bool(np.any(s_out > ln + nxt_t)):
+        return None
+    lj = np.flatnonzero(left)
+    m = np.zeros(n, dtype=np.int64)
+    m[refl] = 1                          # the clip point X
+    if p.join == "round" and len(lj):
+        theta = np.arctan2(np.abs(crosses[lj]), dots[lj])
+        quantum = math.pi / 2.0 / p.quad_segs
+        nsegs = (theta / quantum + 0.5).astype(np.int64)
+        m[lj] = nsegs
+        a0 = np.arctan2(-pux[lj], puy[lj])
+        inc = np.where(nsegs > 0, theta / np.maximum(nsegs, 1), 0.0)
+    chains: dict[int, list] | None = None
+    if p.join != "round" and len(lj):
+        chains = {}
+        for i in lj:
+            j = (int(i) - 1) % n
+            cps = _corner_chain_pts((float(vx[i]), float(vy[i])),
+                                    (float(ux[j]), float(uy[j])),
+                                    (float(ux[i]), float(uy[i])), d, p)
+            chains[int(i)] = cps
+            m[i] = len(cps)
+    # blocks: reflex corners emit ONLY X (no p0/p1 — those are clipped
+    # off); convex corners emit [p0] + joins + [p1] as in the dip curve
+    cnt = np.where(refl, 1, m + 2)
+    tot = int(cnt.sum())
+    px = np.empty(tot)
+    py = np.empty(tot)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    ends = starts + cnt - 1
+    cvx = ~refl
+    px[starts[cvx]] = p0x[cvx]
+    py[starts[cvx]] = p0y[cvx]
+    px[ends[cvx]] = p1x[cvx]
+    py[ends[cvx]] = p1y[cvx]
+    if len(rj):
+        px[starts[rj]] = cxp[rj]
+        py[starts[rj]] = cyp[rj]
+    if p.join == "round" and len(lj):
+        tot_arc = int(nsegs.sum())
+        if tot_arc:
+            cid = np.repeat(np.arange(len(lj)), nsegs)
+            base = np.concatenate([[0], np.cumsum(nsegs)[:-1]])
+            k = np.arange(tot_arc) - base[cid]
+            ang = a0[cid] + k * inc[cid]
+            pos = starts[lj][cid] + 1 + k
+            px[pos] = vx[lj][cid] + d * np.cos(ang)
+            py[pos] = vy[lj][cid] + d * np.sin(ang)
+    elif chains:
+        for i, cps in chains.items():
+            for k, (cx, cy) in enumerate(cps):
+                px[starts[i] + 1 + k] = cx
+                py[starts[i] + 1 + k] = cy
+    pts = np.column_stack([px, py])
+    keep = np.empty(tot, dtype=bool)
+    keep[0] = True
+    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+    pts = pts[keep]
+    if len(pts) > 1 and np.all(pts[0] == pts[-1]):
+        pts = pts[:-1]
+    return pts if len(pts) >= 3 else None
+
+
 def _open_offset_chain(rr: np.ndarray, d: float,
                        p: BufferParams) -> np.ndarray | None:
     """Right-side offset chain of an OPEN polyline in travel direction:
@@ -1156,19 +1285,50 @@ def buffer_route(g, dist: float, params: BufferParams):
         # traced fast path: when every ring's offset curve is simple and
         # no two curves cross, the curves ARE the buffer boundary (Jordan
         # interior == nonzero-winding region) — no sweep, no dissolve.
-        # Otherwise the same pairwise pass yields the crossing x's the
-        # winding sweep needs, so the O(E²) scan runs exactly once.
+        # The CLIPPED reflex-corner variant is tried first: small-d
+        # concave buffers clip to a simple curve almost always, whereas
+        # the dip construction self-intersects at every reflex corner.
+        # Otherwise the pairwise pass over the dip curves yields the
+        # crossing x's the winding sweep needs, so the O(E²) scan runs
+        # exactly once.
+        def _try_closed_form(builder):
+            cs: list = []
+            for rings in norm:
+                for rr in rings:
+                    c = builder(rr, dist, params)
+                    if c is None:
+                        return None
+                    cs.append(c)
+            if not cs:
+                return None
+            e0, xs0, simple0 = _rings_cross_info(cs)
+            if not (simple0 and len(norm) == 1):
+                return None
+            areas2 = []
+            for c in cs:
+                x, y = c[:, 0], c[:, 1]
+                areas2.append(float(
+                    np.dot(x, np.concatenate([y[1:], y[:1]]))
+                    - np.dot(y, np.concatenate([x[1:], x[:1]]))))
+            # orientation guard: shell must stay CCW and every hole
+            # CW — a collapsed (inverted) hole or degenerate/invalid
+            # input flips a sign; route those through the sweep
+            if areas2[0] > 0 and all(a < 0 for a in areas2[1:]):
+                return ("geom", ("Polygon",
+                                 [np.vstack([c, c[:1]]) for c in cs]))
+            return None
+        got = _try_closed_form(_ring_offset_curve_clipped)
+        if got is not None:
+            return got
         curves: list = []
-        ring_poly: list = []        # polygon index of each curve
         uturn = False
-        for pi, rings in enumerate(norm):
+        for rings in norm:
             for rr in rings:
                 c = _ring_offset_curve(rr, dist, params)
                 if c is None:
                     uturn = True
                     break
                 curves.append(c)
-                ring_poly.append(pi)
             if uturn:
                 break
         if not uturn and curves:
@@ -1180,9 +1340,6 @@ def buffer_route(g, dist: float, params: BufferParams):
                     areas2.append(float(
                         np.dot(x, np.concatenate([y[1:], y[:1]]))
                         - np.dot(y, np.concatenate([x[1:], x[:1]]))))
-                # orientation guard: shell must stay CCW and every hole
-                # CW — a collapsed (inverted) hole or degenerate/invalid
-                # input flips a sign; route those through the sweep
                 if areas2[0] > 0 and all(a < 0 for a in areas2[1:]):
                     return ("geom", ("Polygon",
                                      [np.vstack([c, c[:1]])

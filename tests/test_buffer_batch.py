@@ -377,3 +377,40 @@ def test_far_origin_buffer_dissolves_to_minimal_rings():
         g = B.geom_buffer_styled(("Polygon", [shell]), 300.0, None)
         if g[0] == "MultiPolygon":
             assert len(g[1]) <= 2, f"sliver fallback: {len(g[1])} parts"
+
+
+def test_clipped_reflex_closed_form_matches_soup():
+    """Round-6 clipped reflex corners: when the clip-variant curve is
+    globally simple it is returned as the buffer directly — region
+    parity with the double-sided part soup across styles, hole-ful
+    shapes and distances, and the closed form must actually fire for a
+    healthy share of concave inputs (the whole point)."""
+    rng = np.random.default_rng(42)
+    closed = total = 0
+    for trial in range(150):
+        poly = rand_concave_poly(rng, with_hole=(trial % 3 == 0))
+        d = float(rng.uniform(0.05, 1.5))
+        p = B.parse_buffer_params(STYLES[trial % len(STYLES)])
+        total += 1
+        route = B.buffer_route(poly, d, p)
+        if route[0] == "geom":
+            closed += 1
+        got = B.geom_buffer_styled(poly, d, p)
+        slow = union_polygons(_double_sided_soup(poly, d, p))
+        assert geom_area(got) == pytest.approx(geom_area(slow),
+                                               rel=0, abs=1e-9)
+    assert closed / total > 0.5, f"clip fast path fired {closed}/{total}"
+
+
+def test_clipped_reflex_rejects_deep_buffers():
+    """When d exceeds the local feature size the reflex clip falls out
+    of the segment bounds — the route must fall back (dip curve + sweep)
+    and stay region-exact."""
+    ring = np.array([[0, 0], [10, 0], [5.0, 4.0], [10, 10], [0, 10],
+                     [0, 0]], float)
+    poly = ("Polygon", [ring])
+    p = B.parse_buffer_params(None)
+    got = B.geom_buffer_styled(poly, 3.0, p)   # deep: notch collapses
+    slow = union_polygons(_double_sided_soup(poly, 3.0, p))
+    assert geom_area(got) == pytest.approx(geom_area(slow),
+                                           rel=0, abs=1e-9)
