@@ -28,7 +28,7 @@ FULL_NOTES = {
     "st_crs": "column-metadata CRS when tagged (crs.get_crs), EPSG:<srid> from EWKB per value, else engine default OGC:CRS84",
     "st_polygonize": "full planar noding (round 4, geometry/noding.py): linework split at pairwise intersections, every bounded arrangement face emitted (holes assigned) — reference rows + st_polygonize_agg.rs rows replayed, crossing soups/bowties/grids now polygonize",
     "st_polygonize_agg": "real SQL aggregate (grouped-agg UDF over the same noded face extraction); st_polygonize_agg.rs test rows replayed in tests/test_polygonize_noding.py",
-    "st_buffer": "GEOS-parity styled buffer (round 4): quad_segs/endcap(round|flat|square)/join(round|mitre|bevel)/mitre_limit/side(left|right|both) with GEOS OffsetSegmentGenerator arc subdivision — the reference's own area rows (test_functions.py:560-744) replay to 1e-9; single-sided reflex case pins the PostGIS/GEOS 3.9 value the reference documents (16285.08), GEOS 3.13's artifact-free variant (12713.61, libgeos 091f6d99) noted as a version divergence",
+    "st_buffer": "GEOS-parity styled buffer (round 4; round-6 offset-curve rewrite): quad_segs/endcap(round|flat|square)/join(round|mitre|bevel)/mitre_limit/side(left|right|both) with GEOS OffsetSegmentGenerator arc subdivision — the reference's own area rows (test_functions.py:560-744) replay to 1e-9; execution tiers: cross-row batched convex trace (raw-WKB group decode, 42k polys/s single-thread, 100k 10-gons end-to-end SQL 2.6s local[8]), clipped-reflex closed form for concave rings (77% of random stars skip the sweep; 15x round 5), traced open-polyline curves (GEOS getLineCurve shape), pooled collection soups, cross-row flattened winding sweep for the rest — all property-tested region-exact vs the part-soup union; single-sided reflex case pins the PostGIS/GEOS 3.9 value the reference documents (16285.08), GEOS 3.13's artifact-free variant (12713.61, libgeos 091f6d99) noted as a version divergence",
     "st_relate": "DE-9IM for all combos incl. GeometryCollection operands (normalized via the mixed-dimension mod-2 union, GEOS semantics; full reference module replayed)",
     "st_union": "slab overlay + boundary dissolve to minimal-vertex rings (round 2; degenerate inputs fall back to the region-exact tiling)",
     "st_unaryunion": "same dissolve-to-minimal-rings overlay tier",
