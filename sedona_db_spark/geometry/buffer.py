@@ -614,12 +614,16 @@ def _ring_offset_curve_clipped(rr: np.ndarray, d: float,
 
 
 def _open_offset_chain(rr: np.ndarray, d: float,
-                       p: BufferParams) -> np.ndarray | None:
+                       p: BufferParams,
+                       clip: bool = False) -> np.ndarray | None:
     """Right-side offset chain of an OPEN polyline in travel direction:
     from rr[0]+d·n_0 through corner blocks at the interior vertices to
     rr[-1]+d·n_last.  Same corner semantics as `_ring_offset_curve`
     (left-turn corners get the styled join, right-turn corners close
-    through the vertex); None on an exact U-turn corner."""
+    through the vertex — or, with ``clip``, at the adjacent offset
+    segments' intersection when locally valid, same rules as
+    `_ring_offset_curve_clipped`); None on an exact U-turn corner or an
+    invalid clip."""
     n = len(rr)
     ax, ay = rr[:-1, 0], rr[:-1, 1]
     bx, by = rr[1:, 0], rr[1:, 1]
@@ -649,6 +653,33 @@ def _open_offset_chain(rr: np.ndarray, d: float,
     refl = ~left & ((pnx != cnx) | (pny != cny))
     lj = np.flatnonzero(left)
     nc = n - 2
+    cxp = cyp = None
+    if clip:
+        rj = np.flatnonzero(refl)
+        t_in = np.zeros(nc)
+        s_out = np.zeros(nc)
+        cxp = np.zeros(nc)
+        cyp = np.zeros(nc)
+        if len(rj):
+            den = crosses[rj]
+            if bool(np.any(den == 0.0)):
+                return None
+            wx = p1x[rj] - p0x[rj]
+            wy = p1y[rj] - p0y[rj]
+            tt = (wx * cuy[rj] - wy * cux[rj]) / den
+            ss = (wx * puy[rj] - wy * pux[rj]) / den
+            if bool(np.any((tt > 0.0) | (tt < -ln[rj])
+                           | (ss < 0.0) | (ss > ln[rj + 1]))):
+                return None
+            t_in[rj] = tt
+            s_out[rj] = ss
+            cxp[rj] = p0x[rj] + tt * pux[rj]
+            cyp[rj] = p0y[rj] + tt * puy[rj]
+        # per-edge consistency over the open chain's interior edges:
+        # edge j (1..n-3 interior) is clipped at its start by corner j-1's
+        # s_out and at its end by corner j's t_in
+        if nc > 1 and bool(np.any(s_out[:-1] > ln[1:-1] + t_in[1:])):
+            return None
     m = np.zeros(nc, dtype=np.int64)
     m[refl] = 1
     if p.join == "round" and len(lj):
@@ -667,7 +698,7 @@ def _open_offset_chain(rr: np.ndarray, d: float,
                                     (float(cux[i]), float(cuy[i])), d, p)
             chains[int(i)] = cps
             m[i] = len(cps)
-    cnt = m + 2
+    cnt = np.where(refl, 1, m + 2) if clip else m + 2
     tot = int(cnt.sum())
     px = np.empty(tot + 2)
     py = np.empty(tot + 2)
@@ -677,14 +708,24 @@ def _open_offset_chain(rr: np.ndarray, d: float,
     py[-1] = by[-1] + ny[-1]
     starts = np.concatenate([[0], np.cumsum(cnt)[:-1]]) + 1
     ends = starts + cnt - 1
-    px[starts] = p0x
-    py[starts] = p0y
-    px[ends] = p1x
-    py[ends] = p1y
     rj = np.flatnonzero(refl)
-    if len(rj):
-        px[starts[rj] + 1] = vx[rj]
-        py[starts[rj] + 1] = vy[rj]
+    if clip:
+        cvx = ~refl
+        px[starts[cvx]] = p0x[cvx]
+        py[starts[cvx]] = p0y[cvx]
+        px[ends[cvx]] = p1x[cvx]
+        py[ends[cvx]] = p1y[cvx]
+        if len(rj):
+            px[starts[rj]] = cxp[rj]
+            py[starts[rj]] = cyp[rj]
+    else:
+        px[starts] = p0x
+        py[starts] = p0y
+        px[ends] = p1x
+        py[ends] = p1y
+        if len(rj):
+            px[starts[rj] + 1] = vx[rj]
+            py[starts[rj] + 1] = vy[rj]
     if p.join == "round" and len(lj):
         tot_arc = int(nsegs.sum())
         if tot_arc:
@@ -701,6 +742,47 @@ def _open_offset_chain(rr: np.ndarray, d: float,
                 px[starts[i] + 1 + k] = cx
                 py[starts[i] + 1 + k] = cy
     return np.column_stack([px, py])
+
+
+def _polyline_is_simple(pts: np.ndarray) -> bool:
+    """Open polyline self-intersection test: any hit between
+    non-adjacent segments (incl. endpoint touches — conservative) makes
+    it non-simple.  Small inputs; one vectorized pairwise pass."""
+    n = len(pts) - 1
+    if n < 2:
+        return True
+    x1, y1 = pts[:-1, 0], pts[:-1, 1]
+    x2, y2 = pts[1:, 0], pts[1:, 1]
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    mask = j > i + 1                      # skip self and adjacent
+    ii, jj = np.nonzero(mask)
+    if not len(ii):
+        return True
+    d1x, d1y = x2[ii] - x1[ii], y2[ii] - y1[ii]
+    d2x, d2y = x2[jj] - x1[jj], y2[jj] - y1[jj]
+    den = d1x * d2y - d1y * d2x
+    ok = den != 0
+    den_s = np.where(ok, den, 1.0)
+    wx = x1[jj] - x1[ii]
+    wy = y1[jj] - y1[ii]
+    t = (wx * d2y - wy * d2x) / den_s
+    u = (wx * d1y - wy * d1x) / den_s
+    hit = ok & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    if bool(hit.any()):
+        return False
+    # collinear overlap between non-adjacent segments
+    col = ~ok & (wx * d1y - wy * d1x == 0.0)
+    if bool(col.any()):
+        ci, cj = ii[col], jj[col]
+        for a, b in zip(ci, cj):
+            lo1, hi1 = sorted((x1[a], x2[a]))
+            lo2, hi2 = sorted((x1[b], x2[b]))
+            ly1, hy1 = sorted((y1[a], y2[a]))
+            ly2, hy2 = sorted((y1[b], y2[b]))
+            if lo1 <= hi2 and lo2 <= hi1 and ly1 <= hy2 and ly2 <= hy1:
+                return False
+    return True
 
 
 def _cap_pts(e: np.ndarray, ux: float, uy: float, d: float,
@@ -729,7 +811,8 @@ def _cap_pts(e: np.ndarray, ux: float, uy: float, d: float,
 
 
 def _polyline_offset_curve(rr: np.ndarray, d: float,
-                           p: BufferParams) -> np.ndarray | None:
+                           p: BufferParams,
+                           clip: bool = False) -> np.ndarray | None:
     """Closed CCW offset boundary of an open polyline's two-sided buffer:
     right-side chain forward, end cap, right-side chain of the reversed
     line (= left side backward), start cap — the GEOS
@@ -738,11 +821,15 @@ def _polyline_offset_curve(rr: np.ndarray, d: float,
     tests/test_buffer_batch.py) at a fraction of the edge count, so the
     slab sweep over non-simple curves is several times cheaper; simple
     curves ARE the buffer boundary (closed form, no sweep).  None on an
-    exact U-turn corner — caller falls back to the part soup."""
-    fwd = _open_offset_chain(rr, d, p)
+    exact U-turn corner — caller falls back to the part soup.
+
+    ``clip=True`` builds the clipped-reflex variant (see
+    `_ring_offset_curve_clipped`): used only for the closed-form path
+    when the result is globally simple."""
+    fwd = _open_offset_chain(rr, d, p, clip=clip)
     if fwd is None:
         return None
-    rev = _open_offset_chain(rr[::-1], d, p)
+    rev = _open_offset_chain(rr[::-1], d, p, clip=clip)
     if rev is None:
         return None
     lux = rr[-1, 0] - rr[-2, 0]
@@ -1226,6 +1313,28 @@ def buffer_route(g, dist: float, params: BufferParams):
         # closed curve per line instead of the rect+wedge soup — simple
         # single curves ARE the buffer (no sweep); otherwise the curve
         # edge soup is several times smaller than the part soup
+        # clipped-reflex closed form first (see the polygon branch): a
+        # single line whose clipped curve is simple IS its buffer.  NOT
+        # for flat caps: the excised reflex loop is only guaranteed
+        # covered when the cap covers the half-disk past each endpoint
+        # (round/square do; a flat cap can cut through the loop region —
+        # found by the 1200-trial property test, short-edge case)
+        if len(lines) == 1 and 2 <= len(lines[0]) \
+                and params.endcap != "flat" \
+                and not (len(lines[0]) > 3
+                         and bool(np.all(lines[0][0] == lines[0][-1]))):
+            cc = (_polyline_offset_curve(lines[0], dist, params, clip=True)
+                  if _polyline_is_simple(lines[0]) else None)
+            if cc is not None:
+                # input-simplicity gate as in the polygon clip route
+                _, _, simple_c = _rings_cross_info([cc])
+                if simple_c:
+                    x, y = cc[:, 0], cc[:, 1]
+                    a2 = float(np.dot(x, np.concatenate([y[1:], y[:1]]))
+                               - np.dot(y, np.concatenate([x[1:], x[:1]])))
+                    if a2 > 0:
+                        return ("geom",
+                                ("Polygon", [np.vstack([cc, cc[:1]])]))
         curves = []
         ok = True
         for line in lines:
@@ -1293,14 +1402,25 @@ def buffer_route(g, dist: float, params: BufferParams):
         # exactly once.
         def _try_closed_form(builder):
             cs: list = []
+            ins: list = []
             for rings in norm:
                 for rr in rings:
                     c = builder(rr, dist, params)
                     if c is None:
                         return None
                     cs.append(c)
+                    ins.append(rr)
             if not cs:
                 return None
+            # the clip excision is only winding-safe for SIMPLE input
+            # rings (a self-intersecting ring can yield a simple clipped
+            # curve bounding the WRONG region — 53/4000 adversarial
+            # random-walk rings); the dip/sweep path is exact for any
+            # input, so invalid rings go there
+            if builder is _ring_offset_curve_clipped:
+                _, _, in_simple = _rings_cross_info(ins)
+                if not in_simple:
+                    return None
             e0, xs0, simple0 = _rings_cross_info(cs)
             if not (simple0 and len(norm) == 1):
                 return None

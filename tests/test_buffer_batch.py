@@ -414,3 +414,53 @@ def test_clipped_reflex_rejects_deep_buffers():
     slow = union_polygons(_double_sided_soup(poly, 3.0, p))
     assert geom_area(got) == pytest.approx(geom_area(slow),
                                            rel=0, abs=1e-9)
+
+
+def test_clip_gate_self_intersecting_ring_inputs():
+    """The reflex clip is winding-safe only for SIMPLE input rings: a
+    self-intersecting ring can produce a simple clipped curve bounding
+    the WRONG region (53/4000 adversarial random-walk rings pre-gate).
+    With the input-simplicity gate, every closed-form result must match
+    the part-soup union — including invalid inputs."""
+    rng = np.random.default_rng(99)
+    p = B.parse_buffer_params(None)
+    checked = 0
+    for trial in range(400):
+        nv = int(rng.integers(4, 9))
+        pts = np.cumsum(rng.uniform(-1.2, 1.2, (nv, 2)), axis=0)
+        ring = np.vstack([pts, pts[:1]])
+        d = float(rng.uniform(0.2, 1.5))
+        poly = ("Polygon", [ring])
+        route = B.buffer_route(poly, d, p)
+        if route[0] != "geom":
+            continue
+        checked += 1
+        r2 = B._dedupe_consecutive(np.asarray(ring, dtype=np.float64))
+        cl = r2[:-1] if np.all(r2[0] == r2[-1]) else r2
+        want = geom_area(union_polygons(
+            [poly] + B._polyline_parts(cl, d, p, True)))
+        assert geom_area(route[1]) == pytest.approx(want, rel=0, abs=1e-9)
+    assert checked > 30
+
+
+def test_clip_gate_flat_cap_line_counterexample():
+    """Exact counterexample found by the property hunt: a short-edge
+    mild-reflex 3-point line at d > edge length with a FLAT cap — the
+    clipped curve is simple but bounds the wrong region (the excised
+    lens is rescued only by round/square caps), so flat caps must never
+    take the clip path."""
+    pts = np.array([[0.20737419816436492, 0.6755566687224575],
+                    [0.581181513062014, 1.1396583822116704],
+                    [1.7716637283874985, 1.1075876586751454]])
+    d = 0.8636410736298107
+    p = B.parse_buffer_params("endcap=flat")
+    got = B.geom_buffer_styled(("LineString", pts), d, p)
+    want = geom_area(union_polygons(B._polyline_parts(pts, d, p, False)))
+    assert geom_area(got) == pytest.approx(want, rel=0, abs=1e-9)
+    # round/square caps on the same geometry may clip — and must agree
+    for style in (None, "endcap=square"):
+        p2 = B.parse_buffer_params(style)
+        got2 = B.geom_buffer_styled(("LineString", pts), d, p2)
+        want2 = geom_area(union_polygons(
+            B._polyline_parts(pts, d, p2, False)))
+        assert geom_area(got2) == pytest.approx(want2, rel=0, abs=1e-9)
