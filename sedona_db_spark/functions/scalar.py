@@ -643,6 +643,7 @@ def _st_buffer_impl(*cols):
     batches: dict[int, list] = {}          # point tier
     poly_groups: dict[tuple, list] = {}    # convex-candidate tier
     rest_raw: list = []                    # (i, wkb, dd, p) per-row rows
+    rest_ring: list = []                   # (i, oriented ring, dd, p)
     for i in range(nrow):
         bt = vals[i]
         dd = dvals[i]
@@ -709,9 +710,10 @@ def _st_buffer_impl(*cols):
             blob.reshape(len(idx), L)[:, 13:]).view(np.float64).reshape(
                 len(idx), k, 2)
         darr = np.array([float(dvals[i]) for i in idx], dtype=np.float64)
-        okm, pts, rstart, rcnt = batch_convex_offset_rings(coords, darr, p)
+        okm, pts, rstart, rcnt, clean = batch_convex_offset_rings(
+            coords, darr, p)
         j = 0
-        for i, o in zip(idx, okm):
+        for bi, (i, o) in enumerate(zip(idx, okm)):
             if o:
                 s = int(rstart[j])
                 c = int(rcnt[j])
@@ -720,6 +722,10 @@ def _st_buffer_impl(*cols):
                 out[i] = (b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"
                           + struct.pack("<I", c + 1)
                           + ring.tobytes() + ring[0].tobytes())
+            elif bi in clean:
+                # well-formed concave ring: already decoded + oriented —
+                # route the traced tiers directly (no re-decode/normalize)
+                rest_ring.append((i, clean[bi], float(dvals[i]), p))
             else:
                 rest_raw.append((i, bytes(vals[i]), float(dvals[i]), p))
     # generic tier: route each row (closed-form result, offset-curve edge
@@ -728,13 +734,10 @@ def _st_buffer_impl(*cols):
     # per-row union_polygons/union_edges path, property-tested in
     # tests/test_buffer_batch.py)
     union_rows: list = []
-    for i, bt, dd, p in rest_raw:
-        g = W.decode(bt)
-        if g is None:
-            continue
-        route = buffer_route(g, dd, p)
+
+    def _take(i, route):
         if route is None:
-            continue
+            return
         tag, val = route
         if tag == "geom":
             out[i] = W.encode(val)
@@ -742,6 +745,17 @@ def _st_buffer_impl(*cols):
             union_rows.append((i, val))
         else:                                   # empty part soup
             out[i] = W.encode(("Polygon", []))
+
+    from sedona_db_spark.geometry.buffer import _traced_polygon_route
+    for i, ring, dd, p in rest_ring:
+        closed = np.vstack([ring, ring[:1]])
+        _take(i, _traced_polygon_route([[ring]], ("Polygon", [closed]),
+                                       [[closed]], dd, p))
+    for i, bt, dd, p in rest_raw:
+        g = W.decode(bt)
+        if g is None:
+            continue
+        _take(i, buffer_route(g, dd, p))
     if union_rows:
         results = union_polygons_batch([v for _, v in union_rows])
         for (i, _), res in zip(union_rows, results):

@@ -951,14 +951,20 @@ def batch_convex_offset_rings(coords: np.ndarray, d: np.ndarray,
     rel), far below every consumer's tolerance; area parity with the
     per-row path is property-tested in tests/test_buffer_batch.py.
 
-    Returns ``(ok, pts, row_start, row_cnt)``: ``ok`` (n,) accept mask;
-    accepted rows' OPEN output rings packed in ok-order into ``pts``
-    (tot, 2) with per-row offsets/lengths."""
+    Returns ``(ok, pts, row_start, row_cnt, clean)``: ``ok`` (n,) accept
+    mask; accepted rows' OPEN output rings packed in ok-order into
+    ``pts`` (tot, 2) with per-row offsets/lengths; ``clean`` maps the
+    index of each REJECTED-but-well-formed row (closed, finite, no dup
+    vertices, nonzero area — just not convex) to its CCW-oriented open
+    ring, bitwise what `_normalized_rings` would produce, so the caller
+    can route those through `_traced_polygon_route` without re-decoding
+    or re-normalizing."""
     n, kc, _ = coords.shape
     k = kc - 1
+    empty = (np.zeros(n, dtype=bool), np.empty((0, 2)),
+             np.empty(0, np.int64), np.empty(0, np.int64), {})
     if k < 3:
-        return np.zeros(n, dtype=bool), np.empty((0, 2)), \
-            np.empty(0, np.int64), np.empty(0, np.int64)
+        return empty
     closed = (coords[:, 0, 0] == coords[:, -1, 0]) \
         & (coords[:, 0, 1] == coords[:, -1, 1])
     r = np.ascontiguousarray(coords[:, :-1, :])
@@ -982,11 +988,14 @@ def batch_convex_offset_rings(coords: np.ndarray, d: np.ndarray,
     tdot = ex * np.roll(ex, -1, axis=1) + ey * np.roll(ey, -1, axis=1)
     with np.errstate(invalid="ignore"):
         turning = np.arctan2(np.abs(turn), tdot).sum(axis=1)
-    ok = closed & ~dup & (a2 != 0.0) & (turn > 0.0).all(axis=1) \
+    well = closed & ~dup & (a2 != 0.0) \
+        & np.isfinite(r).all(axis=(1, 2))
+    ok = well & (turn > 0.0).all(axis=1) \
         & (np.abs(turning - 2.0 * math.pi) < 1e-9)
+    clean = {int(i): r[i] for i in np.flatnonzero(well & ~ok)}
     if not ok.any():
         return ok, np.empty((0, 2)), np.empty(0, np.int64), \
-            np.empty(0, np.int64)
+            np.empty(0, np.int64), clean
     r = r[ok]
     dd = d[ok]
     m = len(r)
@@ -1051,7 +1060,7 @@ def batch_convex_offset_rings(coords: np.ndarray, d: np.ndarray,
     kept_row = np.repeat(np.arange(m), row_cnt0)[keep]
     row_cnt = np.bincount(kept_row, minlength=m).astype(np.int64)
     row_start = np.concatenate([[0], np.cumsum(row_cnt)[:-1]])
-    return ok, pts, row_start, row_cnt
+    return ok, pts, row_start, row_cnt, clean
 
 
 # ---------------------------------------------------------------------------
@@ -1191,6 +1200,100 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
     if not val:
         return ("Polygon", [])
     return union_polygons(val)
+
+
+def _traced_polygon_route(norm: list, g, rings_sets: list,
+                          dist: float, params: BufferParams):
+    """Traced-offset route of a NORMALIZED positive-distance polygon
+    (`_normalized_rings` output): clipped closed form, dip curves for
+    the sweep, part-soup fallback on U-turn spikes.  Factored out of
+    buffer_route so the Arrow batch tier can route rows whose rings it
+    already decoded + oriented without re-normalizing (round 6)."""
+    name, payload = g
+    # traced fast path: when every ring's offset curve is simple and
+    # no two curves cross, the curves ARE the buffer boundary (Jordan
+    # interior == nonzero-winding region) — no sweep, no dissolve.
+    # The CLIPPED reflex-corner variant is tried first: small-d
+    # concave buffers clip to a simple curve almost always, whereas
+    # the dip construction self-intersects at every reflex corner.
+    # Otherwise the pairwise pass over the dip curves yields the
+    # crossing x's the winding sweep needs, so the O(E²) scan runs
+    # exactly once.
+    def _try_closed_form(builder):
+        cs: list = []
+        ins: list = []
+        for rings in norm:
+            for rr in rings:
+                c = builder(rr, dist, params)
+                if c is None:
+                    return None
+                cs.append(c)
+                ins.append(rr)
+        if not cs:
+            return None
+        # the clip excision is only winding-safe for SIMPLE input
+        # rings (a self-intersecting ring can yield a simple clipped
+        # curve bounding the WRONG region — 53/4000 adversarial
+        # random-walk rings); the dip/sweep path is exact for any
+        # input, so invalid rings go there
+        if builder is _ring_offset_curve_clipped:
+            _, _, in_simple = _rings_cross_info(ins)
+            if not in_simple:
+                return None
+        e0, xs0, simple0 = _rings_cross_info(cs)
+        if not (simple0 and len(norm) == 1):
+            return None
+        areas2 = []
+        for c in cs:
+            x, y = c[:, 0], c[:, 1]
+            areas2.append(float(
+                np.dot(x, np.concatenate([y[1:], y[:1]]))
+                - np.dot(y, np.concatenate([x[1:], x[:1]]))))
+        # orientation guard: shell must stay CCW and every hole
+        # CW — a collapsed (inverted) hole or degenerate/invalid
+        # input flips a sign; route those through the sweep
+        if areas2[0] > 0 and all(a < 0 for a in areas2[1:]):
+            return ("geom", ("Polygon",
+                             [np.vstack([c, c[:1]]) for c in cs]))
+        return None
+    got = _try_closed_form(_ring_offset_curve_clipped)
+    if got is not None:
+        return got
+    curves: list = []
+    uturn = False
+    for rings in norm:
+        for rr in rings:
+            c = _ring_offset_curve(rr, dist, params)
+            if c is None:
+                uturn = True
+                break
+            curves.append(c)
+        if uturn:
+            break
+    if not uturn and curves:
+        e, xs, simple = _rings_cross_info(curves)
+        if simple and len(norm) == 1:
+            areas2 = []
+            for c in curves:
+                x, y = c[:, 0], c[:, 1]
+                areas2.append(float(
+                    np.dot(x, np.concatenate([y[1:], y[:1]]))
+                    - np.dot(y, np.concatenate([x[1:], x[:1]]))))
+            if areas2[0] > 0 and all(a < 0 for a in areas2[1:]):
+                return ("geom", ("Polygon",
+                                 [np.vstack([c, c[:1]])
+                                  for c in curves]))
+        return ("edges", (e, xs))
+    # U-turn spike fallback: classic double-sided soup
+    parts = [(name, payload)]
+    for rings in rings_sets:
+        for ring in rings:
+            ring = _dedupe_consecutive(np.asarray(ring, dtype=np.float64))
+            if len(ring) < 2:
+                continue
+            closed_pts = ring[:-1] if np.all(ring[0] == ring[-1]) else ring
+            parts.extend(_polyline_parts(closed_pts, dist, params, True))
+    return ("parts", parts)
 
 
 def buffer_route(g, dist: float, params: BufferParams):
@@ -1391,90 +1494,9 @@ def buffer_route(g, dist: float, params: BufferParams):
         norm = _normalized_rings(rings_sets)
         if not norm:
             return ("geom", ("Polygon", []))
-        # traced fast path: when every ring's offset curve is simple and
-        # no two curves cross, the curves ARE the buffer boundary (Jordan
-        # interior == nonzero-winding region) — no sweep, no dissolve.
-        # The CLIPPED reflex-corner variant is tried first: small-d
-        # concave buffers clip to a simple curve almost always, whereas
-        # the dip construction self-intersects at every reflex corner.
-        # Otherwise the pairwise pass over the dip curves yields the
-        # crossing x's the winding sweep needs, so the O(E²) scan runs
-        # exactly once.
-        def _try_closed_form(builder):
-            cs: list = []
-            ins: list = []
-            for rings in norm:
-                for rr in rings:
-                    c = builder(rr, dist, params)
-                    if c is None:
-                        return None
-                    cs.append(c)
-                    ins.append(rr)
-            if not cs:
-                return None
-            # the clip excision is only winding-safe for SIMPLE input
-            # rings (a self-intersecting ring can yield a simple clipped
-            # curve bounding the WRONG region — 53/4000 adversarial
-            # random-walk rings); the dip/sweep path is exact for any
-            # input, so invalid rings go there
-            if builder is _ring_offset_curve_clipped:
-                _, _, in_simple = _rings_cross_info(ins)
-                if not in_simple:
-                    return None
-            e0, xs0, simple0 = _rings_cross_info(cs)
-            if not (simple0 and len(norm) == 1):
-                return None
-            areas2 = []
-            for c in cs:
-                x, y = c[:, 0], c[:, 1]
-                areas2.append(float(
-                    np.dot(x, np.concatenate([y[1:], y[:1]]))
-                    - np.dot(y, np.concatenate([x[1:], x[:1]]))))
-            # orientation guard: shell must stay CCW and every hole
-            # CW — a collapsed (inverted) hole or degenerate/invalid
-            # input flips a sign; route those through the sweep
-            if areas2[0] > 0 and all(a < 0 for a in areas2[1:]):
-                return ("geom", ("Polygon",
-                                 [np.vstack([c, c[:1]]) for c in cs]))
-            return None
-        got = _try_closed_form(_ring_offset_curve_clipped)
-        if got is not None:
-            return got
-        curves: list = []
-        uturn = False
-        for rings in norm:
-            for rr in rings:
-                c = _ring_offset_curve(rr, dist, params)
-                if c is None:
-                    uturn = True
-                    break
-                curves.append(c)
-            if uturn:
-                break
-        if not uturn and curves:
-            e, xs, simple = _rings_cross_info(curves)
-            if simple and len(norm) == 1:
-                areas2 = []
-                for c in curves:
-                    x, y = c[:, 0], c[:, 1]
-                    areas2.append(float(
-                        np.dot(x, np.concatenate([y[1:], y[:1]]))
-                        - np.dot(y, np.concatenate([x[1:], x[:1]]))))
-                if areas2[0] > 0 and all(a < 0 for a in areas2[1:]):
-                    return ("geom", ("Polygon",
-                                     [np.vstack([c, c[:1]])
-                                      for c in curves]))
-            return ("edges", (e, xs))
-        # U-turn spike fallback: classic double-sided soup
-        parts = [(name, payload)]
-        for rings in rings_sets:
-            for ring in rings:
-                ring = _dedupe_consecutive(np.asarray(ring, dtype=np.float64))
-                if len(ring) < 2:
-                    continue
-                closed_pts = ring[:-1] if np.all(ring[0] == ring[-1]) else ring
-                parts.extend(_polyline_parts(closed_pts, dist, params, True))
-        return ("parts", parts)
+        return _traced_polygon_route(norm, (name, payload), rings_sets,
+                                     dist, params)
+
 
     return ("geom", ("Polygon", []))
 

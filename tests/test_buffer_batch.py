@@ -263,7 +263,7 @@ def test_batch_convex_screen_rejections():
     for c in cases:
         coords = np.full((1, len(c), 2), 0.0)
         coords[0] = c
-        ok, pts, rs, rc = B.batch_convex_offset_rings(
+        ok, pts, rs, rc, _clean = B.batch_convex_offset_rings(
             coords, np.array([0.5]), p)
         assert not ok[0], f"screen accepted invalid ring {c[:3]}"
     # and the pentagram ring end-to-end still yields the per-row result
