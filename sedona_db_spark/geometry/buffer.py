@@ -744,44 +744,62 @@ def _open_offset_chain(rr: np.ndarray, d: float,
     return np.column_stack([px, py])
 
 
+_SIMPLE_CHECK_MAX_VERTS = 8192
+_SIMPLE_CHECK_CHUNK = 512
+
+
 def _polyline_is_simple(pts: np.ndarray) -> bool:
     """Open polyline self-intersection test: any hit between
     non-adjacent segments (incl. endpoint touches — conservative) makes
-    it non-simple.  Small inputs; one vectorized pairwise pass."""
+    it non-simple.
+
+    Chunked with a bbox reject (the overlay._pairwise_intersection_xs_vec
+    pattern) so long tracks never materialize the full O(n^2) pair set;
+    above _SIMPLE_CHECK_MAX_VERTS the check conservatively answers False,
+    routing the caller straight to the winding-exact dip-curve/part-soup
+    path — this function only gates the clipped closed-form shortcut, so
+    a false negative costs speed on a shape class where the shortcut
+    would not pay anyway, never correctness (round-7 ADVICE)."""
     n = len(pts) - 1
     if n < 2:
         return True
+    if len(pts) > _SIMPLE_CHECK_MAX_VERTS:
+        return False
     x1, y1 = pts[:-1, 0], pts[:-1, 1]
     x2, y2 = pts[1:, 0], pts[1:, 1]
-    i = np.arange(n)[:, None]
-    j = np.arange(n)[None, :]
-    mask = j > i + 1                      # skip self and adjacent
-    ii, jj = np.nonzero(mask)
-    if not len(ii):
-        return True
-    d1x, d1y = x2[ii] - x1[ii], y2[ii] - y1[ii]
-    d2x, d2y = x2[jj] - x1[jj], y2[jj] - y1[jj]
-    den = d1x * d2y - d1y * d2x
-    ok = den != 0
-    den_s = np.where(ok, den, 1.0)
-    wx = x1[jj] - x1[ii]
-    wy = y1[jj] - y1[ii]
-    t = (wx * d2y - wy * d2x) / den_s
-    u = (wx * d1y - wy * d1x) / den_s
-    hit = ok & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
-    if bool(hit.any()):
-        return False
-    # collinear overlap between non-adjacent segments
-    col = ~ok & (wx * d1y - wy * d1x == 0.0)
-    if bool(col.any()):
-        ci, cj = ii[col], jj[col]
-        for a, b in zip(ci, cj):
-            lo1, hi1 = sorted((x1[a], x2[a]))
-            lo2, hi2 = sorted((x1[b], x2[b]))
-            ly1, hy1 = sorted((y1[a], y2[a]))
-            ly2, hy2 = sorted((y1[b], y2[b]))
-            if lo1 <= hi2 and lo2 <= hi1 and ly1 <= hy2 and ly2 <= hy1:
-                return False
+    bxlo, bxhi = np.minimum(x1, x2), np.maximum(x1, x2)
+    bylo, byhi = np.minimum(y1, y2), np.maximum(y1, y2)
+    jidx = np.arange(n)
+    for c0 in range(0, n, _SIMPLE_CHECK_CHUNK):
+        c1 = min(c0 + _SIMPLE_CHECK_CHUNK, n)
+        ci = np.arange(c0, c1)[:, None]
+        # non-adjacent pairs with overlapping bboxes only
+        mask = (jidx[None, :] > ci + 1) \
+            & (bxlo[None, :] <= bxhi[c0:c1, None]) \
+            & (bxhi[None, :] >= bxlo[c0:c1, None]) \
+            & (bylo[None, :] <= byhi[c0:c1, None]) \
+            & (byhi[None, :] >= bylo[c0:c1, None])
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            continue
+        ii = ii + c0
+        d1x, d1y = x2[ii] - x1[ii], y2[ii] - y1[ii]
+        d2x, d2y = x2[jj] - x1[jj], y2[jj] - y1[jj]
+        den = d1x * d2y - d1y * d2x
+        ok = den != 0
+        den_s = np.where(ok, den, 1.0)
+        wx = x1[jj] - x1[ii]
+        wy = y1[jj] - y1[ii]
+        t = (wx * d2y - wy * d2x) / den_s
+        u = (wx * d1y - wy * d1x) / den_s
+        hit = ok & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        if bool(hit.any()):
+            return False
+        # collinear overlap between non-adjacent bbox-hitting segments
+        col = ~ok & (wx * d1y - wy * d1x == 0.0)
+        if bool(col.any()):
+            # bbox overlap already established by the mask above
+            return False
     return True
 
 

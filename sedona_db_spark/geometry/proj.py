@@ -658,23 +658,35 @@ def load_ntv2(data: bytes, name: str | None = None) -> ShiftGrid:
         k, v = rec(pos)
         fields[k.strip().decode()] = v
         pos += 16
+    # Endianness sniff (the PROJ trick): NUM_OREC is always 11, which is
+    # unambiguous in either byte order — published grids (NTv2_0.gsb,
+    # BETA2007, ntf_r93) are big-endian while ours are written little.
+    if "NUM_OREC" not in fields:
+        raise ValueError("not an NTv2 .gsb: NUM_OREC record missing")
+    en = "<"
+    if _s.unpack("<i", fields["NUM_OREC"][:4])[0] != 11:
+        if _s.unpack(">i", fields["NUM_OREC"][:4])[0] == 11:
+            en = ">"
+        else:
+            raise ValueError("not an NTv2 .gsb: NUM_OREC != 11 in either "
+                             "byte order")
     sub = {}
     for _ in range(11):
         k, v = rec(pos)
         sub[k.strip().decode()] = v
         pos += 16
-    s_lat = _s.unpack("<d", sub["S_LAT"])[0] / 3600.0
-    n_lat = _s.unpack("<d", sub["N_LAT"])[0] / 3600.0
-    e_long = _s.unpack("<d", sub["E_LONG"])[0] / 3600.0
-    w_long = _s.unpack("<d", sub["W_LONG"])[0] / 3600.0
-    lat_inc = _s.unpack("<d", sub["LAT_INC"])[0] / 3600.0
-    lon_inc = _s.unpack("<d", sub["LONG_INC"])[0] / 3600.0
-    count = _s.unpack("<i", sub["GS_COUNT"][:4])[0]
+    s_lat = _s.unpack(en + "d", sub["S_LAT"])[0] / 3600.0
+    n_lat = _s.unpack(en + "d", sub["N_LAT"])[0] / 3600.0
+    e_long = _s.unpack(en + "d", sub["E_LONG"])[0] / 3600.0
+    w_long = _s.unpack(en + "d", sub["W_LONG"])[0] / 3600.0
+    lat_inc = _s.unpack(en + "d", sub["LAT_INC"])[0] / 3600.0
+    lon_inc = _s.unpack(en + "d", sub["LONG_INC"])[0] / 3600.0
+    count = _s.unpack(en + "i", sub["GS_COUNT"][:4])[0]
     ny = int(round((n_lat - s_lat) / lat_inc)) + 1
     nx = int(round((w_long - e_long) / lon_inc)) + 1
     if ny * nx != count:
         raise ValueError(f"NTv2 GS_COUNT {count} != {ny}x{nx}")
-    recs = np.frombuffer(data, dtype="<f4", offset=pos,
+    recs = np.frombuffer(data, dtype=en + "f4", offset=pos,
                          count=count * 4).reshape(ny, nx, 4)
     # stored east->west, dlon positive west -> east-positive convention
     dlat = recs[:, ::-1, 0].astype(np.float64)

@@ -90,7 +90,13 @@ def decode_png(b: bytes) -> np.ndarray:
         elif typ == b"IEND":
             break
         pos += 12 + ln
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if not idat:
+        raise ValueError("PNG has no IDAT chunk")
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = 1 + w * c
     if len(raw) < h * stride:
         raise ValueError("truncated PNG pixel data")

@@ -1,38 +1,50 @@
-"""SQL entry point for the kNN join: ``JOIN ... ON ST_KNN(l.g, r.g, k)``.
+"""SQL entry points for spatially-planned joins.
 
-The reference plans this form through a logical-optimizer rewrite
-(``KnnJoinEarlyRewrite``, rust/sedona-query-planner/src/optimizer.rs:112-152)
-that lifts the join whose filter contains ``st_knn`` into its spatial-join
-plan node before filter pushdown can disturb the build side.  PySpark
-exposes no Python hook into Catalyst's logical rewrites, so this module
-closes the same entry-point asymmetry one level up: :func:`sql` detects the
-ST_KNN join pattern in the query TEXT, executes it through
-``operators.knn_join`` (the real operator), registers the result as a temp
-view, and evaluates the rest of the statement over that view with
-``spark.sql``.  Everything that is not an ST_KNN join passes through to
-``spark.sql`` untouched.
+The reference plans two join families through logical-optimizer rewrites:
 
-Supported shape (one kNN join per statement, table names or temp views)::
+* ``JOIN ... ON ST_KNN(l.g, r.g, k)`` via ``KnnJoinEarlyRewrite``
+  (rust/sedona-query-planner/src/optimizer.rs:112-152), which lifts the
+  join into its kNN plan node before filter pushdown can disturb the
+  build side; and
+* ``JOIN ... ON ST_Intersects/Contains/Within/.../ST_DWithin(...)`` via
+  ``SpatialJoinLogicalRewrite`` (optimizer.rs:161-218), which routes the
+  statement through ``SpatialJoinExec`` whenever the ON clause is a
+  supported spatial predicate over one geometry per side and there are no
+  equi-keys to prefer (:212-215), falling back to a nested-loop join
+  otherwise (spatial_join_physical_planner.rs:140-148).
+
+PySpark exposes no Python hook into Catalyst's logical rewrites, so this
+module closes the same entry-point asymmetry one level up: :func:`sql`
+detects both join patterns in the query TEXT and executes them through the
+real operators (``operators.knn_join`` / ``operators.spatial_join``),
+registers the result as a temp view, and evaluates the rest of the
+statement over that view with ``spark.sql``.  Statements that match
+neither shape pass through to ``spark.sql`` untouched — where a spatial
+predicate in the ON clause still works via the registered UDFs as a
+guarded cross+filter theta join, mirroring the reference's own
+``NestedLoopJoinExec`` fallback.
+
+Supported shape (one spatial join per statement, table names or views)::
 
     SELECT <projection>
     FROM <left_table> [AS] <la>
     [INNER] JOIN <right_table> [AS] <ra>
-      ON ST_KNN(<la>.<geom>, <ra>.<geom>, <k> [, <use_spheroid>])
+      ON ST_Pred(<a>.<geom>, <b>.<geom> [, <literal args>])
     [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT ...]
 
 Qualified references ``<la>.<col>`` / ``<ra>.<col>`` in the projection and
 trailing clauses resolve against the join result (right-side duplicates
-take the ``_t`` suffix, exactly like ``knn_join``'s DataFrame output); the
-computed ``knn_dist`` column is also referenceable.  Like the reference's
-planner (and unlike a naive filter evaluation), the ``WHERE`` clause
-applies AFTER neighbor selection — pushing it below the join would change
-which targets are the k nearest (the exact hazard the reference's early
-rewrite exists to prevent).
+take the operator's suffix: ``_t`` for kNN, ``_r`` for relation joins).
+For the kNN form, ``WHERE`` applies AFTER neighbor selection — pushing it
+below the join would change which targets are the k nearest (the exact
+hazard the reference's early rewrite exists to prevent).  For relation /
+distance inner joins the placement is semantics-preserving either way.
 """
 
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -48,21 +60,152 @@ _KNN_JOIN_RE = re.compile(
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
 
+# the relation predicates SpatialJoinLogicalRewrite recognizes
+# (optimizer.rs:161-218), plus ST_DWithin's literal-distance form
+_REL_PREDICATES = ("intersects", "contains", "within", "covers",
+                   "coveredby", "touches", "crosses", "overlaps", "equals")
+
+_REL_JOIN_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<select>.*?)\s+
+    FROM\s+(?P<ltab>[\w.]+)\s+(?:AS\s+)?(?P<la>\w+)\s+
+    (?:INNER\s+)?JOIN\s+(?P<rtab>[\w.]+)\s+(?:AS\s+)?(?P<ra>\w+)\s+
+    ON\s+ST_(?P<pred>Intersects|Contains|Within|Covers|CoveredBy|Touches
+             |Crosses|Overlaps|Equals|DWithin)\s*
+    \(\s*(?P<g1>\w+\.\w+)\s*,\s*(?P<g2>\w+\.\w+)\s*
+    (?:,\s*(?P<dist>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*)?\)\s*
+    (?P<tail>.*?)\s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+# asymmetric predicates flip when the SQL lists the right alias first:
+# ST_Contains(r.g, l.g) == spatial_join(l, r, "within")
+_PRED_SWAP = {"contains": "within", "within": "contains",
+              "covers": "coveredby", "coveredby": "covers"}
+
 
 def _contains_knn_join(query: str) -> bool:
     return re.search(r"\bON\s+ST_KNN\s*\(", query, re.IGNORECASE) is not None
 
 
+def _contains_rel_join(query: str) -> bool:
+    pat = "|".join(p for p in _REL_PREDICATES) + "|dwithin"
+    return re.search(rf"\bON\s+ST_(?:{pat})\s*\(", query,
+                     re.IGNORECASE) is not None
+
+
+def _sub_outside_strings(text: str, la: str, ra: str,
+                         rmap) -> str:
+    """Rewrite ``la.col`` -> ``col`` and ``ra.col`` -> ``rmap(col)``,
+    skipping single-quoted SQL string literals (a WHERE literal like
+    ``'a.foo'`` must survive untouched)."""
+    def _fix(segment: str) -> str:
+        segment = re.sub(rf"\b{re.escape(la)}\.(\w+)", r"\1", segment)
+        return re.sub(rf"\b{re.escape(ra)}\.(\w+)",
+                      lambda g: rmap(g.group(1)), segment)
+
+    out, i = [], 0
+    while True:
+        q = text.find("'", i)
+        if q < 0:
+            out.append(_fix(text[i:]))
+            return "".join(out)
+        out.append(_fix(text[i:q]))
+        # scan the literal, honoring '' escapes
+        j = q + 1
+        while j < len(text):
+            if text[j] == "'":
+                if j + 1 < len(text) and text[j + 1] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        out.append(text[q:j + 1])
+        i = j + 1
+
+
+def _finish(spark: SparkSession, joined: DataFrame, select: str, tail: str,
+            la: str, ra: str, rmap) -> DataFrame:
+    """Register the operator's result under a unique temp view, evaluate
+    the projection + trailing clauses over it, then drop the view (the
+    returned DataFrame's plan is already analyzed, so the drop is safe
+    and a user view of any name is never clobbered)."""
+    view = f"__sd_sjoin_{uuid.uuid4().hex[:12]}"
+    joined.createOrReplaceTempView(view)
+    try:
+        sub_sel = _sub_outside_strings(select, la, ra, rmap)
+        sub_tail = _sub_outside_strings(tail, la, ra, rmap)
+        return spark.sql(f"SELECT {sub_sel} FROM {view} {sub_tail}")
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def _col_of(qualified: str, aliases: tuple[str, str]) -> tuple[str, str]:
+    al, col = qualified.split(".", 1)
+    if al not in aliases:
+        raise ValueError(
+            f"spatial join argument {qualified!r} must reference one of "
+            f"the join aliases {aliases}")
+    return al, col
+
+
 def sql(spark: SparkSession, query: str, include_ties: bool = False,
         ) -> DataFrame:
-    """Run ``query``; an ``ON ST_KNN(...)`` join executes via ``knn_join``.
+    """Run ``query``; spatial joins execute through the real operators.
 
-    ``include_ties`` mirrors the reference's session option
-    ``knn_include_tie_breakers`` (rust/sedona-common/src/option.rs:78,
-    default false).  Non-kNN statements delegate to ``spark.sql``.
+    ``ON ST_KNN(...)`` joins run via ``operators.knn_join``
+    (``include_ties`` mirrors the reference's session option
+    ``knn_include_tie_breakers``, rust/sedona-common/src/option.rs:78,
+    default false).  ``ON ST_Intersects/Contains/.../ST_DWithin(...)``
+    inner joins run via ``operators.spatial_join`` — the partitioned
+    cell join, not a cartesian plan.  Everything else delegates to
+    ``spark.sql``.
     """
-    if not _contains_knn_join(query):
-        return spark.sql(query)
+    if _contains_knn_join(query):
+        return _knn_sql(spark, query, include_ties)
+    if _contains_rel_join(query):
+        m = _REL_JOIN_RE.match(query)
+        if m is not None:
+            return _rel_sql(spark, m)
+        # unmatched richer shapes keep the guarded theta-join fallback
+        # (the reference's NestedLoopJoinExec precedent,
+        # spatial_join_physical_planner.rs:140-148)
+    return spark.sql(query)
+
+
+def _rel_sql(spark: SparkSession, m: re.Match) -> DataFrame:
+    from sedona_db_spark.operators import spatial_join
+
+    la, ra = m["la"], m["ra"]
+    pred = m["pred"].lower()
+    a1, c1 = _col_of(m["g1"], (la, ra))
+    a2, c2 = _col_of(m["g2"], (la, ra))
+    if a1 == a2:
+        raise ValueError(
+            "spatial join predicate must reference one geometry per side")
+    if a1 == ra:                      # right alias listed first: swap sides
+        pred = _PRED_SWAP.get(pred, pred)
+        c1, c2 = c2, c1
+    distance = None
+    if pred == "dwithin":
+        if m["dist"] is None:
+            raise ValueError("ST_DWithin join needs a literal distance")
+        distance = float(m["dist"])
+    elif m["dist"] is not None:
+        raise ValueError(f"ST_{m['pred']} takes exactly two geometries")
+
+    ldf = spark.table(m["ltab"])
+    rdf = spark.table(m["rtab"])
+    joined = spatial_join(ldf, rdf, pred, "inner", distance=distance,
+                          left_geom=c1, right_geom=c2)
+    dup = set(ldf.columns) & set(rdf.columns)
+    return _finish(spark, joined, m["select"], m["tail"], la, ra,
+                   lambda c: c + ("_r" if c in dup else ""))
+
+
+def _knn_sql(spark: SparkSession, query: str,
+             include_ties: bool) -> DataFrame:
     m = _KNN_JOIN_RE.match(query)
     if m is None:
         raise ValueError(
@@ -73,10 +216,9 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
     from sedona_db_spark.operators import knn_join
 
     la, ra = m["la"], m["ra"]
-    ltab, rtab = m["ltab"], m["rtab"]
     use_spheroid = (m["sph"] or "false").lower() == "true"
 
-    def _col_of(qualified: str, alias: str, side: str) -> str:
+    def _side_col(qualified: str, alias: str, side: str) -> str:
         al, col = qualified.split(".", 1)
         if al != alias:
             raise ValueError(
@@ -84,15 +226,14 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
                 f"{side} alias {alias!r}")
         return col
 
-    gl = _col_of(m["g1"], la, "left (query)")
-    gr = _col_of(m["g2"], ra, "right (target)")
+    gl = _side_col(m["g1"], la, "left (query)")
+    gr = _side_col(m["g2"], ra, "right (target)")
 
-    qdf = spark.table(ltab)
-    tdf = spark.table(rtab)
-    qcols, tcols = list(qdf.columns), list(tdf.columns)
+    qdf = spark.table(m["ltab"])
+    tdf = spark.table(m["rtab"])
     # knn_join groups by a query/target id; synthesize unique ids so the
-    # SQL form needs no id-column convention, and drop them afterwards
-    # eager localCheckpoint pins the executor-generated ids: knn_join
+    # SQL form needs no id-column convention, and drop them afterwards.
+    # Eager localCheckpoint pins the executor-generated ids: knn_join
     # evaluates its inputs in several jobs (side stats, cogroup rounds,
     # the include_ties self-join), and an unpinned
     # monotonically_increasing_id can reassign between evaluations on
@@ -110,16 +251,6 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
 
     # qualified-name substitution: left alias refs keep their names, right
     # alias refs map through knn_join's _t duplicate suffixing
-    dup = set(qcols) & set(tcols)
-
-    def _sub(text: str) -> str:
-        text = re.sub(rf"\b{re.escape(la)}\.(\w+)", r"\1", text)
-        return re.sub(
-            rf"\b{re.escape(ra)}\.(\w+)",
-            lambda g: g.group(1) + ("_t" if g.group(1) in dup else ""),
-            text)
-
-    view = "__sd_knn_join"
-    joined.createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT {_sub(m['select'])} FROM {view} {_sub(m['tail'])}")
+    dup = set(qdf.columns) & set(tdf.columns)
+    return _finish(spark, joined, m["select"], m["tail"], la, ra,
+                   lambda c: c + ("_t" if c in dup else ""))

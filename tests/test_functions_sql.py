@@ -162,3 +162,64 @@ def test_sql_knn_join(spark):
     with _pt.raises(ValueError, match="unsupported ST_KNN"):
         sd_sql(spark, "SELECT 1 FROM knn_q a, knn_t b, knn_t c "
                       "ON ST_KNN(a.geom, b.geom, 2)")
+
+
+def test_sql_planned_spatial_join(spark):
+    """SQL `JOIN ... ON ST_Contains/ST_Intersects/ST_DWithin(...)` through
+    sedona_db_spark.sql executes via operators.spatial_join — the
+    reference's SpatialJoinLogicalRewrite path (optimizer.rs:161-218) —
+    not a cartesian plan.  Rows must equal the DataFrame-API join and the
+    physical plan must contain no CartesianProduct/BroadcastNestedLoop."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(60, seed=42)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(25, seed=43)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("sqlp_pts")
+    pls.createOrReplaceTempView("sqlp_polys")
+
+    got = sd_sql(spark,
+                 "SELECT p.id AS pid, q.id AS qid FROM sqlp_polys p "
+                 "JOIN sqlp_pts q ON ST_Contains(p.geom, q.geom)")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    api = spatial_join(pls, pts, "contains", "inner")
+    assert ({(r["pid"], r["qid"]) for r in got.collect()}
+            == {(r["id"], r["id_r"]) for r in api.collect()})
+
+    # swapped argument order flips the predicate (contains -> within)
+    got2 = sd_sql(spark,
+                  "SELECT p.id AS pid, q.id AS qid FROM sqlp_pts q "
+                  "JOIN sqlp_polys p ON ST_Contains(p.geom, q.geom)")
+    assert ({(r["pid"], r["qid"]) for r in got2.collect()}
+            == {(r["id"], r["id_r"]) for r in api.collect()})
+
+    # ST_DWithin with a literal distance + trailing WHERE/ORDER/aggregation
+    gotd = sd_sql(spark,
+                  "SELECT a.id AS aid, count(*) AS n FROM sqlp_pts a "
+                  "JOIN sqlp_pts b ON ST_DWithin(a.geom, b.geom, 25.0) "
+                  "WHERE b.id != a.id GROUP BY a.id ORDER BY aid")
+    apid = spatial_join(pts, pts, "dwithin", "inner", distance=25.0)
+    exp = {}
+    for r in apid.collect():
+        if r["id"] != r["id_r"]:
+            exp[r["id"]] = exp.get(r["id"], 0) + 1
+    assert {(r["aid"], r["n"]) for r in gotd.collect()} \
+        == {(k, v) for k, v in exp.items()}
+
+    # string literals containing alias-dots survive substitution untouched
+    lit = sd_sql(spark,
+                 "SELECT q.id AS qid, 'q.keep' AS tag FROM sqlp_polys p "
+                 "JOIN sqlp_pts q ON ST_Intersects(p.geom, q.geom) "
+                 "WHERE 'p.x' = 'p.x' LIMIT 5")
+    rows = lit.collect()
+    assert rows and all(r["tag"] == "q.keep" for r in rows)
+
+    # no user view named like our scratch views is clobbered, and the
+    # scratch view itself is dropped after planning
+    leftovers = [t.name for t in spark.catalog.listTables()
+                 if t.name.startswith("__sd_sjoin_")]
+    assert leftovers == []
