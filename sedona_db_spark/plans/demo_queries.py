@@ -1975,19 +1975,122 @@ ORACLE_POLYGONIZE = (
 
 
 # ---------------------------------------------------------------------------
-# registry
+# merged driver slots (round 7): the driver records only the FIRST 50
+# QUERIES entries (CORRECTNESS_r06 captured 50 of 52, dropping
+# ivf_ann_topk/multimodal_meta) — same-schema queries that exercise
+# DIFFERENT execution tiers of the same operator union under one slot
+# with a tag column, keeping every tier hash-verified while the registry
+# fits the capture window.
+# ---------------------------------------------------------------------------
+
+
+def _tagged_union(tag_col: str, branches) -> DataFrame:
+    out = None
+    for tag, df in branches:
+        b = df.select(F.lit(tag).alias(tag_col), "*")
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
+def _tagged_union_sql(tag_col: str, branches) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS {tag_col}, * FROM ({q})" for tag, q in branches)
+
+
+def q_dwithin_both(spark, sf_dir):
+    """Distance join under BOTH execution tiers in one driver slot:
+    'py' = the broadcast python refine, 'jvm' = the all-JVM HOF
+    clamp-projection refine (round 3).  Identical pair sets, same
+    oracle twice."""
+    return _tagged_union("path", [
+        ("py", q_dwithin_pairs(spark, sf_dir)),
+        ("jvm", q_dwithin_jvm_pairs(spark, sf_dir))])
+
+
+def q_transform_utm_both(spark, sf_dir):
+    """Per-row UTM through BOTH CRS front ends in one driver slot:
+    'epsg' = the EPSG registry codes, 'proj4' = '+proj=utm' PROJ strings
+    routed through parse_proj4/build_transform.  Both must floor to the
+    identical metre (same unrolled-TM oracle twice)."""
+    return _tagged_union("path", [
+        ("epsg", q_transform_utm(spark, sf_dir)),
+        ("proj4", q_transform_proj4(spark, sf_dir))])
+
+
+def q_sphere_both(spark, sf_dir):
+    """Geography distances to a point ('city') and to a great-circle arc
+    with cross-track clamping ('arc') in one driver slot."""
+    return _tagged_union("target", [
+        ("city", q_sphere_distances(spark, sf_dir)),
+        ("arc", q_sphere_line_distance(spark, sf_dir))])
+
+
+def q_transform_merc(spark, sf_dir):
+    """Web-Mercator branch of the merged projected-CRS slot (the old
+    transform_3857 query, floor-quantized to whole metres on both axes so
+    the three branches union on one schema)."""
+    from sedona_db_spark.functions.scalar import st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir)
+    t = st_transform(F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:3857"))
+    return d.select(
+        "doc_id",
+        F.floor(st_x(t)).cast("long").alias("x_m"),
+        F.floor(st_y(t)).cast("long").alias("y_m"))
+
+
+ORACLE_TRANSFORM_MERC = (
+    _docs_cte() +
+    " SELECT doc_id, CAST(floor(radians(lon) * 6378137.0) AS BIGINT) AS x_m,"
+    " CAST(floor(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0) AS BIGINT)"
+    " AS y_m FROM docs")
+
+
+def q_transform_projected(spark, sf_dir):
+    """Three projected-CRS tiers in one driver slot: 'merc' = spherical
+    Web Mercator, 'polar' = per-row polar stereographic (EPSG:3413/3031),
+    'laea' = ellipsoidal equal-area EPSG:3035 over the European window."""
+    return _tagged_union("proj", [
+        ("merc", q_transform_merc(spark, sf_dir)),
+        ("polar", q_transform_polar(spark, sf_dir)),
+        ("laea", q_transform_laea(spark, sf_dir))])
+
+
+def q_sql_pip_pairs(spark, sf_dir):
+    """The reference's most idiomatic SQL statement — ``JOIN ... ON
+    ST_CoveredBy(point, poly)`` — through :func:`sedona_db_spark.sql`'s
+    SpatialJoinLogicalRewrite analogue (round 7,
+    rust/sedona-query-planner/src/optimizer.rs:161-218): the statement
+    must plan through operators.spatial_join (partitioned cell join, no
+    cartesian) and produce exactly the DataFrame-API rows."""
+    from sedona_db_spark import sql_frontend
+    doc_points(spark, sf_dir).createOrReplaceTempView("__sd_q_docs")
+    nation_rects(spark, sf_dir).createOrReplaceTempView("__sd_q_rects")
+    return sql_frontend.sql(
+        spark,
+        "SELECT d.doc_id, r.n_nationkey FROM __sd_q_docs d "
+        "JOIN __sd_q_rects r ON ST_CoveredBy(d.geom, r.geom)")
+
+
+# ---------------------------------------------------------------------------
+# registry — KEEP AT MOST 50 ENTRIES: the driver's correctness gate
+# records only the first 50 in dict order; a 51st entry silently loses
+# its CORRECTNESS row (round-6 VERDICT #1).  Merge same-schema tiers
+# under a tagged slot (above) before adding new keys.
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "geocode_cells": q_geocode_cells,
     "pip_pairs": q_pip_pairs,
+    "sql_pip_pairs": q_sql_pip_pairs,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "multimodal_meta": q_multimodal_meta,
     "pip_hex_pairs": q_pip_hex_pairs,
     "pip_count_by_nation": q_pip_count_by_nation,
     "ice_pip_count": q_ice_pip_count,
     "pip_exists_mark": q_pip_exists_mark,
     "touches_pairs": q_touches_pairs,
-    "dwithin_pairs": q_dwithin_pairs,
-    "dwithin_jvm_pairs": q_dwithin_jvm_pairs,
+    "dwithin_pairs": q_dwithin_both,
     "dwithin_sphere_pairs": q_dwithin_sphere_pairs,
     "dwithin_arc_pairs": q_dwithin_arc_pairs,
     "knn_pairs": q_knn_pairs,
@@ -2007,30 +2110,24 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
-    "transform_3857": q_transform_3857,
-    "transform_utm": q_transform_utm,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "simhash_neardup": q_simhash_neardup,
+    "doc_fingerprints": q_doc_fingerprints,
+    "sample_mixture": q_sample_mixture,
+    "pack_sequences": q_pack_sequences,
+    "training_pipeline": q_training_pipeline,
+    "transform_utm": q_transform_utm_both,
+    "transform_projected": q_transform_projected,
     "transform_osgb": q_transform_osgb,
     "transform_spcs": q_transform_spcs,
     "sphere_oriented_membership": q_sphere_oriented_membership,
-    "transform_proj4": q_transform_proj4,
-    "transform_polar": q_transform_polar,
-    "transform_laea": q_transform_laea,
     "azimuth_to_city": q_azimuth_to_city,
-    "sphere_distances": q_sphere_distances,
-    "sphere_line_distance": q_sphere_line_distance,
+    "sphere_distances": q_sphere_both,
     "overlay_rect_areas": q_overlay_rect_areas,
     "buffer_styles": q_buffer_styles,
     "buffer_point_areas": q_buffer_point_areas,
     "buffer_poly_areas": q_buffer_poly_areas,
-    "sample_mixture": q_sample_mixture,
-    "pack_sequences": q_pack_sequences,
     "polygonize_faces": q_polygonize_faces,
-    "training_pipeline": q_training_pipeline,
-    "simhash_neardup": q_simhash_neardup,
-    "doc_fingerprints": q_doc_fingerprints,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_ann_topk": q_ivf_ann_topk,
-    "multimodal_meta": q_multimodal_meta,
 }
 
 ORACLE_SQL = {
@@ -2041,8 +2138,8 @@ ORACLE_SQL = {
     "ice_pip_count": ORACLE_ICE_PIP_COUNT,
     "pip_exists_mark": ORACLE_PIP_MARK,
     "touches_pairs": ORACLE_TOUCHES,
-    "dwithin_pairs": ORACLE_DWITHIN,
-    "dwithin_jvm_pairs": ORACLE_DWITHIN,
+    "dwithin_pairs": _tagged_union_sql("path", [
+        ("py", ORACLE_DWITHIN), ("jvm", ORACLE_DWITHIN)]),
     "dwithin_sphere_pairs": ORACLE_DWITHIN_SPHERE,
     "dwithin_arc_pairs": _oracle_dwithin_arcs(),
     "knn_pairs": ORACLE_KNN,
@@ -2062,17 +2159,21 @@ ORACLE_SQL = {
     "minhash_lsh_pairs": _oracle_minhash_pairs(),
     "ngram_jaccard_pairs": _ORACLE_JACCARD,
     "ann_topk": ORACLE_ANN,
-    "transform_3857": ORACLE_TRANSFORM,
-    "transform_utm": _oracle_transform_utm(),
+    "sql_pip_pairs": ORACLE_PIP_PAIRS,
+    "transform_utm": _tagged_union_sql("path", [
+        ("epsg", _oracle_transform_utm()),
+        ("proj4", _oracle_transform_utm())]),
+    "transform_projected": _tagged_union_sql("proj", [
+        ("merc", ORACLE_TRANSFORM_MERC),
+        ("polar", _oracle_transform_polar()),
+        ("laea", _oracle_transform_laea())]),
     "transform_osgb": _oracle_transform_osgb(),
     "transform_spcs": _oracle_transform_spcs(),
     "sphere_oriented_membership": ORACLE_SPHERE_ORIENTED,
-    "transform_proj4": _oracle_transform_utm(),
-    "transform_polar": _oracle_transform_polar(),
-    "transform_laea": _oracle_transform_laea(),
     "azimuth_to_city": ORACLE_AZIMUTH,
-    "sphere_distances": ORACLE_SPHERE,
-    "sphere_line_distance": _oracle_sphere_line(),
+    "sphere_distances": _tagged_union_sql("target", [
+        ("city", ORACLE_SPHERE),
+        ("arc", _oracle_sphere_line())]),
     "overlay_rect_areas": ORACLE_OVERLAY,
     "buffer_styles": _oracle_buffer_styles(),
     "buffer_point_areas": ORACLE_BUFFER_POINT_AREAS,
