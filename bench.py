@@ -20,6 +20,34 @@ import sys
 import time
 
 
+def noise_controls() -> dict:
+    """Host-noise controls emitted with every bench JSON (round-7
+    VERDICT #5): this multi-tenant host carries bursty neighbor load in
+    two distinct regimes — compute contention (catches both) and
+    memory-BANDWIDTH contention (invisible to a compute-bound control;
+    the round-6 driver bench read as a 2.8x flagship regression while
+    the matmul control sat quiet).  Emitting both, before and after the
+    suite, makes every BENCH_rN interpretable without a judge replay.
+    Quiet thresholds (BASELINE.md): matmul <= ~0.5 s, stream >= ~8 GB/s."""
+    import numpy as np
+    a = np.random.default_rng(0).random((1024, 1024))
+    a @ a                                       # BLAS pool warm-up
+    t0 = time.time()
+    for _ in range(10):
+        a = a @ a
+        a /= np.abs(a).max()
+    matmul_sec = time.time() - t0
+    big = np.empty(256 * 1024 * 1024 // 8)      # 256 MiB, beyond LLC
+    big[:] = 1.0                                # first-touch faults here
+    t0 = time.time()
+    for _ in range(4):
+        np.multiply(big, 1.0000001, out=big)    # in-place: read+write only
+    stream_sec = time.time() - t0
+    gb = 4 * 2 * big.nbytes / 1e9
+    return {"matmul_sec": round(matmul_sec, 3),
+            "stream_gb_per_sec": round(gb / stream_sec, 2)}
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -53,6 +81,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     from sedona_db_spark.session import get_spark
     from sedona_db_spark.plans.demo_queries import QUERIES
 
+    controls_before = noise_controls()
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -99,6 +128,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
         "spatial_join_rows_per_sec": round(tput),
         "spatial_join_joined_rows": joined,
+        "controls": {"before": controls_before, "after": noise_controls()},
     }
 
 
