@@ -757,9 +757,34 @@ def _st_buffer_impl(*cols):
             continue
         _take(i, buffer_route(g, dd, p))
     if union_rows:
-        results = union_polygons_batch([v for _, v in union_rows])
-        for (i, _), res in zip(union_rows, results):
-            out[i] = W.encode(res)
+        # crossing-split boundary tracer first (round 7): recovers the
+        # ring structure of each soup and traces the nonzero-winding
+        # boundary directly — ~5-40x the slab sweep on the collection /
+        # polyline soups; refuses non-generic rows, which then run the
+        # winding-exact sweep below (differential gate:
+        # tests/test_ring_union.py)
+        from sedona_db_spark.geometry import ring_union as RU
+        pending = union_rows
+        if RU.ENABLED:
+            ring_rows = []
+            for _, val in union_rows:
+                if isinstance(val, tuple):
+                    ring_rows.append(RU.rings_from_edges(val[0]))
+                elif isinstance(val, np.ndarray):
+                    ring_rows.append(RU.rings_from_edges(val))
+                else:
+                    ring_rows.append(RU.rings_of_parts(val))
+            traced = RU.union_rings_batch(ring_rows)
+            pending = []
+            for (i, val), res in zip(union_rows, traced):
+                if res is not None:
+                    out[i] = W.encode(res)
+                else:
+                    pending.append((i, val))
+        if pending:
+            results = union_polygons_batch([v for _, v in pending])
+            for (i, _), res in zip(pending, results):
+                out[i] = W.encode(res)
     return pd.Series(out, dtype=object)
 
 

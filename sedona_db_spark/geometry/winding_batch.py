@@ -89,13 +89,73 @@ def _edges_of_parts(parts: list) -> np.ndarray:
     return np.concatenate(segs) if len(segs) > 1 else segs[0]
 
 
+# batch chunking budget in input edges — same rationale as
+# ring_union.CHUNK_EDGES: bounded temporaries reuse warm heap pages
+# (see _malloc.py) and executor peak memory stays flat for any batch
+CHUNK_EDGES = 32_000
+
+# incidence-table cap for one sweep pass (~80 bytes/entry of temporaries
+# -> ~640 MB peak); denser chunks sweep the slab axis in windows
+SWEEP_MAX_INCIDENCE = 8_000_000
+
+
+class _SweepImbalance(RuntimeError):
+    """A slab's winding did not return to zero (degenerate input)."""
+
+
+def _row_edge_estimate(parts) -> int:
+    if isinstance(parts, tuple):
+        return len(parts[0])
+    if isinstance(parts, np.ndarray):
+        return len(parts)
+    n = 0
+
+    def walk(g):
+        nonlocal n
+        if g is None:
+            return
+        if isinstance(g, np.ndarray):
+            n += len(g)
+            return
+        name, payload = g
+        if name == "Polygon":
+            n += sum(len(r) for r in payload)
+        elif name == "MultiPolygon":
+            n += sum(len(r) for rr in payload for r in rr)
+        elif name == "GeometryCollection":
+            for q in payload:
+                walk(q)
+
+    for g in parts:
+        walk(g)
+    return n
+
+
 def union_polygons_batch(part_rows: list, cancel: bool = False) -> list:
     """Union each row's polygonal part list, pre-built directed edge
     array, or ``(edges, cross_xs)`` pair from the offset-curve route
     (buffer._rings_cross_info already ran the pairwise pass — reuse its
     crossing x's instead of re-scanning); returns one geometry tuple per
     row.  Equivalent to ``[union_polygons(p, cancel) for p in
-    part_rows]`` (``union_edges`` for ndarray / pair rows)."""
+    part_rows]`` (``union_edges`` for ndarray / pair rows).
+
+    Rows are processed in CHUNK_EDGES-bounded consecutive chunks (rows
+    are independent, so results are identical to the unchunked call)."""
+    sizes = [_row_edge_estimate(p) for p in part_rows]
+    if sum(sizes) > CHUNK_EDGES and len(part_rows) > 1:
+        out: list = []
+        start, acc = 0, 0
+        for i, s in enumerate(sizes):
+            if i > start and acc + s > CHUNK_EDGES:
+                out.extend(_union_polygons_chunk(part_rows[start:i], cancel))
+                start, acc = i, 0
+            acc += s
+        out.extend(_union_polygons_chunk(part_rows[start:], cancel))
+        return out
+    return _union_polygons_chunk(part_rows, cancel)
+
+
+def _union_polygons_chunk(part_rows: list, cancel: bool = False) -> list:
     from sedona_db_spark.geometry.overlay import cancel_opposite_edges
     n_rows = len(part_rows)
     out: list = [None] * n_rows
@@ -192,43 +252,93 @@ def union_polygons_batch(part_rows: list, cancel: bool = False) -> list:
         for r, _, _ in edge_rows:
             out[r] = _EMPTY
         return out
-    inc_edge = np.repeat(nzg, counts)                    # edge id
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    inc_local_slab = (np.arange(M) - np.repeat(starts, counts)
-                      + np.repeat(lo, counts))
-    inc_slab = slab_base[e_row[inc_edge]] + inc_local_slab
+    # global slab span per contributing edge
+    lo_g = slab_base[e_row[nzg]] + lo
+    hi_g = lo_g + counts
 
-    # ---- ONE sweep: sort by (slab, ym, admission), segmented winding ----
-    ix0 = slab_x0[inc_slab]
-    ix1 = slab_x1[inc_slab]
-    xm = (ix0 + ix1) / 2.0
-    ym = y1e[inc_edge] + (xm - x1e[inc_edge]) * slope[inc_edge]
-    ordr = np.lexsort((adm_rank[inc_edge], ym, inc_slab))
-    s_edge = inc_edge[ordr]
-    s_slab = inc_slab[ordr]
-    s_x0 = ix0[ordr]
-    s_x1 = ix1[ordr]
-    w = np.cumsum(sign[s_edge])
-    grp_start = np.empty(M, dtype=bool)
-    grp_start[0] = True
-    grp_start[1:] = s_slab[1:] != s_slab[:-1]
-    # reset the cumulative winding at each slab-group start (each slab's
-    # signs sum to 0 for closed rings, so base is usually 0 — but the
-    # subtraction keeps degenerate inputs exact too)
-    gidx = np.flatnonzero(grp_start)
-    gsizes = np.diff(np.append(gidx, M))
-    base = np.concatenate([[0], w[gidx[1:] - 1]])
-    w = w - np.repeat(base, gsizes)
-    inside = w != 0
-    prev_inside = np.empty(M, dtype=bool)
-    prev_inside[0] = False
-    prev_inside[1:] = inside[:-1]
-    prev_inside[grp_start] = False
-    b_start = inside & ~prev_inside
-    b_end = ~inside & prev_inside
-    si = np.flatnonzero(b_start)
-    ei = np.flatnonzero(b_end)
-    if len(si) != len(ei):
+    def _sweep_bands(eids, lo_c, cnt_c):
+        """Winding bands for one slab window: sort the window's
+        (slab, ym, admission) incidences, segmented-cumsum the winding,
+        extract band start/end sub-intervals.  Bands never span slabs
+        and windows are whole-slab-aligned, so windowed band arrays
+        concatenate to exactly the single-pass result."""
+        Mw = int(cnt_c.sum())
+        if Mw == 0:
+            return None
+        inc_edge = np.repeat(eids, cnt_c)                 # edge id
+        starts = np.concatenate([[0], np.cumsum(cnt_c)[:-1]])
+        inc_slab = (np.arange(Mw) - np.repeat(starts, cnt_c)
+                    + np.repeat(lo_c, cnt_c))
+        ix0 = slab_x0[inc_slab]
+        ix1 = slab_x1[inc_slab]
+        xm = (ix0 + ix1) / 2.0
+        ym = y1e[inc_edge] + (xm - x1e[inc_edge]) * slope[inc_edge]
+        ordr = np.lexsort((adm_rank[inc_edge], ym, inc_slab))
+        s_edge = inc_edge[ordr]
+        s_slab = inc_slab[ordr]
+        s_x0 = ix0[ordr]
+        s_x1 = ix1[ordr]
+        w = np.cumsum(sign[s_edge])
+        grp_start = np.empty(Mw, dtype=bool)
+        grp_start[0] = True
+        grp_start[1:] = s_slab[1:] != s_slab[:-1]
+        # reset the cumulative winding at each slab-group start (each
+        # slab's signs sum to 0 for closed rings, so base is usually 0 —
+        # but the subtraction keeps degenerate inputs exact too)
+        gidx = np.flatnonzero(grp_start)
+        gsizes = np.diff(np.append(gidx, Mw))
+        base = np.concatenate([[0], w[gidx[1:] - 1]])
+        w = w - np.repeat(base, gsizes)
+        inside = w != 0
+        prev_inside = np.empty(Mw, dtype=bool)
+        prev_inside[0] = False
+        prev_inside[1:] = inside[:-1]
+        prev_inside[grp_start] = False
+        si = np.flatnonzero(inside & ~prev_inside)
+        ei = np.flatnonzero(~inside & prev_inside)
+        if len(si) != len(ei):
+            raise _SweepImbalance
+
+        def y_at(idx: np.ndarray, xq: np.ndarray) -> np.ndarray:
+            ee = s_edge[idx]
+            y = y1e[ee] + (xq - x1e[ee]) * slope[ee]
+            y = np.where(xq == x1e[ee], y1e[ee], y)
+            y = np.where(xq == x2e[ee], y2e[ee], y)
+            return y
+
+        return (s_slab[si],
+                y_at(si, s_x0[si]), y_at(si, s_x1[si]),
+                y_at(ei, s_x0[ei]), y_at(ei, s_x1[ei]),
+                s_x0[si], s_x1[si])
+
+    try:
+        if M <= SWEEP_MAX_INCIDENCE:
+            parts_b = [_sweep_bands(nzg, lo_g, counts)]
+        else:
+            # a dense row (self-overlapping curve soup) can make the
+            # incidence table quadratic in its edge count — process the
+            # global slab axis in incidence-bounded windows instead of
+            # allocating it whole (each window's peak is capped; the
+            # concatenated bands are exactly the single-pass bands)
+            occ = np.zeros(n_slabs + 1, dtype=np.int64)
+            np.add.at(occ, lo_g, 1)
+            np.add.at(occ, hi_g, -1)
+            pref = np.cumsum(np.cumsum(occ[:-1]))         # prefix M by slab
+            bounds = [0]
+            while bounds[-1] < n_slabs:
+                nxt = int(np.searchsorted(
+                    pref, (pref[bounds[-1] - 1] if bounds[-1] else 0)
+                    + SWEEP_MAX_INCIDENCE, side="right"))
+                bounds.append(max(nxt, bounds[-1] + 1))
+            parts_b = []
+            for w0, w1 in zip(bounds[:-1], bounds[1:]):
+                m_sel = (lo_g < w1) & (hi_g > w0)
+                if not m_sel.any():
+                    continue
+                lo_c = np.maximum(lo_g[m_sel], w0)
+                cnt_c = np.minimum(hi_g[m_sel], w1) - lo_c
+                parts_b.append(_sweep_bands(nzg[m_sel], lo_c, cnt_c))
+    except _SweepImbalance:
         # should be impossible (winding returns to 0 per slab); fall back
         from sedona_db_spark.geometry.overlay import union_edges, union_polygons
         for r, _e, _xs in edge_rows:
@@ -241,24 +351,19 @@ def union_polygons_batch(part_rows: list, cancel: bool = False) -> list:
             else:
                 out[r] = union_polygons(pr, cancel)
         return out
-
-    def y_at(idx: np.ndarray, xq: np.ndarray) -> np.ndarray:
-        ee = s_edge[idx]
-        y = y1e[ee] + (xq - x1e[ee]) * slope[ee]
-        y = np.where(xq == x1e[ee], y1e[ee], y)
-        y = np.where(xq == x2e[ee], y2e[ee], y)
-        return y
-
-    band_slab = s_slab[si]
-    ylo_l = y_at(si, s_x0[si])
-    ylo_r = y_at(si, s_x1[si])
-    yhi_l = y_at(ei, s_x0[ei])
-    yhi_r = y_at(ei, s_x1[ei])
-    bx0 = s_x0[si]
-    bx1 = s_x1[si]
+    parts_b = [p for p in parts_b if p is not None]
+    if not parts_b:
+        for r, _, _ in edge_rows:
+            out[r] = _EMPTY
+        return out
+    if len(parts_b) == 1:
+        band_slab, ylo_l, ylo_r, yhi_l, yhi_r, bx0, bx1 = parts_b[0]
+    else:
+        band_slab, ylo_l, ylo_r, yhi_l, yhi_r, bx0, bx1 = (
+            np.concatenate([p[k] for p in parts_b]) for k in range(7))
 
     # ---- vertical merge (identical to the per-slab vbands pass) ---------
-    nb = len(si)
+    nb = len(band_slab)
     if nb == 0:
         for r, _, _ in edge_rows:
             out[r] = _EMPTY

@@ -168,10 +168,16 @@ def test_cancel_opposite_edges_winding_invariant():
         assert a2 == pytest.approx(a1, rel=0, abs=1e-9)
 
 
-def test_st_buffer_impl_batch_matches_per_row():
-    """End-to-end UDF parity: the batched _st_buffer_impl output must be
-    byte-equal to per-row geom_buffer_styled for every row of a mixed
-    batch (points, lines, convex, concave, holes, multis, nulls)."""
+def test_st_buffer_impl_batch_matches_per_row(monkeypatch):
+    """End-to-end UDF parity: with the crossing-split tracer disabled,
+    the batched _st_buffer_impl output must be byte-equal to per-row
+    geom_buffer_styled for every row of a mixed batch (points, lines,
+    convex, concave, holes, multis, nulls).  The tracer tier emits the
+    same REGION in a different vertex order — its own differential gate
+    lives in tests/test_ring_union.py and
+    test_st_buffer_impl_tracer_region_parity below."""
+    from sedona_db_spark.geometry import ring_union as RU
+    monkeypatch.setattr(RU, "ENABLED", False)
     rng = np.random.default_rng(11)
     geoms, dists, styles = [], [], []
 
@@ -204,6 +210,51 @@ def test_st_buffer_impl_batch_matches_per_row():
             continue
         want = B.geom_buffer_styled(W.decode(gb), d, s)
         assert got[i] == W.encode(want), f"row {i} mismatch"
+
+
+def test_st_buffer_impl_tracer_region_parity():
+    """The crossing-split tracer tier (ring_union, round 7) must produce
+    the SAME REGION as the winding sweep on the identical mixed batch —
+    compared by area (the vertex order legitimately differs)."""
+    from sedona_db_spark.geometry import ring_union as RU
+    rng = np.random.default_rng(11)
+    geoms, dists, styles = [], [], []
+
+    def add(g, d, s=None):
+        geoms.append(None if g is None else W.encode(g))
+        dists.append(d)
+        styles.append(s)
+
+    add(("LineString", np.array([(0, 0), (5, 1), (3, 6)], float)), 0.7)
+    for k in range(12):
+        poly = rand_concave_poly(rng, with_hole=(k % 3 == 0))
+        add(poly, float(rng.uniform(0.2, 1.2)), STYLES[k % len(STYLES)])
+    add(("MultiPolygon", [rand_concave_poly(rng)[1],
+                          rand_concave_poly(rng)[1]]), 0.5)
+    add(("GeometryCollection",
+         [("Point", (1.0, 1.0)),
+          ("LineString", np.array([(0, 0), (2, 0.5), (1, 2)], float)),
+          rand_concave_poly(rng)]), 0.6)
+
+    from sedona_db_spark.functions.scalar import _st_buffer_impl
+    f = getattr(_st_buffer_impl, "__wrapped__", _st_buffer_impl)
+    old = RU.ENABLED
+    try:
+        RU.ENABLED = True
+        on = f(pd.Series(geoms, dtype=object), pd.Series(dists),
+               pd.Series(styles, dtype=object))
+        RU.ENABLED = False
+        off = f(pd.Series(geoms, dtype=object), pd.Series(dists),
+                pd.Series(styles, dtype=object))
+    finally:
+        RU.ENABLED = old
+    for i, (a, c) in enumerate(zip(on, off)):
+        assert (a is None) == (c is None), f"row {i} null mismatch"
+        if a is None:
+            continue
+        aa = geom_area(W.decode(bytes(a)))
+        ac = geom_area(W.decode(bytes(c)))
+        assert aa == pytest.approx(ac, rel=1e-9, abs=1e-9), f"row {i}"
 
 
 def test_batch_convex_offset_matches_per_row():
@@ -464,3 +515,61 @@ def test_clip_gate_flat_cap_line_counterexample():
         want2 = geom_area(union_polygons(
             B._polyline_parts(pts, d, p2, False)))
         assert geom_area(got2) == pytest.approx(want2, rel=0, abs=1e-9)
+
+
+def test_union_polygons_batch_chunked_matches_unchunked(monkeypatch):
+    """CHUNK_EDGES-bounded row chunking (round 7) must be invisible:
+    byte-identical encoded output for the same batch with chunking
+    forced on (tiny budget) and off (huge budget)."""
+    import sedona_db_spark.geometry.winding_batch as WB
+    rng = np.random.default_rng(31)
+    rows = []
+    for k in range(40):
+        parts = [rand_concave_poly(rng, with_hole=(k % 3 == 0))
+                 for _ in range(int(rng.integers(1, 4)))]
+        rows.append(parts)
+    monkeypatch.setattr(WB, "CHUNK_EDGES", 10 ** 9)
+    want = [W.encode(g) for g in union_polygons_batch(rows)]
+    monkeypatch.setattr(WB, "CHUNK_EDGES", 64)
+    got = [W.encode(g) for g in union_polygons_batch(rows)]
+    assert got == want
+
+
+def test_union_polygons_batch_windowed_sweep_matches_single_pass(
+        monkeypatch):
+    """SWEEP_MAX_INCIDENCE slab-windowing (round 7) must be invisible:
+    byte-identical output with the incidence cap forced to a tiny value
+    (many windows) vs effectively infinite (one window)."""
+    import sedona_db_spark.geometry.winding_batch as WB
+    rng = np.random.default_rng(77)
+    rows = []
+    for k in range(25):
+        parts = [rand_concave_poly(rng, with_hole=(k % 4 == 0))
+                 for _ in range(int(rng.integers(1, 4)))]
+        rows.append(parts)
+    monkeypatch.setattr(WB, "SWEEP_MAX_INCIDENCE", 10 ** 12)
+    want = [W.encode(g) for g in union_polygons_batch(rows)]
+    monkeypatch.setattr(WB, "SWEEP_MAX_INCIDENCE", 37)
+    got = [W.encode(g) for g in union_polygons_batch(rows)]
+    assert got == want
+
+
+def test_ring_union_chunked_matches_unchunked(monkeypatch):
+    """ring_union.CHUNK_EDGES chunking must be invisible (rows are
+    independent): identical traced outputs and identical refusals."""
+    from sedona_db_spark.geometry import ring_union as RU
+    rng = np.random.default_rng(13)
+    rows = []
+    for k in range(40):
+        rings = [np.asarray(rand_concave_poly(rng)[1][0][:-1], float)
+                 for _ in range(int(rng.integers(1, 4)))]
+        rows.append(rings)
+    monkeypatch.setattr(RU, "CHUNK_EDGES", 10 ** 9)
+    want = RU.union_rings_batch(rows)
+    monkeypatch.setattr(RU, "CHUNK_EDGES", 32)
+    got = RU.union_rings_batch(rows)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g is None) == (w is None)
+        if g is not None:
+            assert W.encode(g) == W.encode(w)
