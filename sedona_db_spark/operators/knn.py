@@ -246,6 +246,125 @@ def _broadcast_brute_knn(queries: DataFrame, targets: DataFrame, k: int,
                   .select(*qcols, *tcols, "knn_dist"))
 
 
+# broadcast guard for the spheroid path: 5 float64 + id per target
+_SPHEROID_MAX_TARGETS = 2_000_000
+
+
+def _ecef_xyz(lon_deg: np.ndarray, lat_deg: np.ndarray) -> np.ndarray:
+    """WGS84 geodetic -> earth-centered cartesian (metres, h=0), (n,3)."""
+    from sedona_db_spark.geometry.proj import WGS84
+    a, f = WGS84.a, 1.0 / 298.257223563
+    e2 = f * (2.0 - f)
+    lam = np.radians(np.asarray(lon_deg, np.float64))
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    N = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    return np.column_stack([N * cphi * np.cos(lam),
+                            N * cphi * np.sin(lam),
+                            N * (1.0 - e2) * sphi])
+
+
+def _broadcast_brute_knn_spheroid(queries: DataFrame, targets: DataFrame,
+                                  k: int, query_geom: str, tgeom: str,
+                                  tid: str, qcols: list, tcols: list,
+                                  query_id: str,
+                                  include_ties: bool) -> DataFrame:
+    """Exact WGS84-geodesic kNN (use_spheroid=True) — beyond-reference:
+    SedonaDB's planner accepts the flag and errors on true
+    (rust/sedona-spatial-join/src/spatial_predicate.rs:279-283).
+
+    Candidate generation uses the 3-D ECEF CHORD, a rigorous lower bound
+    on geodesic distance (the straight line through the earth is never
+    longer than any surface path): exact Vincenty on the chord-top-k
+    gives the provisional k-th geodesic distance s_k, every target with
+    chord <= s_k is a superset of the true top-k, and Vincenty re-ranks
+    that superset exactly.  Chord math is one BLAS matmul per query
+    chunk; Vincenty touches only O(k) candidates per query."""
+    from sedona_db_spark.geometry.algos import vincenty_inverse_m
+    from pyspark.sql.types import StructField, StructType
+
+    targets_i = (targets.withColumn("__tidx",
+                                    F.monotonically_increasing_id())
+                 .localCheckpoint(eager=True))
+    rows = (targets_i.where(F.col(tgeom).isNotNull())
+            .select("__tidx", tgeom, tid).collect())
+    tidx = np.array([int(r["__tidx"]) for r in rows], dtype=np.int64)
+    tlon, tlat = W.wkb_to_points([bytes(r[tgeom]) for r in rows])
+    tids = np.array([r[tid] for r in rows])
+    T = _ecef_xyz(tlon, tlat)                   # (nt, 3)
+    t_norm2 = np.einsum("ij,ij->i", T, T)
+    kk = min(k, len(rows))
+
+    out_schema = StructType(
+        [queries.schema[c] for c in qcols]
+        + [StructField("__tidx", LongType()),
+           StructField("knn_dist", DoubleType())])
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (tidx, tlon, tlat, T, t_norm2, tids))
+    want_ties = include_ties
+
+    def gen(batches):
+        t_idx, t_lon, t_lat, Tm, tn2, t_ids = bc.value
+        nt = len(t_idx)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nt == 0:
+                continue
+            qlon, qlat = W.wkb_to_points(pdf[query_geom])
+            Q = _ecef_xyz(qlon, qlat)
+            qn2 = np.einsum("ij,ij->i", Q, Q)
+            hit_q, hit_t, hit_d = [], [], []
+            CH = 256
+            for s in range(0, n, CH):
+                e = min(s + CH, n)
+                c2 = (qn2[s:e, None] + tn2[None, :]
+                      - 2.0 * (Q[s:e] @ Tm.T))
+                chord = np.sqrt(np.maximum(c2, 0.0))
+                if kk < nt:
+                    part = np.argpartition(chord, kk - 1,
+                                           axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(np.arange(nt),
+                                           (e - s, nt)).copy()
+                # exact geodesic on the chord-top-k -> provisional s_k
+                rq = np.repeat(np.arange(s, e), part.shape[1])
+                rt = part.ravel()
+                sv = vincenty_inverse_m(qlon[rq], qlat[rq],
+                                        t_lon[rt], t_lat[rt])
+                sv = sv.reshape(e - s, part.shape[1])
+                sk = np.sort(sv, axis=1)[:, kk - 1]
+                for r in range(e - s):
+                    cand = np.flatnonzero(
+                        chord[r] <= sk[r] * (1.0 + 1e-12))
+                    dg = vincenty_inverse_m(
+                        np.full(len(cand), qlon[s + r]),
+                        np.full(len(cand), qlat[s + r]),
+                        t_lon[cand], t_lat[cand])
+                    order = np.lexsort((t_ids[cand], dg))
+                    sel = cand[order[:kk]]
+                    dsel = dg[order[:kk]]
+                    if want_ties and len(order) > kk:
+                        kth_d = dg[order[kk - 1]]
+                        keep = dg[order] <= kth_d
+                        sel = cand[order][keep]
+                        dsel = dg[order][keep]
+                    hit_q.append(np.full(len(sel), s + r,
+                                         dtype=np.int64))
+                    hit_t.append(sel)
+                    hit_d.append(dsel)
+            if hit_q:
+                qi = np.concatenate(hit_q)
+                ti = np.concatenate(hit_t)
+                out = pdf.iloc[qi][qcols].copy()
+                out["__tidx"] = t_idx[ti]
+                out["knn_dist"] = np.concatenate(hit_d)
+                yield out
+
+    joined = queries.mapInPandas(gen, schema=out_schema)
+    return (joined.join(F.broadcast(targets_i), on="__tidx")
+                  .select(*qcols, *tcols, "knn_dist"))
+
+
 def knn_join(
     queries: DataFrame,
     targets: DataFrame,
@@ -259,17 +378,16 @@ def knn_join(
     max_rounds: int = 16,
     use_spheroid: bool = False,
 ) -> DataFrame:
-    """k nearest targets per query point (planar distance).
+    """k nearest targets per query point (planar distance by default;
+    ``use_spheroid=True`` ranks by exact WGS84 geodesic metres — the
+    reference accepts the flag but errors on true,
+    rust/sedona-spatial-join/src/spatial_predicate.rs:279-283).
 
     Returns query columns + target columns (right duplicates suffixed
     ``_t``) + ``knn_dist``.  include_ties=False (reference default,
     knn_include_tie_breakers, rust/sedona-common/src/option.rs:78) gives
     exactly k rows per query.
     """
-    if use_spheroid:
-        # arg-surface parity: the reference planner accepts use_spheroid
-        # and errors on true (spatial_predicate.rs:279-283)
-        raise NotImplementedError("spheroid kNN distance is not supported")
     dup = set(queries.columns) & set(targets.columns)
     tmap = {c: (c + "_t" if c in dup else c) for c in targets.columns}
     targets = targets.select([F.col(c).alias(tmap[c]) for c in targets.columns])
@@ -298,6 +416,24 @@ def knn_join(
 
     n_t, t_points = _side_stats(targets, tgeom)
     n_q, q_points = _side_stats(queries, query_geom)
+
+    if use_spheroid:
+        # WGS84 geodesic kNN (beyond-reference; the reference errors on
+        # use_spheroid=true, spatial_predicate.rs:279-283): exact
+        # chord-pruned Vincenty over a broadcast corpus.  Points only —
+        # geodesics to extended geometries have no exact kernel here.
+        if not (q_points and t_points):
+            raise NotImplementedError(
+                "use_spheroid=True requires point geometries on both "
+                "sides")
+        if n_t > _SPHEROID_MAX_TARGETS:
+            raise NotImplementedError(
+                f"use_spheroid=True supports up to "
+                f"{_SPHEROID_MAX_TARGETS} targets (broadcast corpus); "
+                f"got {n_t}")
+        return _broadcast_brute_knn_spheroid(
+            queries, targets, k, query_geom, tgeom, tid, qcols, tcols,
+            query_id, include_ties)
     # non-point sides run the grid path too: keyed by bbox-center cell,
     # settle radius shrunk by the max half-extent of EACH non-point side
     # (a geometry can reach that far beyond the cell its center is keyed

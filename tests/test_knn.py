@@ -230,3 +230,74 @@ def test_knn_nonpoint_both_sides_grid_path(spark):
         d = [K.geom_distance(g, t2) for t2 in t_geoms]
         exp = sorted(range(len(t_geoms)), key=lambda j: (d[j], j))[:2]
         assert [t for _, t in sorted(got)] == exp
+
+
+def test_knn_spheroid_matches_brute_vincenty(spark):
+    """use_spheroid=True (round 7, beyond-reference — the reference
+    errors on it, spatial_predicate.rs:279-283): chord-pruned exact
+    Vincenty must equal a brute-force Vincenty top-k over every pair,
+    including pole-adjacent and dateline-crossing points where planar
+    order and geodesic order disagree."""
+    from sedona_db_spark.geometry.algos import vincenty_inverse_m
+    rng = np.random.default_rng(7)
+    nq, nt, k = 25, 120, 3
+    qlon = np.concatenate([rng.uniform(-180, 180, nq - 4),
+                           [179.5, -179.5, 0.0, 10.0]])
+    qlat = np.concatenate([rng.uniform(-85, 85, nq - 4),
+                           [0.0, 0.0, 89.0, -89.0]])
+    tlon = rng.uniform(-180, 180, nt)
+    tlat = rng.uniform(-89.5, 89.5, nt)
+    import pandas as pd
+    qpdf = pd.DataFrame({
+        "q_id": np.arange(nq),
+        "geom": [W.encode(("Point", (x, y)))
+                 for x, y in zip(qlon, qlat)]})
+    tpdf = pd.DataFrame({
+        "t_id": np.arange(nt),
+        "geom": [W.encode(("Point", (x, y)))
+                 for x, y in zip(tlon, tlat)]})
+    qdf = spark.createDataFrame(qpdf)
+    tdf = spark.createDataFrame(tpdf)
+    rows = knn_join(qdf, tdf, k, query_id="q_id", target_id="t_id",
+                    use_spheroid=True).collect()
+    assert len(rows) == nq * k
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(
+            (r["knn_dist"], r["t_id"]))
+    for qi in range(nq):
+        d = vincenty_inverse_m(np.full(nt, qlon[qi]),
+                               np.full(nt, qlat[qi]), tlon, tlat)
+        exp = sorted(range(nt), key=lambda j: (d[j], j))[:k]
+        got = [t for _, t in sorted(per_q[qi])]
+        assert got == exp, f"query {qi}"
+        for dist, t in per_q[qi]:
+            assert dist == pytest.approx(d[t], rel=0, abs=1e-9)
+
+
+def test_knn_spheroid_ties_and_guards(spark):
+    """Spheroid ties flag returns every equal-k-th candidate; non-point
+    inputs raise the documented NotImplementedError."""
+    import pandas as pd
+    # four targets at identical geodesic distance from the query
+    qpdf = pd.DataFrame({"q_id": [0],
+                         "geom": [W.encode(("Point", (0.0, 0.0)))]})
+    tpdf = pd.DataFrame({
+        "t_id": [0, 1, 2, 3, 4],
+        "geom": [W.encode(("Point", (1.0, 0.0))),
+                 W.encode(("Point", (-1.0, 0.0))),
+                 W.encode(("Point", (0.5, 0.0))),
+                 W.encode(("Point", (2.0, 0.0))),
+                 W.encode(("Point", (-2.0, 0.0)))]})
+    qdf = spark.createDataFrame(qpdf)
+    tdf = spark.createDataFrame(tpdf)
+    got = knn_join(qdf, tdf, 2, query_id="q_id", target_id="t_id",
+                   use_spheroid=True, include_ties=True).collect()
+    # k=2: nearest is t2 (0.5 deg), then t0 and t1 tie at 1 deg
+    assert sorted(r["t_id"] for r in got) == [0, 1, 2]
+    with pytest.raises(NotImplementedError):
+        poly = FX.random_polygons(3, seed=1)
+        pdf2 = spark.createDataFrame(poly).withColumnRenamed(
+            "geometry", "geom").withColumnRenamed("id", "t_id")
+        knn_join(qdf, pdf2, 1, query_id="q_id", target_id="t_id",
+                 use_spheroid=True).collect()
