@@ -573,3 +573,146 @@ def test_ring_union_chunked_matches_unchunked(monkeypatch):
         assert (g is None) == (w is None)
         if g is not None:
             assert W.encode(g) == W.encode(w)
+
+
+def _fuzz_ring(rng, cx, cy, scale):
+    kind = int(rng.integers(0, 3))
+    k = int(rng.integers(3, 10))
+    if kind == 0:
+        th = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = np.full(k, rng.uniform(0.4, 1.0) * scale)
+    elif kind == 1:
+        th = np.linspace(0, 2 * np.pi, k, endpoint=False)
+        rad = np.where(np.arange(k) % 2 == 0, scale,
+                       rng.uniform(0.25, 0.6) * scale)
+    else:
+        th = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.3, 1.2, k) * scale
+    r = np.column_stack([np.cos(th) * rad + cx, np.sin(th) * rad + cy])
+    return np.vstack([r, r[:1]])
+
+
+def _fuzz_child(rng, cx, cy, scale):
+    t = int(rng.integers(0, 6))
+    if t == 0:
+        return ("Point", (cx + rng.uniform(-scale, scale),
+                          cy + rng.uniform(-scale, scale)))
+    if t == 1:
+        k = int(rng.integers(2, 8))
+        pts = np.cumsum(rng.uniform(-scale, scale, (k, 2)), axis=0) \
+            + [cx, cy]
+        return ("LineString", pts)
+    if t == 2:
+        return ("Polygon", [_fuzz_ring(rng, cx, cy, scale)])
+    if t == 3:
+        m = int(rng.integers(2, 5))
+        return ("MultiPoint", rng.uniform(-scale, scale, (m, 2))
+                + [cx, cy])
+    if t == 4:
+        return ("MultiLineString",
+                [np.cumsum(rng.uniform(-scale, scale,
+                                       (int(rng.integers(2, 6)), 2)),
+                           axis=0) + [cx + dx, cy]
+                 for dx in (0.0, scale * 0.5)])
+    return ("MultiPolygon",
+            [[_fuzz_ring(rng, cx + dx, cy, scale * 0.7)]
+             for dx in (0.0, scale * 0.6)])
+
+
+def _translate(g, dx, dy):
+    name, payload = g
+    if name == "Point":
+        return (name, (payload[0] + dx, payload[1] + dy))
+    if name in ("LineString", "MultiPoint"):
+        return (name, np.asarray(payload, float) + [dx, dy])
+    if name in ("Polygon", "MultiLineString"):
+        return (name, [np.asarray(r, float) + [dx, dy] for r in payload])
+    if name == "MultiPolygon":
+        return (name, [[np.asarray(r, float) + [dx, dy] for r in rings]
+                       for rings in payload])
+    return (name, [_translate(q, dx, dy) for q in payload])
+
+
+def _first_vertex(g):
+    name, payload = g
+    if name == "Point":
+        return np.asarray(payload, float)
+    if name in ("LineString", "MultiPoint"):
+        return np.asarray(payload, float)[0]
+    if name in ("Polygon", "MultiLineString"):
+        return np.asarray(payload[0], float)[0]
+    if name == "MultiPolygon":
+        return np.asarray(payload[0][0], float)[0]
+    return _first_vertex(payload[0])
+
+
+def test_fuzz_collections_touching_overlapping_children():
+    """Round-7 standing fuzz (5,000 trials): mixed GeometryCollections
+    whose children deliberately OVERLAP, exactly COINCIDE, mirror, or
+    TOUCH at shared vertices — the pooled-collection buffer route's
+    newest path.  The crossing-split tracer tiers must produce the same
+    REGION as the winding-exact sweep (area parity on every row, point
+    membership on a subsample).  The round-4 quad-merge bug class hid in
+    exactly this kind of input for two rounds."""
+    from sedona_db_spark.geometry import ring_union as RU
+    from sedona_db_spark.functions.scalar import _st_buffer_impl
+    f = getattr(_st_buffer_impl, "__wrapped__", _st_buffer_impl)
+    rng = np.random.default_rng(20260818)
+    N = 5_000
+    geoms, dists = [], []
+    for _ in range(N):
+        cx, cy = rng.uniform(-5, 5, 2)
+        scale = float(rng.uniform(0.4, 2.5))
+        nk = int(rng.integers(1, 5))
+        kids = []
+        for _k in range(nk):
+            # shared center => overlapping children are the COMMON case
+            kid = _fuzz_child(rng, cx + rng.uniform(-scale, scale) * 0.5,
+                              cy + rng.uniform(-scale, scale) * 0.5,
+                              scale)
+            kids.append(kid)
+            roll = rng.random()
+            if roll < 0.15:
+                kids.append(kid)                    # exact duplicate
+            elif roll < 0.30:
+                kids.append(_translate(kid, 0.0, 0.0))  # coincident copy
+            elif roll < 0.45 and len(kids) >= 2:
+                # snap-translate: move so first vertices exactly touch
+                v0 = _first_vertex(kids[0])
+                v1 = _first_vertex(kid)
+                kids.append(_translate(kid, float(v0[0] - v1[0]),
+                                       float(v0[1] - v1[1])))
+        geoms.append(W.encode(("GeometryCollection", kids)))
+        dists.append(float(rng.choice([0.3, 1.0, 2.5])))
+    b = pd.Series(geoms, dtype=object)
+    d = pd.Series(dists)
+    old = RU.ENABLED
+    try:
+        RU.ENABLED = True
+        on = f(b, d)
+        RU.ENABLED = False
+        off = f(b, d)
+    finally:
+        RU.ENABLED = old
+    mism = []
+    probe_rng = np.random.default_rng(5)
+    for i in range(N):
+        a, c = on.iloc[i], off.iloc[i]
+        assert (a is None) == (c is None), f"row {i} null"
+        if a is None:
+            continue
+        ga, gc = W.decode(bytes(a)), W.decode(bytes(c))
+        aa, ac = geom_area(ga), geom_area(gc)
+        if not np.isclose(aa, ac, rtol=1e-9, atol=1e-9):
+            mism.append((i, aa, ac))
+            continue
+        if i % 50 == 0:
+            from tests.test_ring_union import geom_rings, membership
+            rr = geom_rings(gc)
+            if rr:
+                allp = np.vstack(rr)
+                pts = probe_rng.uniform(allp.min(0) - 0.5,
+                                        allp.max(0) + 0.5, (12, 2))
+                if not (membership(ga, pts) == membership(gc, pts)).all():
+                    mism.append((i, "membership", None))
+    assert not mism, f"{len(mism)} region mismatches: {mism[:5]}"
