@@ -315,6 +315,85 @@ def _dedupe_consecutive(pts: np.ndarray) -> np.ndarray:
     return pts[keep]
 
 
+# GEOS OffsetCurveBuilder::SIMPLIFY_FACTOR — input vertices within
+# distance/SIMPLIFY_FACTOR of their neighbor chord are removed before
+# curve construction (the offset at distance d smooths sub-d/100
+# wiggles anyway; without this a vertex-dense squiggle's offset curve
+# self-crosses quadratically: one 500-vertex arc smaller than d took
+# 96 s to union, ~1 ms after simplification)
+_SIMPLIFY_FACTOR = 100.0
+
+# only vertex-dense inputs are simplified: below this count the exact
+# unsimplified construction is kept so sparse real-world shapes (and
+# the closed-form oracle fixtures) remain bit-identical to the
+# no-simplification rounds — GEOS simplifies at every size, so this is
+# strictly more conservative than the reference
+_SIMPLIFY_MIN_VERTICES = 64
+
+
+def buffer_input_simplify(pts: np.ndarray, tol: float,
+                          closed: bool = False,
+                          concave_only: bool = False) -> np.ndarray:
+    """Distance-scaled input simplification for offset-curve building —
+    the role of JTS/GEOS ``BufferInputLineSimplifier`` (public
+    algorithm): iteratively delete vertices whose deviation from their
+    current neighbor chord is below ``tol``, repeating until stable
+    (JTS likewise re-simplifies in a while-changed loop, so both
+    tolerate the same bounded accumulation).
+
+    ``concave_only=True`` is the GEOS-exact ring mode: only shallow
+    RIGHT-turn (CW) vertices are deletable — the exterior-side curve of
+    a CCW ring fills those concavities anyway, and convex vertices
+    (which shape the outer boundary) are never touched, so regular
+    convex inputs pass through bit-identical.  Open polylines use the
+    symmetric mode: both of our side chains consume ONE simplified
+    vertex list (GEOS simplifies per side, then bridges the seam with
+    generator joins; one list keeps our cap/chain closure exact by
+    construction) — deviation stays within the same d/100 envelope.
+
+    Endpoints of open lines are never deleted; rings wrap cyclically
+    and keep >= 3 vertices."""
+    if tol <= 0.0 or len(pts) <= _SIMPLIFY_MIN_VERTICES:
+        return pts
+    cur = np.asarray(pts, dtype=np.float64)
+    while True:
+        n = len(cur)
+        if n < (4 if closed else 3):
+            return cur
+        if closed:
+            a = np.roll(cur, 1, axis=0)
+            b = cur
+            c = np.roll(cur, -1, axis=0)
+        else:
+            a, b, c = cur[:-2], cur[1:-1], cur[2:]
+        cross = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                 - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+        chord = np.hypot(c[:, 0] - a[:, 0], c[:, 1] - a[:, 1])
+        ok = chord > 0.0
+        dev = np.abs(cross) / np.where(ok, chord, 1.0)
+        kill = ok & (dev < tol)
+        if concave_only:
+            kill &= cross < 0.0
+        if not bool(kill.any()):
+            return cur
+        # delete an independent subset (no two adjacent in one pass —
+        # a deletion changes its neighbors' chords)
+        keep = np.ones(n, dtype=bool)
+        last = -2
+        for i in np.flatnonzero(kill).tolist():
+            if i == last + 1:
+                continue
+            keep[i if closed else i + 1] = False
+            last = i
+        if closed and not keep[0] and kill[n - 1] and last == n - 1:
+            # wraparound adjacency: vertex 0 and n-1 are neighbors
+            keep[n - 1] = True
+        nxt = cur[keep]
+        if len(nxt) == len(cur):
+            return cur
+        cur = nxt
+
+
 def _normalized_rings(rings_sets: list) -> list:
     """Clean + orient the rings of a Polygon/MultiPolygon payload exactly
     as ``overlay._directed_edges_of`` will (dedupe, drop closing dup,
@@ -393,6 +472,8 @@ def _ring_offset_curve(rr: np.ndarray, d: float,
     Round-join fillets are vectorized across all corners of a ring
     (GEOS addDirectedFillet discretization: quantum = pi/(2*quad_segs),
     nsegs = int(theta/quantum + 0.5))."""
+    rr = buffer_input_simplify(rr, abs(d) / _SIMPLIFY_FACTOR,
+                               closed=True, concave_only=True)
     n = len(rr)
     nxt = np.vstack([rr[1:], rr[:1]])
     ax, ay = rr[:, 0], rr[:, 1]
@@ -500,6 +581,8 @@ def _ring_offset_curve_clipped(rr: np.ndarray, d: float,
     segment intersection falls outside either adjacent offset segment,
     or cumulative clips on one edge would cross) — the caller falls back
     to the dip construction, whose winding semantics are exact always."""
+    rr = buffer_input_simplify(rr, abs(d) / _SIMPLIFY_FACTOR,
+                               closed=True, concave_only=True)
     n = len(rr)
     nxt = np.vstack([rr[1:], rr[:1]])
     ax, ay = rr[:, 0], rr[:, 1]
@@ -844,6 +927,9 @@ def _polyline_offset_curve(rr: np.ndarray, d: float,
     ``clip=True`` builds the clipped-reflex variant (see
     `_ring_offset_curve_clipped`): used only for the closed-form path
     when the result is globally simple."""
+    rr = buffer_input_simplify(rr, abs(d) / _SIMPLIFY_FACTOR)
+    if len(rr) < 2:
+        return None
     fwd = _open_offset_chain(rr, d, p, clip=clip)
     if fwd is None:
         return None
@@ -1238,6 +1324,12 @@ def _traced_polygon_route(norm: list, g, rings_sets: list,
     # crossing x's the winding sweep needs, so the O(E²) scan runs
     # exactly once.
     def _try_closed_form(builder):
+        if len(norm) != 1:
+            # the closed form only applies to a single polygon; bail
+            # BEFORE the curve builds and O(E²) simplicity scans (a
+            # multipolygon of 500-gon parts paid ~0.3 s here per row
+            # for a result that was always discarded)
+            return None
         cs: list = []
         ins: list = []
         for rings in norm:
@@ -1289,6 +1381,17 @@ def _traced_polygon_route(norm: list, g, rings_sets: list,
         if uturn:
             break
     if not uturn and curves:
+        if len(norm) > 1:
+            from sedona_db_spark.geometry import ring_union as RU
+            if RU.ENABLED:
+                # multi-polygon rows always union; the tracer derives
+                # the crossing structure itself and the sweep fallback
+                # rebuilds xs on demand — the O(E²) scan here would be
+                # pure duplicate work
+                e = np.concatenate(
+                    [np.concatenate([c, np.vstack([c[1:], c[:1]])],
+                                    axis=1) for c in curves])
+                return ("edges", (e, None))
         e, xs, simple = _rings_cross_info(curves)
         if simple and len(norm) == 1:
             areas2 = []

@@ -621,23 +621,56 @@ def _union_rings_chunk(rows: list) -> list:
     np.add.at(dy_sum, srow_s, syhi - sylo)
     mean_dy = dy_sum / np.maximum(subs_in_row, 1)
     with np.errstate(divide="ignore", invalid="ignore"):
-        want = span_row / np.maximum(mean_dy, 1e-300)
+        want = 2.0 * span_row / np.maximum(mean_dy, 1e-300)
     want = np.where(np.isfinite(want), want, 1.0)
+    # 2x the mean-dy estimate and a 32k cap: crossing-dense soups (the
+    # complex collection shapes) split edges into ~6x more sub-edges
+    # than the input, and underbinning there made the stabbing volume
+    # ~20x the occupancy (48M candidate reads for 150 rows)
     nbins = np.clip(want.astype(np.int64), 1,
-                    np.clip(subs_in_row, 1, 4096))
+                    np.clip(subs_in_row, 1, 32768))
     flat = (span_row <= 0) & (subs_in_row > 0)
     if bool(flat.any()):
         bad |= flat
-    h_row = np.where(span_row > 0, span_row / nbins, 1.0)
     bin_base = np.concatenate([[0], np.cumsum(nbins)[:-1]])
 
+    # equal-occupancy (quantile) cuts per row: a LINEAR y-grid crowds at
+    # arc extremes (the boundary's y-density diverges where a curve
+    # turns horizontal), so on circle-heavy soups hot bins carried
+    # ~10-20x the mean stab volume; quantile cuts hold ~equal sub-edge
+    # centers per bin by construction
+    yc = 0.5 * (sylo + syhi)
+    # a cancellation rebuild appends emitted edges after the kept ones,
+    # so srow_s is NOT row-sorted in general — group via stable argsort
+    sub_ord = np.argsort(srow_s, kind="stable")
+    row_sub = np.searchsorted(srow_s[sub_ord], np.arange(n_rows + 1))
+    cut_cnt = np.maximum(nbins - 1, 0)
+    cut_base = np.concatenate([[0], np.cumsum(cut_cnt)[:-1]])
+    CUTS = np.empty(int(cut_cnt.sum()))
+    for r in np.flatnonzero((subs_in_row > 0) & (cut_cnt > 0)):
+        a, z = int(row_sub[r]), int(row_sub[r + 1])
+        k = int(cut_cnt[r])
+        ys = np.sort(yc[sub_ord[a:z]])
+        idx = np.minimum((np.arange(1, k + 1) * (z - a)) // (k + 1),
+                         z - a - 1)
+        CUTS[cut_base[r]:cut_base[r] + k] = ys[idx]
+
+    def _row_bins(sub_rows, yvals):
+        """Bin index of each y value within its row's quantile cuts."""
+        res = np.zeros(len(yvals), dtype=np.int64)
+        o = np.argsort(sub_rows, kind="stable")
+        bnd = np.searchsorted(sub_rows[o], np.arange(n_rows + 1))
+        for r in np.flatnonzero(np.diff(bnd) > 0):
+            a, z = int(bnd[r]), int(bnd[r + 1])
+            cb, k = int(cut_base[r]), int(cut_cnt[r])
+            if k:
+                sel = o[a:z]
+                res[sel] = np.searchsorted(CUTS[cb:cb + k], yvals[sel])
+        return res
+
     nh = np.flatnonzero(~shoriz)
-    b0 = np.clip(((sylo[nh] - ylo_row[srow_s[nh]])
-                  / h_row[srow_s[nh]]).astype(np.int64),
-                 0, nbins[srow_s[nh]] - 1)
-    b1 = np.clip(((syhi[nh] - ylo_row[srow_s[nh]])
-                  / h_row[srow_s[nh]]).astype(np.int64),
-                 0, nbins[srow_s[nh]] - 1)
+    b0 = _row_bins(srow_s[nh], sylo[nh])
+    b1 = _row_bins(srow_s[nh], syhi[nh])
     span = b1 - b0 + 1
     occ_row = np.zeros(n_rows, dtype=np.int64)
     np.add.at(occ_row, srow_s[nh], span)
@@ -659,9 +692,7 @@ def _union_rings_chunk(rows: list) -> list:
     bin_off = np.concatenate([[0], np.cumsum(bin_cnt)[:-1]])
 
     qv = np.flatnonzero(~rhoriz)          # vertical-ray representatives
-    qbin = np.clip(((my[qv] - ylo_row[rrow[qv]])
-                    / h_row[rrow[qv]]).astype(np.int64),
-                   0, nbins[rrow[qv]] - 1) + bin_base[rrow[qv]]
+    qbin = _row_bins(rrow[qv], my[qv]) + bin_base[rrow[qv]]
     qcnt = bin_cnt[qbin]
     qp_row = np.zeros(n_rows, dtype=np.int64)
     np.add.at(qp_row, rrow[qv], qcnt)
@@ -669,11 +700,15 @@ def _union_rings_chunk(rows: list) -> list:
         bad |= qp_row > MAX_ROW_WORK
         qm = ~bad[rrow[qv]]
         qv, qbin, qcnt = qv[qm], qbin[qm], qcnt[qm]
-    QP = int(qcnt.sum())
-    q_rep = np.repeat(qv, qcnt)
-    qstart = np.concatenate([[0], np.cumsum(qcnt)[:-1]])
-    q_cand = occ_edge[np.arange(QP) - np.repeat(qstart, qcnt)
-                      + np.repeat(bin_off[qbin], qcnt)]
+    QP = int(qcnt.sum()) if len(qv) else 0
+    if QP:
+        q_rep = np.repeat(qv, qcnt)
+        qstart = np.concatenate([[0], np.cumsum(qcnt)[:-1]])
+        q_cand = occ_edge[np.arange(QP) - np.repeat(qstart, qcnt)
+                          + np.repeat(bin_off[qbin], qcnt)]
+    else:
+        q_rep = np.empty(0, dtype=np.int64)
+        q_cand = np.empty(0, dtype=np.int64)
     # exclude the representative's own sub-edge
     sel = q_cand != np.repeat(rep[qv], qcnt)
     q_rep, q_cand = q_rep[sel], q_cand[sel]
@@ -705,11 +740,14 @@ def _union_rings_chunk(rows: list) -> list:
             bad |= hp_row > MAX_ROW_WORK
             hkeep = ~bad[hr]
             hz, hr, hcnt = hz[hkeep], hr[hkeep], hcnt[hkeep]
-        HP = int(hcnt.sum())
-        h_rep = np.repeat(hz, hcnt)
-        hstart = np.concatenate([[0], np.cumsum(hcnt)[:-1]])
-        h_cand = rs[np.arange(HP) - np.repeat(hstart, hcnt)
-                    + np.repeat(rfirst[hr], hcnt)]
+        HP = int(hcnt.sum()) if len(hz) else 0
+        h_rep = np.repeat(hz, hcnt) if HP else np.empty(0, dtype=np.int64)
+        if HP:
+            hstart = np.concatenate([[0], np.cumsum(hcnt)[:-1]])
+            h_cand = rs[np.arange(HP) - np.repeat(hstart, hcnt)
+                        + np.repeat(rfirst[hr], hcnt)]
+        else:
+            h_cand = np.empty(0, dtype=np.int64)
         hm = h_cand != np.repeat(rep[hz], hcnt)
         h_rep, h_cand = h_rep[hm], h_cand[hm]
         hx = mx[h_rep]
