@@ -365,6 +365,291 @@ def _laea_consts(ell: Ellipsoid, lat0: float):
     return qp, beta0, rq, d
 
 
+def _footpoint_phi(ell: Ellipsoid, M: np.ndarray) -> np.ndarray:
+    """Rectifying-latitude series: latitude whose meridional arc is M
+    (Snyder 3-26/7-19; same series the tmerc/sinu inverses inline)."""
+    e2 = ell.e2
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu = M / (ell.a * (1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256))
+    return (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+
+
+def _wrap_pi(dlam: np.ndarray) -> np.ndarray:
+    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi, dlam)
+    return np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam)
+
+
+# --- Equidistant Conic (Snyder 1987 pp.111-115, ellipsoidal 2SP) -----------
+
+def _eqdc_consts(ell: Ellipsoid, lat0: float, sp1: float, sp2: float):
+    p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
+    m1 = _lcc_m(ell, p1)
+    M0 = float(_merid_arc(ell, np.array(p0)))
+    M1 = float(_merid_arc(ell, np.array(p1)))
+    if sp1 == sp2:
+        n = math.sin(p1)
+    else:
+        m2 = _lcc_m(ell, p2)
+        M2 = float(_merid_arc(ell, np.array(p2)))
+        n = ell.a * (m1 - m2) / (M2 - M1)
+    G = m1 / n + M1 / ell.a
+    rho0 = ell.a * G - M0
+    return n, G, rho0
+
+
+def eqdc_fwd(lon, lat, lon0, lat0, sp1, sp2, fe, fn,
+             ell: Ellipsoid = WGS84):
+    """Equidistant Conic forward (Snyder 16-1..16-4 ellipsoidal): true
+    scale on both standard parallels AND along every meridian."""
+    n, G, rho0 = _eqdc_consts(ell, lat0, sp1, sp2)
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = _wrap_pi(np.radians(np.asarray(lon, np.float64))
+                    - math.radians(lon0))
+    rho = ell.a * G - _merid_arc(ell, phi)
+    th = n * dlam
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def eqdc_inv(x, y, lon0, lat0, sp1, sp2, fe, fn, ell: Ellipsoid = WGS84):
+    n, G, rho0 = _eqdc_consts(ell, lat0, sp1, sp2)
+    xp = np.asarray(x, np.float64) - fe
+    yp = rho0 - (np.asarray(y, np.float64) - fn)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(xp, yp)
+    th = np.arctan2(sgn * xp, sgn * yp)
+    M = ell.a * G - rho
+    phi = _footpoint_phi(ell, M)
+    lam = _wrap_pi(math.radians(lon0) + th / n)
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- Cassini-Soldner (Snyder 1987 pp.92-95, ellipsoidal) -------------------
+
+def cass_fwd(lon, lat, lon0, lat0, fe, fn, ell: Ellipsoid = WGS84):
+    """Cassini-Soldner forward (Snyder 13-2..13-6): true scale along the
+    central meridian and along lines perpendicular to it."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = _wrap_pi(np.radians(np.asarray(lon, np.float64))
+                    - math.radians(lon0))
+    sp, cp = np.sin(phi), np.cos(phi)
+    e2 = ell.e2
+    N = ell.a / np.sqrt(1 - e2 * sp * sp)
+    T = np.where(cp != 0, (sp / np.where(cp == 0, 1.0, cp)) ** 2, 0.0)
+    A = dlam * cp
+    C = e2 * cp * cp / (1 - e2)
+    M = _merid_arc(ell, phi)
+    M0 = float(_merid_arc(ell, np.array(math.radians(lat0))))
+    x = N * (A - T * A ** 3 / 6 - (8 - T + 8 * C) * T * A ** 5 / 120)
+    tanp = np.where(cp == 0, 0.0, sp / np.where(cp == 0, 1.0, cp))
+    y = M - M0 + N * tanp * (A * A / 2 + (5 - T + 6 * C) * A ** 4 / 24)
+    return fe + x, fn + y
+
+
+def cass_inv(x, y, lon0, lat0, fe, fn, ell: Ellipsoid = WGS84):
+    e2 = ell.e2
+    M0 = float(_merid_arc(ell, np.array(math.radians(lat0))))
+    M1 = M0 + (np.asarray(y, np.float64) - fn)
+    phi1 = _footpoint_phi(ell, M1)
+    sp1, cp1 = np.sin(phi1), np.cos(phi1)
+    pole = np.abs(cp1) < 1e-12
+    cps = np.where(pole, 1.0, cp1)
+    T1 = (sp1 / cps) ** 2
+    N1 = ell.a / np.sqrt(1 - e2 * sp1 * sp1)
+    R1 = ell.a * (1 - e2) / (1 - e2 * sp1 * sp1) ** 1.5
+    D = (np.asarray(x, np.float64) - fe) / N1
+    phi = phi1 - (N1 * (sp1 / cps) / R1) \
+        * (D * D / 2 - (1 + 3 * T1) * D ** 4 / 24)
+    lam = math.radians(lon0) + np.where(
+        pole, 0.0,
+        (D - T1 * D ** 3 / 3 + (1 + 3 * T1) * T1 * D ** 5 / 15) / cps)
+    return np.degrees(lam), np.degrees(np.where(pole, phi1, phi))
+
+
+# --- Miller Cylindrical (Snyder 1987 pp.86-89, spherical on a) -------------
+
+def mill_fwd(lon, lat, lon0, fe, fn, ell: Ellipsoid = WGS84):
+    """Miller Cylindrical (Snyder 11-1/11-2), spherical on the
+    semi-major axis — PROJ computes every spherical-only world
+    projection on a regardless of the declared ellipsoid."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = _wrap_pi(np.radians(np.asarray(lon, np.float64))
+                    - math.radians(lon0))
+    return (fe + ell.a * dlam,
+            fn + ell.a * np.log(np.tan(np.pi / 4 + 0.4 * phi)) / 0.8)
+
+
+def mill_inv(x, y, lon0, fe, fn, ell: Ellipsoid = WGS84):
+    lam = math.radians(lon0) + (np.asarray(x, np.float64) - fe) / ell.a
+    phi = 2.5 * np.arctan(
+        np.exp(0.8 * (np.asarray(y, np.float64) - fn) / ell.a)) \
+        - 5 * np.pi / 8
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- Mollweide (Snyder 1987 pp.249-252, spherical equal-area) --------------
+
+def moll_fwd(lon, lat, lon0, fe, fn, ell: Ellipsoid = WGS84):
+    """Mollweide (Snyder 31-1..31-5): Newton iteration for the
+    auxiliary angle 2θ + sin 2θ = π sin φ."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = _wrap_pi(np.radians(np.asarray(lon, np.float64))
+                    - math.radians(lon0))
+    rhs = np.pi * np.sin(phi)
+    th = phi.copy()
+    for _ in range(20):
+        f = 2 * th + np.sin(2 * th) - rhs
+        fp = 2 + 2 * np.cos(2 * th)
+        step = np.where(np.abs(fp) < 1e-14, 0.0, f / np.where(
+            np.abs(fp) < 1e-14, 1.0, fp))
+        th = th - step
+    th = np.where(np.abs(np.abs(phi) - np.pi / 2) < 1e-12,
+                  np.sign(phi) * np.pi / 2, th)
+    R = ell.a
+    return (fe + 2 * math.sqrt(2) / np.pi * R * dlam * np.cos(th),
+            fn + math.sqrt(2) * R * np.sin(th))
+
+
+def moll_inv(x, y, lon0, fe, fn, ell: Ellipsoid = WGS84):
+    R = ell.a
+    s = np.clip((np.asarray(y, np.float64) - fn) / (math.sqrt(2) * R),
+                -1.0, 1.0)
+    th = np.arcsin(s)
+    phi = np.arcsin(np.clip((2 * th + np.sin(2 * th)) / np.pi, -1.0, 1.0))
+    cth = np.cos(th)
+    lam = math.radians(lon0) + np.where(
+        np.abs(cth) < 1e-12, 0.0,
+        np.pi * (np.asarray(x, np.float64) - fe)
+        / (2 * math.sqrt(2) * R * np.where(np.abs(cth) < 1e-12, 1.0, cth)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- Eckert IV (Snyder 1987 pp.253-258, spherical equal-area) --------------
+
+_ECK4_CX = 2.0 / math.sqrt(4 * math.pi + math.pi ** 2)
+_ECK4_CY = 2.0 * math.sqrt(math.pi / (4 + math.pi))
+_ECK4_RHS = (2 + math.pi / 2)
+
+
+def eck4_fwd(lon, lat, lon0, fe, fn, ell: Ellipsoid = WGS84):
+    """Eckert IV (Snyder 32-1..32-4): Newton iteration for
+    θ + sin θ cos θ + 2 sin θ = (2 + π/2) sin φ."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    dlam = _wrap_pi(np.radians(np.asarray(lon, np.float64))
+                    - math.radians(lon0))
+    rhs = _ECK4_RHS * np.sin(phi)
+    th = phi / 2
+    for _ in range(30):
+        f = th + np.sin(th) * np.cos(th) + 2 * np.sin(th) - rhs
+        fp = 1 + np.cos(2 * th) + 2 * np.cos(th)
+        step = np.where(np.abs(fp) < 1e-14, 0.0,
+                        f / np.where(np.abs(fp) < 1e-14, 1.0, fp))
+        th = th - step
+    th = np.where(np.abs(np.abs(phi) - np.pi / 2) < 1e-12,
+                  np.sign(phi) * np.pi / 2, th)
+    R = ell.a
+    return (fe + _ECK4_CX * R * dlam * (1 + np.cos(th)),
+            fn + _ECK4_CY * R * np.sin(th))
+
+
+def eck4_inv(x, y, lon0, fe, fn, ell: Ellipsoid = WGS84):
+    R = ell.a
+    s = np.clip((np.asarray(y, np.float64) - fn) / (_ECK4_CY * R),
+                -1.0, 1.0)
+    th = np.arcsin(s)
+    phi = np.arcsin(np.clip(
+        (th + np.sin(th) * np.cos(th) + 2 * np.sin(th)) / _ECK4_RHS,
+        -1.0, 1.0))
+    den = 1 + np.cos(th)
+    lam = math.radians(lon0) + np.where(
+        den < 1e-12, 0.0,
+        (np.asarray(x, np.float64) - fe)
+        / (_ECK4_CX * R * np.where(den < 1e-12, 1.0, den)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- Robinson (Snyder 1987 pp.82-83 table; pseudocylindrical) --------------
+
+# Robinson's published 5°-interval table: X scales parallel length,
+# Y scales distance from the equator
+_ROBIN_LAT = np.arange(0.0, 91.0, 5.0)
+_ROBIN_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322])
+_ROBIN_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000])
+
+
+def _natural_spline_coeffs(xk: np.ndarray, yk: np.ndarray) -> np.ndarray:
+    """Second derivatives of the natural cubic spline through
+    (xk, yk) — classic tridiagonal solve."""
+    n = len(xk)
+    h = np.diff(xk)
+    A = np.zeros((n, n))
+    b = np.zeros(n)
+    A[0, 0] = A[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1]
+        A[i, i] = 2 * (h[i - 1] + h[i])
+        A[i, i + 1] = h[i]
+        b[i] = 6 * ((yk[i + 1] - yk[i]) / h[i]
+                    - (yk[i] - yk[i - 1]) / h[i - 1])
+    return np.linalg.solve(A, b)
+
+
+_ROBIN_X2 = _natural_spline_coeffs(_ROBIN_LAT, _ROBIN_X)
+_ROBIN_Y2 = _natural_spline_coeffs(_ROBIN_LAT, _ROBIN_Y)
+
+
+def _spline_eval(xk, yk, y2, xq):
+    i = np.clip(np.searchsorted(xk, xq, side="right") - 1, 0, len(xk) - 2)
+    h = xk[i + 1] - xk[i]
+    a = (xk[i + 1] - xq) / h
+    b = (xq - xk[i]) / h
+    return (a * yk[i] + b * yk[i + 1]
+            + ((a ** 3 - a) * y2[i] + (b ** 3 - b) * y2[i + 1])
+            * h * h / 6.0)
+
+
+def robin_fwd(lon, lat, lon0, fe, fn, ell: Ellipsoid = WGS84):
+    """Robinson (Snyder pp.82-83): table-driven pseudocylindrical;
+    interpolation here is a natural cubic spline through Robinson's
+    published 5° knots (exact AT the knots; PROJ's fixed Chebyshev-fit
+    coefficients differ between knots by < 1e-4 · a)."""
+    lat_a = np.abs(np.asarray(lat, np.float64))
+    dlam = _wrap_pi(np.radians(np.asarray(lon, np.float64))
+                    - math.radians(lon0))
+    X = _spline_eval(_ROBIN_LAT, _ROBIN_X, _ROBIN_X2, lat_a)
+    Y = _spline_eval(_ROBIN_LAT, _ROBIN_Y, _ROBIN_Y2, lat_a)
+    return (fe + 0.8487 * ell.a * X * dlam,
+            fn + 1.3523 * ell.a * np.sign(np.asarray(lat, np.float64)) * Y)
+
+
+def robin_inv(x, y, lon0, fe, fn, ell: Ellipsoid = WGS84):
+    Yq = np.abs(np.asarray(y, np.float64) - fn) / (1.3523 * ell.a)
+    Yq = np.clip(Yq, 0.0, 1.0)
+    # invert the monotone Y(φ) spline by bisection (30 halvings of
+    # [0°, 90°] → ~1e-7° ≈ 1 cm; the transform contract is ~1e-6°)
+    lo = np.zeros_like(Yq)
+    hi = np.full_like(Yq, 90.0)
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        below = _spline_eval(_ROBIN_LAT, _ROBIN_Y, _ROBIN_Y2, mid) < Yq
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    lat_a = 0.5 * (lo + hi)
+    X = _spline_eval(_ROBIN_LAT, _ROBIN_X, _ROBIN_X2, lat_a)
+    lam = math.radians(lon0) + (np.asarray(x, np.float64) - fe) \
+        / (0.8487 * ell.a * X)
+    return (np.degrees(lam),
+            lat_a * np.sign(np.asarray(y, np.float64) - fn + 0.0))
+
+
 def laea_fwd(lon, lat, lon0, lat0, fe, fn, ell: Ellipsoid = GRS80):
     qp, beta0, rq, d = _laea_consts(ell, lat0)
     q = _albers_q(ell, np.radians(lat))
@@ -1143,6 +1428,47 @@ def build_transform(c: CRSDef):
         def inv0(x, y):
             return omerc_inv(x, y, lonc, c.lat0, c.alpha, gam, kk,
                              c.fe, c.fn, ell)
+    elif p == "eqdc":
+        sp1 = c.sp1 if c.sp1 is not None else c.lat0
+        sp2 = c.sp2 if c.sp2 is not None else sp1
+
+        def fwd0(lon, lat):
+            return eqdc_fwd(lon, lat, c.lon0, c.lat0, sp1, sp2,
+                            c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return eqdc_inv(x, y, c.lon0, c.lat0, sp1, sp2,
+                            c.fe, c.fn, ell)
+    elif p == "cass":
+        def fwd0(lon, lat):
+            return cass_fwd(lon, lat, c.lon0, c.lat0, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return cass_inv(x, y, c.lon0, c.lat0, c.fe, c.fn, ell)
+    elif p == "mill":
+        def fwd0(lon, lat):
+            return mill_fwd(lon, lat, c.lon0, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return mill_inv(x, y, c.lon0, c.fe, c.fn, ell)
+    elif p == "moll":
+        def fwd0(lon, lat):
+            return moll_fwd(lon, lat, c.lon0, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return moll_inv(x, y, c.lon0, c.fe, c.fn, ell)
+    elif p == "eck4":
+        def fwd0(lon, lat):
+            return eck4_fwd(lon, lat, c.lon0, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return eck4_inv(x, y, c.lon0, c.fe, c.fn, ell)
+    elif p == "robin":
+        def fwd0(lon, lat):
+            return robin_fwd(lon, lat, c.lon0, c.fe, c.fn, ell)
+
+        def inv0(x, y):
+            return robin_inv(x, y, c.lon0, c.fe, c.fn, ell)
     elif p == "longlat":
         def fwd0(lon, lat):
             return (np.asarray(lon, np.float64).copy(),
@@ -1154,7 +1480,8 @@ def build_transform(c: CRSDef):
     else:
         raise ValueError(f"unsupported projection family '{p}' (supported: "
                          f"longlat utm tmerc lcc lcc1sp aea stere laea merc "
-                         f"webmerc sinu ups)")
+                         f"webmerc sinu ups somerc omerc krovak eqdc cass "
+                         f"mill moll eck4 robin)")
 
     shift = c.towgs84
     grid = SHIFT_GRIDS.get(c.nadgrids) if c.nadgrids else None
@@ -1385,7 +1712,8 @@ def parse_proj4(s: str) -> CRSDef:
     proj = _PROJ_ALIASES.get(kv2["proj"], kv2["proj"])
     if proj not in ("longlat", "utm", "tmerc", "lcc", "lcc1sp", "aea",
                     "stere", "laea", "merc", "webmerc", "sinu", "ups",
-                    "somerc", "omerc", "krovak"):
+                    "somerc", "omerc", "krovak", "eqdc", "cass", "mill",
+                    "moll", "eck4", "robin"):
         raise ValueError(f"unsupported projection family '+proj={proj}'")
     ellps = "WGS84"
     towgs84 = None
@@ -1508,7 +1836,7 @@ def resolve_crs(spec: str):
         pr = build_transform(parse_proj4(spec))
     else:
         code = spec.upper()
-        if code.startswith("EPSG:"):
+        if code.startswith("EPSG:") or code.startswith("ESRI:"):
             code = code[5:]
         pr = projection_for(code)
         if pr is None:
@@ -1613,6 +1941,19 @@ EPSG_PARAMS.update({
     # CH1903+ / LV95 (EPSG:1676 — CH1903+ differs only in the shift)
     "2056": dict(_SWISS, fe=2_600_000.0, fn=1_200_000.0,
                  towgs84=(674.374, 15.056, 405.346)),
+})
+
+# ESRI world pseudocylindrical/cylindrical codes (WGS84; PROJ evaluates
+# these spherical-only projections on the semi-major axis) — round 7
+EPSG_PARAMS.update({
+    "54003": _rows(proj="mill"),      # World Miller Cylindrical
+    "54009": _rows(proj="moll"),      # World Mollweide
+    "54012": _rows(proj="eck4"),      # World Eckert IV
+    "54030": _rows(proj="robin"),     # World Robinson
+    # North America Equidistant Conic (ESRI:102010, the canonical eqdc
+    # example; NAD83/GRS80)
+    "102010": _rows(proj="eqdc", lat0=40.0, lon0=-96.0, sp1=20.0,
+                    sp2=60.0, ellps="GRS80"),
 })
 
 

@@ -13,7 +13,7 @@ REF_DOCS = "/root/reference/docs/reference/sql"
 
 NOTES = {
     # ---- ◐ partial: documented approximation or subset -------------------
-    "st_transform": "round 5: parameterized EPSG table (300+ codes — WGS84/ETRS89/NAD83/NAD27/SIRGAS-2000 UTM, GDA94+GDA2020 MGA, Pulkovo-1942 Gauss-Krüger 4-32, Japan Plane Rectangular I-XIX, SPCS83 Lambert zones incl. US-survey-foot axes, national TM/LCC grids) PLUS any '+proj=...' PROJ string (longlat/utm/tmerc/lcc/lcc1sp/aea/polar-stere/laea/merc/webmerc/sinu/ups/somerc/omerc/krovak with +towgs84/+datum/+units/+to_meter) — the two CRS input forms the reference's ST_Transform accepts (st_transform.qmd); hand-verified named entries (3857, NZTM, 2154, 3978, 5070, 3413/3031, 3035, 54008, 3395, UPS, and the Helmert datum tier 27700/31466-69/23028-38, worked-example exact) keep pinned numeric paths; any pair via a 4326 hub (geometry/proj.py); NTv2 grid-shift MECHANISM implemented round 6 (bilinear arc-second grids, iterative inverse, binary .gsb reader/writer, '+nadgrids=' with PROJ's @optional/null semantics, register_shift_grid()/load_ntv2() API; property-tested on synthetic grids) — real NADCON/NTv2 grid FILES are not bundled in this sandbox, so unregistered grids fall back to EPSG mean Helmert, Swiss Oblique Mercator (somerc: CH1903/LV03 21781, CH1903+/LV95 2056, swisstopo rigorous double projection, fundamental-point exact) supported; Hotine omerc supported via '+proj=omerc' (EPSG 9815 centre origin, cross-validated against the independent somerc double projection at azimuth 90); Krovak supported (EPSG:5514 / '+proj=krovak', EPSG GN7-2 worked-example exact); custom ellipsoids via +a/+b or +a/+rf (round 6)",
+    "st_transform": "round 5: parameterized EPSG table (300+ codes — WGS84/ETRS89/NAD83/NAD27/SIRGAS-2000 UTM, GDA94+GDA2020 MGA, Pulkovo-1942 Gauss-Krüger 4-32, Japan Plane Rectangular I-XIX, SPCS83 Lambert zones incl. US-survey-foot axes, national TM/LCC grids) PLUS any '+proj=...' PROJ string (longlat/utm/tmerc/lcc/lcc1sp/aea/polar-stere/laea/merc/webmerc/sinu/ups/somerc/omerc/krovak with +towgs84/+datum/+units/+to_meter) — the two CRS input forms the reference's ST_Transform accepts (st_transform.qmd); hand-verified named entries (3857, NZTM, 2154, 3978, 5070, 3413/3031, 3035, 54008, 3395, UPS, and the Helmert datum tier 27700/31466-69/23028-38, worked-example exact) keep pinned numeric paths; any pair via a 4326 hub (geometry/proj.py); NTv2 grid-shift MECHANISM implemented round 6 (bilinear arc-second grids, iterative inverse, binary .gsb reader/writer, '+nadgrids=' with PROJ's @optional/null semantics, register_shift_grid()/load_ntv2() API; property-tested on synthetic grids) — real NADCON/NTv2 grid FILES are not bundled in this sandbox, so unregistered grids fall back to EPSG mean Helmert, Swiss Oblique Mercator (somerc: CH1903/LV03 21781, CH1903+/LV95 2056, swisstopo rigorous double projection, fundamental-point exact) supported; Hotine omerc supported via '+proj=omerc' (EPSG 9815 centre origin, cross-validated against the independent somerc double projection at azimuth 90); Krovak supported (EPSG:5514 / '+proj=krovak', EPSG GN7-2 worked-example exact); custom ellipsoids via +a/+b or +a/+rf (round 6); round 7 adds six Snyder closed-form families — eqdc (Equidistant Conic, ellipsoidal 2SP), cass (Cassini-Soldner, ellipsoidal series), mill (Miller Cylindrical), moll (Mollweide), eck4 (Eckert IV), robin (Robinson, natural-spline through Robinson's published 5-degree knots) — each with defining-property pins (meridian/parallel true scale, equal-area Jacobian, knot-exact table replay) and the ESRI world codes 54003/54009/54012/54030/102010 in the parametric table",
     "st_knn": "join-only stub, same as the reference (st_knn.rs:25-30); the real operator is operators.knn_join, round 6 adds the SQL entry point the reference plans via KnnJoinEarlyRewrite (optimizer.rs:112-152): sedona_db_spark.sql(spark, 'SELECT ... FROM a JOIN b ON ST_KNN(a.geom, b.geom, k)') executes through knn_join with WHERE applied after neighbor selection, and round 7 implements use_spheroid=True (exact WGS84 Vincenty via ECEF-chord pruning; the reference errors on the flag, spatial_predicate.rs:279-283)",
 }
 
