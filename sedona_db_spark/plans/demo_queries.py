@@ -486,6 +486,116 @@ ORACLE_KNN = (
     SELECT q_id, t_id, rn FROM pairs WHERE rn <= {KNN_K}""")
 
 
+def q_knn_spheroid_pairs(spark, sf_dir):
+    """use_spheroid=True kNN under the exact gate (round 7 — the
+    reference errors on the flag, spatial_predicate.rs:279-283, so this
+    is beyond-reference surface).  DuckDB has no geodesic, so the
+    fixture pins every doc to ONE meridian (lon=20): the WGS84 geodesic
+    between same-meridian points runs along the meridian, whose length
+    is the closed-form meridional-arc difference |M(φq) − M(φt)| — the
+    oracle ranks by that exactly, at every scale.  Planar/haversine
+    order would also agree here BY CONSTRUCTION being monotone in |Δφ|
+    — the genuinely order-divergent cases (pole proximity, dateline)
+    are pinned against a brute-force Vincenty oracle in
+    tests/test_knn.py instead, where the oracle can run real Vincenty."""
+    from sedona_db_spark.functions.scalar import st_point
+    from sedona_db_spark.operators import knn_join
+    d = doc_points(spark, sf_dir).withColumn(
+        "geom", st_point(F.lit(20.0), F.col("lat")))
+    q = d.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("q_id"), F.col("geom"))
+    t = d.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("t_id"), F.col("geom"))
+    r = knn_join(q, t, KNN_K, query_id="q_id", target_id="t_id",
+                 use_spheroid=True)
+    w = Window.partitionBy("q_id").orderBy(F.col("knn_dist").asc(),
+                                           F.col("t_id").asc())
+    return r.withColumn("rn", F.row_number().over(w)).select(
+        "q_id", "t_id", "rn")
+
+
+def _oracle_knn_spheroid() -> str:
+    """Meridional-arc ranking (Snyder 3-21 series, WGS84 doubles baked
+    python-side — the transform-oracle pattern)."""
+    from sedona_db_spark.geometry.proj import WGS84
+    e2, e4, e6 = WGS84.e2, WGS84.e2 ** 2, WGS84.e2 ** 3
+    c0 = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    c2 = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    c4 = 15 * e4 / 256 + 45 * e6 / 1024
+    c6 = 35 * e6 / 3072
+    M = (f"(CAST({WGS84.a!r} AS DOUBLE) * (CAST({c0!r} AS DOUBLE) * {{p}}"
+         f" - CAST({c2!r} AS DOUBLE) * sin(2 * {{p}})"
+         f" + CAST({c4!r} AS DOUBLE) * sin(4 * {{p}})"
+         f" - CAST({c6!r} AS DOUBLE) * sin(6 * {{p}})))")
+    mq = M.format(p="q.qp")
+    mt = M.format(p="t.tp")
+    return (
+        _docs_cte() +
+        f""", q AS (SELECT doc_id AS q_id, radians(lat) AS qp FROM docs
+                    WHERE doc_id % 20 = 0),
+    t AS (SELECT doc_id AS t_id, radians(lat) AS tp FROM docs
+          WHERE doc_id % 20 <> 0),
+    pairs AS (
+      SELECT q.q_id, t.t_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY abs({mq} - {mt}), t.t_id) AS rn
+      FROM q CROSS JOIN t)
+    SELECT q_id, t_id, rn FROM pairs WHERE rn <= {KNN_K}""")
+
+
+ORACLE_KNN_SPHEROID = _oracle_knn_spheroid()
+
+
+def q_transform_eqdc(spark, sf_dir):
+    """Equidistant Conic tier (round-7 ST_Transform widening): docs in a
+    North-America window project through the parametric-table entry
+    102010 (ESRI North America Equidistant Conic, GRS80, 2SP 20/60).
+    The family is new this round (Snyder 16-1..16-4 ellipsoidal);
+    floor-to-meter absorbs libm ulps."""
+    from sedona_db_spark.functions.scalar import st_x, st_y
+    from sedona_db_spark.functions.scalar2 import st_transform
+    d = doc_points(spark, sf_dir).where(
+        (F.col("lon") >= -130.0) & (F.col("lon") <= -60.0)
+        & (F.col("lat") >= 15.0) & (F.col("lat") <= 75.0))
+    t = st_transform(F.col("geom"), F.lit("EPSG:4326"),
+                     F.lit("ESRI:102010"))
+    return d.select(
+        "doc_id",
+        F.floor(st_x(t)).cast("long").alias("x_m"),
+        F.floor(st_y(t)).cast("long").alias("y_m"))
+
+
+def _oracle_transform_eqdc() -> str:
+    """eqdc forward (Snyder 16-1..16-4) in SQL: meridional-arc series
+    coefficients and the conic constants n/G/rho0 baked from the SAME
+    python doubles as proj._eqdc_consts (the transform_spcs pattern)."""
+    from sedona_db_spark.geometry.proj import GRS80, _eqdc_consts
+    n, G, rho0 = _eqdc_consts(GRS80, 40.0, 20.0, 60.0)
+    e2, e4, e6 = GRS80.e2, GRS80.e2 ** 2, GRS80.e2 ** 3
+    c0 = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    c2 = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    c4 = 15 * e4 / 256 + 45 * e6 / 1024
+    c6 = 35 * e6 / 3072
+
+    def D(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+    M = (f"({D(GRS80.a)} * ({D(c0)} * phi - {D(c2)} * sin(2 * phi)"
+         f" + {D(c4)} * sin(4 * phi) - {D(c6)} * sin(6 * phi)))")
+    rho = f"({D(GRS80.a)} * {D(G)} - {M})"
+    theta = f"({D(n)} * (lam - {D(math.radians(-96.0))}))"
+    x = f"({rho} * sin({theta}))"
+    y = f"({D(rho0)} - {rho} * cos({theta}))"
+    return (
+        _docs_cte() + """,
+ g AS (SELECT doc_id, radians(lat) AS phi, radians(lon) AS lam FROM docs
+       WHERE lon >= -130.0 AND lon <= -60.0
+         AND lat >= 15.0 AND lat <= 75.0)
+ SELECT doc_id,
+   CAST(floor(""" + x + """) AS BIGINT) AS x_m,
+   CAST(floor(""" + y + """) AS BIGINT) AS y_m
+ FROM g""")
+
+
 # ---------------------------------------------------------------------------
 # 6/7. raster: tile↔vector lookup join + affine pixel math
 # ---------------------------------------------------------------------------
@@ -2095,6 +2205,8 @@ QUERIES = {
     "dwithin_arc_pairs": q_dwithin_arc_pairs,
     "knn_pairs": q_knn_pairs,
     "knn_ties_pairs": q_knn_ties_pairs,
+    "knn_spheroid_pairs": q_knn_spheroid_pairs,
+    "transform_eqdc": q_transform_eqdc,
     "tile_assignments": q_tile_assignments,
     "tile_pixels": q_tile_pixels,
     "envelope_by_lang": q_envelope_by_lang,
@@ -2144,6 +2256,8 @@ ORACLE_SQL = {
     "dwithin_arc_pairs": _oracle_dwithin_arcs(),
     "knn_pairs": ORACLE_KNN,
     "knn_ties_pairs": ORACLE_KNN_TIES,
+    "knn_spheroid_pairs": ORACLE_KNN_SPHEROID,
+    "transform_eqdc": _oracle_transform_eqdc(),
     "tile_assignments": ORACLE_TILES,
     "tile_pixels": ORACLE_TILE_PIXELS,
     "envelope_by_lang": ORACLE_ENVELOPE,
