@@ -102,15 +102,23 @@ def rings_of_parts(parts: list) -> list | None:
             r = r[:-1]
         if len(r) < 3:
             return
-        keep = (r[:, 0] != np.roll(r[:, 0], -1)) \
-            | (r[:, 1] != np.roll(r[:, 1], -1))
+        x, y = r[:, 0], r[:, 1]
+        # rolled arrays via explicit slicing+concat: value-identical to
+        # np.roll(a, -1) but without its ~10 µs Python overhead (this
+        # runs per ring of every batch row)
+        keep = np.empty(len(r), dtype=bool)
+        keep[:-1] = (x[:-1] != x[1:]) | (y[:-1] != y[1:])
+        keep[-1] = (x[-1] != x[0]) | (y[-1] != y[0])
         if not keep.all():
             r = r[keep]
             if len(r) < 3:
                 return
-        x, y = r[:, 0], r[:, 1]
-        ccw = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) \
-            > 0
+            x, y = r[:, 0], r[:, 1]
+        # same np.dot float path as winding_batch._edges_of_parts: the
+        # concatenated arrays are element-identical to np.roll(·, -1)
+        yr = np.concatenate([y[1:], y[:1]])
+        xr = np.concatenate([x[1:], x[:1]])
+        ccw = float(np.dot(x, yr) - np.dot(y, xr)) > 0
         rings.append(r if ccw == want_ccw else r[::-1])
 
     ok = True
@@ -473,9 +481,23 @@ def _union_rings_chunk(rows: list) -> list:
     # an edge endpoint splits only the edge it is interior to, exactly AT
     # the other edge's vertex coordinate (so the node keeps exact
     # coordinate identity and the multi-way chain walk resolves it);
-    # vertex-vertex contacts need no split at all
+    # vertex-vertex contacts need no split — but they ARE nodes, and the
+    # segment classification must break there (see the is_node pass in
+    # phase 4), and a both-snapped pair whose two vertices are NOT the
+    # exact same coordinate is an eps-ambiguous near-contact we refuse
     sn_t = inside & ((np.abs(t) < t_tol) | (np.abs(t - 1) < t_tol))
     sn_u = inside & ((np.abs(u) < u_tol) | (np.abs(u - 1) < u_tol))
+    vv = np.flatnonzero(sn_t & sn_u)
+    if len(vv):
+        t1v = (np.abs(t - 1) < t_tol)[sn_t & sn_u]
+        u1v = (np.abs(u - 1) < u_tol)[sn_t & sn_u]
+        vvax = np.where(t1v, X2[I[vv]], X1[I[vv]])
+        vvay = np.where(t1v, Y2[I[vv]], Y1[I[vv]])
+        vvbx = np.where(u1v, X2[J[vv]], X1[J[vv]])
+        vvby = np.where(u1v, Y2[J[vv]], Y1[J[vv]])
+        vv_mism = (vvax != vvbx) | (vvay != vvby)
+        if bool(vv_mism.any()):
+            bad[np.unique(EROW[I[vv[vv_mism]]])] = True
     hit = inside & ~sn_t & ~sn_u
     Ih, Jh = I[hit], J[hit]
     th, uh = t[hit], u[hit]
@@ -578,7 +600,24 @@ def _union_rings_chunk(rows: list) -> list:
     # the gap with a phantom edge
     chain_brk = np.concatenate(
         [[True], (sx1[1:] != sx2[:-1]) | (sy1[1:] != sy2[:-1])])
-    seg_start = (~is_slot0) | ring_first_sub | chain_brk
+    # NODES: an exact coordinate where MULTIPLE chain passes meet (two
+    # rings sharing a vertex, a ring touching itself, or a snapped
+    # split) — winding can change across such a vertex even though no
+    # edge was split, so segments must break there.  Counterexample that
+    # forced this: two translated 32-gon circles intersecting EXACTLY at
+    # two shared vertices have zero transversal crossings, yet their
+    # union boundary crosses at those vertices (each whole ring is NOT
+    # one constant-winding segment).
+    ovx = np.lexsort((sy1, sx1, srow_s))
+    same_pt = ((srow_s[ovx][1:] == srow_s[ovx][:-1])
+               & (sx1[ovx][1:] == sx1[ovx][:-1])
+               & (sy1[ovx][1:] == sy1[ovx][:-1]))
+    dup_sorted = np.zeros(S, dtype=bool)
+    dup_sorted[1:] |= same_pt
+    dup_sorted[:-1] |= same_pt
+    is_node = np.zeros(S, dtype=bool)
+    is_node[ovx[dup_sorted]] = True
+    seg_start = (~is_slot0) | ring_first_sub | chain_brk | is_node
     seg_id = np.cumsum(seg_start) - 1
     NSEG = int(seg_id[-1]) + 1
 

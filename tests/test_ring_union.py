@@ -319,3 +319,45 @@ def test_fuzz_random_soups():
         assert_region_equal(r, rows[i], rng, f"fuzz row {i}", pts_n=12)
         checked += 1
     assert checked >= 250                  # vast majority must trace
+
+
+def test_shared_vertex_crossing_circles():
+    """Round-7 wrong-answer regression (caught by the reference harvest
+    replay, test_st_buffer-12): two translated 32-gon 'circles' that
+    intersect EXACTLY at two shared vertices have zero transversal
+    crossings, yet their union boundary crosses at those vertices — the
+    whole-ring-as-one-segment classification silently dropped the
+    second circle.  The tracer must now either trace the true union or
+    refuse to the sweep; both are compared against the winding-exact
+    sweep region."""
+    from sedona_db_spark.geometry.buffer import circle_template
+    t = circle_template(8)
+    rng = np.random.default_rng(2)
+    for dxy in ((1.0, 1.0), (-1.0, 1.0), (1.0, -1.0)):
+        rows = [[t * 1.0, t * 1.0 + list(dxy)]]
+        res = RU.union_rings_batch(rows)
+        if res[0] is not None:
+            assert_region_equal(res[0], rows[0], rng, f"circles {dxy}")
+        # end-to-end: the UDF must return the sweep-exact region
+        from sedona_db_spark.functions.scalar import _st_buffer_impl
+        f = getattr(_st_buffer_impl, "__wrapped__", _st_buffer_impl)
+        g = ("MultiPoint", np.array([[0.0, 0.0], list(dxy)]))
+        got = f(pd.Series([W.encode(g)], dtype=object), pd.Series([1.0]))
+        from tests.test_ring_union import geom_area as GA
+        ref = sweep_union(rows[0])
+        assert GA(W.decode(bytes(got.iloc[0]))) == pytest.approx(
+            GA(ref), rel=0, abs=1e-9)
+
+
+def test_shared_vertex_crossing_squares():
+    """Squares meeting at one exact corner in a bowtie (crossing) and in
+    a kiss (touching) configuration — the vertex-node break must handle
+    both; region parity with the sweep either way."""
+    rng = np.random.default_rng(9)
+    bow = [[_sq(0, 0, 2, 2), _sq(2, 2, 2, 2)],          # kiss at (2,2)
+           [_sq(0, 0, 2, 2), _sq(2, 0, 2, 2)],          # shared edge ends
+           [_sq(0, 0, 2, 2)[::-1].copy(), _sq(2, 2, 2, 2)]]
+    res = RU.union_rings_batch(bow)
+    for i, r in enumerate(res):
+        if r is not None:
+            assert_region_equal(r, bow[i], rng, f"squares {i}")
