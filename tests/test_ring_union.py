@@ -361,3 +361,55 @@ def test_shared_vertex_crossing_squares():
     for i, r in enumerate(res):
         if r is not None:
             assert_region_equal(r, bow[i], rng, f"squares {i}")
+
+
+def _lattice_ring(rng, grid=0.5):
+    k = int(rng.integers(3, 9))
+    for _ in range(40):
+        th = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.5, 2.5, k)
+        cx, cy = rng.integers(-4, 5, 2) * grid
+        r = np.column_stack([np.cos(th) * rad + cx, np.sin(th) * rad + cy])
+        r = np.round(r / grid) * grid
+        keep = np.r_[True, np.any(np.diff(r, axis=0) != 0, axis=1)]
+        r = r[keep]
+        if len(r) >= 3 and (r[0] != r[-1]).any():
+            return r
+    return None
+
+
+def test_fuzz_lattice_snapped_soups():
+    """Round-7 standing hunt: rings snapped to a 0.5 lattice make exact
+    shared vertices, collinear overlaps, and vertex-on-edge contacts the
+    COMMON case — the degenerate paths where the shared-vertex node bug
+    hid.  4,000 seeded trials (the discovery run was 30k, zero
+    mismatches, ~89% traced): every traced row must match the
+    winding-exact sweep on area, membership sampled."""
+    rng = np.random.default_rng(20260818)
+    mism = []
+    checked = 0
+    for s in range(0, 4000, 500):
+        rows = []
+        for _ in range(500):
+            rings = [x for x in (_lattice_ring(rng)
+                                 for _ in range(int(rng.integers(1, 4))))
+                     if x is not None]
+            rows.append(rings if rings else None)
+        res = RU.union_rings_batch(rows)
+        for i, r in enumerate(res):
+            if r is None or rows[i] is None:
+                continue
+            checked += 1
+            ref = sweep_union(rows[i])
+            if not np.isclose(geom_area(r), geom_area(ref),
+                              rtol=1e-9, atol=1e-9):
+                mism.append((s + i, geom_area(r), geom_area(ref)))
+                continue
+            if (s + i) % 9 == 0:
+                allp = np.vstack(rows[i])
+                pts = rng.uniform(allp.min(0) - 0.5, allp.max(0) + 0.5,
+                                  (10, 2))
+                if not (membership(r, pts) == membership(ref, pts)).all():
+                    mism.append((s + i, "membership", None))
+    assert checked >= 3000
+    assert not mism, f"{len(mism)} mismatches: {mism[:5]}"
