@@ -1334,6 +1334,15 @@ def _traced_polygon_route(norm: list, g, rings_sets: list,
         ins: list = []
         for rings in norm:
             for rr in rings:
+                # the clip-safety argument needs simplicity of the ring
+                # THE CURVE IS BUILT FROM: pre-apply the same input
+                # simplification the builder applies internally
+                # (idempotent — it iterates until stable) so the gate
+                # below tests the simplified ring, not the raw one
+                # (concave-shallow deletion CAN pinch a simple ring
+                # into a self-crossing one)
+                rr = buffer_input_simplify(rr, abs(dist) / _SIMPLIFY_FACTOR,
+                                           closed=True, concave_only=True)
                 c = builder(rr, dist, params)
                 if c is None:
                     return None
@@ -1547,8 +1556,13 @@ def buffer_route(g, dist: float, params: BufferParams):
                 and params.endcap != "flat" \
                 and not (len(lines[0]) > 3
                          and bool(np.all(lines[0][0] == lines[0][-1]))):
-            cc = (_polyline_offset_curve(lines[0], dist, params, clip=True)
-                  if _polyline_is_simple(lines[0]) else None)
+            # gate on the SIMPLIFIED line — the clip-safety argument
+            # needs simplicity of the vertices the curve is built from
+            # (the builder's internal simplify is idempotent)
+            l_s = buffer_input_simplify(lines[0],
+                                        abs(dist) / _SIMPLIFY_FACTOR)
+            cc = (_polyline_offset_curve(l_s, dist, params, clip=True)
+                  if len(l_s) >= 2 and _polyline_is_simple(l_s) else None)
             if cc is not None:
                 # input-simplicity gate as in the polygon clip route
                 _, _, simple_c = _rings_cross_info([cc])

@@ -716,3 +716,61 @@ def test_fuzz_collections_touching_overlapping_children():
                 if not (membership(ga, pts) == membership(gc, pts)).all():
                     mism.append((i, "membership", None))
     assert not mism, f"{len(mism)} region mismatches: {mism[:5]}"
+
+
+def test_buffer_input_simplify_idempotent_and_gated():
+    """The clip gates pre-simplify and re-simplify inside the builders —
+    sound only if simplification is idempotent; and inputs at or below
+    the 64-vertex floor must pass through bit-identical."""
+    rng = np.random.default_rng(23)
+    for closed in (False, True):
+        for co in (False, True):
+            for _ in range(40):
+                k = int(rng.integers(65, 160))
+                th = np.sort(rng.uniform(0, 2 * np.pi, k))
+                rad = 2.0 + rng.uniform(-0.15, 0.15, k)
+                pts = np.column_stack([np.cos(th) * rad,
+                                       np.sin(th) * rad])
+                s1 = B.buffer_input_simplify(pts, 0.01, closed=closed,
+                                             concave_only=co)
+                s2 = B.buffer_input_simplify(s1, 0.01, closed=closed,
+                                             concave_only=co)
+                assert np.array_equal(s1, s2)
+    small = np.array([[0, 0], [1, 0.001], [2, 0], [2, 2], [0, 2]],
+                     dtype=float)
+    assert B.buffer_input_simplify(small, 10.0) is small
+
+
+def test_dense_simplified_buffer_matches_exact_soup_of_same_input():
+    """Dense (>64-vertex) wiggly rings and lines route through the
+    d/100 input simplification; the buffer output must equal the
+    winding-EXACT union of the part soup built from the SAME simplified
+    vertices (validates the clip/trace machinery on simplified inputs —
+    the gates now test simplicity of the simplified geometry, which
+    concave-shallow deletion can pinch into a self-crossing)."""
+    rng = np.random.default_rng(41)
+    p = B.parse_buffer_params(None)
+    for trial in range(10):
+        k = int(rng.integers(70, 110))
+        th = np.linspace(0, 2 * np.pi, k, endpoint=False)
+        rad = 2.0 + np.cumsum(rng.uniform(-0.08, 0.08, k))
+        ring = np.column_stack([np.cos(th) * rad, np.sin(th) * rad])
+        d = float(rng.uniform(0.3, 0.9))
+        simp = B.buffer_input_simplify(ring, d / B._SIMPLIFY_FACTOR,
+                                       closed=True, concave_only=True)
+        got = B.geom_buffer_styled(
+            ("Polygon", [np.vstack([ring, ring[:1]])]), d, p)
+        want = union_polygons(
+            [("Polygon", [np.vstack([simp, simp[:1]])])]
+            + B._polyline_parts(simp, d, p, True))
+        assert geom_area(got) == pytest.approx(geom_area(want),
+                                               rel=0, abs=1e-9), trial
+    for trial in range(10):
+        k = int(rng.integers(70, 100))
+        pts = np.cumsum(rng.uniform(-0.35, 0.35, (k, 2)), axis=0)
+        d = float(rng.uniform(0.3, 0.9))
+        simp = B.buffer_input_simplify(pts, d / B._SIMPLIFY_FACTOR)
+        got = B.geom_buffer_styled(("LineString", pts), d, p)
+        want = union_polygons(B._polyline_parts(simp, d, p, False))
+        assert geom_area(got) == pytest.approx(geom_area(want),
+                                               rel=0, abs=1e-9), trial
