@@ -526,8 +526,22 @@ def _union_rings_chunk(rows: list) -> list:
     ct = np.concatenate([th, uh, u[vj], t[vi]])
     cx = np.concatenate([px, px, vjx, vix])
     cy = np.concatenate([py, py, vjy, viy])
+    # winding-propagation payload (phase 4): walking a directed edge
+    # through a TRANSVERSAL crossing with directed edge K changes the
+    # winding of the flanking regions by -sign(cross(d_walk, d_K))·EW[K]
+    # (crossing K from its left side to its right side lowers w by its
+    # weight).  Snapped splits (a vertex of one chain ON the interior of
+    # a foreign edge) are multi-edge events with no single-crossing
+    # delta — they stay propagation BREAKS (cvalid False -> the next
+    # segment is re-seeded by a fresh ray cast).
+    denh = np.sign(den[hit])
+    cdelta = np.concatenate([-denh * EW[Jh], denh * EW[Ih],
+                             np.zeros(len(Jv)), np.zeros(len(Iv))])
+    cvalid = np.concatenate([np.ones(2 * len(Ih), dtype=bool),
+                             np.zeros(len(Jv) + len(Iv), dtype=bool)])
     o = np.lexsort((ct, ce))
     ce, ct, cx, cy = ce[o], ct[o], cx[o], cy[o]
+    cdelta, cvalid = cdelta[o], cvalid[o]
     if len(ce):
         # snapped splits can legitimately coincide (both chain edges at a
         # node snap the same foreign edge to the same vertex): dedupe
@@ -543,9 +557,19 @@ def _union_rings_chunk(rows: list) -> list:
             if bool(dup.any()):
                 bad[np.unique(EROW[ce[1:][dup]])] = True
             if bool(exact.any()):
+                # a merged duplicate keeps the survivor's delta only when
+                # the pair agree on it — a (transversal, snapped) clash at
+                # one exact coordinate must stay a propagation break
+                agree = exact & (cvalid[1:] == cvalid[:-1]) \
+                    & (cdelta[1:] == cdelta[:-1])
+                clash = exact & ~agree
+                if bool(clash.any()):
+                    cvalid[1:][clash] = False
+                    cvalid[:-1][clash] = False
                 keep_c = np.concatenate([[True], ~exact])
                 ce, ct = ce[keep_c], ct[keep_c]
                 cx, cy = cx[keep_c], cy[keep_c]
+                cdelta, cvalid = cdelta[keep_c], cvalid[keep_c]
     # early reject: every phase-2/3 guard has fired by now, and for the
     # benchmark's collection soups (raw offset curves with exactly
     # collinear spokes) a large fraction of rows IS degenerate — drop
@@ -564,6 +588,7 @@ def _union_rings_chunk(rows: list) -> list:
                 ckeep = ekeep[ce]
                 ce, ct = emap[ce[ckeep]], ct[ckeep]
                 cx, cy = cx[ckeep], cy[ckeep]
+                cdelta, cvalid = cdelta[ckeep], cvalid[ckeep]
     c_per = np.bincount(ce, minlength=E)
     sub_per = c_per + 1
     S = int(sub_per.sum())
@@ -573,6 +598,11 @@ def _union_rings_chunk(rows: list) -> list:
     sx1[sub_base] = X1; sy1[sub_base] = Y1
     last = sub_base + sub_per - 1
     sx2[last] = X2; sy2[last] = Y2
+    # per-sub propagation payload: the sub that STARTS at split k (slot+1)
+    # inherits that split's winding delta; slot-0 subs start at a plain
+    # chain vertex (no split -> no delta, not propagatable)
+    sub_bdelta = np.zeros(S)
+    sub_bvalid = np.zeros(S, dtype=bool)
     if len(ce):
         gstart = np.concatenate([[True], ce[1:] != ce[:-1]])
         first_idx = np.flatnonzero(gstart)
@@ -581,6 +611,8 @@ def _union_rings_chunk(rows: list) -> list:
         slot = sub_base[ce] + rank
         sx1[slot + 1] = cx; sy1[slot + 1] = cy
         sx2[slot] = cx; sy2[slot] = cy
+        sub_bdelta[slot + 1] = cdelta
+        sub_bvalid[slot + 1] = cvalid
     sparent = np.repeat(np.arange(E), sub_per)
     srow_s = EROW[sparent]
     sring = ERING[sparent]
@@ -620,6 +652,38 @@ def _union_rings_chunk(rows: list) -> list:
     seg_start = (~is_slot0) | ring_first_sub | chain_brk | is_node
     seg_id = np.cumsum(seg_start) - 1
     NSEG = int(seg_id[-1]) + 1
+    seg_first = np.flatnonzero(seg_start)         # first sub of each seg
+    seg_last = np.append(seg_first[1:] - 1, S - 1)
+
+    # SEEDS vs PROPAGATED segments: a segment whose start boundary is a
+    # single transversal crossing inherits its winding from the previous
+    # segment of the chain (w_right += the crossing's delta) — only ring
+    # starts, chain breaks, true multi-pass nodes and snapped splits need
+    # a fresh ray cast.  On crossing-dense soups this cuts the stab
+    # volume from one query per segment (~2x crossings) to ~one per ring.
+    #
+    # is_node above is deliberately coarse (every split point is shared
+    # by BOTH crossing edges' continuation subs, so ordinary transversal
+    # crossings are marked too — the chain walk needs that).  For
+    # propagation, refine it: a start coordinate shared by EXACTLY two
+    # split-continuation subs is an ordinary two-edge crossing with a
+    # known delta; >= 3 passes, or any slot-0 (plain vertex) share, is a
+    # genuine node the single-crossing delta cannot describe.
+    key_change = np.concatenate([[True], ~same_pt])
+    gid = np.cumsum(key_change) - 1
+    gsz = np.bincount(gid)
+    g_has0 = np.zeros(len(gsz), dtype=bool)
+    np.logical_or.at(g_has0, gid, is_slot0[ovx])
+    sub_gsz = np.empty(S, dtype=np.int64)
+    sub_gsz[ovx] = gsz[gid]
+    sub_has0 = np.empty(S, dtype=bool)
+    sub_has0[ovx] = g_has0[gid]
+    node3 = (sub_gsz > 2) | ((sub_gsz == 2) & sub_has0)
+    fsub = seg_first
+    prop_ok = sub_bvalid[fsub] & ~ring_first_sub[fsub] \
+        & ~chain_brk[fsub] & ~node3[fsub]
+    seed = ~prop_ok
+    seed_idx = np.flatnonzero(seed)
 
     # representative sub-edge per segment: the longest NON-horizontal one
     # (any sub-edge of the run works — winding is constant along it — and
@@ -707,9 +771,21 @@ def _union_rings_chunk(rows: list) -> list:
                 res[sel] = np.searchsorted(CUTS[cb:cb + k], yvals[sel])
         return res
 
+    # with winding propagation only SEED representatives query the bins,
+    # so occupancy is built ONLY for bins some query lands in — the
+    # query set is known before occupancy, and pruning before the
+    # expansion keeps the repeat + sort linear in the (tiny) answer
+    nbins_tot = int(bin_base[-1] + nbins[-1])
+    qv = np.flatnonzero(~rhoriz & seed)   # vertical-ray SEED reps only
+    qbin = _row_bins(rrow[qv], my[qv]) + bin_base[rrow[qv]]
+    needed_b = np.zeros(nbins_tot, dtype=bool)
+    needed_b[qbin] = True
+    ncum = np.concatenate([[0], np.cumsum(needed_b)])
     nh = np.flatnonzero(~shoriz)
-    b0 = _row_bins(srow_s[nh], sylo[nh])
-    b1 = _row_bins(srow_s[nh], syhi[nh])
+    b0 = _row_bins(srow_s[nh], sylo[nh]) + bin_base[srow_s[nh]]
+    b1 = _row_bins(srow_s[nh], syhi[nh]) + bin_base[srow_s[nh]]
+    hit_need = (ncum[b1 + 1] - ncum[b0]) > 0
+    nh, b0, b1 = nh[hit_need], b0[hit_need], b1[hit_need]
     span = b1 - b0 + 1
     occ_row = np.zeros(n_rows, dtype=np.int64)
     np.add.at(occ_row, srow_s[nh], span)
@@ -721,17 +797,15 @@ def _union_rings_chunk(rows: list) -> list:
     occ_edge = np.repeat(nh, span)
     ostart = np.concatenate([[0], np.cumsum(span)[:-1]])
     occ_bin = (np.arange(int(span.sum())) - np.repeat(ostart, span)
-               + np.repeat(b0, span)
-               + bin_base[srow_s[occ_edge]])
+               + np.repeat(b0, span))
+    omask = needed_b[occ_bin]
+    occ_edge, occ_bin = occ_edge[omask], occ_bin[omask]
     oo = np.argsort(occ_bin, kind="stable")
     occ_edge = occ_edge[oo]
     occ_bin = occ_bin[oo]
-    nbins_tot = int(bin_base[-1] + nbins[-1])
     bin_cnt = np.bincount(occ_bin, minlength=nbins_tot)
     bin_off = np.concatenate([[0], np.cumsum(bin_cnt)[:-1]])
 
-    qv = np.flatnonzero(~rhoriz)          # vertical-ray representatives
-    qbin = _row_bins(rrow[qv], my[qv]) + bin_base[rrow[qv]]
     qcnt = bin_cnt[qbin]
     qp_row = np.zeros(n_rows, dtype=np.int64)
     np.add.at(qp_row, rrow[qv], qcnt)
@@ -767,7 +841,7 @@ def _union_rings_chunk(rows: list) -> list:
                          minlength=NSEG)
 
     # horizontal representatives: transposed (+y ray) full-row scan
-    hz = np.flatnonzero(rhoriz)
+    hz = np.flatnonzero(rhoriz & seed)
     if len(hz):
         rs = np.argsort(srow_s, kind="stable")
         rfirst = np.searchsorted(srow_s[rs], np.arange(n_rows + 1))
@@ -810,15 +884,42 @@ def _union_rings_chunk(rows: list) -> list:
     rw = sw[rep]                          # weight of the segment itself
     self_r = np.where(rhoriz, np.where(rdx > 0, -1.0, 0.0),
                       np.where(rdy < 0, -1.0, 0.0)) * rw
-    w_right = np.rint(w_rest + self_r).astype(np.int64)
+    w_cast = np.rint(w_rest + self_r).astype(np.int64)  # valid at seeds
+
+    # propagate w_right from each seed through the transversal crossings:
+    # groups are the maximal seed-headed segment runs (a group can never
+    # cross a ring boundary — ring firsts are always seeds)
+    delta = np.where(prop_ok, sub_bdelta[fsub], 0.0)
+    cumd = np.cumsum(delta)
+    sgrp = np.cumsum(seed) - 1
+    base = w_cast[seed_idx].astype(np.float64) - cumd[seed_idx]
+    w_right = np.rint(base[sgrp] + cumd).astype(np.int64)
+
+    # ring-closure validation (free with propagation): a group covering a
+    # WHOLE contiguous ring whose wrap boundary is a plain chain vertex
+    # must have net winding delta 0 around the loop — a nonzero sum means
+    # a crossing was missed or double-counted, so refuse the row to the
+    # winding-exact sweep rather than emit a wrong boundary
+    g_last = np.append(seed_idx[1:] - 1, NSEG - 1)
+    f0 = fsub[seed_idx]
+    l1 = seg_last[g_last]
+    whole = ring_first_sub[f0] & ~is_node[f0] \
+        & (sring[l1] == sring[f0]) \
+        & (sx2[l1] == sx1[f0]) & (sy2[l1] == sy1[f0])
+    net = cumd[g_last] - cumd[seed_idx]
+    bad_loop = whole & (np.rint(net) != 0)
+    if bool(bad_loop.any()):
+        bad[np.unique(srow_s[f0[bad_loop]])] = True
     w_left = w_right + rw
 
     keep_fwd = (w_right == 0) & (w_left != 0)
     keep_rev = (w_left == 0) & (w_right != 0)
+    if bool(bad.any()):
+        alive = ~bad[srow_s[fsub]]
+        keep_fwd &= alive
+        keep_rev &= alive
 
     # ---- phase 5/6: chain kept SEGMENTS per row -------------------------
-    seg_first = np.flatnonzero(seg_start)         # first sub of each seg
-    seg_last = np.append(seg_first[1:] - 1, S - 1)
     seg_row = srow_s[seg_first]
     kept_seg = np.flatnonzero(keep_fwd | keep_rev)
     if not len(kept_seg):
