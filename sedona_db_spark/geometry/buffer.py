@@ -1307,7 +1307,8 @@ def geom_buffer_styled(g, dist: float, params: BufferParams | str | None = None)
 
 
 def _traced_polygon_route(norm: list, g, rings_sets: list,
-                          dist: float, params: BufferParams):
+                          dist: float, params: BufferParams,
+                          pooled: bool = False):
     """Traced-offset route of a NORMALIZED positive-distance polygon
     (`_normalized_rings` output): clipped closed form, dip curves for
     the sweep, part-soup fallback on U-turn spikes.  Factored out of
@@ -1375,9 +1376,10 @@ def _traced_polygon_route(norm: list, g, rings_sets: list,
             return ("geom", ("Polygon",
                              [np.vstack([c, c[:1]]) for c in cs]))
         return None
-    got = _try_closed_form(_ring_offset_curve_clipped)
-    if got is not None:
-        return got
+    if not pooled:                # pooled children union anyway — skip
+        got = _try_closed_form(_ring_offset_curve_clipped)
+        if got is not None:
+            return got
     curves: list = []
     uturn = False
     for rings in norm:
@@ -1390,7 +1392,7 @@ def _traced_polygon_route(norm: list, g, rings_sets: list,
         if uturn:
             break
     if not uturn and curves:
-        if len(norm) > 1:
+        if pooled or len(norm) > 1:
             from sedona_db_spark.geometry import ring_union as RU
             if RU.ENABLED:
                 # multi-polygon rows always union; the tracer derives
@@ -1426,14 +1428,24 @@ def _traced_polygon_route(norm: list, g, rings_sets: list,
     return ("parts", parts)
 
 
-def buffer_route(g, dist: float, params: BufferParams):
+def buffer_route(g, dist: float, params: BufferParams,
+                 pooled: bool = False):
     """Buffer dispatcher without the final union: returns None (null in →
     null out), ("geom", result) for closed-form paths, ("edges",
     (directed_edges, cross_xs)) for traced offset curves that still need
     the winding sweep, or ("parts", soup) when the result is
     ``union_polygons(soup)``.  Lets the Arrow-batch UDF pool many rows'
     soups into one flattened sweep
-    (winding_batch.union_polygons_batch)."""
+    (winding_batch.union_polygons_batch).
+
+    ``pooled=True`` marks a child of a multi-child collection: the
+    result is destined for the pooled winding union no matter what, so
+    the speculative closed-form exits that only pay when a child stands
+    alone — the clipped-simple polyline attempt and the per-child
+    simplicity scan (`_rings_cross_info`) — are skipped and the raw
+    offset curves are emitted directly (the crossing-split tracer
+    derives the crossing structure itself; winding-identical either
+    way, differential-tested in tests/test_buffer_batch.py)."""
     from sedona_db_spark.geometry import kernels as K
 
     if g is None:
@@ -1456,8 +1468,9 @@ def buffer_route(g, dist: float, params: BufferParams):
         # and then AGAIN over the results — the double sweep made
         # collections the slowest benchmark shape (round 6).
         routes: list = []
+        child_pooled = len(payload) > 1
         for q in payload:
-            r = buffer_route(q, dist, params)
+            r = buffer_route(q, dist, params, pooled=child_pooled)
             if r is None:
                 continue
             tag, val = r
@@ -1552,7 +1565,7 @@ def buffer_route(g, dist: float, params: BufferParams):
         # covered when the cap covers the half-disk past each endpoint
         # (round/square do; a flat cap can cut through the loop region —
         # found by the 1200-trial property test, short-edge case)
-        if len(lines) == 1 and 2 <= len(lines[0]) \
+        if not pooled and len(lines) == 1 and 2 <= len(lines[0]) \
                 and params.endcap != "flat" \
                 and not (len(lines[0]) > 3
                          and bool(np.all(lines[0][0] == lines[0][-1]))):
@@ -1586,6 +1599,14 @@ def buffer_route(g, dist: float, params: BufferParams):
                 break
             curves.append(c)
         if ok and curves:
+            if pooled:
+                # destined for the pooled union regardless — skip the
+                # O(E²) simplicity scan; the tracer (or the sweep, which
+                # rebuilds xs on demand) derives crossings itself
+                e = np.concatenate(
+                    [np.concatenate([c, np.vstack([c[1:], c[:1]])],
+                                    axis=1) for c in curves])
+                return ("edges", (e, None))
             e, xs, simple = _rings_cross_info(curves)
             if simple and len(curves) == 1:
                 c = curves[0]
@@ -1630,7 +1651,7 @@ def buffer_route(g, dist: float, params: BufferParams):
         if not norm:
             return ("geom", ("Polygon", []))
         return _traced_polygon_route(norm, (name, payload), rings_sets,
-                                     dist, params)
+                                     dist, params, pooled=pooled)
 
 
     return ("geom", ("Polygon", []))
