@@ -751,11 +751,16 @@ def _st_buffer_impl(*cols):
         closed = np.vstack([ring, ring[:1]])
         _take(i, _traced_polygon_route([[ring]], ("Polygon", [closed]),
                                        [[closed]], dd, p))
-    for i, bt, dd, p in rest_raw:
-        g = W.decode(bt)
-        if g is None:
-            continue
-        _take(i, buffer_route(g, dd, p))
+    if rest_raw:
+        # routes for the whole batch at once: collection children's
+        # offset curves build cross-row in flat numpy
+        # (buffer.buffer_route_batch / geometry/offset_batch)
+        from sedona_db_spark.geometry.buffer import buffer_route_batch
+        decoded = [(W.decode(bt), dd, p) for _, bt, dd, p in rest_raw]
+        for (i, _, _, _), route in zip(
+                rest_raw, buffer_route_batch(decoded)):
+            if route is not None:
+                _take(i, route)
     if union_rows:
         # crossing-split boundary tracer first (round 7): recovers the
         # ring structure of each soup and traces the nonzero-winding

@@ -1,0 +1,349 @@
+"""Cross-row batched offset-curve construction for ST_Buffer.
+
+The per-row builders (`buffer._ring_offset_curve`,
+`buffer._polyline_offset_curve`) are already vectorized per geometry,
+but a GeometryCollection batch spends most of its wall time in their
+per-call numpy fixed overhead: the benchmark's collection rows carry
+1-3 children of <= 10 vertices each, so a 2,000-row Arrow batch makes
+~4,000 builder calls of ~50 numpy ops on length-10 arrays.
+
+This module runs the SAME constructions over the concatenated vertex
+soup of the whole batch — one flat pass for every ring / polyline in
+the batch.  Bitwise parity with the per-row builders holds by
+construction: every operation is an elementwise IEEE ufunc applied to
+the same operand values in the same order (hypot / arctan2 / cos /
+sin / mul / div), never a reduction whose association order could
+differ, so slicing the flat result per geometry reproduces the
+per-row bytes exactly (pinned by tests/test_buffer_batch.py and the
+batch-vs-per-row differential fuzz).
+
+Only the round-join construction is batched (the reference/GEOS
+default and the only style the benchmark shapes exercise); mitre /
+bevel joins fall back to the per-row builders at the call sites.
+
+Reference parity target: the GEOS OffsetCurveBuilder semantics the
+per-row builders replay (see buffer.py docstrings; reference rows in
+/root/reference/python/sedonadb/tests/test_functions.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sedona_db_spark.geometry.buffer import (_SIMPLIFY_FACTOR,
+                                             BufferParams,
+                                             buffer_input_simplify)
+
+__all__ = ["batch_ring_curves", "batch_polyline_curves"]
+
+
+def _corner_blocks(V: np.ndarray, nxt: np.ndarray, prv: np.ndarray,
+                   first: np.ndarray, dd: np.ndarray, p: BufferParams,
+                   synth: np.ndarray | None = None):
+    """Flat corner-block construction shared by rings and open chains.
+
+    ``V`` is the concatenated vertex table, ``nxt[i]``/``prv[i]`` the
+    cyclic (rings) or clamped (chains) neighbor indices, ``first`` a
+    bool mask of vertices that have NO corner block (chain endpoints;
+    empty for rings), ``dd`` the per-vertex signed offset distance.
+
+    Returns (bad_vertex_mask, block data) where block data mirrors the
+    per-row builders' (p0, corner points, p1) layout: cnt per corner,
+    p0/p1 coordinates, reflex mask, and the round-fillet arrays.
+    """
+    ax, ay = V[:, 0], V[:, 1]
+    bx, by = V[nxt, 0], V[nxt, 1]
+    ln = np.hypot(bx - ax, by - ay)
+    if synth is not None:
+        # synthetic self-edges (chain last vertices) have ln 0 — guard
+        # the division; their ux/nx are masked from every consumer
+        ln = np.where(synth, 1.0, ln)
+    ux = (bx - ax) / ln
+    uy = (by - ay) / ln
+    nx = dd * uy
+    ny = dd * (-ux)
+    pux, puy = ux[prv], uy[prv]
+    pnx, pny = nx[prv], ny[prv]
+    crosses = pux * uy - puy * ux
+    dots = pux * ux + puy * uy
+    uturn = ~first & (crosses == 0.0) & (dots < 0.0)
+    p0x = ax + pnx
+    p0y = ay + pny
+    p1x = ax + nx
+    p1y = ay + ny
+    left = ~first & (crosses > 0.0)
+    refl = ~first & ~(crosses > 0.0) & ((pnx != nx) | (pny != ny))
+    N = len(ax)
+    m = np.zeros(N, dtype=np.int64)
+    m[refl] = 1
+    lj = np.flatnonzero(left)
+    nsegs = a0 = inc = None
+    if len(lj):
+        theta = np.arctan2(np.abs(crosses[lj]), dots[lj])
+        quantum = math.pi / 2.0 / p.quad_segs
+        nsegs = (theta / quantum + 0.5).astype(np.int64)
+        m[lj] = nsegs
+        a0 = np.arctan2(-pux[lj], puy[lj])
+        inc = np.where(nsegs > 0, theta / np.maximum(nsegs, 1), 0.0)
+    return (uturn, ux, uy, nx, ny, p0x, p0y, p1x, p1y,
+            refl, m, lj, nsegs, a0, inc)
+
+
+def _fill_blocks(starts, cnt, p0x, p0y, p1x, p1y, refl, vx, vy,
+                 lj, nsegs, a0, inc, dd, tot):
+    """Write the [p0, corner pts, p1] blocks into one flat point array
+    (identical layout math to the per-row builders)."""
+    px = np.empty(tot)
+    py = np.empty(tot)
+    ends = starts + cnt - 1
+    px[starts] = p0x
+    py[starts] = p0y
+    px[ends] = p1x
+    py[ends] = p1y
+    rj = np.flatnonzero(refl)
+    if len(rj):
+        px[starts[rj] + 1] = vx[rj]
+        py[starts[rj] + 1] = vy[rj]
+    if nsegs is not None:
+        tot_arc = int(nsegs.sum())
+        if tot_arc:
+            cid = np.repeat(np.arange(len(lj)), nsegs)
+            base = np.concatenate([[0], np.cumsum(nsegs)[:-1]])
+            k = np.arange(tot_arc) - base[cid]
+            ang = a0[cid] + k * inc[cid]
+            pos = starts[lj][cid] + 1 + k
+            dl = dd[lj][cid]
+            px[pos] = vx[lj][cid] + dl * np.cos(ang)
+            py[pos] = vy[lj][cid] + dl * np.sin(ang)
+    return px, py
+
+
+def _dedup_rows(px, py, rstart, rcnt):
+    """Per-geometry consecutive-duplicate mask over the flat points
+    (each geometry's first point always kept) — the flat twin of the
+    per-row ``(pts[1:] != pts[:-1]).any(axis=1)`` dedupe."""
+    keep = np.empty(len(px), dtype=bool)
+    keep[0] = True
+    keep[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1])
+    keep[rstart] = True
+    return keep
+
+
+def batch_ring_curves(rings: list, dists, p: BufferParams) -> list:
+    """`buffer._ring_offset_curve` for MANY oriented rings in one flat
+    pass (round-join only).  ``rings`` is a list of (k, 2) float arrays
+    (interior on the left), ``dists`` one signed distance per ring.
+    Returns one open point array per ring, or None per ring on an
+    exact U-turn spike / degenerate result (same refusal semantics)."""
+    if p.join != "round":
+        raise ValueError("batched builder is round-join only")
+    R = len(rings)
+    dists = np.asarray(dists, dtype=np.float64)
+    simp = [buffer_input_simplify(rr, abs(float(dists[i]))
+                                  / _SIMPLIFY_FACTOR,
+                                  closed=True, concave_only=True)
+            for i, rr in enumerate(rings)]
+    lens = np.array([len(rr) for rr in simp], dtype=np.int64)
+    if not len(lens) or int(lens.sum()) == 0:
+        return [None] * R
+    V = np.concatenate([np.asarray(rr, dtype=np.float64)[:, :2]
+                        for rr in simp])
+    N = len(V)
+    rid = np.repeat(np.arange(R), lens)
+    off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    last = off + lens - 1
+    nxt = np.arange(N) + 1
+    nxt[last] = off
+    prv = np.arange(N) - 1
+    prv[off] = last
+    dd = dists[rid]
+    first = np.zeros(N, dtype=bool)       # rings: every vertex corners
+    (uturn, ux, uy, nx, ny, p0x, p0y, p1x, p1y,
+     refl, m, lj, nsegs, a0, inc) = _corner_blocks(V, nxt, prv, first,
+                                                   dd, p)
+    bad = np.zeros(R, dtype=bool)
+    if bool(uturn.any()):
+        bad[np.unique(rid[uturn])] = True
+    cnt = m + 2
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    tot = int(cnt.sum())
+    px, py = _fill_blocks(starts, cnt, p0x, p0y, p1x, p1y, refl,
+                          V[:, 0], V[:, 1], lj, nsegs, a0, inc, dd, tot)
+    rstart = starts[off]
+    rtot = np.append(rstart[1:], tot) - rstart
+    keep = _dedup_rows(px, py, rstart, rtot)
+    out: list = []
+    kcum = np.concatenate([[0], np.cumsum(keep)])
+    pts_all = np.column_stack([px[keep], py[keep]])
+    for r in range(R):
+        if bad[r]:
+            out.append(None)
+            continue
+        a = int(kcum[rstart[r]])
+        b = int(kcum[rstart[r] + rtot[r]])
+        pts = pts_all[a:b]
+        if len(pts) > 1 and pts[0, 0] == pts[-1, 0] \
+                and pts[0, 1] == pts[-1, 1]:
+            pts = pts[:-1]
+        out.append(pts if len(pts) >= 3 else None)
+    return out
+
+
+def _batch_chains(chains: list, dists, p: BufferParams):
+    """`buffer._open_offset_chain` (clip=False) for MANY open chains in
+    one flat pass.  Returns (point array per chain or None,
+    per-chain unit direction of first/last edge) — the directions feed
+    the caps."""
+    C = len(chains)
+    lens = np.array([len(ch) for ch in chains], dtype=np.int64)
+    V = np.concatenate(chains)
+    N = len(V)
+    cid = np.repeat(np.arange(C), lens)
+    off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    last = off + lens - 1
+    idx = np.arange(N)
+    is_last = idx == last[cid]
+    # outgoing edge of vertex i is (i -> i+1); the LAST vertex of each
+    # chain has none — point it at itself and guard the division (its
+    # ux/nx are never read: endpoints carry no corner block and the
+    # chain start/end offsets index real edges)
+    nxt = np.where(is_last, idx, idx + 1)
+    prv = np.maximum(idx - 1, off[cid])
+    dd = np.asarray(dists, dtype=np.float64)[cid]
+    endpoint = (idx == off[cid]) | is_last
+    (uturn, ux, uy, nx, ny, p0x, p0y, p1x, p1y,
+     refl, m, lj, nsegs, a0, inc) = _corner_blocks(V, nxt, prv, endpoint,
+                                                   dd, p, synth=is_last)
+    bad = np.zeros(C, dtype=bool)
+    if bool(uturn.any()):
+        bad[np.unique(cid[uturn])] = True
+    # chain layout: [start offset pt] + interior corner blocks + [end
+    # offset pt]
+    cnt = np.where(endpoint, 1, m + 2)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    tot = int(cnt.sum())
+    inter = ~endpoint
+    px = np.empty(tot)
+    py = np.empty(tot)
+    ends_b = starts + cnt - 1
+    px[starts[inter]] = p0x[inter]
+    py[starts[inter]] = p0y[inter]
+    px[ends_b[inter]] = p1x[inter]
+    py[ends_b[inter]] = p1y[inter]
+    rj = np.flatnonzero(refl & inter)
+    if len(rj):
+        px[starts[rj] + 1] = V[rj, 0]
+        py[starts[rj] + 1] = V[rj, 1]
+    if nsegs is not None and len(lj):
+        tot_arc = int(nsegs.sum())
+        if tot_arc:
+            aid = np.repeat(np.arange(len(lj)), nsegs)
+            base = np.concatenate([[0], np.cumsum(nsegs)[:-1]])
+            k = np.arange(tot_arc) - base[aid]
+            ang = a0[aid] + k * inc[aid]
+            pos = starts[lj][aid] + 1 + k
+            dl = dd[lj][aid]
+            px[pos] = V[lj, 0][aid] + dl * np.cos(ang)
+            py[pos] = V[lj, 1][aid] + dl * np.sin(ang)
+    # chain endpoints: first = a0 + n(first edge), last = b + n(last
+    # edge); first-edge index = off, last-edge start index = last-1
+    fe = off
+    le = last - 1
+    px[starts[off]] = V[off, 0] + nx[fe]
+    py[starts[off]] = V[off, 1] + ny[fe]
+    px[starts[last]] = V[last, 0] + nx[le]
+    py[starts[last]] = V[last, 1] + ny[le]
+    cstart = starts[off]
+    ctot = np.append(cstart[1:], tot) - cstart
+    return px, py, cstart, ctot, bad
+
+
+_CAP_NONE = 0
+
+
+def batch_polyline_curves(lines: list, dists, p: BufferParams) -> list:
+    """`buffer._polyline_offset_curve` (clip=False) for MANY open
+    polylines in one flat pass: right-side chain forward, end cap,
+    right-side chain of the reversed line, start cap — the GEOS
+    getLineCurve construction.  One closed CCW point array per line or
+    None (U-turn corner / degenerate), byte-identical to the per-row
+    builder."""
+    if p.join != "round":
+        raise ValueError("batched builder is round-join only")
+    L = len(lines)
+    dists = np.asarray(dists, dtype=np.float64)
+    simp = [buffer_input_simplify(np.asarray(l, dtype=np.float64),
+                                  abs(float(dists[i])) / _SIMPLIFY_FACTOR)
+            for i, l in enumerate(lines)]
+    ok0 = np.array([len(l) >= 2 for l in simp])
+    work = np.flatnonzero(ok0)
+    out: list = [None] * L
+    if not len(work):
+        return out
+    chains: list = []
+    cd: list = []
+    for i in work:
+        chains.append(simp[i])
+        chains.append(simp[i][::-1])
+        cd.append(dists[i])
+        cd.append(dists[i])
+    px, py, cstart, ctot, badc = _batch_chains(chains, cd, p)
+    # caps per line: end cap (after fwd chain, direction = fwd's last
+    # edge) and start cap (after rev chain, direction = rev's last edge)
+    quantum = math.pi / 2.0 / p.quad_segs
+    ncap = int(math.pi / quantum + 0.5) if p.endcap == "round" \
+        else (2 if p.endcap == "square" else 0)
+    W = len(work)
+    for w in range(W):
+        i = int(work[w])
+        if badc[2 * w] or badc[2 * w + 1]:
+            continue
+        d = float(dists[i])
+        rr = simp[i]
+        f0, f1 = int(cstart[2 * w]), int(cstart[2 * w] + ctot[2 * w])
+        r0, r1 = int(cstart[2 * w + 1]), int(cstart[2 * w + 1]
+                                             + ctot[2 * w + 1])
+        # cap directions from the SAME scalar-math path as the per-row
+        # builder (math.hypot; np.hypot can differ in the last ulp)
+        lux = rr[-1, 0] - rr[-2, 0]
+        luy = rr[-1, 1] - rr[-2, 1]
+        lln = math.hypot(lux, luy)
+        fux = rr[0, 0] - rr[1, 0]
+        fuy = rr[0, 1] - rr[1, 1]
+        fln = math.hypot(fux, fuy)
+        pieces = [np.column_stack([px[f0:f1], py[f0:f1]])]
+        pieces.append(_cap_pts_b(rr[-1], (lux / lln, luy / lln), d, p,
+                                 ncap, quantum))
+        pieces.append(np.column_stack([px[r0:r1], py[r0:r1]]))
+        pieces.append(_cap_pts_b(rr[0], (fux / fln, fuy / fln), d, p,
+                                 ncap, quantum))
+        pts = np.concatenate(pieces)
+        keep = np.empty(len(pts), dtype=bool)
+        keep[0] = True
+        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        pts = pts[keep]
+        if len(pts) > 1 and np.all(pts[0] == pts[-1]):
+            pts = pts[:-1]
+        out[i] = pts if len(pts) >= 3 else None
+    return out
+
+
+def _cap_pts_b(e, u, d: float, p: BufferParams, ncap: int,
+               quantum: float) -> np.ndarray:
+    """Per-line cap points (same math as buffer._cap_pts; called per
+    line because cap counts are tiny and fixed)."""
+    ux, uy = float(u[0]), float(u[1])
+    if p.endcap == "flat":
+        return np.empty((0, 2))
+    if p.endcap == "square":
+        return np.array([
+            [e[0] + d * uy + d * ux, e[1] - d * ux + d * uy],
+            [e[0] - d * uy + d * ux, e[1] + d * ux + d * uy]])
+    a0 = math.atan2(-ux, uy)
+    inc = math.pi / ncap
+    k = np.arange(ncap)
+    ang = a0 + k * inc
+    return np.column_stack([e[0] + d * np.cos(ang),
+                            e[1] + d * np.sin(ang)])

@@ -774,3 +774,109 @@ def test_dense_simplified_buffer_matches_exact_soup_of_same_input():
         want = union_polygons(B._polyline_parts(simp, d, p, False))
         assert geom_area(got) == pytest.approx(geom_area(want),
                                                rel=0, abs=1e-9), trial
+
+
+def _rand_collection(rng):
+    """Random mixed GeometryCollection in the benchmark generator's
+    style (1-4 children of every type incl. multis, overlapping)."""
+    children = []
+    for j in range(int(rng.integers(2, 5))):
+        cx = float(rng.uniform(0, 30))
+        cy = float(rng.uniform(0, 30))
+        kind = int(rng.integers(0, 6))
+        if kind == 0:
+            children.append(("Point", (cx, cy)))
+        elif kind == 1:
+            k = int(rng.integers(2, 9))
+            children.append(("LineString", np.column_stack(
+                [rng.uniform(cx, cx + 6, k), rng.uniform(cy, cy + 6, k)])))
+        elif kind == 2:
+            ring = rand_star(rng, int(rng.integers(4, 10)), cx, cy, 1, 4)
+            children.append(("Polygon", [ring]))
+        elif kind == 3:
+            children.append(("MultiPoint", rng.uniform(cx, cx + 5, (3, 2))))
+        elif kind == 4:
+            lines = [np.column_stack([rng.uniform(cx + 5 * m, cx + 5 * m + 4,
+                                                  int(rng.integers(2, 7))),
+                                      rng.uniform(cy, cy + 4,
+                                                  0)])
+                     for m in range(0)]
+            k1 = int(rng.integers(2, 7))
+            k2 = int(rng.integers(2, 7))
+            children.append(("MultiLineString", [
+                np.column_stack([rng.uniform(cx, cx + 4, k1),
+                                 rng.uniform(cy, cy + 4, k1)]),
+                np.column_stack([rng.uniform(cx + 3, cx + 7, k2),
+                                 rng.uniform(cy + 3, cy + 7, k2)])]))
+        else:
+            r1 = rand_star(rng, 6, cx, cy, 1, 3)
+            r2 = rand_star(rng, 6, cx + 5, cy, 1, 3)
+            children.append(("MultiPolygon", [[r1], [r2]]))
+    return ("GeometryCollection", children)
+
+
+def test_buffer_route_batch_matches_per_row_routes():
+    """buffer_route_batch must yield ROUTE-equivalent output to the
+    per-row dispatcher on random mixed collections: identical tags and
+    byte-identical geometry/edge payloads (the batched offset-curve
+    builders are bitwise twins of the per-row ones)."""
+    rng = np.random.default_rng(33)
+    rows = []
+    for _ in range(120):
+        rows.append((_rand_collection(rng), float(rng.uniform(0.2, 2.5)),
+                     B.parse_buffer_params(None)))
+    got = B.buffer_route_batch(rows)
+    for (g, d, p), rb in zip(rows, got):
+        ra = B.buffer_route(g, d, p)
+        assert (ra is None) == (rb is None)
+        if ra is None:
+            continue
+        assert ra[0] == rb[0], (ra[0], rb[0])
+        if ra[0] == "edges":
+            ea, eb = ra[1][0], rb[1][0]
+            assert ea.shape == eb.shape and np.array_equal(ea, eb)
+        elif ra[0] == "parts":
+            assert len(ra[1]) == len(rb[1])
+            for qa, qb in zip(ra[1], rb[1]):
+                if isinstance(qa, np.ndarray):
+                    assert isinstance(qb, np.ndarray)
+                    assert np.array_equal(qa, qb)
+                else:
+                    assert W.encode(qa) == W.encode(qb)
+        else:
+            assert W.encode(ra[1]) == W.encode(rb[1])
+
+
+def test_offset_batch_builders_bitwise_match_per_row():
+    """batch_ring_curves / batch_polyline_curves are byte-identical to
+    _ring_offset_curve / _polyline_offset_curve across random inputs
+    and every endcap style (round-join)."""
+    from sedona_db_spark.geometry.offset_batch import (batch_polyline_curves,
+                                                       batch_ring_curves)
+    rng = np.random.default_rng(5)
+    rings, rd = [], []
+    for _ in range(150):
+        rings.append(rand_star(rng, int(rng.integers(3, 14)),
+                               float(rng.uniform(-40, 40)),
+                               float(rng.uniform(-40, 40)), 0.5, 5.0))
+        rd.append(float(rng.uniform(0.1, 3.0)))
+    rings = [r[:-1] for r in rings]       # open, oriented
+    p = B.parse_buffer_params(None)
+    for rr, d, got in zip(rings, rd, batch_ring_curves(rings, rd, p)):
+        ref = B._ring_offset_curve(rr, d, p)
+        assert (ref is None) == (got is None)
+        if ref is not None:
+            assert np.array_equal(ref, got)
+    lines, ld = [], []
+    for _ in range(150):
+        k = int(rng.integers(2, 12))
+        lines.append(B._dedupe_consecutive(rng.uniform(-40, 40, (k, 2))))
+        ld.append(float(rng.uniform(0.1, 3.0)))
+    for cap in ("round", "square", "flat"):
+        pc = B.parse_buffer_params(f"endcap={cap}")
+        for rr, d, got in zip(lines, ld,
+                              batch_polyline_curves(lines, ld, pc)):
+            ref = B._polyline_offset_curve(rr, d, pc)
+            assert (ref is None) == (got is None)
+            if ref is not None:
+                assert np.array_equal(ref, got)
