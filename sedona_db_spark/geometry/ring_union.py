@@ -191,62 +191,91 @@ def _cancel_collinear(oi, oj, X1, Y1, X2, Y2, EROW, ERING, EPOS, ELEN,
     for a in parent:
         groups.setdefault(find(a), []).append(a)
 
+    # flat interval arithmetic across ALL groups at once (the former
+    # per-group python loops dominated the cancellation cost on soups
+    # where half the rows carry structural collinear overlaps).  Group
+    # and interval order match the sequential emitter exactly, so the
+    # rebuilt edge table is byte-identical for every non-refused row.
     drop = np.zeros(E, dtype=bool)
-    ax1: list = []; ay1: list = []; ax2: list = []; ay2: list = []
-    arow: list = []; aw: list = []
-    any_ok = False
-    for g in groups.values():
-        r = int(EROW[g[0]])
-        if bad[r]:
-            continue
-        gi = np.asarray(g, dtype=np.int64)
-        dx = X2[gi] - X1[gi]; dy = Y2[gi] - Y1[gi]
-        ln = np.hypot(dx, dy)
-        k = int(np.argmax(ln))
-        ux, uy = float(dx[k] / ln[k]), float(dy[k] / ln[k])
-        bp: dict = {}
-        for e in g:
-            for (x, y) in ((float(X1[e]), float(Y1[e])),
-                           (float(X2[e]), float(Y2[e]))):
-                if (x, y) not in bp:
-                    bp[(x, y)] = x * ux + y * uy
-        pts = sorted(bp.items(), key=lambda kv: (kv[1], kv[0]))
-        idx = {key: i for i, (key, _) in enumerate(pts)}
-        nb = len(pts)
-        delta = [0] * nb
-        for e in g:
-            i0 = idx[(float(X1[e]), float(Y1[e]))]
-            i1 = idx[(float(X2[e]), float(Y2[e]))]
-            if i0 == i1:
-                bad[r] = True
-                break
-            lo, hi_ = (i0, i1) if i0 < i1 else (i1, i0)
-            s = int(EW[e]) if i0 < i1 else -int(EW[e])
-            delta[lo] += s
-            delta[hi_] -= s
-        if bad[r]:
-            continue
-        cum = 0
-        emit: list = []
-        for i in range(nb - 1):
-            cum += delta[i]
-            if cum == 0:
-                continue
-            a, b = pts[i][0], pts[i + 1][0]
-            emit.append((a, b, cum) if cum > 0 else (b, a, -cum))
-        any_ok = True
-        canc_row[r] = True
-        drop[gi] = True
-        for (x1, y1), (x2, y2), w in emit:
-            ax1.append(x1); ay1.append(y1)
-            ax2.append(x2); ay2.append(y2)
-            arow.append(r); aw.append(w)
-    if not any_ok:
+    glist = list(groups.values())
+    ng = len(glist)
+    gsizes = np.array([len(g) for g in glist], dtype=np.int64)
+    ge = np.concatenate([np.asarray(g, dtype=np.int64) for g in glist])
+    gid = np.repeat(np.arange(ng), gsizes)
+    goff = np.concatenate([[0], np.cumsum(gsizes)[:-1]])
+    grow = EROW[ge[goff]]
+    galive = ~bad[grow]
+    dx = X2[ge] - X1[ge]
+    dy = Y2[ge] - Y1[ge]
+    ln = np.hypot(dx, dy)
+    lnmax = np.maximum.reduceat(ln, goff)
+    is_best = ln == lnmax[gid]
+    bestidx = np.zeros(ng, dtype=np.int64)
+    bi = np.flatnonzero(is_best)[::-1]    # last write = FIRST argmax
+    bestidx[gid[bi]] = bi
+    gux = dx[bestidx] / ln[bestidx]
+    guy = dy[bestidx] / ln[bestidx]
+    # breakpoints: both endpoints of every edge, deduped per group on
+    # exact coordinates, ordered by (projection, (x, y)) like the
+    # sequential sorted() key
+    epx = np.concatenate([X1[ge], X2[ge]])
+    epy = np.concatenate([Y1[ge], Y2[ge]])
+    egid = np.concatenate([gid, gid])
+    tproj = epx * gux[egid] + epy * guy[egid]
+    o = np.lexsort((epy, epx, tproj, egid))
+    so_g, so_x, so_y = egid[o], epx[o], epy[o]
+    new = np.empty(len(o), dtype=bool)
+    new[0] = True
+    new[1:] = (so_g[1:] != so_g[:-1]) | (so_x[1:] != so_x[:-1]) \
+        | (so_y[1:] != so_y[:-1])
+    bpid_sorted = np.cumsum(new) - 1
+    ep_bp = np.empty(len(o), dtype=np.int64)
+    ep_bp[o] = bpid_sorted
+    nbp = int(bpid_sorted[-1]) + 1
+    bpx = so_x[new]
+    bpy = so_y[new]
+    bp_g = so_g[new]
+    nb_per_g = np.bincount(bp_g, minlength=ng)
+    bp_off = np.concatenate([[0], np.cumsum(nb_per_g)[:-1]])
+    nEg = len(ge)
+    i0 = ep_bp[:nEg]
+    i1 = ep_bp[nEg:]
+    degen = i0 == i1                      # zero-extent edge on the line
+    if bool(degen.any()):
+        bad[np.unique(EROW[ge[degen]])] = True
+        galive &= ~bad[grow]
+    alive_e = galive[gid]
+    s = np.where(i0 < i1, EW[ge], -EW[ge])
+    lo = np.minimum(i0, i1)
+    hi_ = np.maximum(i0, i1)
+    delta = np.zeros(nbp, dtype=np.int64)
+    np.add.at(delta, lo[alive_e], s[alive_e])
+    np.add.at(delta, hi_[alive_e], -s[alive_e])
+    c = np.cumsum(delta)
+    base = np.zeros(ng, dtype=np.int64)
+    base[1:] = c[bp_off[1:] - 1]
+    wv = c - base[bp_g]                   # net multiplicity per interval
+    is_last_bp = np.arange(nbp) == (bp_off + nb_per_g - 1)[bp_g]
+    emitm = ~is_last_bp & (wv != 0) & galive[bp_g]
+    ei = np.flatnonzero(emitm)
+    pos = wv[ei] > 0
+    ax1 = np.where(pos, bpx[ei], bpx[ei + 1])
+    ay1 = np.where(pos, bpy[ei], bpy[ei + 1])
+    ax2 = np.where(pos, bpx[ei + 1], bpx[ei])
+    ay2 = np.where(pos, bpy[ei + 1], bpy[ei])
+    arow = grow[bp_g[ei]]
+    aw = np.abs(wv[ei])
+    if not bool(galive.any()):
         return None
+    canc_row[grow[galive]] = True
+    drop[ge[alive_e]] = True
     keep = ~drop
     na = len(ax1)
+    emap = np.full(E, -1, dtype=np.int64)
+    emap[keep] = np.arange(int(keep.sum()), dtype=np.int64)
     next_ring = int(ERING.max()) + 1 if len(ERING) else 0
-    return (np.concatenate([X1[keep], np.asarray(ax1, dtype=np.float64)]),
+    return (emap,
+            np.concatenate([X1[keep], np.asarray(ax1, dtype=np.float64)]),
             np.concatenate([Y1[keep], np.asarray(ay1, dtype=np.float64)]),
             np.concatenate([X2[keep], np.asarray(ax2, dtype=np.float64)]),
             np.concatenate([Y2[keep], np.asarray(ay2, dtype=np.float64)]),
@@ -289,17 +318,17 @@ def _union_rings_chunk(rows: list) -> list:
     bad = np.zeros(n_rows, dtype=bool)
 
     # ---- phase 0: flatten rings -> edge table ---------------------------
-    max_n = 0
-    for rings in rows:
-        if rings:
-            for ring in rings:
-                max_n = max(max_n, len(ring))
-    if max_n == 0:
-        return out
-    AR = np.arange(max_n, dtype=np.int64)
-    ex1c, ey1c, ex2c, ey2c = [], [], [], []
-    erow_c, ering_c, epos_c, elen_c = [], [], [], []
-    ring_id = 0
+    # one flat pass over the concatenated vertex soup of the chunk (the
+    # per-ring loop was ~50 µs of numpy call overhead per ring): collapse
+    # sub-epsilon vertices (the offset-curve tiers emit round-arc k=0
+    # points ~1e-15 from the chain vertex; left in place they make edges
+    # 12/14 pseudo-adjacent through a tiny edge 13 and every chain joint
+    # reads as an endpoint touch — region perturbation <= perimeter *
+    # 1e-9 * scale, orders below every downstream tolerance), drop rings
+    # that collapse below 3 vertices, refuse rows with malformed rings
+    # or surviving zero-length edges.
+    ring_arrs: list = []
+    ring_rowid: list = []
     row_has = np.zeros(n_rows, dtype=bool)
     for r, rings in enumerate(rows):
         if not rings:
@@ -307,51 +336,72 @@ def _union_rings_chunk(rows: list) -> list:
         okr = True
         for ring in rings:
             p = np.asarray(ring, dtype=np.float64)
-            if p.ndim != 2 or p.shape[1] != 2 or len(p) < 3 \
-                    or not np.isfinite(p).all():
+            if p.ndim != 2 or p.shape[1] != 2 or len(p) < 3:
                 okr = False
                 break
-            # collapse sub-epsilon vertices (the offset-curve tiers emit
-            # round-arc k=0 points ~1e-15 from the chain vertex; left in
-            # place they make edges 12/14 pseudo-adjacent through a tiny
-            # edge 13 and every chain joint reads as an endpoint touch).
-            # Region perturbation <= perimeter * 1e-9 * scale — orders
-            # below every downstream tolerance.
-            sc = max(1.0, float(np.abs(p).max()))
-            dd = np.hypot(p[:, 0] - np.roll(p[:, 0], -1),
-                          p[:, 1] - np.roll(p[:, 1], -1))
-            tiny = dd < 1e-9 * sc
-            if bool(tiny.any()):
-                drop = np.zeros(len(p), dtype=bool)
-                drop[(np.flatnonzero(tiny) + 1) % len(p)] = True
-                p = p[~drop]
-                if len(p) < 3:
-                    continue                 # ring collapsed to nothing
-            n = len(p)
-            qx = np.empty(n); qx[:-1] = p[1:, 0]; qx[-1] = p[0, 0]
-            qy = np.empty(n); qy[:-1] = p[1:, 1]; qy[-1] = p[0, 1]
-            if bool(((p[:, 0] == qx) & (p[:, 1] == qy)).any()):
-                okr = False          # zero-length edge survived collapse
-                break
-            ex1c.append(p[:, 0]); ey1c.append(p[:, 1])
-            ex2c.append(qx); ey2c.append(qy)
-            erow_c.append(np.full(n, r, dtype=np.int64))
-            ering_c.append(np.full(n, ring_id, dtype=np.int64))
-            epos_c.append(AR[:n])
-            elen_c.append(np.full(n, n, dtype=np.int64))
-            ring_id += 1
+            ring_arrs.append(p)
+            ring_rowid.append(r)
         if not okr:
             bad[r] = True
         else:
             row_has[r] = True
-    if not ring_id:
+    if not ring_arrs:
         return out
-    X1 = np.concatenate(ex1c); Y1 = np.concatenate(ey1c)
-    X2 = np.concatenate(ex2c); Y2 = np.concatenate(ey2c)
-    EROW = np.concatenate(erow_c)
-    ERING = np.concatenate(ering_c)
-    EPOS = np.concatenate(epos_c)
-    ELEN = np.concatenate(elen_c)
+    lens0 = np.array([len(p) for p in ring_arrs], dtype=np.int64)
+    VR = np.concatenate(ring_arrs)
+    NR = len(VR)
+    nring0 = len(ring_arrs)
+    rid0 = np.repeat(np.arange(nring0), lens0)
+    rrow0 = np.asarray(ring_rowid, dtype=np.int64)
+    finite_ring = np.ones(nring0, dtype=bool)
+    vfin = np.isfinite(VR).all(axis=1)
+    if not bool(vfin.all()):
+        finite_ring[rid0[~vfin]] = False
+        bad[rrow0[~finite_ring]] = True
+    off0 = np.concatenate([[0], np.cumsum(lens0)[:-1]])
+    last0 = off0 + lens0 - 1
+    idx0 = np.arange(NR)
+    nxt0 = idx0 + 1
+    nxt0[last0] = off0
+    sc = np.maximum(1.0, np.maximum(
+        np.maximum.reduceat(np.abs(VR[:, 0]), off0),
+        np.maximum.reduceat(np.abs(VR[:, 1]), off0)))
+    ddv = np.hypot(VR[:, 0] - VR[nxt0, 0], VR[:, 1] - VR[nxt0, 1])
+    tiny = ddv < 1e-9 * sc[rid0]
+    dropv = np.zeros(NR, dtype=bool)
+    dropv[nxt0[tiny]] = True
+    lens1 = lens0 - np.bincount(rid0[dropv], minlength=nring0)
+    ring_dead = (lens1 < 3) | ~finite_ring
+    keep_v = ~dropv & ~ring_dead[rid0] & ~bad[rrow0[rid0]]
+    V2 = VR[keep_v]
+    rid1 = rid0[keep_v]
+    if not len(rid1):
+        return out
+    # renumber surviving rings consecutively (dropped rings consume no id,
+    # matching the per-ring emitter)
+    ring_keep = np.zeros(nring0, dtype=bool)
+    ring_keep[rid1] = True
+    rmap = np.cumsum(ring_keep) - 1
+    rid1 = rmap[rid1]
+    lens2 = np.bincount(rid1)
+    off2 = np.concatenate([[0], np.cumsum(lens2)[:-1]])
+    last2 = off2 + lens2 - 1
+    N2 = len(V2)
+    idx2 = np.arange(N2)
+    nxt2 = idx2 + 1
+    nxt2[last2] = off2
+    X1 = np.ascontiguousarray(V2[:, 0])
+    Y1 = np.ascontiguousarray(V2[:, 1])
+    X2 = X1[nxt2]
+    Y2 = Y1[nxt2]
+    EROW = rrow0[np.flatnonzero(ring_keep)][rid1]
+    ERING = rid1
+    EPOS = idx2 - off2[rid1]
+    ELEN = lens2[rid1]
+    # zero-length edges surviving the collapse refuse the row
+    zlen = (X1 == X2) & (Y1 == Y2)
+    if bool(zlen.any()):
+        bad[np.unique(EROW[zlen])] = True
     keep = ~bad[EROW]
     if not keep.all():
         X1, Y1, X2, Y2 = X1[keep], Y1[keep], X2[keep], Y2[keep]
@@ -386,19 +436,33 @@ def _union_rings_chunk(rows: list) -> list:
     # after a cancellation pass, or with |net multiplicity| >= 2, are
     # refused to the slab sweep.
     canc_row = np.zeros(n_rows, dtype=bool)
+    fin_I = np.empty(0, dtype=np.int64)   # pairs carried across passes
+    fin_J = np.empty(0, dtype=np.int64)
+    redo = np.zeros(n_rows, dtype=bool)
     for attempt in range(2):
         xmin = np.minimum(X1, X2); xmax = np.maximum(X1, X2)
         ymin = np.minimum(Y1, Y2); ymax = np.maximum(Y1, Y2)
-        order = np.lexsort((xmin, EROW))
-        sx_min = xmin[order]
-        srow = EROW[order]
+        if attempt == 0:
+            eidx = np.arange(E)
+        else:
+            # only cancelled rows were rebuilt — every other row kept
+            # its first-pass pairs (remapped below), so rescan JUST the
+            # rebuilt rows' edges instead of the whole chunk
+            eidx = np.flatnonzero(redo[EROW])
+        sxmin = xmin[eidx]
+        serow = EROW[eidx]
+        Es = len(eidx)
+        order_s = np.lexsort((sxmin, serow))
+        sx_min = sxmin[order_s]
+        srow = serow[order_s]
         row_first = np.searchsorted(srow, np.arange(n_rows + 1))
-        hi = np.empty(E, dtype=np.int64)
+        hi = np.empty(Es, dtype=np.int64)
         for r in np.flatnonzero(np.diff(row_first) > 0):
             a, b = int(row_first[r]), int(row_first[r + 1])
-            hi[a:b] = a + np.searchsorted(sx_min[a:b], xmax[order[a:b]],
+            hi[a:b] = a + np.searchsorted(sx_min[a:b],
+                                          xmax[eidx[order_s[a:b]]],
                                           side="right")
-        base = np.arange(E) + 1
+        base = np.arange(Es) + 1
         cnt = np.maximum(hi - base, 0)
         # per-row work cap: a densely self-crossing soup (the complex
         # benchmark's 500-gon inner offsets) can generate quadratic
@@ -411,25 +475,25 @@ def _union_rings_chunk(rows: list) -> list:
             bad |= over
             cnt = np.where(bad[srow], 0, cnt)
         P = int(cnt.sum())
-        pi = np.repeat(np.arange(E), cnt)
+        pi = np.repeat(np.arange(Es), cnt)
         starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
         pj = np.arange(P) - np.repeat(starts, cnt) + np.repeat(base, cnt)
-        I = order[pi]
-        J = order[pj]
-        m = (ymin[I] <= ymax[J]) & (ymin[J] <= ymax[I])
-        I, J = I[m], J[m]
-        samering = ERING[I] == ERING[J]
-        dpos = np.abs(EPOS[I] - EPOS[J])
-        adj = samering & ((dpos == 1) | (dpos == ELEN[I] - 1))
-        I, J = I[~adj], J[~adj]
+        gI = eidx[order_s[pi]]
+        gJ = eidx[order_s[pj]]
+        m = (ymin[gI] <= ymax[gJ]) & (ymin[gJ] <= ymax[gI])
+        gI, gJ = gI[m], gJ[m]
+        samering = ERING[gI] == ERING[gJ]
+        dpos = np.abs(EPOS[gI] - EPOS[gJ])
+        adj = samering & ((dpos == 1) | (dpos == ELEN[gI] - 1))
+        gI, gJ = gI[~adj], gJ[~adj]
 
-        d1x = X2[I] - X1[I]; d1y = Y2[I] - Y1[I]
-        d2x = X2[J] - X1[J]; d2y = Y2[J] - Y1[J]
-        wx = X1[J] - X1[I]; wy = Y1[J] - Y1[I]
+        d1x = X2[gI] - X1[gI]; d1y = Y2[gI] - Y1[gI]
+        d2x = X2[gJ] - X1[gJ]; d2y = Y2[gJ] - Y1[gJ]
+        wx = X1[gJ] - X1[gI]; wy = Y1[gJ] - Y1[gI]
         den = d1x * d2y - d1y * d2x
         L1 = np.hypot(d1x, d1y)
         L2 = np.hypot(d2x, d2y)
-        eps_p = eps_row[EROW[I]]
+        eps_p = eps_row[EROW[gI]]
         # NEAR-parallel capture (angle <= 1e-9 rad): exact spoke dips AND
         # almost-coincident pairs whose point "crossings" would be
         # numerically meaningless (they generate eps-separated ambiguous
@@ -437,7 +501,7 @@ def _union_rings_chunk(rows: list) -> list:
         # intervals perturbs the region only inside an eps-tube of the
         # shared line — the same bound the snap band already accepts.
         par = np.abs(den) <= 1e-9 * L1 * L2
-        ov = np.zeros(len(I), dtype=bool)
+        ov = np.zeros(len(gI), dtype=bool)
         if bool(par.any()):
             cw = np.abs(wx * d1y - wy * d1x) <= eps_p * L1
             # STRICT extent overlap along the shared line, by at least an
@@ -447,24 +511,47 @@ def _union_rings_chunk(rows: list) -> list:
             # differences so an exactly-shared endpoint projects to
             # exactly 0 / len².
             t0j = wx * d1x + wy * d1y
-            t1j = (X2[J] - X1[I]) * d1x + (Y2[J] - Y1[I]) * d1y
+            t1j = (X2[gJ] - X1[gI]) * d1x + (Y2[gJ] - Y1[gI]) * d1y
             lo = np.minimum(t0j, t1j)
             hi_s = np.maximum(t0j, t1j)
             ov = par & cw & (np.maximum(lo, 0.0) + eps_p * L1
                              < np.minimum(hi_s, d1x * d1x + d1y * d1y))
         if not bool(ov.any()):
+            fin_I = np.concatenate([fin_I, gI])
+            fin_J = np.concatenate([fin_J, gJ])
             break
         if attempt == 1:
-            bad[np.unique(EROW[I[ov]])] = True
+            bad[np.unique(EROW[gI[ov]])] = True
+            fin_I = np.concatenate([fin_I, gI])
+            fin_J = np.concatenate([fin_J, gJ])
             break
-        res = _cancel_collinear(I[ov], J[ov], X1, Y1, X2, Y2, EROW, ERING,
-                                EPOS, ELEN, EW, bad, canc_row)
+        pre_canc = canc_row.copy()
+        res = _cancel_collinear(gI[ov], gJ[ov], X1, Y1, X2, Y2, EROW,
+                                ERING, EPOS, ELEN, EW, bad, canc_row)
         if res is None:                   # every overlap row refused
+            fin_I, fin_J = gI, gJ
             break
-        X1, Y1, X2, Y2, EROW, ERING, EPOS, ELEN, EW = res
+        redo = canc_row & ~pre_canc
+        # carry forward the pairs of rows that were NOT rebuilt (their
+        # edges all survive: cancellation only drops edges of cancelled
+        # rows), remapped to the rebuilt edge table
+        emap_c = res[0]
+        kp = ~redo[EROW[gI]]
+        fin_I = emap_c[gI[kp]]
+        fin_J = emap_c[gJ[kp]]
+        X1, Y1, X2, Y2, EROW, ERING, EPOS, ELEN, EW = res[1:]
         E = len(X1)
         if E == 0:
             return out
+    I, J = fin_I, fin_J
+    d1x = X2[I] - X1[I]; d1y = Y2[I] - Y1[I]
+    d2x = X2[J] - X1[J]; d2y = Y2[J] - Y1[J]
+    wx = X1[J] - X1[I]; wy = Y1[J] - Y1[I]
+    den = d1x * d2y - d1y * d2x
+    L1 = np.hypot(d1x, d1y)
+    L2 = np.hypot(d2x, d2y)
+    eps_p = eps_row[EROW[I]]
+    par = np.abs(den) <= 1e-9 * L1 * L2
     den_s = np.where(par, 1.0, den)
     t = (wx * d2y - wy * d2x) / den_s
     u = (wx * d1y - wy * d1x) / den_s
@@ -693,8 +780,12 @@ def _union_rings_chunk(rows: list) -> list:
     slen2 = (sx2 - sx1) ** 2 + (sy2 - sy1) ** 2
     rep_metric = np.where(sy2 == sy1, slen2 - (slen2.max() + 1.0), slen2)
     rep = np.empty(NSEG, dtype=np.int64)
-    ordseg = np.lexsort((rep_metric, seg_id))
-    rep[seg_id[ordseg]] = ordseg          # last write per segment = best
+    # segments are contiguous sub runs, so a reduceat max replaces the
+    # former lexsort; ties resolve to the highest sub index (identical
+    # to the stable lexsort's last-write winner)
+    best_m = np.maximum.reduceat(rep_metric, seg_first)
+    cand = rep_metric == best_m[seg_id]
+    rep[seg_id[cand]] = np.flatnonzero(cand)
 
     rx1, ry1 = sx1[rep], sy1[rep]
     rx2, ry2 = sx2[rep], sy2[rep]
@@ -758,9 +849,11 @@ def _union_rings_chunk(rows: list) -> list:
                          z - a - 1)
         CUTS[cut_base[r]:cut_base[r] + k] = ys[idx]
 
-    def _row_bins(sub_rows, yvals):
-        """Bin index of each y value within its row's quantile cuts."""
-        res = np.zeros(len(yvals), dtype=np.int64)
+    def _row_bins(sub_rows, *yvals_list):
+        """Bin index of each y value within its row's quantile cuts —
+        accepts several y arrays over the SAME rows so one grouping sort
+        serves all of them (the sub-edge lo/hi occupancy pair)."""
+        res_list = [np.zeros(len(yv), dtype=np.int64) for yv in yvals_list]
         o = np.argsort(sub_rows, kind="stable")
         bnd = np.searchsorted(sub_rows[o], np.arange(n_rows + 1))
         for r in np.flatnonzero(np.diff(bnd) > 0):
@@ -768,8 +861,9 @@ def _union_rings_chunk(rows: list) -> list:
             cb, k = int(cut_base[r]), int(cut_cnt[r])
             if k:
                 sel = o[a:z]
-                res[sel] = np.searchsorted(CUTS[cb:cb + k], yvals[sel])
-        return res
+                for res, yv in zip(res_list, yvals_list):
+                    res[sel] = np.searchsorted(CUTS[cb:cb + k], yv[sel])
+        return res_list[0] if len(res_list) == 1 else res_list
 
     # with winding propagation only SEED representatives query the bins,
     # so occupancy is built ONLY for bins some query lands in — the
@@ -782,8 +876,10 @@ def _union_rings_chunk(rows: list) -> list:
     needed_b[qbin] = True
     ncum = np.concatenate([[0], np.cumsum(needed_b)])
     nh = np.flatnonzero(~shoriz)
-    b0 = _row_bins(srow_s[nh], sylo[nh]) + bin_base[srow_s[nh]]
-    b1 = _row_bins(srow_s[nh], syhi[nh]) + bin_base[srow_s[nh]]
+    b0, b1 = _row_bins(srow_s[nh], sylo[nh], syhi[nh])
+    gb = bin_base[srow_s[nh]]
+    b0 += gb
+    b1 += gb
     hit_need = (ncum[b1 + 1] - ncum[b0]) > 0
     nh, b0, b1 = nh[hit_need], b0[hit_need], b1[hit_need]
     span = b1 - b0 + 1
