@@ -308,9 +308,22 @@ def _polyline_parts(pts: np.ndarray, d: float, p: BufferParams,
 
 
 def _dedupe_consecutive(pts: np.ndarray) -> np.ndarray:
-    pts = np.asarray(pts, dtype=np.float64)[:, :2]
-    if len(pts) < 2:
+    pts = np.asarray(pts, dtype=np.float64)
+    if pts.shape[-1] != 2:
+        pts = pts[:, :2]
+    n = len(pts)
+    if n < 2:
         return pts
+    if n <= 32:
+        # scalar fast path: the numpy expression below costs ~40 µs in
+        # call overhead alone, and this runs per child of every
+        # collection row (same kept rows, byte-identical output)
+        lst = pts.tolist()
+        keep = [0]
+        for i in range(1, n):
+            if lst[i][0] != lst[i - 1][0] or lst[i][1] != lst[i - 1][1]:
+                keep.append(i)
+        return pts if len(keep) == n else pts[keep]
     keep = np.r_[True, np.any(np.diff(pts, axis=0) != 0, axis=1)]
     return pts[keep]
 
