@@ -451,15 +451,48 @@ def st_symdifference(b1: pd.Series, b2: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_union_all(arr: pd.Series) -> pd.Series:
-    """Finisher for ST_Union_Agg: collect_list(geom) → n-way union."""
+    """Finisher for ST_Union_Agg: collect_list(geom) → n-way union.
+
+    All-polygonal 3+ groups of the WHOLE Arrow batch run through ONE
+    crossing-split tracer pass (geometry/ring_union — the ST_Buffer fast
+    path, round 8); refused groups and mixed-dimension groups fall to
+    the per-group `union_all` fold/sweep."""
+    from sedona_db_spark.geometry import ring_union as RU
     from sedona_db_spark.geometry.overlay import union_all
-    out = []
-    for lst in arr:
+    n = len(arr)
+    out: list = [None] * n
+    rows = []
+    for i, lst in enumerate(arr):
         if lst is None or len(lst) == 0:
-            out.append(None)
             continue
-        geoms = [W.decode(bytes(v)) for v in lst if v is not None]
-        out.append(W.encode(union_all(geoms)))
+        rows.append((i, [W.decode(bytes(v)) for v in lst
+                         if v is not None]))
+    pend = rows
+    if RU.ENABLED:
+        poly_rows = []
+        ring_rows = []
+        rest = []
+        for i, geoms in rows:
+            live = [g for g in geoms if g is not None]
+            rings = None
+            if len(live) > 2 and all(g[0] in ("Polygon", "MultiPolygon")
+                                     for g in live):
+                rings = RU.rings_of_parts(live)
+            if rings is None:
+                rest.append((i, geoms))
+            else:
+                poly_rows.append((i, geoms))
+                ring_rows.append(rings)
+        if ring_rows:
+            for (i, geoms), res in zip(poly_rows,
+                                       RU.union_rings_batch(ring_rows)):
+                if res is not None:
+                    out[i] = W.encode(res)
+                else:
+                    rest.append((i, geoms))
+        pend = rest
+    for i, geoms in pend:
+        out[i] = W.encode(union_all(geoms))
     return pd.Series(out)
 
 

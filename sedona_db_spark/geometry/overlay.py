@@ -535,6 +535,16 @@ def union_all(geoms: list):
     live = [g for g in geoms if g is not None]
     if len(live) > 2 and all(g[0] in ("Polygon", "MultiPolygon")
                              for g in live):
+        # crossing-split tracer first (round 8 — the same fast path the
+        # ST_Buffer soups take); non-generic groups refuse to the
+        # winding-exact slab sweep below
+        from sedona_db_spark.geometry import ring_union as RU
+        if RU.ENABLED:
+            rings = RU.rings_of_parts(live)
+            if rings is not None:
+                res = RU.union_rings_batch([rings])[0]
+                if res is not None:
+                    return res
         return union_polygons(live)
     acc = None
     for g in live:
