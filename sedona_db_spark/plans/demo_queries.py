@@ -2166,6 +2166,39 @@ def q_transform_projected(spark, sf_dir):
         ("laea", q_transform_laea(spark, sf_dir))])
 
 
+def q_pip_exists_mark_sql(spark, sf_dir):
+    """The mark join's row set derived through the SQL front-end's NEW
+    (round 8) SEMI/ANTI planning: mark=true rows come from ``SEMI JOIN
+    ... ON ST_CoveredBy``, mark=false from ``ANTI JOIN`` — both planned
+    through operators.spatial_join (exec.rs:235-240 precedent), no
+    cartesian."""
+    from sedona_db_spark import sql_frontend
+    doc_points(spark, sf_dir).createOrReplaceTempView("__sd_q_docs")
+    nation_rects(spark, sf_dir).createOrReplaceTempView("__sd_q_rects")
+    semi = sql_frontend.sql(
+        spark,
+        "SELECT d.doc_id, true AS mark FROM __sd_q_docs d "
+        "SEMI JOIN __sd_q_rects r ON ST_CoveredBy(d.geom, r.geom)")
+    anti = sql_frontend.sql(
+        spark,
+        "SELECT d.doc_id, false AS mark FROM __sd_q_docs d "
+        "ANTI JOIN __sd_q_rects r ON ST_CoveredBy(d.geom, r.geom)")
+    return semi.unionByName(anti)
+
+
+def q_pip_exists_mark_both(spark, sf_dir):
+    """Correlated-EXISTS mark under BOTH entry points in one driver
+    slot: 'api' = the DataFrame mark join, 'sql' = SEMI/ANTI SQL
+    statements through sql_frontend (round 8)."""
+    return _tagged_union("path", [
+        ("api", q_pip_exists_mark(spark, sf_dir)),
+        ("sql", q_pip_exists_mark_sql(spark, sf_dir))])
+
+
+ORACLE_PIP_MARK_BOTH = _tagged_union_sql("path", [
+    ("api", ORACLE_PIP_MARK), ("sql", ORACLE_PIP_MARK)])
+
+
 def q_sql_pip_pairs(spark, sf_dir):
     """The reference's most idiomatic SQL statement — ``JOIN ... ON
     ST_CoveredBy(point, poly)`` — through :func:`sedona_db_spark.sql`'s
@@ -2198,7 +2231,7 @@ QUERIES = {
     "pip_hex_pairs": q_pip_hex_pairs,
     "pip_count_by_nation": q_pip_count_by_nation,
     "ice_pip_count": q_ice_pip_count,
-    "pip_exists_mark": q_pip_exists_mark,
+    "pip_exists_mark": q_pip_exists_mark_both,
     "touches_pairs": q_touches_pairs,
     "dwithin_pairs": q_dwithin_both,
     "dwithin_sphere_pairs": q_dwithin_sphere_pairs,
@@ -2248,7 +2281,7 @@ ORACLE_SQL = {
     "pip_hex_pairs": ORACLE_PIP_HEX,
     "pip_count_by_nation": ORACLE_PIP_COUNT,
     "ice_pip_count": ORACLE_ICE_PIP_COUNT,
-    "pip_exists_mark": ORACLE_PIP_MARK,
+    "pip_exists_mark": ORACLE_PIP_MARK_BOTH,
     "touches_pairs": ORACLE_TOUCHES,
     "dwithin_pairs": _tagged_union_sql("path", [
         ("py", ORACLE_DWITHIN), ("jvm", ORACLE_DWITHIN)]),

@@ -51,8 +51,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _KNN_JOIN_RE = re.compile(
     r"""
     ^\s*SELECT\s+(?P<select>.*?)\s+
-    FROM\s+(?P<ltab>[\w.]+)\s+(?:AS\s+)?(?P<la>\w+)\s+
-    (?:INNER\s+)?JOIN\s+(?P<rtab>[\w.]+)\s+(?:AS\s+)?(?P<ra>\w+)\s+
+    FROM\s+(?P<ltab>[\w.]+)
+    (?:\s+(?:AS\s+)?(?!(?:INNER|JOIN)\b)(?P<la>\w+))?\s+
+    (?:INNER\s+)?JOIN\s+(?P<rtab>[\w.]+)
+    (?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?\s+
     ON\s+ST_KNN\s*\(\s*(?P<g1>\w+\.\w+)\s*,\s*(?P<g2>\w+\.\w+)\s*,\s*
     (?P<k>\d+)\s*(?:,\s*(?P<sph>true|false)\s*)?\)\s*
     (?P<tail>.*?)\s*;?\s*$
@@ -65,19 +67,34 @@ _KNN_JOIN_RE = re.compile(
 _REL_PREDICATES = ("intersects", "contains", "within", "covers",
                    "coveredby", "touches", "crosses", "overlaps", "equals")
 
+# join-type words that must not be mistaken for an omitted table alias
+_JOIN_KEYWORDS = r"(?:INNER|LEFT|RIGHT|FULL|SEMI|ANTI|CROSS|JOIN|ON)"
+
 _REL_JOIN_RE = re.compile(
-    r"""
+    rf"""
     ^\s*SELECT\s+(?P<select>.*?)\s+
-    FROM\s+(?P<ltab>[\w.]+)\s+(?:AS\s+)?(?P<la>\w+)\s+
-    (?:INNER\s+)?JOIN\s+(?P<rtab>[\w.]+)\s+(?:AS\s+)?(?P<ra>\w+)\s+
+    FROM\s+(?P<ltab>[\w.]+)
+    (?:\s+(?:AS\s+)?(?!{_JOIN_KEYWORDS}\b)(?P<la>\w+))?\s+
+    (?P<jtype>(?:INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?
+               |FULL(?:\s+OUTER)?|LEFT\s+SEMI|SEMI|LEFT\s+ANTI|ANTI)\s+)?
+    JOIN\s+(?P<rtab>[\w.]+)
+    (?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?\s+
     ON\s+ST_(?P<pred>Intersects|Contains|Within|Covers|CoveredBy|Touches
              |Crosses|Overlaps|Equals|DWithin)\s*
     \(\s*(?P<g1>\w+\.\w+)\s*,\s*(?P<g2>\w+\.\w+)\s*
     (?:,\s*(?P<dist>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*)?\)\s*
-    (?P<tail>.*?)\s*;?\s*$
+    (?:AND\s+(?P<rem>.+?))?\s*
+    (?P<tail>(?:(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING)\b.*)?)
+    \s*;?\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+# SQL join-type word -> spatial_join's `how` (the operator implements the
+# full set the reference plans, exec.rs:235-240 / stream.rs:981-984)
+_HOW = {"": "inner", "INNER": "inner", "LEFT": "left", "RIGHT": "right",
+        "FULL": "full", "LEFT SEMI": "left_semi", "SEMI": "left_semi",
+        "LEFT ANTI": "left_anti", "ANTI": "left_anti"}
 
 # asymmetric predicates flip when the SQL lists the right alias first:
 # ST_Contains(r.g, l.g) == spatial_join(l, r, "within")
@@ -99,24 +116,29 @@ def _sub_outside_strings(text: str, la: str, ra: str,
                          rmap) -> str:
     """Rewrite ``la.col`` -> ``col`` and ``ra.col`` -> ``rmap(col)``,
     skipping single-quoted SQL string literals (a WHERE literal like
-    ``'a.foo'`` must survive untouched)."""
+    ``'a.foo'`` must survive untouched) and backquoted identifiers
+    (round-7 ADVICE: ```a.b``` names one column, not a qualified
+    reference)."""
     def _fix(segment: str) -> str:
         segment = re.sub(rf"\b{re.escape(la)}\.(\w+)", r"\1", segment)
         return re.sub(rf"\b{re.escape(ra)}\.(\w+)",
                       lambda g: rmap(g.group(1)), segment)
 
     out, i = [], 0
+    n = len(text)
     while True:
-        q = text.find("'", i)
-        if q < 0:
-            out.append(_fix(text[i:]))
-            return "".join(out)
+        q1 = text.find("'", i)
+        q2 = text.find("`", i)
+        q = min(x for x in (q1, q2, n) if x >= 0)
         out.append(_fix(text[i:q]))
-        # scan the literal, honoring '' escapes
+        if q == n:
+            return "".join(out)
+        ch = text[q]
+        # scan the quoted span, honoring doubled-quote escapes
         j = q + 1
-        while j < len(text):
-            if text[j] == "'":
-                if j + 1 < len(text) and text[j + 1] == "'":
+        while j < n:
+            if text[j] == ch:
+                if j + 1 < n and text[j + 1] == ch:
                     j += 2
                     continue
                 break
@@ -177,7 +199,13 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
 def _rel_sql(spark: SparkSession, m: re.Match) -> DataFrame:
     from sedona_db_spark.operators import spatial_join
 
-    la, ra = m["la"], m["ra"]
+    # omitted aliases default to the table name (round-7 ADVICE: the
+    # idiomatic unaliased `FROM a JOIN b ON ST_Pred(a.g, b.g)` silently
+    # fell through to the theta-join fallback)
+    la = m["la"] or m["ltab"].split(".")[-1]
+    ra = m["ra"] or m["rtab"].split(".")[-1]
+    how = _HOW[" ".join((m["jtype"] or "").upper()
+                        .replace("OUTER", " ").split())]
     pred = m["pred"].lower()
     a1, c1 = _col_of(m["g1"], (la, ra))
     a2, c2 = _col_of(m["g2"], (la, ra))
@@ -197,11 +225,21 @@ def _rel_sql(spark: SparkSession, m: re.Match) -> DataFrame:
 
     ldf = spark.table(m["ltab"])
     rdf = spark.table(m["rtab"])
-    joined = spatial_join(ldf, rdf, pred, "inner", distance=distance,
-                          left_geom=c1, right_geom=c2)
     dup = set(ldf.columns) & set(rdf.columns)
-    return _finish(spark, joined, m["select"], m["tail"], la, ra,
-                   lambda c: c + ("_r" if c in dup else ""))
+    rmap = (lambda c: c + ("_r" if c in dup else ""))
+    extra = None
+    if m["rem"]:
+        # conjoined ON remainder: rewritten against the joined column
+        # names and ANDed into the operator's refine condition BEFORE the
+        # outer/semi/anti finisher — the reference's transform_join_filter
+        # (rust/sedona-query-planner/src/spatial_expr_utils.rs:101), so
+        # LEFT JOIN ... ON ST_Pred(..) AND r.x > 3 keeps its unmatched
+        # left rows instead of silently becoming a WHERE
+        extra = F.expr(_sub_outside_strings(m["rem"], la, ra, rmap))
+    joined = spatial_join(ldf, rdf, pred, how, distance=distance,
+                          left_geom=c1, right_geom=c2,
+                          extra_condition=extra)
+    return _finish(spark, joined, m["select"], m["tail"], la, ra, rmap)
 
 
 def _knn_sql(spark: SparkSession, query: str,
@@ -215,7 +253,8 @@ def _knn_sql(spark: SparkSession, query: str,
             "for anything richer call operators.knn_join directly")
     from sedona_db_spark.operators import knn_join
 
-    la, ra = m["la"], m["ra"]
+    la = m["la"] or m["ltab"].split(".")[-1]
+    ra = m["ra"] or m["rtab"].split(".")[-1]
     use_spheroid = (m["sph"] or "false").lower() == "true"
 
     def _side_col(qualified: str, alias: str, side: str) -> str:

@@ -40,3 +40,20 @@ def test_query_matches_oracle(spark, con, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
     assert QUERIES[name](spark, SF).count() >= 0
+
+
+def test_registry_fits_driver_window():
+    """Round-7 VERDICT #8: the driver's correctness gate records only the
+    first 50 queries in dict order — a 51st entry would silently lose its
+    CORRECTNESS row (the round-6 window bug).  Merge same-schema
+    execution tiers under a tagged-union slot (see
+    plans/demo_queries._tagged_union) before adding new keys."""
+    import __spark_entry__ as E
+
+    q = E.queries()
+    o = E.oracle_sql()
+    assert len(q) <= 50, (
+        f"{len(q)} queries > the driver's 50-slot correctness window — "
+        "merge tiers under a tagged-union slot instead of adding keys")
+    # every query has an oracle (or is a documented rows-only exception)
+    assert set(o) <= set(q)

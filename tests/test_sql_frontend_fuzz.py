@@ -1,0 +1,205 @@
+"""Standing fuzz for the SQL front-end's text rewriting (round-7 VERDICT
+item #4): the alias/column substitution and the join-shape regexes are
+text-level transforms, so they get property tests against reference
+implementations plus a seeded end-to-end sweep comparing ``sql()`` with
+the DataFrame API.  Any statement shape the front-end cannot represent
+must fall back (same rows via the theta join) or raise — never silently
+misrewrite."""
+
+import random
+import re
+
+import pytest
+
+from sedona_db_spark.sql_frontend import (_KNN_JOIN_RE, _REL_JOIN_RE,
+                                          _sub_outside_strings)
+
+
+# ---------------------------------------------------------------------------
+# reference rewriter: char-scan with explicit in-quote state
+# ---------------------------------------------------------------------------
+
+def _ref_rewrite(text: str, la: str, ra: str, rmap) -> str:
+    out = []
+    i, n = 0, len(text)
+    in_q = None
+    seg = []
+
+    def flush():
+        s = "".join(seg)
+        seg.clear()
+        s = re.sub(rf"\b{re.escape(la)}\.(\w+)", r"\1", s)
+        s = re.sub(rf"\b{re.escape(ra)}\.(\w+)",
+                   lambda g: rmap(g.group(1)), s)
+        out.append(s)
+
+    while i < n:
+        ch = text[i]
+        if in_q is None and ch in ("'", "`"):
+            flush()
+            in_q = ch
+            out.append(ch)
+        elif in_q is not None and ch == in_q:
+            if i + 1 < n and text[i + 1] == in_q:
+                out.append(ch + ch)
+                i += 2
+                continue
+            in_q = None
+            out.append(ch)
+        elif in_q is not None:
+            out.append(ch)
+        else:
+            seg.append(ch)
+        i += 1
+    flush()
+    return "".join(out)
+
+
+def test_sub_outside_strings_property():
+    rng = random.Random(1234)
+    cols = ["id", "geom", "name", "a", "b"]
+    aliases = ["a", "b", "t", "id", "geom"]     # incl. column-shadowing
+    pieces_pool = [
+        lambda la, ra, rng: f"{la}.{rng.choice(cols)}",
+        lambda la, ra, rng: f"{ra}.{rng.choice(cols)}",
+        lambda la, ra, rng: f"'{la}.{rng.choice(cols)}'",   # literal
+        lambda la, ra, rng: f"'it''s {ra}.id'",             # doubled quote
+        lambda la, ra, rng: f"`{la}.{rng.choice(cols)}`",   # backquoted id
+        lambda la, ra, rng: rng.choice(["count(*)", "1 + 2", ",", " AND ",
+                                        "WHERE", "x", "sum(", ")"]),
+    ]
+    for _ in range(2000):
+        la = rng.choice(aliases)
+        ra = rng.choice([a for a in aliases if a != la])
+        dup = set(rng.sample(cols, rng.randint(0, len(cols))))
+
+        def rmap(c, dup=dup):
+            return c + ("_r" if c in dup else "")
+
+        text = " ".join(rng.choice(pieces_pool)(la, ra, rng)
+                        for _ in range(rng.randint(1, 12)))
+        assert _sub_outside_strings(text, la, ra, rmap) \
+            == _ref_rewrite(text, la, ra, rmap)
+
+
+# ---------------------------------------------------------------------------
+# regex extraction: generated supported statements parse back exactly
+# ---------------------------------------------------------------------------
+
+def test_rel_regex_extraction_property():
+    rng = random.Random(99)
+    preds = ["Intersects", "Contains", "Within", "Covers", "CoveredBy",
+             "Touches", "Crosses", "Overlaps", "Equals"]
+    jtypes = ["", "INNER ", "LEFT ", "LEFT OUTER ", "RIGHT ", "FULL ",
+              "SEMI ", "LEFT SEMI ", "ANTI ", "LEFT ANTI "]
+    for _ in range(2000):
+        lt, rt = rng.choice(["polys", "db.polys"]), "pts"
+        la = rng.choice([None, "p", "x"])
+        ra = rng.choice([None, "q", "y"])
+        laa = la or lt.split(".")[-1]
+        raa = ra or rt
+        pred = rng.choice(preds)
+        jt = rng.choice(jtypes)
+        rem = rng.choice([None, f"{raa}.id < 25",
+                          f"{laa}.name = 'it''s'"])
+        tail = rng.choice(["", f"WHERE {laa}.id > 2",
+                           "ORDER BY 1 LIMIT 5"])
+        stmt = (f"SELECT {laa}.id, {raa}.id FROM {lt}"
+                + (f" AS {la}" if la and rng.random() < 0.5
+                   else (f" {la}" if la else ""))
+                + f" {jt}JOIN {rt}"
+                + (f" AS {ra}" if ra and rng.random() < 0.5
+                   else (f" {ra}" if ra else ""))
+                + f" ON ST_{pred}({laa}.geom, {raa}.geom)"
+                + (f" AND {rem}" if rem else "")
+                + (f" {tail}" if tail else ""))
+        m = _REL_JOIN_RE.match(stmt)
+        assert m is not None, stmt
+        assert m["ltab"] == lt and m["rtab"] == rt, stmt
+        assert (m["la"] or lt.split(".")[-1]) == laa, stmt
+        assert (m["ra"] or rt) == raa, stmt
+        assert m["pred"].lower() == pred.lower(), stmt
+        got_jt = " ".join((m["jtype"] or "").upper()
+                          .replace("OUTER", " ").split())
+        want_jt = " ".join(jt.upper().replace("OUTER", " ").split())
+        assert got_jt == (want_jt if want_jt != "INNER" else "INNER"), stmt
+        assert (m["rem"] or None) == rem, stmt
+        assert (m["tail"] or "").strip() == tail, stmt
+
+
+def test_unsupported_shapes_do_not_mismatch():
+    """Shapes outside the supported grammar must NOT produce a partial
+    match that would misplan — they fall through entirely."""
+    bad = [
+        # subquery instead of a table
+        "SELECT a.id FROM (SELECT * FROM t) a JOIN u b "
+        "ON ST_Intersects(a.g, b.g)",
+        # two joins
+        "SELECT a.id FROM t a JOIN u b ON ST_Intersects(a.g, b.g) "
+        "JOIN v c ON ST_Intersects(a.g, c.g)",
+        # disjunctive ON
+        "SELECT a.id FROM t a JOIN u b "
+        "ON ST_Intersects(a.g, b.g) OR a.id = b.id",
+        # non-literal distance
+        "SELECT a.id FROM t a JOIN u b ON ST_DWithin(a.g, b.g, a.d)",
+    ]
+    for stmt in bad:
+        assert _REL_JOIN_RE.match(stmt) is None, stmt
+
+
+# ---------------------------------------------------------------------------
+# end-to-end seeded sweep: sql() vs the DataFrame API
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("spark")
+def test_sql_vs_api_seeded_sweep(spark):
+    import pyspark.sql.functions as F
+
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+
+    pts = spark.createDataFrame(FX.random_points(40, seed=21)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(15, seed=22)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("fz_pts")
+    pls.createOrReplaceTempView("fz_polys")
+
+    rng = random.Random(5)
+    jt_how = [("", "inner"), ("LEFT ", "left"), ("FULL ", "full"),
+              ("SEMI ", "left_semi"), ("ANTI ", "left_anti")]
+
+    def _k(t):
+        return tuple((v is None, v) for v in t)
+
+    for trial in range(10):
+        jt, how = rng.choice(jt_how)
+        rem = rng.choice([None, "q.id < 20", "q.id % 2 = 0"])
+        la, ra = rng.choice([("p", "q"), ("fz_polys", "fz_pts")])
+        alias_sql = "" if la == "fz_polys" else " p"
+        alias_sql_r = "" if ra == "fz_pts" else " q"
+        if la == "fz_polys":
+            rem = rem.replace("q.", "fz_pts.") if rem else None
+            ra = "fz_pts"
+        sel = f"{la}.id AS pid" if how in ("left_semi", "left_anti") \
+            else f"{la}.id AS pid, {ra}.id AS qid"
+        stmt = (f"SELECT {sel} FROM fz_polys{alias_sql} {jt}JOIN "
+                f"fz_pts{alias_sql_r} "
+                f"ON ST_Intersects({la}.geom, {ra}.geom)"
+                + (f" AND {rem}" if rem else ""))
+        got = sd_sql(spark, stmt)
+        extra = None
+        if rem:
+            extra = F.expr(rem.replace(f"{ra}.", "")
+                           .replace("id", "id_r", 1))
+        api = spatial_join(pls, pts, "intersects", how,
+                           extra_condition=extra)
+        if how in ("left_semi", "left_anti"):
+            assert (sorted(r["pid"] for r in got.collect())
+                    == sorted(r["id"] for r in api.collect())), stmt
+        else:
+            assert (sorted(((r["pid"], r["qid"])
+                            for r in got.collect()), key=_k)
+                    == sorted(((r["id"], r["id_r"])
+                               for r in api.collect()), key=_k)), stmt
