@@ -77,11 +77,39 @@ HEADLINE = [
 ]
 
 
+# quiet thresholds for the controls (documented in BASELINE.md): a
+# before-control outside these means neighbor load is ACTIVE at capture
+# time, so bench.py retries after a backoff instead of stamping an
+# official BENCH_rN from a hot host (round-7 VERDICT #5 — annotation
+# alone let a 0.79 s matmul before-control into the official capture)
+QUIET_MATMUL_SEC = 0.5
+QUIET_STREAM_GBPS = 8.0
+_CONTROL_RETRIES = 4
+_CONTROL_BACKOFF_SEC = 20.0
+
+
+def quiet_controls_or_flag() -> tuple[dict, bool]:
+    """Measure the noise controls; if hot, back off and retake up to
+    _CONTROL_RETRIES times.  Returns (last controls, quiet?)."""
+    ctl, quiet = {}, False
+    for attempt in range(_CONTROL_RETRIES):
+        ctl = noise_controls()
+        quiet = (ctl["matmul_sec"] <= QUIET_MATMUL_SEC
+                 and ctl["stream_gb_per_sec"] >= QUIET_STREAM_GBPS)
+        if quiet:
+            break
+        print(f"# hot before-control (attempt {attempt + 1}/"
+              f"{_CONTROL_RETRIES}): {ctl} — backing off "
+              f"{_CONTROL_BACKOFF_SEC:.0f}s", file=sys.stderr)
+        time.sleep(_CONTROL_BACKOFF_SEC)
+    return ctl, quiet
+
+
 def run_headline(sf_dir: str, cpus: int) -> dict:
     from sedona_db_spark.session import get_spark
     from sedona_db_spark.plans.demo_queries import QUERIES
 
-    controls_before = noise_controls()
+    controls_before, quiet_before = quiet_controls_or_flag()
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,6 +157,12 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "spatial_join_rows_per_sec": round(tput),
         "spatial_join_joined_rows": joined,
         "controls": {"before": controls_before, "after": noise_controls()},
+        # prominent one-glance flag: True only when the before-control
+        # was still hot after every retake (the capture proceeded anyway
+        # so the driver always gets a BENCH row, but the numbers carry
+        # neighbor load and per-query minima should be read against the
+        # controls)
+        "noisy": not quiet_before,
     }
 
 

@@ -401,6 +401,14 @@ def buffer_input_simplify(pts: np.ndarray, tol: float,
         if closed and not keep[0] and kill[n - 1] and last == n - 1:
             # wraparound adjacency: vertex 0 and n-1 are neighbors
             keep[n - 1] = True
+        if closed:
+            # never collapse a closed ring below 3 vertices in one pass
+            # (round-7 ADVICE: an n=4 mostly-reflex quad could delete two
+            # non-adjacent vertices and return a 2-point "ring"); re-keep
+            # the last planned deletions until a valid ring survives
+            excess = 3 - int(keep.sum())
+            if excess > 0:
+                keep[np.flatnonzero(~keep)[-excess:]] = True
         nxt = cur[keep]
         if len(nxt) == len(cur):
             return cur
