@@ -311,6 +311,94 @@ def geoparquet_metadata(path: str) -> dict | None:
     return json.loads(raw) if raw else None
 
 
+# accepted values mirror the reference's serde enums
+# (rust/sedona-geoparquet/src/metadata.rs:285-380 GeoParquetColumnMetadata,
+# GeoParquetColumnEncoding, GeometryTypeAndDimensionsSet)
+_GP_ENCODINGS = {"WKB", "point", "linestring", "polygon", "multipoint",
+                 "multilinestring", "multipolygon"}
+_GP_GEOM_TYPES = {"Point", "LineString", "Polygon", "MultiPoint",
+                  "MultiLineString", "MultiPolygon", "GeometryCollection"}
+_GP_COVERING_KEYS = ("xmin", "ymin", "xmax", "ymax")
+
+
+def parse_geoparquet_metadata_strict(geo) -> dict:
+    """Validate a parsed `geo` footer against the reference's metadata
+    schema (metadata.rs:285-380): required version/primary_column/columns,
+    the 1.1 encoding enum, geometry_types values (with the `" Z"` 3-D
+    suffix rule and uniqueness), planar|spherical edges,
+    counterclockwise-only orientation, RFC-7946 bbox arity, and
+    covering.bbox paths of the `[column, field]` shape.  Raises
+    ValueError on any drift — the guard for the footer WE emit as much
+    as for external files."""
+    if not isinstance(geo, dict):
+        raise ValueError("geo metadata must be a JSON object")
+    for req in ("version", "primary_column", "columns"):
+        if req not in geo:
+            raise ValueError(f"geo metadata missing required {req!r}")
+    if not isinstance(geo["version"], str) or not geo["version"]:
+        raise ValueError("geo.version must be a non-empty string")
+    cols = geo["columns"]
+    if not isinstance(cols, dict) or not cols:
+        raise ValueError("geo.columns must be a non-empty object")
+    if geo["primary_column"] not in cols:
+        raise ValueError(
+            f"primary_column {geo['primary_column']!r} not in columns")
+    for name, cm in cols.items():
+        if not isinstance(cm, dict):
+            raise ValueError(f"column {name!r} metadata must be an object")
+        enc = cm.get("encoding")
+        if enc not in _GP_ENCODINGS:
+            raise ValueError(f"column {name!r}: unknown encoding {enc!r}")
+        gts = cm.get("geometry_types", [])
+        if not isinstance(gts, list):
+            raise ValueError(f"column {name!r}: geometry_types not a list")
+        seen = set()
+        for gt in gts:
+            base = gt[:-2] if isinstance(gt, str) and gt.endswith(" Z") \
+                else gt
+            if base not in _GP_GEOM_TYPES:
+                raise ValueError(
+                    f"column {name!r}: bad geometry type {gt!r}")
+            if gt in seen:
+                raise ValueError(
+                    f"column {name!r}: duplicate geometry type {gt!r}")
+            seen.add(gt)
+        edges = cm.get("edges", "planar")
+        if edges not in ("planar", "spherical"):
+            raise ValueError(f"column {name!r}: bad edges {edges!r}")
+        orient = cm.get("orientation")
+        if orient is not None and orient != "counterclockwise":
+            raise ValueError(
+                f"column {name!r}: orientation must be counterclockwise")
+        bbox = cm.get("bbox")
+        if bbox is not None and (not isinstance(bbox, list)
+                                 or len(bbox) not in (4, 6)
+                                 or not all(isinstance(v, (int, float))
+                                            for v in bbox)):
+            raise ValueError(f"column {name!r}: bbox must be [xmin, ymin, "
+                             f"xmax, ymax] (or 6 values with z)")
+        epoch = cm.get("epoch")
+        if epoch is not None and not isinstance(epoch, (int, float)):
+            raise ValueError(f"column {name!r}: epoch must be a number")
+        cov = cm.get("covering")
+        if cov is not None:
+            if not isinstance(cov, dict) or "bbox" not in cov:
+                raise ValueError(f"column {name!r}: covering needs bbox")
+            cb = cov["bbox"]
+            if set(cb) != set(_GP_COVERING_KEYS):
+                raise ValueError(
+                    f"column {name!r}: covering.bbox needs exactly "
+                    f"{_GP_COVERING_KEYS}")
+            for k in _GP_COVERING_KEYS:
+                p = cb[k]
+                if (not isinstance(p, list) or len(p) != 2
+                        or not all(isinstance(s, str) and s for s in p)):
+                    raise ValueError(
+                        f"column {name!r}: covering.bbox.{k} must be "
+                        f"[column, field]")
+    return geo
+
+
 def read_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """Read an (external or self-written) GeoParquet 1.1 dataset.
 
@@ -321,6 +409,7 @@ def read_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     geo = geoparquet_metadata(path)
     if geo is None:
         raise ValueError(f"{path}: no `geo` footer metadata (not GeoParquet)")
+    geo = parse_geoparquet_metadata_strict(geo)
     col = geo["primary_column"]
     colmeta = geo["columns"][col]
     enc = colmeta.get("encoding", "WKB")
