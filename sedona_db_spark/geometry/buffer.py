@@ -1696,7 +1696,9 @@ def buffer_route_batch(rows: list) -> list:
     out: list = [None] * len(rows)
     line_pools: dict = {}           # params -> (lines, dists)
     ring_pools: dict = {}
+    clip_pools: dict = {}           # params -> (lines, dists) clip=True
     plans: list = []
+    line_plans: list = []           # top-level LineString/MultiLineString
 
     def _plan_child(q, dist, params):
         """Return a deferred-plan entry for one collection child, or
@@ -1751,6 +1753,39 @@ def buffer_route_batch(rows: list) -> list:
     for ri, (g, dist, params) in enumerate(rows):
         if g is None:
             continue
+        if (g[0] in ("LineString", "MultiLineString") and dist > 0
+                and params.side == "both" and params.join == "round"):
+            # top-level polyline rows batch their curve construction
+            # (the clipped closed-form attempt AND the raw curves);
+            # anything outside the per-row branch's happy path falls
+            # back to buffer_route below
+            lines = [g[1]] if g[0] == "LineString" else g[1]
+            lines = [_dedupe_consecutive(np.asarray(l, dtype=np.float64))
+                     for l in lines]
+            lines = [l for l in lines if len(l)]
+            ok_shape = bool(lines) and all(
+                len(l) >= 2 and not (len(l) > 3
+                                     and bool(np.all(l[0] == l[-1])))
+                for l in lines) \
+                and not (len(lines) == 1 and len(lines[0]) == 2)
+            if not ok_shape:
+                out[ri] = buffer_route(g, dist, params)
+                continue
+            cpool = None
+            cidx = -1
+            if len(lines) == 1 and params.endcap != "flat":
+                cpool = clip_pools.setdefault(params, ([], []))
+                cidx = len(cpool[0])
+                cpool[0].append(lines[0])
+                cpool[1].append(dist)
+            rpool = line_pools.setdefault(params, ([], []))
+            ridx = []
+            for l in lines:
+                ridx.append(len(rpool[0]))
+                rpool[0].append(l)
+                rpool[1].append(dist)
+            line_plans.append((ri, g, dist, params, lines, cidx, ridx))
+            continue
         if not (g[0] == "GeometryCollection" and len(g[1]) > 1
                 and dist > 0 and params.side == "both"
                 and params.join == "round"):
@@ -1763,11 +1798,49 @@ def buffer_route_batch(rows: list) -> list:
                    for k, v in line_pools.items()}
     ring_curves = {k: OB.batch_ring_curves(v[0], v[1], k)
                    for k, v in ring_pools.items()}
+    clip_curves = {k: OB.batch_polyline_curves(v[0], v[1], k, clip=True)
+                   for k, v in clip_pools.items()}
 
     def _edges_of(curves):
         return np.concatenate(
             [np.concatenate([c, np.vstack([c[1:], c[:1]])], axis=1)
              for c in curves])
+
+    # top-level polyline rows: identical decision sequence to the
+    # per-row LineString branch, with every curve already batch-built
+    for ri, g, dist, params, lines, cidx, ridx in line_plans:
+        if cidx >= 0:
+            # clipped closed-form attempt, gated on the SIMPLIFIED
+            # input's simplicity exactly like buffer_route
+            l_s = buffer_input_simplify(lines[0],
+                                        abs(dist) / _SIMPLIFY_FACTOR)
+            cc = clip_curves[params][cidx] \
+                if len(l_s) >= 2 and _polyline_is_simple(l_s) else None
+            if cc is not None:
+                _, _, simple_c = _rings_cross_info([cc])
+                if simple_c:
+                    x, y = cc[:, 0], cc[:, 1]
+                    a2 = float(np.dot(x, np.concatenate([y[1:], y[:1]]))
+                               - np.dot(y, np.concatenate([x[1:],
+                                                           x[:1]])))
+                    if a2 > 0:
+                        out[ri] = ("geom", ("Polygon",
+                                            [np.vstack([cc, cc[:1]])]))
+                        continue
+        curves = [line_curves[params][j] for j in ridx]
+        if any(c is None for c in curves):
+            out[ri] = buffer_route(g, dist, params)   # U-turn fallback
+            continue
+        e, xs, simple = _rings_cross_info(curves)
+        if simple and len(curves) == 1:
+            c = curves[0]
+            x, y = c[:, 0], c[:, 1]
+            a2 = float(np.dot(x, np.concatenate([y[1:], y[:1]]))
+                       - np.dot(y, np.concatenate([x[1:], x[:1]])))
+            if a2 > 0:
+                out[ri] = ("geom", ("Polygon", [np.vstack([c, c[:1]])]))
+                continue
+        out[ri] = ("edges", (e, xs))
 
     for ri, dist, params, child_plans in plans:
         routes: list = []

@@ -88,7 +88,7 @@ def _corner_blocks(V: np.ndarray, nxt: np.ndarray, prv: np.ndarray,
         a0 = np.arctan2(-pux[lj], puy[lj])
         inc = np.where(nsegs > 0, theta / np.maximum(nsegs, 1), 0.0)
     return (uturn, ux, uy, nx, ny, p0x, p0y, p1x, p1y,
-            refl, m, lj, nsegs, a0, inc)
+            refl, m, lj, nsegs, a0, inc, ln, crosses, pux, puy)
 
 
 def _fill_blocks(starts, cnt, p0x, p0y, p1x, p1y, refl, vx, vy,
@@ -161,8 +161,8 @@ def batch_ring_curves(rings: list, dists, p: BufferParams) -> list:
     dd = dists[rid]
     first = np.zeros(N, dtype=bool)       # rings: every vertex corners
     (uturn, ux, uy, nx, ny, p0x, p0y, p1x, p1y,
-     refl, m, lj, nsegs, a0, inc) = _corner_blocks(V, nxt, prv, first,
-                                                   dd, p)
+     refl, m, lj, nsegs, a0, inc,
+     _ln, _crs, _pux, _puy) = _corner_blocks(V, nxt, prv, first, dd, p)
     bad = np.zeros(R, dtype=bool)
     if bool(uturn.any()):
         bad[np.unique(rid[uturn])] = True
@@ -191,7 +191,8 @@ def batch_ring_curves(rings: list, dists, p: BufferParams) -> list:
     return out
 
 
-def _batch_chains(chains: list, dists, p: BufferParams):
+def _batch_chains(chains: list, dists, p: BufferParams,
+                  clip: bool = False):
     """`buffer._open_offset_chain` (clip=False) for MANY open chains in
     one flat pass.  Returns (point array per chain or None,
     per-chain unit direction of first/last edge) — the directions feed
@@ -214,28 +215,79 @@ def _batch_chains(chains: list, dists, p: BufferParams):
     dd = np.asarray(dists, dtype=np.float64)[cid]
     endpoint = (idx == off[cid]) | is_last
     (uturn, ux, uy, nx, ny, p0x, p0y, p1x, p1y,
-     refl, m, lj, nsegs, a0, inc) = _corner_blocks(V, nxt, prv, endpoint,
-                                                   dd, p, synth=is_last)
+     refl, m, lj, nsegs, a0, inc,
+     ln, crosses, pux, puy) = _corner_blocks(V, nxt, prv, endpoint,
+                                             dd, p, synth=is_last)
     bad = np.zeros(C, dtype=bool)
     if bool(uturn.any()):
         bad[np.unique(cid[uturn])] = True
+    cxp = cyp = None
+    if clip:
+        # clipped-reflex variant (_open_offset_chain clip=True): each
+        # reflex corner closes at the adjacent offset segments'
+        # intersection when locally valid; any invalid clip refuses the
+        # whole chain (caller falls back / uses the raw curve)
+        rj0 = np.flatnonzero(refl)
+        t_in = np.zeros(N)
+        s_out = np.zeros(N)
+        cxp = np.zeros(N)
+        cyp = np.zeros(N)
+        if len(rj0):
+            den = crosses[rj0]
+            zden = den == 0.0
+            if bool(zden.any()):
+                bad[np.unique(cid[rj0[zden]])] = True
+            den_s = np.where(zden, 1.0, den)
+            wx = p1x[rj0] - p0x[rj0]
+            wy = p1y[rj0] - p0y[rj0]
+            tt = (wx * uy[rj0] - wy * ux[rj0]) / den_s
+            ss = (wx * puy[rj0] - wy * pux[rj0]) / den_s
+            ln_in = ln[prv[rj0]]
+            ln_out = ln[rj0]
+            inval = (tt > 0.0) | (tt < -ln_in) | (ss < 0.0) | (ss > ln_out)
+            if bool(inval.any()):
+                bad[np.unique(cid[rj0[inval]])] = True
+            t_in[rj0] = tt
+            s_out[rj0] = ss
+            cxp[rj0] = p0x[rj0] + tt * pux[rj0]
+            cyp[rj0] = p0y[rj0] + tt * puy[rj0]
+        # per-edge consistency across consecutive interior corners of
+        # the same chain: the outgoing clip of corner v must not pass
+        # the incoming clip of corner v+1 on the edge between them
+        inter_m = ~endpoint
+        pair = inter_m[:-1] & inter_m[1:] & (cid[:-1] == cid[1:])
+        viol = pair & (s_out[:-1] > ln[:-1] + t_in[1:])
+        if bool(viol.any()):
+            bad[np.unique(cid[:-1][viol])] = True
     # chain layout: [start offset pt] + interior corner blocks + [end
     # offset pt]
-    cnt = np.where(endpoint, 1, m + 2)
+    cnt = np.where(endpoint, 1,
+                   np.where(refl, 1, m + 2) if clip else m + 2)
     starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
     tot = int(cnt.sum())
     inter = ~endpoint
     px = np.empty(tot)
     py = np.empty(tot)
     ends_b = starts + cnt - 1
-    px[starts[inter]] = p0x[inter]
-    py[starts[inter]] = p0y[inter]
-    px[ends_b[inter]] = p1x[inter]
-    py[ends_b[inter]] = p1y[inter]
-    rj = np.flatnonzero(refl & inter)
-    if len(rj):
-        px[starts[rj] + 1] = V[rj, 0]
-        py[starts[rj] + 1] = V[rj, 1]
+    if clip:
+        cvx = inter & ~refl
+        px[starts[cvx]] = p0x[cvx]
+        py[starts[cvx]] = p0y[cvx]
+        px[ends_b[cvx]] = p1x[cvx]
+        py[ends_b[cvx]] = p1y[cvx]
+        rj = np.flatnonzero(refl & inter)
+        if len(rj):
+            px[starts[rj]] = cxp[rj]
+            py[starts[rj]] = cyp[rj]
+    else:
+        px[starts[inter]] = p0x[inter]
+        py[starts[inter]] = p0y[inter]
+        px[ends_b[inter]] = p1x[inter]
+        py[ends_b[inter]] = p1y[inter]
+        rj = np.flatnonzero(refl & inter)
+        if len(rj):
+            px[starts[rj] + 1] = V[rj, 0]
+            py[starts[rj] + 1] = V[rj, 1]
     if nsegs is not None and len(lj):
         tot_arc = int(nsegs.sum())
         if tot_arc:
@@ -263,8 +315,9 @@ def _batch_chains(chains: list, dists, p: BufferParams):
 _CAP_NONE = 0
 
 
-def batch_polyline_curves(lines: list, dists, p: BufferParams) -> list:
-    """`buffer._polyline_offset_curve` (clip=False) for MANY open
+def batch_polyline_curves(lines: list, dists, p: BufferParams,
+                          clip: bool = False) -> list:
+    """`buffer._polyline_offset_curve` for MANY open
     polylines in one flat pass: right-side chain forward, end cap,
     right-side chain of the reversed line, start cap — the GEOS
     getLineCurve construction.  One closed CCW point array per line or
@@ -289,7 +342,7 @@ def batch_polyline_curves(lines: list, dists, p: BufferParams) -> list:
         chains.append(simp[i][::-1])
         cd.append(dists[i])
         cd.append(dists[i])
-    px, py, cstart, ctot, badc = _batch_chains(chains, cd, p)
+    px, py, cstart, ctot, badc = _batch_chains(chains, cd, p, clip=clip)
     # caps per line: end cap (after fwd chain, direction = fwd's last
     # edge) and start cap (after rev chain, direction = rev's last edge)
     quantum = math.pi / 2.0 / p.quad_segs

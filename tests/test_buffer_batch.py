@@ -880,3 +880,74 @@ def test_offset_batch_builders_bitwise_match_per_row():
             assert (ref is None) == (got is None)
             if ref is not None:
                 assert np.array_equal(ref, got)
+
+
+def test_buffer_route_batch_toplevel_lines_match_per_row():
+    """Top-level LineString/MultiLineString rows batch their clipped and
+    raw curve construction; routes (tags + payload bytes, xs multiset)
+    must equal the per-row dispatcher."""
+    rng = np.random.default_rng(55)
+    p = B.parse_buffer_params(None)
+    rows = []
+    for i in range(150):
+        k = int(rng.integers(2, 11))
+        if i % 3 == 0:
+            ang = rng.uniform(0, 2 * np.pi) \
+                + (2 * np.pi / max(k, 3)) * np.arange(k)
+            r = rng.uniform(1, 8)
+            pts = np.column_stack([np.cos(ang) * r, np.sin(ang) * r]) \
+                + rng.uniform(-40, 40, 2)
+            g = ("LineString", pts)
+        elif i % 3 == 1:
+            g = ("LineString", rng.uniform(-50, 50, (k, 2)))
+        else:
+            k2 = int(rng.integers(2, 8))
+            g = ("MultiLineString", [rng.uniform(-50, 50, (k, 2)),
+                                     rng.uniform(-30, 60, (k2, 2))])
+        rows.append((g, float(rng.uniform(0.2, 4.0)), p))
+    got = B.buffer_route_batch(rows)
+    for (g, d, pp), rb in zip(rows, got):
+        ra = B.buffer_route(g, d, pp)
+        assert (ra is None) == (rb is None) and ra[0] == rb[0]
+        if ra[0] == "edges":
+            assert np.array_equal(ra[1][0], rb[1][0])
+            xa, xb = ra[1][1], rb[1][1]
+            assert (xa is None) == (xb is None)
+            if xa is not None:
+                assert np.array_equal(np.sort(xa), np.sort(xb))
+        elif ra[0] == "geom":
+            assert W.encode(ra[1]) == W.encode(rb[1])
+        else:
+            for qa, qb in zip(ra[1], rb[1]):
+                if isinstance(qa, np.ndarray):
+                    assert np.array_equal(qa, qb)
+                else:
+                    assert W.encode(qa) == W.encode(qb)
+
+
+def test_offset_batch_clipped_builder_bitwise_matches_per_row():
+    """batch_polyline_curves(clip=True) is byte-identical to
+    _polyline_offset_curve(clip=True) incl. refusal (invalid clip)
+    parity, over random tracks and reflex-heavy circle arcs."""
+    from sedona_db_spark.geometry.offset_batch import batch_polyline_curves
+    rng = np.random.default_rng(77)
+    p = B.parse_buffer_params(None)
+    lines, dl = [], []
+    for i in range(200):
+        k = int(rng.integers(2, 12))
+        lines.append(B._dedupe_consecutive(rng.uniform(-50, 50, (k, 2))))
+        dl.append(float(rng.uniform(0.1, 4.0)))
+    for i in range(100):
+        k = int(rng.integers(3, 11))
+        ang = rng.uniform(0, 2 * np.pi) + (2 * np.pi / k) * np.arange(k)
+        r = rng.uniform(1, 8)
+        lines.append(np.column_stack([np.cos(ang) * r,
+                                      np.sin(ang) * r])
+                     + rng.uniform(-40, 40, 2))
+        dl.append(float(rng.uniform(0.1, 3.0)))
+    got = batch_polyline_curves(lines, dl, p, clip=True)
+    for rr, d, g in zip(lines, dl, got):
+        ref = B._polyline_offset_curve(rr, d, p, clip=True)
+        assert (ref is None) == (g is None)
+        if ref is not None:
+            assert np.array_equal(ref, g)
