@@ -360,6 +360,26 @@ def pick_join_res(stats: dict, max_cells_per_geom: int = 16) -> int:
     return 0
 
 
+def right_suffix_map(lcols, rcols) -> dict:
+    """Collision-resolving rename for the right side's columns: ``_r``
+    suffix on duplicates, re-suffixed until unique — a CHAINED spatial
+    join's left side may already carry ``geom_r`` from a previous join,
+    and plain one-shot suffixing would emit an ambiguous schema."""
+    taken = set(lcols) | set(rcols)
+    dup = set(lcols) & set(rcols)
+    rmap = {}
+    for c in rcols:
+        if c in dup:
+            new = c + "_r"
+            while new in taken:
+                new += "_r"
+            rmap[c] = new
+            taken.add(new)
+        else:
+            rmap[c] = c
+    return rmap
+
+
 def spatial_join(*args, **kwargs) -> DataFrame:
     """Public spatial join — see ``_spatial_join_impl`` for semantics.
 
@@ -386,7 +406,7 @@ def spatial_join(*args, **kwargs) -> DataFrame:
     if right is not None:
         rmeta = _crs.get_meta(right, rg)
         if rmeta:
-            rname = rg if (rg in out.columns and rg != lg) else rg + "_r"
+            rname = right_suffix_map(left.columns, right.columns)[rg]
             if rname in out.columns:
                 metas[rname] = rmeta
     if not metas:
@@ -469,8 +489,7 @@ def _spatial_join_impl(
         raise ValueError(f"how must be one of {JOIN_TYPES}")
 
     # ---- rename collisions -------------------------------------------------
-    dup = set(left.columns) & set(right.columns)
-    rmap = {c: (c + "_r" if c in dup else c) for c in right.columns}
+    rmap = right_suffix_map(left.columns, right.columns)
     right = right.select([F.col(c).alias(rmap[c]) for c in right.columns])
     rgeom = rmap[right_geom]
 

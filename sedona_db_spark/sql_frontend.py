@@ -84,11 +84,16 @@ _REL_JOIN_RE = re.compile(
     \(\s*(?P<g1>\w+\.\w+)\s*,\s*(?P<g2>\w+\.\w+)\s*
     (?:,\s*(?P<dist>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*)?\)\s*
     (?:AND\s+(?P<rem>.+?))?\s*
-    (?P<tail>(?:(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING)\b.*)?)
+    (?P<tail>(?:(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING
+                |(?:(?:INNER|LEFT|RIGHT|FULL|SEMI|ANTI)(?:\s+OUTER)?\s+
+                 |(?:LEFT\s+)?(?:SEMI|ANTI)\s+)?JOIN)\b.*)?)
     \s*;?\s*$
     """,
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+# does a trailing clause continue the FROM list with another join?
+_TAIL_JOIN_RE = re.compile(r"^\s*(?:\w+\s+){0,2}JOIN\b", re.IGNORECASE)
 
 # SQL join-type word -> spatial_join's `how` (the operator implements the
 # full set the reference plans, exec.rs:235-240 / stream.rs:981-984)
@@ -113,14 +118,16 @@ def _contains_rel_join(query: str) -> bool:
 
 
 def _sub_outside_strings(text: str, la: str, ra: str,
-                         rmap) -> str:
-    """Rewrite ``la.col`` -> ``col`` and ``ra.col`` -> ``rmap(col)``,
-    skipping single-quoted SQL string literals (a WHERE literal like
-    ``'a.foo'`` must survive untouched) and backquoted identifiers
-    (round-7 ADVICE: ```a.b``` names one column, not a qualified
-    reference)."""
+                         rmap, lmap=None) -> str:
+    """Rewrite ``la.col`` -> ``lmap(col)`` (default: bare ``col``) and
+    ``ra.col`` -> ``rmap(col)``, skipping single-quoted SQL string
+    literals (a WHERE literal like ``'a.foo'`` must survive untouched)
+    and backquoted identifiers (round-7 ADVICE: ```a.b``` names one
+    column, not a qualified reference)."""
     def _fix(segment: str) -> str:
-        segment = re.sub(rf"\b{re.escape(la)}\.(\w+)", r"\1", segment)
+        segment = re.sub(rf"\b{re.escape(la)}\.(\w+)",
+                         (lambda g: lmap(g.group(1))) if lmap
+                         else r"\1", segment)
         return re.sub(rf"\b{re.escape(ra)}\.(\w+)",
                       lambda g: rmap(g.group(1)), segment)
 
@@ -225,8 +232,9 @@ def _rel_sql(spark: SparkSession, m: re.Match) -> DataFrame:
 
     ldf = spark.table(m["ltab"])
     rdf = spark.table(m["rtab"])
-    dup = set(ldf.columns) & set(rdf.columns)
-    rmap = (lambda c: c + ("_r" if c in dup else ""))
+    from sedona_db_spark.operators.spatial_join import right_suffix_map
+    rsm = right_suffix_map(ldf.columns, rdf.columns)
+    rmap = (lambda c: rsm.get(c, c))
     extra = None
     if m["rem"]:
         # conjoined ON remainder: rewritten against the joined column
@@ -239,7 +247,29 @@ def _rel_sql(spark: SparkSession, m: re.Match) -> DataFrame:
     joined = spatial_join(ldf, rdf, pred, how, distance=distance,
                           left_geom=c1, right_geom=c2,
                           extra_condition=extra)
-    return _finish(spark, joined, m["select"], m["tail"], la, ra, rmap)
+    tail = m["tail"] or ""
+    if _TAIL_JOIN_RE.match(tail):
+        # JOIN CHAIN: plan the first spatial join, register it under a
+        # fresh aliased view, rewrite both consumed aliases to the view
+        # alias, and recurse — each step consumes one join, so N-table
+        # chains plan N-1 partitioned spatial joins (the reference's
+        # rewrite fires at every tree node; this is the statement-level
+        # equivalent).  Joins the recursion cannot plan (non-spatial ON,
+        # subqueries) still end in the guarded theta fallback.
+        view = f"__sd_chain_{uuid.uuid4().hex[:12]}"
+        alias = f"__sdv_{uuid.uuid4().hex[:6]}"
+        joined.createOrReplaceTempView(view)
+        try:
+            qual_r = (lambda c: f"{alias}.{rmap(c)}")
+            qual_l = (lambda c: f"{alias}.{c}")
+            sel2 = _sub_outside_strings(m["select"], la, ra, qual_r,
+                                        lmap=qual_l)
+            tail2 = _sub_outside_strings(tail, la, ra, qual_r,
+                                         lmap=qual_l)
+            return sql(spark, f"SELECT {sel2} FROM {view} {alias} {tail2}")
+        finally:
+            spark.catalog.dropTempView(view)
+    return _finish(spark, joined, m["select"], tail, la, ra, rmap)
 
 
 def _knn_sql(spark: SparkSession, query: str,

@@ -332,3 +332,38 @@ def test_sql_unaliased_join_plans_spatially(spark):
     api = spatial_join(pls, pts, "intersects", "inner")
     assert (sorted((r["pid"], r["qid"]) for r in got.collect())
             == sorted((r["id"], r["id_r"]) for r in api.collect()))
+
+
+def test_sql_multi_join_chain_plans_spatially(spark):
+    """N-table chains of spatial joins plan N-1 partitioned spatial
+    joins (the reference's rewrite fires at every plan node;
+    sql_frontend recurses per join) — no cartesian product, rows equal
+    the composed DataFrame API."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(40, seed=31)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(12, seed=32)) \
+        .withColumnRenamed("geometry", "geom")
+    big = spark.createDataFrame(FX.random_polygons(6, seed=33)) \
+        .withColumnRenamed("geometry", "geom") \
+        .withColumnRenamed("id", "big_id")
+    pts.createOrReplaceTempView("ch_pts")
+    pls.createOrReplaceTempView("ch_polys")
+    big.createOrReplaceTempView("ch_big")
+
+    got = sd_sql(spark,
+                 "SELECT p.id AS pid, q.id AS qid, b.big_id AS bid "
+                 "FROM ch_polys p "
+                 "JOIN ch_pts q ON ST_Contains(p.geom, q.geom) "
+                 "JOIN ch_big b ON ST_Intersects(p.geom, b.geom) "
+                 "WHERE q.id > 1 ORDER BY pid, qid, bid")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    j1 = spatial_join(pls, pts, "contains", "inner")
+    # second join: p.geom survives as the left geometry column
+    j2 = spatial_join(j1, big, "intersects", "inner")
+    api = {(r["id"], r["id_r"], r["big_id"])
+           for r in j2.collect() if r["id_r"] > 1}
+    assert {(r["pid"], r["qid"], r["bid"]) for r in got.collect()} == api
