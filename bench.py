@@ -238,6 +238,7 @@ def run_scaling(n_low: int, n_high: int, job_fn=None,
 
     job_fn = job_fn or scaling_job
     n_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "64000000"))
+    controls_before, _quiet = quiet_controls_or_flag()
     results = {}
     for cpus in (n_low, n_high):
         spark = get_spark(app_name=f"bench-scale-{cpus}",
@@ -262,6 +263,12 @@ def run_scaling(n_low: int, n_high: int, job_fn=None,
         "n_pages": n_pages,
         "low": {"cpus": n_low, **results[n_low]},
         "high": {"cpus": n_high, **results[n_high]},
+        # the high-core pass is memory-bandwidth-bound on this host, so
+        # neighbor STREAM contention shows up as lost efficiency — the
+        # controls make a low ratio interpretable (round-8: a 0.73
+        # capture carried a 20% depressed stream control)
+        "controls": {"before": controls_before,
+                     "after": noise_controls()},
     }
 
 
