@@ -1654,8 +1654,13 @@ def buffer_route(g, dist: float, params: BufferParams,
             return ("geom", _erode(g, -dist, params))
         # closed-form fast path: a single hole-free strictly convex ring's
         # buffer boundary is the traced offset (vertex-identical to the
-        # part-union result; no overlay) — boxes/cells, the common case
-        if len(rings_sets) == 1 and len(rings_sets[0]) == 1:
+        # part-union result; no overlay) — boxes/cells, the common case.
+        # Skipped for POOLED children (round 8): the pooled soup unions
+        # regardless, and emitting the ring curve instead lets the batch
+        # router build every polygon child's curve in one flat pass
+        # (region-identical; the convexity screen + per-corner python
+        # join loop were per-child overhead)
+        if not pooled and len(rings_sets) == 1 and len(rings_sets[0]) == 1:
             ring = _dedupe_consecutive(
                 np.asarray(rings_sets[0][0], dtype=np.float64))
             if len(ring) > 3 and np.array_equal(ring[0], ring[-1]):
@@ -1727,16 +1732,6 @@ def buffer_route_batch(rows: list) -> list:
             rings_sets = [rs for rs in rings_sets if rs]
             if not rings_sets:
                 return ("route", ("geom", ("Polygon", [])))
-            # single-ring convex closed form stays per-row (cheap, and
-            # keeps the route set identical to buffer_route)
-            if len(rings_sets) == 1 and len(rings_sets[0]) == 1:
-                ring = _dedupe_consecutive(
-                    np.asarray(rings_sets[0][0], dtype=np.float64))
-                if len(ring) > 3 and np.array_equal(ring[0], ring[-1]):
-                    ring = ring[:-1]
-                if _is_convex_ccw(ring) or _is_convex_ccw(ring[::-1]):
-                    return ("route", buffer_route(q, dist, params,
-                                                  pooled=True))
             norm = _normalized_rings(rings_sets)
             if not norm:
                 return ("route", ("geom", ("Polygon", [])))
