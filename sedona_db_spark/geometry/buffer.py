@@ -1702,6 +1702,7 @@ def buffer_route_batch(rows: list) -> list:
     line_pools: dict = {}           # params -> (lines, dists)
     ring_pools: dict = {}
     clip_pools: dict = {}           # params -> (lines, dists) clip=True
+    point_pools: dict = {}          # params -> (centers, dists)
     plans: list = []
     line_plans: list = []           # top-level LineString/MultiLineString
 
@@ -1709,6 +1710,24 @@ def buffer_route_batch(rows: list) -> list:
         """Return a deferred-plan entry for one collection child, or
         ("route", r) when the child routes per-row."""
         name = q[0]
+        if name in ("Point", "MultiPoint") and params.endcap == "round":
+            from sedona_db_spark.geometry import kernels as K
+            coords = (np.asarray(q[1], dtype=np.float64).reshape(1, -1)
+                      if name == "Point" else K._all_coords(q))
+            if coords is None or not len(coords):
+                return ("route", buffer_route(q, dist, params,
+                                              pooled=True))
+            pool = point_pools.setdefault(params, ([], []))
+            idxs = []
+            for c in coords:
+                cx, cy = float(c[0]), float(c[1])
+                if cx != cx or cy != cy:          # NaN -> empty part
+                    idxs.append(-1)
+                    continue
+                idxs.append(len(pool[0]))
+                pool[0].append((cx, cy))
+                pool[1].append(dist)
+            return ("points", name, idxs)
         if name in ("LineString", "MultiLineString"):
             lines = [q[1]] if name == "LineString" else q[1]
             lines = [_dedupe_consecutive(np.asarray(l, dtype=np.float64))
@@ -1795,6 +1814,15 @@ def buffer_route_batch(rows: list) -> list:
                    for k, v in ring_pools.items()}
     clip_curves = {k: OB.batch_polyline_curves(v[0], v[1], k, clip=True)
                    for k, v in clip_pools.items()}
+    point_rings: dict = {}
+    for k, (cs, ds) in point_pools.items():
+        # one broadcast per params group — elementwise identical to the
+        # per-point `circle_template(qs) * r + [cx, cy]`
+        tmpl = circle_template(k.quad_segs)
+        cc = np.asarray(cs, dtype=np.float64)
+        rr = np.asarray(ds, dtype=np.float64)
+        point_rings[k] = tmpl[None, :, :] * rr[:, None, None] \
+            + cc[:, None, :]
 
     def _edges_of(curves):
         return np.concatenate(
@@ -1843,6 +1871,15 @@ def buffer_route_batch(rows: list) -> list:
             tag = entry[0]
             if tag == "route":
                 r = entry[1]
+            elif tag == "points":
+                pr = point_rings[params]
+                parts_p = [("Polygon", [pr[j]]) for j in entry[2]
+                           if j >= 0]
+                if entry[1] == "Point":
+                    r = ("geom", parts_p[0] if parts_p
+                         else ("Polygon", []))
+                else:
+                    r = ("parts", parts_p)
             else:
                 curves = [(line_curves if tag == "lines"
                            else ring_curves)[params][j]
