@@ -413,3 +413,60 @@ def test_fuzz_lattice_snapped_soups():
                     mism.append((s + i, "membership", None))
     assert checked >= 3000
     assert not mism, f"{len(mism)} mismatches: {mism[:5]}"
+
+
+def test_propagation_lattice_rect_arrangements_fuzz():
+    """Round-8 adversarial fuzz for WINDING PROPAGATION: arrangements of
+    axis-aligned integer-lattice rectangles maximize exact coincidences —
+    shared support lines (collinear cancellation), crossings at exact
+    lattice points shared by 3+ edges (the node3 multi-pass class that
+    must break propagation), shared corners, and weight-stacked identical
+    rings.  The tracer must match the slab sweep's region or refuse; a
+    silently mispropagated winding would flip whole faces, which the
+    area + membership gate catches immediately."""
+    rng = np.random.default_rng(81)
+    refused = 0
+    for trial in range(400):
+        n = int(rng.integers(2, 7))
+        rings = []
+        for _ in range(n):
+            x0, y0 = int(rng.integers(0, 6)), int(rng.integers(0, 6))
+            w, h = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+            rings.append(_sq(float(x0), float(y0), float(w), float(h),
+                             ccw=bool(rng.random() < 0.85)))
+        if rng.random() < 0.3:
+            rings.append(rings[0].copy())       # exact duplicate (weight)
+        got = RU.union_rings_batch([rings])[0]
+        if got is None:
+            refused += 1
+            continue
+        assert_region_equal(got, rings, rng, f"lattice trial {trial}")
+    # the point of the tracer is to ACCEPT most of these; refusing
+    # everything would be trivially 'correct'
+    assert refused <= 160, refused
+
+
+def test_propagation_translated_circle_pairs_fuzz():
+    """Translated copies of one circle template share bit-identical edge
+    directions (exactly parallel non-adjacent edges at arbitrary offsets
+    — the benchmark MultiPoint shape that drives the near-parallel
+    capture).  Region parity with the sweep across random overlaps,
+    exact tangencies and concentric nests."""
+    from sedona_db_spark.geometry.buffer import circle_template
+    rng = np.random.default_rng(82)
+    tmpl = circle_template(8)[:-1]              # open ring
+    refused = 0
+    for trial in range(300):
+        rings = []
+        for _ in range(int(rng.integers(2, 6))):
+            r = float(rng.uniform(0.5, 3.0))
+            c = rng.uniform(0, 6, 2)
+            if rng.random() < 0.2:
+                c = np.round(c)                  # exact lattice centers
+            rings.append(tmpl * r + c)
+        got = RU.union_rings_batch([rings])[0]
+        if got is None:
+            refused += 1
+            continue
+        assert_region_equal(got, rings, rng, f"circles trial {trial}")
+    assert refused <= 60, refused
