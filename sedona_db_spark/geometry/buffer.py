@@ -1830,8 +1830,12 @@ def buffer_route_batch(rows: list) -> list:
              for c in curves])
 
     # top-level polyline rows: identical decision sequence to the
-    # per-row LineString branch, with every curve already batch-built
+    # per-row LineString branch, with every curve AND every simplicity
+    # scan batch-built (batch_rings_cross_info — the per-row O(k²) scan
+    # was the last per-row cost of the segments shape)
+    clip_try: list = []             # rows whose clip attempt survives
     for ri, g, dist, params, lines, cidx, ridx in line_plans:
+        cc = None
         if cidx >= 0:
             # clipped closed-form attempt, gated on the SIMPLIFIED
             # input's simplicity exactly like buffer_route
@@ -1839,22 +1843,30 @@ def buffer_route_batch(rows: list) -> list:
                                         abs(dist) / _SIMPLIFY_FACTOR)
             cc = clip_curves[params][cidx] \
                 if len(l_s) >= 2 and _polyline_is_simple(l_s) else None
-            if cc is not None:
-                _, _, simple_c = _rings_cross_info([cc])
-                if simple_c:
-                    x, y = cc[:, 0], cc[:, 1]
-                    a2 = float(np.dot(x, np.concatenate([y[1:], y[:1]]))
-                               - np.dot(y, np.concatenate([x[1:],
-                                                           x[:1]])))
-                    if a2 > 0:
-                        out[ri] = ("geom", ("Polygon",
-                                            [np.vstack([cc, cc[:1]])]))
-                        continue
+        clip_try.append(cc)
+    clip_info = OB.batch_rings_cross_info(
+        [[cc] for cc in clip_try if cc is not None])
+    clip_simple = iter(clip_info)
+    raw_rows: list = []
+    for (ri, g, dist, params, lines, cidx, ridx), cc in zip(line_plans,
+                                                            clip_try):
+        if cc is not None:
+            _, _, simple_c = next(clip_simple)
+            if simple_c:
+                x, y = cc[:, 0], cc[:, 1]
+                a2 = float(np.dot(x, np.concatenate([y[1:], y[:1]]))
+                           - np.dot(y, np.concatenate([x[1:], x[:1]])))
+                if a2 > 0:
+                    out[ri] = ("geom", ("Polygon",
+                                        [np.vstack([cc, cc[:1]])]))
+                    continue
         curves = [line_curves[params][j] for j in ridx]
         if any(c is None for c in curves):
             out[ri] = buffer_route(g, dist, params)   # U-turn fallback
             continue
-        e, xs, simple = _rings_cross_info(curves)
+        raw_rows.append((ri, curves))
+    raw_info = OB.batch_rings_cross_info([cv for _, cv in raw_rows])
+    for (ri, curves), (e, xs, simple) in zip(raw_rows, raw_info):
         if simple and len(curves) == 1:
             c = curves[0]
             x, y = c[:, 0], c[:, 1]

@@ -400,3 +400,103 @@ def _cap_pts_b(e, u, d: float, p: BufferParams, ncap: int,
     ang = a0 + k * inc
     return np.column_stack([e[0] + d * np.cos(ang),
                             e[1] + d * np.sin(ang)])
+
+
+def batch_rings_cross_info(rows: list):
+    """`buffer._rings_cross_info` for MANY rows of closed-curve sets in
+    one flat pair scan: per-row x-interval sweep + y filter, pairs
+    canonicalized to (lower, higher) original edge index so every hit's
+    crossing x is computed from bitwise the same operands as the
+    per-row scan.  Returns one (edges (n,4), cross_xs, simple) per row
+    (xs order may differ from the sequential scan — consumers treat it
+    as a multiset of slab cuts)."""
+    nrows = len(rows)
+    e_rows: list = []
+    ering: list = []
+    epos: list = []
+    eclen: list = []
+    erow: list = []
+    ring_id = 0
+    row_edge_base = np.zeros(nrows + 1, dtype=np.int64)
+    for r, curves in enumerate(rows):
+        for pts in curves:
+            mm = len(pts)
+            e = np.concatenate([pts, np.vstack([pts[1:], pts[:1]])],
+                               axis=1)
+            e_rows.append(e)
+            ering.append(np.full(mm, ring_id, dtype=np.int64))
+            epos.append(np.arange(mm, dtype=np.int64))
+            eclen.append(np.full(mm, mm, dtype=np.int64))
+            erow.append(np.full(mm, r, dtype=np.int64))
+            ring_id += 1
+        row_edge_base[r + 1] = row_edge_base[r] + sum(
+            len(c) for c in curves)
+    if not e_rows:
+        return [(np.empty((0, 4)), np.empty(0), True)] * nrows
+    E = np.concatenate(e_rows)
+    RING = np.concatenate(ering)
+    POS = np.concatenate(epos)
+    CLEN = np.concatenate(eclen)
+    ROW = np.concatenate(erow)
+    NE = len(E)
+    x1, y1, x2, y2 = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    bxmin = np.minimum(x1, x2)
+    bxmax = np.maximum(x1, x2)
+    bymin = np.minimum(y1, y2)
+    bymax = np.maximum(y1, y2)
+    order = np.lexsort((bxmin, ROW))
+    sx_min = bxmin[order]
+    srow = ROW[order]
+    row_first = np.searchsorted(srow, np.arange(nrows + 1))
+    hi = np.empty(NE, dtype=np.int64)
+    for r in np.flatnonzero(np.diff(row_first) > 0):
+        a, b = int(row_first[r]), int(row_first[r + 1])
+        hi[a:b] = a + np.searchsorted(sx_min[a:b], bxmax[order[a:b]],
+                                      side="right")
+    base = np.arange(NE) + 1
+    cnt = np.maximum(hi - base, 0)
+    P = int(cnt.sum())
+    pi = np.repeat(np.arange(NE), cnt)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    pj = np.arange(P) - np.repeat(starts, cnt) + np.repeat(base, cnt)
+    gI = order[pi]
+    gJ = order[pj]
+    m = (bymin[gI] <= bymax[gJ]) & (bymin[gJ] <= bymax[gI])
+    gI, gJ = gI[m], gJ[m]
+    samering = RING[gI] == RING[gJ]
+    dpos = np.abs(POS[gI] - POS[gJ])
+    adj = samering & ((dpos == 1) | (dpos == CLEN[gI] - 1))
+    gI, gJ = gI[~adj], gJ[~adj]
+    # canonical (lower, higher) original index — per-row operand order
+    swap = gI > gJ
+    lo = np.where(swap, gJ, gI)
+    hi2 = np.where(swap, gI, gJ)
+    d1x = x2[lo] - x1[lo]
+    d1y = y2[lo] - y1[lo]
+    d2x = x2[hi2] - x1[hi2]
+    d2y = y2[hi2] - y1[hi2]
+    den = d1x * d2y - d1y * d2x
+    ok = den != 0
+    den_s = np.where(ok, den, 1.0)
+    wx = x1[hi2] - x1[lo]
+    wy = y1[hi2] - y1[lo]
+    t = (wx * d2y - wy * d2x) / den_s
+    u = (wx * d1y - wy * d1x) / den_s
+    hit = ok & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    col = ~ok & (wx * d1y - wy * d1x == 0.0)
+    bad_simple = np.zeros(nrows, dtype=bool)
+    if bool(hit.any()):
+        bad_simple[np.unique(ROW[lo[hit]])] = True
+    if bool(col.any()):
+        bad_simple[np.unique(ROW[lo[col]])] = True
+    xs_all = (x1[lo] + t * d1x)[hit]
+    xs_row = ROW[lo[hit]]
+    xo = np.argsort(xs_row, kind="stable")
+    xs_sorted = xs_all[xo]
+    xrow_bounds = np.searchsorted(xs_row[xo], np.arange(nrows + 1))
+    out: list = []
+    for r in range(nrows):
+        e_r = E[row_edge_base[r]:row_edge_base[r + 1]]
+        xs_r = xs_sorted[xrow_bounds[r]:xrow_bounds[r + 1]]
+        out.append((e_r, xs_r, not bool(bad_simple[r])))
+    return out
