@@ -165,7 +165,10 @@ def _finish(spark: SparkSession, joined: DataFrame, select: str, tail: str,
     try:
         sub_sel = _sub_outside_strings(select, la, ra, rmap)
         sub_tail = _sub_outside_strings(tail, la, ra, rmap)
-        return spark.sql(f"SELECT {sub_sel} FROM {view} {sub_tail}")
+        # route the residual statement back through sql() so a spatial
+        # join remaining in the tail (kNN-first chains) still plans;
+        # join-free tails pass straight to spark.sql
+        return sql(spark, f"SELECT {sub_sel} FROM {view} {sub_tail}")
     finally:
         spark.catalog.dropTempView(view)
 
@@ -192,7 +195,15 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
     ``spark.sql``.
     """
     if _contains_knn_join(query):
-        return _knn_sql(spark, query, include_ties)
+        if _KNN_JOIN_RE.match(query) is not None:
+            return _knn_sql(spark, query, include_ties)
+        # a rel-join chain whose LATER join is the ST_KNN one: plan the
+        # relation joins first — the recursion reaches the kNN join as
+        # a single-join statement and plans it then
+        m = _REL_JOIN_RE.match(query)
+        if m is not None:
+            return _rel_sql(spark, m)
+        return _knn_sql(spark, query, include_ties)   # loud shape error
     if _contains_rel_join(query):
         m = _REL_JOIN_RE.match(query)
         if m is not None:

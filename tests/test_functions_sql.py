@@ -367,3 +367,58 @@ def test_sql_multi_join_chain_plans_spatially(spark):
     api = {(r["id"], r["id_r"], r["big_id"])
            for r in j2.collect() if r["id_r"] > 1}
     assert {(r["pid"], r["qid"], r["bid"]) for r in got.collect()} == api
+
+
+def test_sql_mixed_knn_rel_chains(spark):
+    """Chains mixing ST_KNN and relation joins plan BOTH operators in
+    either order: kNN-first chains plan the kNN join then recurse into
+    the relation join via _finish; rel-first chains plan the relation
+    join and reach the kNN join in the recursion."""
+    import numpy as np
+    import pandas as pd
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.geometry import wkb as W
+    from sedona_db_spark.operators import knn_join, spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    rng = np.random.default_rng(44)
+    q = pd.DataFrame({"id": np.arange(8),
+                      "geom": W.points_to_wkb(rng.uniform(-10, 10, 8),
+                                              rng.uniform(-10, 10, 8))})
+    t = pd.DataFrame({"id": np.arange(100),
+                      "geom": W.points_to_wkb(rng.uniform(-10, 10, 100),
+                                              rng.uniform(-10, 10, 100))})
+    qdf, tdf = spark.createDataFrame(q), spark.createDataFrame(t)
+    pls = spark.createDataFrame(FX.random_polygons(10, seed=45)) \
+        .withColumnRenamed("geometry", "geom") \
+        .withColumnRenamed("id", "poly_id")
+    qdf.createOrReplaceTempView("mx_q")
+    tdf.createOrReplaceTempView("mx_t")
+    pls.createOrReplaceTempView("mx_polys")
+
+    # kNN first, then a relation join on the neighbor geometry
+    got = sd_sql(spark,
+                 "SELECT a.id AS qid, b.id AS tid, p.poly_id AS pid "
+                 "FROM mx_q a JOIN mx_t b ON ST_KNN(a.geom, b.geom, 2) "
+                 "JOIN mx_polys p ON ST_Contains(p.geom, b.geom)")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    k1 = knn_join(qdf, tdf, 2, query_id="id", target_id="id")
+    api = spatial_join(
+        k1, pls.withColumnRenamed("geom", "pgeom"), "within", "inner",
+        left_geom="geom_t", right_geom="pgeom")
+    want = {(r["id"], r["id_t"], r["poly_id"]) for r in api.collect()}
+    assert {(r["qid"], r["tid"], r["pid"]) for r in got.collect()} == want
+
+    # relation join first, kNN second (the rel regex plans the first
+    # join; the recursion reaches the kNN join as a single statement)
+    got2 = sd_sql(spark,
+                  "SELECT p.poly_id AS pid, q2.id AS qid, b.id AS tid "
+                  "FROM mx_polys p "
+                  "JOIN mx_q q2 ON ST_Contains(p.geom, q2.geom) "
+                  "JOIN mx_t b ON ST_KNN(q2.geom, b.geom, 2)")
+    j1 = spatial_join(pls, qdf, "contains", "inner")
+    k2 = knn_join(j1, tdf, 2, query_geom="geom_r", query_id="id",
+                  target_id="id")
+    want2 = {(r["poly_id"], r["id"], r["id_t"]) for r in k2.collect()}
+    assert {(r["pid"], r["qid"], r["tid"])
+            for r in got2.collect()} == want2
