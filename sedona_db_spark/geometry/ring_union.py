@@ -838,103 +838,134 @@ def _union_rings_chunk(rows: list) -> list:
     # so srow_s is NOT row-sorted in general — group via stable argsort
     sub_ord = np.argsort(srow_s, kind="stable")
     row_sub = np.searchsorted(srow_s[sub_ord], np.arange(n_rows + 1))
-    cut_cnt = np.maximum(nbins - 1, 0)
-    cut_base = np.concatenate([[0], np.cumsum(cut_cnt)[:-1]])
-    CUTS = np.empty(int(cut_cnt.sum()))
-    for r in np.flatnonzero((subs_in_row > 0) & (cut_cnt > 0)):
-        a, z = int(row_sub[r]), int(row_sub[r + 1])
-        k = int(cut_cnt[r])
-        ys = np.sort(yc[sub_ord[a:z]])
-        idx = np.minimum((np.arange(1, k + 1) * (z - a)) // (k + 1),
-                         z - a - 1)
-        CUTS[cut_base[r]:cut_base[r] + k] = ys[idx]
 
-    def _row_bins(sub_rows, *yvals_list):
-        """Bin index of each y value within its row's quantile cuts —
-        accepts several y arrays over the SAME rows so one grouping sort
-        serves all of them (the sub-edge lo/hi occupancy pair)."""
-        res_list = [np.zeros(len(yv), dtype=np.int64) for yv in yvals_list]
-        o = np.argsort(sub_rows, kind="stable")
-        bnd = np.searchsorted(sub_rows[o], np.arange(n_rows + 1))
-        for r in np.flatnonzero(np.diff(bnd) > 0):
-            a, z = int(bnd[r]), int(bnd[r + 1])
-            cb, k = int(cut_base[r]), int(cut_cnt[r])
-            if k:
-                sel = o[a:z]
-                for res, yv in zip(res_list, yvals_list):
-                    res[sel] = np.searchsorted(CUTS[cb:cb + k], yv[sel])
-        return res_list[0] if len(res_list) == 1 else res_list
+    def _vert_stab(q_rep, q_cand, own):
+        """Vertical-ray classification of (query rep, candidate sub)
+        pairs -> partial w_rest bincount (shared by the binned big-row
+        path and the full-row small-row path)."""
+        sel = q_cand != own
+        q_rep, q_cand = q_rep[sel], q_cand[sel]
+        qy = my[q_rep]
+        up = (sy1[q_cand] <= qy) & (qy < sy2[q_cand])
+        dn = (sy2[q_cand] <= qy) & (qy < sy1[q_cand])
+        strad = up | dn
+        q_rep, q_cand = q_rep[strad], q_cand[strad]
+        qy = qy[strad]
+        sgn = np.where(up[strad], 1.0, -1.0) * sw[q_cand]
+        x_at = sx1[q_cand] + (qy - sy1[q_cand]) \
+            * (dx_s[q_cand] / dy_s[q_cand])
+        on_edge = np.abs(x_at - mx[q_rep]) < eps_row[rrow[q_rep]]
+        if bool(on_edge.any()):
+            bad[np.unique(rrow[q_rep[on_edge]])] = True
+        hs = x_at > mx[q_rep]
+        return np.bincount(q_rep[hs], weights=sgn[hs], minlength=NSEG)
 
-    # with winding propagation only SEED representatives query the bins,
-    # so occupancy is built ONLY for bins some query lands in — the
-    # query set is known before occupancy, and pruning before the
-    # expansion keeps the repeat + sort linear in the (tiny) answer
-    nbins_tot = int(bin_base[-1] + nbins[-1])
     qv = np.flatnonzero(~rhoriz & seed)   # vertical-ray SEED reps only
-    qbin = _row_bins(rrow[qv], my[qv]) + bin_base[rrow[qv]]
-    needed_b = np.zeros(nbins_tot, dtype=bool)
-    needed_b[qbin] = True
-    ncum = np.concatenate([[0], np.cumsum(needed_b)])
-    nh = np.flatnonzero(~shoriz)
-    b0, b1 = _row_bins(srow_s[nh], sylo[nh], syhi[nh])
-    gb = bin_base[srow_s[nh]]
-    b0 += gb
-    b1 += gb
-    hit_need = (ncum[b1 + 1] - ncum[b0]) > 0
-    nh, b0, b1 = nh[hit_need], b0[hit_need], b1[hit_need]
-    span = b1 - b0 + 1
-    occ_row = np.zeros(n_rows, dtype=np.int64)
-    np.add.at(occ_row, srow_s[nh], span)
-    if bool((occ_row > MAX_ROW_WORK).any()):
-        bad |= occ_row > MAX_ROW_WORK
-        nh_keep = ~bad[srow_s[nh]]
-        nh, b0, b1, span = nh[nh_keep], b0[nh_keep], b1[nh_keep], \
-            span[nh_keep]
-    occ_edge = np.repeat(nh, span)
-    ostart = np.concatenate([[0], np.cumsum(span)[:-1]])
-    occ_bin = (np.arange(int(span.sum())) - np.repeat(ostart, span)
-               + np.repeat(b0, span))
-    omask = needed_b[occ_bin]
-    occ_edge, occ_bin = occ_edge[omask], occ_bin[omask]
-    oo = np.argsort(occ_bin, kind="stable")
-    occ_edge = occ_edge[oo]
-    occ_bin = occ_bin[oo]
-    bin_cnt = np.bincount(occ_bin, minlength=nbins_tot)
-    bin_off = np.concatenate([[0], np.cumsum(bin_cnt)[:-1]])
+    # TINY rows answer their seed queries with one full-row scan —
+    # cheaper than quantile cuts + bin occupancy when the whole sub-edge
+    # list is a few cache lines (seeds per row run ~30 on the benchmark
+    # collections, so anything larger is better served by the bins)
+    small_row = subs_in_row <= 64
+    q_small = qv[small_row[rrow[qv]]]
+    q_big = qv[~small_row[rrow[qv]]]
+    w_rest = np.zeros(NSEG)
+    if len(q_small):
+        scnt = subs_in_row[rrow[q_small]]
+        sp_row = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(sp_row, rrow[q_small], scnt)
+        if bool((sp_row > MAX_ROW_WORK).any()):
+            bad |= sp_row > MAX_ROW_WORK
+            qm = ~bad[rrow[q_small]]
+            q_small, scnt = q_small[qm], scnt[qm]
+        SP = int(scnt.sum())
+        s_rep = np.repeat(q_small, scnt)
+        sstart = np.concatenate([[0], np.cumsum(scnt)[:-1]])
+        s_cand = sub_ord[np.arange(SP) - np.repeat(sstart, scnt)
+                         + np.repeat(row_sub[rrow[q_small]], scnt)]
+        w_rest += _vert_stab(s_rep, s_cand,
+                             np.repeat(rep[q_small], scnt))
+    if len(q_big):
+        # quantile cuts + needed-bin occupancy, built ONLY over the rows
+        # that actually carry a big-row query
+        need_row = np.zeros(n_rows, dtype=bool)
+        need_row[rrow[q_big]] = True
+        cut_cnt = np.where(need_row, np.maximum(nbins - 1, 0), 0)
+        cut_base = np.concatenate([[0], np.cumsum(cut_cnt)[:-1]])
+        CUTS = np.empty(int(cut_cnt.sum()))
+        for r in np.flatnonzero((subs_in_row > 0) & (cut_cnt > 0)):
+            a, z = int(row_sub[r]), int(row_sub[r + 1])
+            k = int(cut_cnt[r])
+            ys = np.sort(yc[sub_ord[a:z]])
+            idx = np.minimum((np.arange(1, k + 1) * (z - a)) // (k + 1),
+                             z - a - 1)
+            CUTS[cut_base[r]:cut_base[r] + k] = ys[idx]
 
-    qcnt = bin_cnt[qbin]
-    qp_row = np.zeros(n_rows, dtype=np.int64)
-    np.add.at(qp_row, rrow[qv], qcnt)
-    if bool((qp_row > MAX_ROW_WORK).any()):
-        bad |= qp_row > MAX_ROW_WORK
-        qm = ~bad[rrow[qv]]
-        qv, qbin, qcnt = qv[qm], qbin[qm], qcnt[qm]
-    QP = int(qcnt.sum()) if len(qv) else 0
-    if QP:
-        q_rep = np.repeat(qv, qcnt)
-        qstart = np.concatenate([[0], np.cumsum(qcnt)[:-1]])
-        q_cand = occ_edge[np.arange(QP) - np.repeat(qstart, qcnt)
-                          + np.repeat(bin_off[qbin], qcnt)]
-    else:
-        q_rep = np.empty(0, dtype=np.int64)
-        q_cand = np.empty(0, dtype=np.int64)
-    # exclude the representative's own sub-edge
-    sel = q_cand != np.repeat(rep[qv], qcnt)
-    q_rep, q_cand = q_rep[sel], q_cand[sel]
-    qy = my[q_rep]
-    up = (sy1[q_cand] <= qy) & (qy < sy2[q_cand])
-    dn = (sy2[q_cand] <= qy) & (qy < sy1[q_cand])
-    strad = up | dn
-    q_rep, q_cand = q_rep[strad], q_cand[strad]
-    qy = qy[strad]
-    sgn = np.where(up[strad], 1.0, -1.0) * sw[q_cand]
-    x_at = sx1[q_cand] + (qy - sy1[q_cand]) * (dx_s[q_cand] / dy_s[q_cand])
-    on_edge = np.abs(x_at - mx[q_rep]) < eps_row[rrow[q_rep]]
-    if bool(on_edge.any()):
-        bad[np.unique(rrow[q_rep[on_edge]])] = True
-    hit_sel = x_at > mx[q_rep]
-    w_rest = np.bincount(q_rep[hit_sel], weights=sgn[hit_sel],
-                         minlength=NSEG)
+        def _row_bins(sub_rows, *yvals_list):
+            """Bin index of each y value within its row's quantile cuts —
+            accepts several y arrays over the SAME rows so one grouping
+            sort serves all of them (the sub-edge lo/hi occupancy
+            pair)."""
+            res_list = [np.zeros(len(yv), dtype=np.int64)
+                        for yv in yvals_list]
+            o = np.argsort(sub_rows, kind="stable")
+            bnd = np.searchsorted(sub_rows[o], np.arange(n_rows + 1))
+            for r in np.flatnonzero(np.diff(bnd) > 0):
+                a, z = int(bnd[r]), int(bnd[r + 1])
+                cb, k = int(cut_base[r]), int(cut_cnt[r])
+                if k:
+                    sel = o[a:z]
+                    for res, yv in zip(res_list, yvals_list):
+                        res[sel] = np.searchsorted(CUTS[cb:cb + k],
+                                                   yv[sel])
+            return res_list[0] if len(res_list) == 1 else res_list
+
+        nbins_tot = int(bin_base[-1] + nbins[-1])
+        qbin = _row_bins(rrow[q_big], my[q_big]) + bin_base[rrow[q_big]]
+        needed_b = np.zeros(nbins_tot, dtype=bool)
+        needed_b[qbin] = True
+        ncum = np.concatenate([[0], np.cumsum(needed_b)])
+        nh = np.flatnonzero(~shoriz & need_row[srow_s])
+        b0, b1 = _row_bins(srow_s[nh], sylo[nh], syhi[nh])
+        gb = bin_base[srow_s[nh]]
+        b0 += gb
+        b1 += gb
+        hit_need = (ncum[b1 + 1] - ncum[b0]) > 0
+        nh, b0, b1 = nh[hit_need], b0[hit_need], b1[hit_need]
+        span = b1 - b0 + 1
+        occ_row = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(occ_row, srow_s[nh], span)
+        if bool((occ_row > MAX_ROW_WORK).any()):
+            bad |= occ_row > MAX_ROW_WORK
+            nh_keep = ~bad[srow_s[nh]]
+            nh, b0, b1, span = nh[nh_keep], b0[nh_keep], b1[nh_keep], \
+                span[nh_keep]
+        occ_edge = np.repeat(nh, span)
+        ostart = np.concatenate([[0], np.cumsum(span)[:-1]])
+        occ_bin = (np.arange(int(span.sum())) - np.repeat(ostart, span)
+                   + np.repeat(b0, span))
+        omask = needed_b[occ_bin]
+        occ_edge, occ_bin = occ_edge[omask], occ_bin[omask]
+        oo = np.argsort(occ_bin, kind="stable")
+        occ_edge = occ_edge[oo]
+        occ_bin = occ_bin[oo]
+        bin_cnt = np.bincount(occ_bin, minlength=nbins_tot)
+        bin_off = np.concatenate([[0], np.cumsum(bin_cnt)[:-1]])
+
+        qcnt = bin_cnt[qbin]
+        qp_row = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(qp_row, rrow[q_big], qcnt)
+        if bool((qp_row > MAX_ROW_WORK).any()):
+            bad |= qp_row > MAX_ROW_WORK
+            qm = ~bad[rrow[q_big]]
+            q_big, qbin, qcnt = q_big[qm], qbin[qm], qcnt[qm]
+        QP = int(qcnt.sum()) if len(q_big) else 0
+        if QP:
+            q_rep = np.repeat(q_big, qcnt)
+            qstart = np.concatenate([[0], np.cumsum(qcnt)[:-1]])
+            q_cand = occ_edge[np.arange(QP) - np.repeat(qstart, qcnt)
+                              + np.repeat(bin_off[qbin], qcnt)]
+            w_rest += _vert_stab(q_rep, q_cand,
+                                 np.repeat(rep[q_big], qcnt))
 
     # horizontal representatives: transposed (+y ray) full-row scan
     hz = np.flatnonzero(rhoriz & seed)
