@@ -544,6 +544,112 @@ def _union_rings_chunk(rows: list) -> list:
         if E == 0:
             return out
     I, J = fin_I, fin_J
+
+    # ---- chain re-stitch of cancelled rows ------------------------------
+    # Cancellation replaces collinear bundles with net-current interval
+    # edges, so a cancelled row's 1-current no longer decomposes along its
+    # input rings: surviving chains break at every consumed stretch and
+    # every emitted interval lands as a singleton ring — and phase 4 must
+    # ray-cast-seed every ring first and chain break (on the benchmark
+    # collection soups these were ~70% of all seeds, ~17 emitted
+    # singletons per row).  Re-chain those rows' edges along exact shared
+    # coordinates: a joint where exactly ONE edge ends and exactly ONE
+    # starts, with EQUAL weight, is winding-transparent — the bundle
+    # current through the joint is unchanged, so by conservation of the
+    # (divergence-free) boundary current any external attachment there
+    # has zero net flow, and a nonzero gross outflow would mean another
+    # edge STARTS at the joint, contradicting uniqueness (phase 4's
+    # start-coordinate node detection independently re-checks multi-start
+    # coordinates, including split continuations, and re-seeds them).
+    # Unequal weight can hide inflow-only attachment (invisible to start
+    # detection), so those joints stay chain breaks.  Stitching freely
+    # crosses input-ring identity: when two rings' coincident spokes
+    # cancel, the union boundary genuinely weaves from one ring's kept
+    # arc onto the other's, and the stitched chain follows it.
+    if bool(canc_row.any()):
+        sel = (canc_row & ~bad)[EROW]
+        si = np.flatnonzero(sel)
+        ns_ = len(si)
+        if ns_:
+            kx = np.concatenate([X1[si], X2[si]])
+            ky = np.concatenate([Y1[si], Y2[si]])
+            kr = np.concatenate([EROW[si], EROW[si]])
+            o2 = np.lexsort((ky, kx, kr))
+            nk = np.concatenate([[True], (kr[o2][1:] != kr[o2][:-1])
+                                 | (kx[o2][1:] != kx[o2][:-1])
+                                 | (ky[o2][1:] != ky[o2][:-1])])
+            gid2 = np.cumsum(nk) - 1
+            ng2 = int(gid2[-1]) + 1
+            pgid = np.empty(2 * ns_, dtype=np.int64)
+            pgid[o2] = gid2
+            sgid = pgid[:ns_]             # group of each edge's START
+            egid = pgid[ns_:]             # group of each edge's END
+            cnt_s = np.bincount(sgid, minlength=ng2)
+            cnt_e = np.bincount(egid, minlength=ng2)
+            one = (cnt_s == 1) & (cnt_e == 1)
+            g_start = np.zeros(ng2, dtype=np.int64)
+            g_start[sgid] = np.arange(ns_)    # valid where cnt_s == 1
+            succ = np.full(ns_, -1, dtype=np.int64)
+            cand = np.flatnonzero(one[egid])
+            tgt = g_start[egid[cand]]
+            wok = EW[si[tgt]] == EW[si[cand]]
+            succ[cand[wok]] = tgt[wok]
+            pred = np.full(ns_, -1, dtype=np.int64)
+            vs = np.flatnonzero(succ >= 0)
+            pred[succ[vs]] = vs           # unique by cnt_e == 1
+            # pointer-doubling walk to each chain's head; pure cycles
+            # (intact rings, or loops stitched across cancelled rings)
+            # never reach a head — detect them, break each at its
+            # minimal-index edge, and resolve with a second pass
+            rounds = max(2, int(np.ceil(np.log2(ns_ + 1))) + 1)
+
+            def _heads(pr):
+                P = pr.copy()
+                D = np.where(P >= 0, 1, 0).astype(np.int64)
+                for _ in range(rounds):
+                    a2 = np.flatnonzero(P >= 0)
+                    a2 = a2[P[P[a2]] >= 0]
+                    if not len(a2):
+                        break
+                    D[a2] += D[P[a2]]
+                    P[a2] = P[P[a2]]
+                return P, D
+
+            P1, dist = _heads(pred)
+            act = np.flatnonzero(P1 >= 0)
+            cyc = act[P1[P1[act]] >= 0]
+            if len(cyc):
+                M = np.full(ns_, np.iinfo(np.int64).max, dtype=np.int64)
+                M[cyc] = cyc
+                Pc = np.full(ns_, -1, dtype=np.int64)
+                Pc[cyc] = pred[cyc]       # cycle preds stay in-cycle
+                for _ in range(rounds):
+                    a3 = np.flatnonzero(Pc >= 0)
+                    if not len(a3):
+                        break
+                    M[a3] = np.minimum(M[a3], M[Pc[a3]])
+                    Pc[a3] = Pc[Pc[a3]]
+                pred[np.unique(M[cyc])] = -1
+                P1, dist = _heads(pred)
+            head = np.where(P1 >= 0, P1, np.arange(ns_))
+            o3 = np.lexsort((dist, head))
+            ch = head[o3]
+            nb = np.concatenate([[True], ch[1:] != ch[:-1]])
+            rid_new = np.cumsum(nb) - 1
+            clen = np.bincount(rid_new)
+            base_r = int(ERING.max()) + 1 if len(ERING) else 0
+            perm = np.concatenate([np.flatnonzero(~sel), si[o3]])
+            imap = np.empty(E, dtype=np.int64)
+            imap[perm] = np.arange(E)
+            X1, Y1, X2, Y2 = X1[perm], Y1[perm], X2[perm], Y2[perm]
+            EROW, EW = EROW[perm], EW[perm]
+            nsel = E - ns_
+            ERING = np.concatenate([ERING[~sel], base_r + rid_new])
+            EPOS = np.concatenate([EPOS[~sel], dist[o3]])
+            ELEN = np.concatenate([ELEN[~sel], clen[rid_new]])
+            if len(I):
+                I, J = imap[I], imap[J]
+
     d1x = X2[I] - X1[I]; d1y = Y2[I] - Y1[I]
     d2x = X2[J] - X1[J]; d2y = Y2[J] - Y1[J]
     wx = X1[J] - X1[I]; wy = Y1[J] - Y1[I]
