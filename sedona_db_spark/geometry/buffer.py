@@ -1767,6 +1767,15 @@ def buffer_route_batch(rows: list) -> list:
     for ri, (g, dist, params) in enumerate(rows):
         if g is None:
             continue
+        # a single-child collection routes exactly as its child alone
+        # (buffer_route's len(routes)==1 passthrough, child unpooled) —
+        # unwrap so line-ish children ride the batched top-level paths
+        # instead of the per-row dispatcher.  Only under side="both" and
+        # dist != 0: the dist==0 identity and the single-sided route
+        # both return the ORIGINAL geometry type.
+        if dist != 0 and params.side == "both":
+            while g[0] == "GeometryCollection" and len(g[1]) == 1:
+                g = g[1][0]
         if (g[0] in ("LineString", "MultiLineString") and dist > 0
                 and params.side == "both" and params.join == "round"):
             # top-level polyline rows batch their curve construction
