@@ -349,57 +349,103 @@ def batch_polyline_curves(lines: list, dists, p: BufferParams,
     ncap = int(math.pi / quantum + 0.5) if p.endcap == "round" \
         else (2 if p.endcap == "square" else 0)
     W = len(work)
-    for w in range(W):
-        i = int(work[w])
-        if badc[2 * w] or badc[2 * w + 1]:
-            continue
-        d = float(dists[i])
-        rr = simp[i]
-        f0, f1 = int(cstart[2 * w]), int(cstart[2 * w] + ctot[2 * w])
-        r0, r1 = int(cstart[2 * w + 1]), int(cstart[2 * w + 1]
-                                             + ctot[2 * w + 1])
-        # cap directions from the SAME scalar-math path as the per-row
-        # builder (math.hypot; np.hypot can differ in the last ulp)
+    # cap DIRECTIONS per line keep the per-row builder's scalar math
+    # (math.hypot / math.atan2 — np.hypot can differ in the last ulp);
+    # everything downstream — cap point arrays, the four-piece assembly,
+    # consecutive-duplicate dedupe and the closing-point drop — runs as
+    # ONE flat pass over all lines (the per-line loop was ~8 numpy calls
+    # per 10-vertex line, pure call overhead).  np.cos/np.sin are
+    # elementwise ufuncs, so the batched cap points are bitwise the
+    # per-line buffer._cap_pts values.
+    gw = np.array([w for w in range(W)
+                   if not (badc[2 * w] or badc[2 * w + 1])],
+                  dtype=np.int64)
+    G = len(gw)
+    if not G:
+        return out
+    dd = dists[work[gw]]
+    ex = np.empty(G); ey = np.empty(G)      # end point / end direction
+    eux = np.empty(G); euy = np.empty(G)
+    sx = np.empty(G); sy = np.empty(G)      # start point / reversed dir
+    sux = np.empty(G); suy = np.empty(G)
+    for k2, w in enumerate(gw.tolist()):
+        rr = simp[int(work[w])]
         lux = rr[-1, 0] - rr[-2, 0]
         luy = rr[-1, 1] - rr[-2, 1]
         lln = math.hypot(lux, luy)
         fux = rr[0, 0] - rr[1, 0]
         fuy = rr[0, 1] - rr[1, 1]
         fln = math.hypot(fux, fuy)
-        pieces = [np.column_stack([px[f0:f1], py[f0:f1]])]
-        pieces.append(_cap_pts_b(rr[-1], (lux / lln, luy / lln), d, p,
-                                 ncap, quantum))
-        pieces.append(np.column_stack([px[r0:r1], py[r0:r1]]))
-        pieces.append(_cap_pts_b(rr[0], (fux / fln, fuy / fln), d, p,
-                                 ncap, quantum))
-        pts = np.concatenate(pieces)
-        keep = np.empty(len(pts), dtype=bool)
-        keep[0] = True
-        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
-        pts = pts[keep]
-        if len(pts) > 1 and np.all(pts[0] == pts[-1]):
-            pts = pts[:-1]
-        out[i] = pts if len(pts) >= 3 else None
+        ex[k2] = rr[-1, 0]; ey[k2] = rr[-1, 1]
+        eux[k2] = lux / lln; euy[k2] = luy / lln
+        sx[k2] = rr[0, 0]; sy[k2] = rr[0, 1]
+        sux[k2] = fux / fln; suy[k2] = fuy / fln
+    if p.endcap == "round":
+        a0e = np.array([math.atan2(-u, v) for u, v
+                        in zip(eux.tolist(), euy.tolist())])
+        a0s = np.array([math.atan2(-u, v) for u, v
+                        in zip(sux.tolist(), suy.tolist())])
+        inc = math.pi / ncap
+        kk = np.arange(ncap) * inc
+        ang_e = a0e[:, None] + kk[None, :]
+        ang_s = a0s[:, None] + kk[None, :]
+        capex = ex[:, None] + dd[:, None] * np.cos(ang_e)
+        capey = ey[:, None] + dd[:, None] * np.sin(ang_e)
+        capsx = sx[:, None] + dd[:, None] * np.cos(ang_s)
+        capsy = sy[:, None] + dd[:, None] * np.sin(ang_s)
+    elif p.endcap == "square":
+        capex = np.stack([ex + dd * euy + dd * eux,
+                          ex - dd * euy + dd * eux], axis=1)
+        capey = np.stack([ey - dd * eux + dd * euy,
+                          ey + dd * eux + dd * euy], axis=1)
+        capsx = np.stack([sx + dd * suy + dd * sux,
+                          sx - dd * suy + dd * sux], axis=1)
+        capsy = np.stack([sy - dd * sux + dd * suy,
+                          sy + dd * sux + dd * suy], axis=1)
+    else:                                    # flat: no cap points
+        capex = capey = capsx = capsy = np.empty((G, 0))
+    la = ctot[2 * gw].astype(np.int64)
+    lc = ctot[2 * gw + 1].astype(np.int64)
+    tot = la + lc + 2 * ncap
+    O = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    N = int(tot.sum())
+
+    def _ranges(starts, lens):
+        n = int(lens.sum())
+        off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        return (np.repeat(starts, lens)
+                + np.arange(n) - np.repeat(off, lens))
+
+    OX = np.empty(N); OY = np.empty(N)
+    tA = _ranges(O, la)
+    sA = _ranges(cstart[2 * gw], la)
+    OX[tA] = px[sA]; OY[tA] = py[sA]
+    tC = _ranges(O + la + ncap, lc)
+    sC = _ranges(cstart[2 * gw + 1], lc)
+    OX[tC] = px[sC]; OY[tC] = py[sC]
+    if ncap:
+        tB = ((O + la)[:, None] + np.arange(ncap)[None, :]).ravel()
+        OX[tB] = capex.ravel(); OY[tB] = capey.ravel()
+        tD = ((O + la + ncap + lc)[:, None]
+              + np.arange(ncap)[None, :]).ravel()
+        OX[tD] = capsx.ravel(); OY[tD] = capsy.ravel()
+    keep = np.empty(N, dtype=bool)
+    keep[0] = True
+    keep[1:] = (OX[1:] != OX[:-1]) | (OY[1:] != OY[:-1])
+    keep[O] = True                           # line firsts always kept
+    kidx = np.flatnonzero(keep)
+    kline = np.searchsorted(O, kidx, side="right") - 1
+    kfirst = np.searchsorted(kline, np.arange(G + 1))
+    kcnt = np.diff(kfirst)
+    fi = kidx[kfirst[:-1]]
+    li = kidx[kfirst[1:] - 1]
+    dropl = (kcnt > 1) & (OX[fi] == OX[li]) & (OY[fi] == OY[li])
+    PTS = np.column_stack([OX[kidx], OY[kidx]])
+    for k2, w in enumerate(gw.tolist()):
+        n2 = int(kcnt[k2]) - int(dropl[k2])
+        if n2 >= 3:
+            out[int(work[w])] = PTS[kfirst[k2]:kfirst[k2] + n2]
     return out
-
-
-def _cap_pts_b(e, u, d: float, p: BufferParams, ncap: int,
-               quantum: float) -> np.ndarray:
-    """Per-line cap points (same math as buffer._cap_pts; called per
-    line because cap counts are tiny and fixed)."""
-    ux, uy = float(u[0]), float(u[1])
-    if p.endcap == "flat":
-        return np.empty((0, 2))
-    if p.endcap == "square":
-        return np.array([
-            [e[0] + d * uy + d * ux, e[1] - d * ux + d * uy],
-            [e[0] - d * uy + d * ux, e[1] + d * ux + d * uy]])
-    a0 = math.atan2(-ux, uy)
-    inc = math.pi / ncap
-    k = np.arange(ncap)
-    ang = a0 + k * inc
-    return np.column_stack([e[0] + d * np.cos(ang),
-                            e[1] + d * np.sin(ang)])
 
 
 def batch_rings_cross_info(rows: list):

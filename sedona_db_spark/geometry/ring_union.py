@@ -606,13 +606,16 @@ def _union_rings_chunk(rows: list) -> list:
             def _heads(pr):
                 P = pr.copy()
                 D = np.where(P >= 0, 1, 0).astype(np.int64)
+                # once P[e] reaches a head it never moves again, so the
+                # active set only shrinks — keep narrowing it instead of
+                # re-scanning the whole array every round
+                act = np.flatnonzero(P >= 0)
                 for _ in range(rounds):
-                    a2 = np.flatnonzero(P >= 0)
-                    a2 = a2[P[P[a2]] >= 0]
-                    if not len(a2):
+                    act = act[P[P[act]] >= 0]
+                    if not len(act):
                         break
-                    D[a2] += D[P[a2]]
-                    P[a2] = P[P[a2]]
+                    D[act] += D[P[act]]
+                    P[act] = P[P[act]]
                 return P, D
 
             P1, dist = _heads(pred)
@@ -623,11 +626,16 @@ def _union_rings_chunk(rows: list) -> list:
                 M[cyc] = cyc
                 Pc = np.full(ns_, -1, dtype=np.int64)
                 Pc[cyc] = pred[cyc]       # cycle preds stay in-cycle
+                a3 = np.flatnonzero(Pc >= 0)
                 for _ in range(rounds):
-                    a3 = np.flatnonzero(Pc >= 0)
                     if not len(a3):
                         break
-                    M[a3] = np.minimum(M[a3], M[Pc[a3]])
+                    Mn = np.minimum(M[a3], M[Pc[a3]])
+                    # stable M means every window already holds its
+                    # cycle's min — further doubling is a no-op
+                    if bool(np.array_equal(Mn, M[a3])):
+                        break
+                    M[a3] = Mn
                     Pc[a3] = Pc[Pc[a3]]
                 pred[np.unique(M[cyc])] = -1
                 P1, dist = _heads(pred)
