@@ -24,7 +24,10 @@ predicate in the ON clause still works via the registered UDFs as a
 guarded cross+filter theta join, mirroring the reference's own
 ``NestedLoopJoinExec`` fallback.
 
-Supported shape (one spatial join per statement, table names or views)::
+Supported shape (spatial joins over table names, views, or derived-table
+subqueries — ``FROM/JOIN ( SELECT ... ) alias`` operands are lifted into
+temp views first, with spatial joins inside the subquery planned
+recursively; join chains consume one join per step)::
 
     SELECT <projection>
     FROM <left_table> [AS] <la>
@@ -94,6 +97,100 @@ _REL_JOIN_RE = re.compile(
 
 # does a trailing clause continue the FROM list with another join?
 _TAIL_JOIN_RE = re.compile(r"^\s*(?:\w+\s+){0,2}JOIN\b", re.IGNORECASE)
+
+# a derived table: FROM ( SELECT ... ) or JOIN ( SELECT ... )
+_SUBQ_RE = re.compile(r"\b(FROM|JOIN)\s*\(", re.IGNORECASE)
+
+
+def _balanced_close(text: str, open_idx: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``open_idx``, skipping
+    single-quoted literals and backquoted identifiers (with doubled-
+    quote escapes); -1 when unbalanced."""
+    depth = 0
+    i, n = open_idx, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", "`"):
+            j = i + 1
+            while j < n:
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _quoted_spans(text: str) -> list:
+    """Half-open [start, end) spans of single-quoted literals and
+    backquoted identifiers, honoring doubled-quote escapes."""
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", "`"):
+            j = i + 1
+            while j < n:
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+            continue
+        i += 1
+    return spans
+
+
+def _lift_subqueries(spark: SparkSession, query: str):
+    """Replace every ``FROM ( SELECT ... )`` / ``JOIN ( SELECT ... )``
+    derived table with a temp view of its result and return
+    ``(rewritten_query, views_to_drop)``.  Each subquery is evaluated
+    through :func:`sql` recursively, so a spatial join INSIDE the
+    derived table plans through the real operators too.  Non-SELECT
+    parentheses (e.g. ``VALUES`` lists) and quoted text that merely
+    looks like ``FROM (`` are left untouched.  Views created before a
+    failing inner statement are dropped before the error propagates."""
+    views: list = []
+    pos = 0
+    try:
+        while True:
+            m2 = _SUBQ_RE.search(query, pos)
+            if m2 is None:
+                return query, views
+            spans = _quoted_spans(query)
+            if any(s <= m2.start() < e for s, e in spans):
+                pos = m2.end()
+                continue
+            open_idx = m2.end() - 1
+            close = _balanced_close(query, open_idx)
+            if close < 0:
+                return query, views
+            inner = query[open_idx + 1:close]
+            if re.match(r"\s*SELECT\b", inner, re.IGNORECASE) is None:
+                pos = m2.end()
+                continue
+            view = f"__sd_subq_{uuid.uuid4().hex[:12]}"
+            sql(spark, inner).createOrReplaceTempView(view)
+            views.append(view)
+            query = (query[:m2.start()] + m2.group(1) + " " + view
+                     + query[close + 1:])
+            pos = m2.start() + len(m2.group(1)) + 1 + len(view)
+    except Exception:
+        for v in views:
+            spark.catalog.dropTempView(v)
+        raise
 
 # SQL join-type word -> spatial_join's `how` (the operator implements the
 # full set the reference plans, exec.rs:235-240 / stream.rs:981-984)
@@ -194,6 +291,19 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
     cell join, not a cartesian plan.  Everything else delegates to
     ``spark.sql``.
     """
+    if _contains_knn_join(query) or _contains_rel_join(query):
+        # derived tables: lift each FROM/JOIN ( SELECT ... ) into a temp
+        # view first (evaluated through sql() recursively, so spatial
+        # joins INSIDE the subquery plan too), then re-dispatch the
+        # rewritten statement — which now matches the table-name shapes
+        if _SUBQ_RE.search(query) is not None:
+            q2, views = _lift_subqueries(spark, query)
+            if views:
+                try:
+                    return sql(spark, q2, include_ties)
+                finally:
+                    for v in views:
+                        spark.catalog.dropTempView(v)
     if _contains_knn_join(query):
         if _KNN_JOIN_RE.match(query) is not None:
             return _knn_sql(spark, query, include_ties)

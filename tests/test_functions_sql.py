@@ -422,3 +422,64 @@ def test_sql_mixed_knn_rel_chains(spark):
     want2 = {(r["poly_id"], r["id"], r["id_t"]) for r in k2.collect()}
     assert {(r["pid"], r["qid"], r["tid"])
             for r in got2.collect()} == want2
+
+
+def test_sql_derived_table_subqueries(spark):
+    """Round-8: FROM/JOIN ( SELECT ... ) derived tables are lifted into
+    temp views so the spatial join still plans through
+    operators.spatial_join (no cartesian plan), including a spatial join
+    INSIDE the subquery; scratch views are dropped afterwards."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(60, seed=71)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(25, seed=72)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("sq_pts")
+    pls.createOrReplaceTempView("sq_polys")
+
+    # derived table on the LEFT side
+    got = sd_sql(spark,
+                 "SELECT p.id AS pid, q.id AS qid "
+                 "FROM (SELECT * FROM sq_polys WHERE id >= 0) p "
+                 "JOIN sq_pts q ON ST_Contains(p.geom, q.geom)")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    api = spatial_join(pls, pts, "contains", "inner")
+    want = {(r["id"], r["id_r"]) for r in api.collect()}
+    assert {(r["pid"], r["qid"]) for r in got.collect()} == want
+
+    # derived table on the RIGHT side, with a filter inside it
+    got2 = sd_sql(spark,
+                  "SELECT p.id AS pid, q.id AS qid FROM sq_polys p "
+                  "JOIN (SELECT * FROM sq_pts WHERE id < 30) q "
+                  "ON ST_Contains(p.geom, q.geom)")
+    want2 = {(a, b) for a, b in want if b < 30}
+    assert {(r["pid"], r["qid"]) for r in got2.collect()} == want2
+
+    # spatial join INSIDE the subquery + plain outer aggregation
+    got3 = sd_sql(spark,
+                  "SELECT pid, count(*) AS n FROM "
+                  "(SELECT p.id AS pid, q.id AS qid FROM sq_polys p "
+                  " JOIN sq_pts q ON ST_Contains(p.geom, q.geom)) s "
+                  "GROUP BY pid ORDER BY pid")
+    exp = {}
+    for a, _ in want:
+        exp[a] = exp.get(a, 0) + 1
+    assert {(r["pid"], r["n"]) for r in got3.collect()} \
+        == {(k, v) for k, v in exp.items()}
+
+    # quoted text that merely looks like FROM ( SELECT stays untouched
+    got4 = sd_sql(spark,
+                  "SELECT q.id AS qid, 'FROM (SELECT 1) x' AS tag "
+                  "FROM sq_polys p JOIN sq_pts q "
+                  "ON ST_Intersects(p.geom, q.geom) LIMIT 5")
+    rows = got4.collect()
+    assert rows and all(r["tag"] == "FROM (SELECT 1) x" for r in rows)
+
+    # scratch subquery views are dropped
+    leftovers = [t.name for t in spark.catalog.listTables()
+                 if t.name.startswith("__sd_subq_")]
+    assert leftovers == []
