@@ -101,6 +101,70 @@ _TAIL_JOIN_RE = re.compile(r"^\s*(?:\w+\s+){0,2}JOIN\b", re.IGNORECASE)
 # a derived table: FROM ( SELECT ... ) or JOIN ( SELECT ... )
 _SUBQ_RE = re.compile(r"\b(FROM|JOIN)\s*\(", re.IGNORECASE)
 
+# the comma-join form the reference's rewrite reaches as a Filter over a
+# CrossJoin (optimizer.rs:161-218 fires on any plan node, so
+# `FROM a, b WHERE ST_Pred(a.g, b.g)` plans the same spatial join the
+# explicit `JOIN ... ON` form does)
+_COMMA_FROM_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<select>.*?)\s+
+    FROM\s+(?P<ltab>[\w.]+)
+    (?:\s+(?:AS\s+)?(?!WHERE\b)(?P<la>\w+))?\s*,\s*
+    (?P<rtab>[\w.]+)
+    (?:\s+(?:AS\s+)?(?!WHERE\b)(?P<ra>\w+))?\s+
+    WHERE\s+(?P<where>.+?)\s*
+    (?P<tail>(?:(?:GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING)\b.*)?)
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+# a WHERE conjunct that IS a supported spatial join predicate
+_WHERE_PRED_RE = re.compile(
+    r"""
+    ^\s*ST_(?P<pred>Intersects|Contains|Within|Covers|CoveredBy|Touches
+            |Crosses|Overlaps|Equals|DWithin)\s*
+    \(\s*(?P<g1>\w+\.\w+)\s*,\s*(?P<g2>\w+\.\w+)\s*
+    (?:,\s*(?P<dist>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*)?\)\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def _split_top_and(text: str) -> list:
+    """Split ``text`` on top-level AND tokens (outside parentheses,
+    single-quoted literals, and backquoted identifiers)."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", "`"):
+            j = i + 1
+            while j < n:
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i:i + 3].upper() == "AND" \
+                and (i == 0 or not (text[i - 1].isalnum()
+                                    or text[i - 1] == "_")) \
+                and (i + 3 >= n or not (text[i + 3].isalnum()
+                                        or text[i + 3] == "_")):
+            parts.append(text[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(text[start:])
+    return parts
+
 
 def _balanced_close(text: str, open_idx: int) -> int:
     """Index of the ``)`` closing the ``(`` at ``open_idx``, skipping
@@ -321,7 +385,52 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
         # unmatched richer shapes keep the guarded theta-join fallback
         # (the reference's NestedLoopJoinExec precedent,
         # spatial_join_physical_planner.rs:140-148)
+    comma = _comma_rewrite(query)
+    if comma is not None:
+        return sql(spark, comma, include_ties)
     return spark.sql(query)
+
+
+def _comma_rewrite(query: str):
+    """Rewrite ``FROM a, b WHERE ... ST_Pred(a.g, b.g) ...`` into the
+    explicit ``JOIN ... ON`` form (the reference's rewrite fires on the
+    Filter-over-CrossJoin plan this parses to, optimizer.rs:161-218).
+    The spatial predicate may sit anywhere in the WHERE's top-level AND
+    chain; the remaining conjuncts stay a WHERE — semantics-preserving
+    for the implicit inner join.  Returns None when the statement is not
+    this shape (including top-level OR around the predicate)."""
+    m = _COMMA_FROM_RE.match(query)
+    if m is None:
+        return None
+    la_name = m["la"] or m["ltab"].split(".")[-1]
+    ra_name = m["ra"] or m["rtab"].split(".")[-1]
+    conj = _split_top_and(m["where"])
+    sp_idx = None
+    for i, c in enumerate(conj):
+        pm = _WHERE_PRED_RE.match(c)
+        if pm is None:
+            continue
+        # only a predicate joining the two DISTINCT aliases is a join
+        # condition — a same-side ST_Pred is an ordinary filter over the
+        # cross product and must stay one
+        s1 = pm["g1"].split(".", 1)[0]
+        s2 = pm["g2"].split(".", 1)[0]
+        if {s1, s2} == {la_name, ra_name} and s1 != s2:
+            sp_idx = i
+            break
+    if sp_idx is None:
+        return None
+    on = conj[sp_idx].strip()
+    rest = [c.strip() for j, c in enumerate(conj) if j != sp_idx]
+    la = f" {m['la']}" if m["la"] else ""
+    ra = f" {m['ra']}" if m["ra"] else ""
+    stmt = (f"SELECT {m['select']} FROM {m['ltab']}{la} "
+            f"JOIN {m['rtab']}{ra} ON {on}")
+    if rest:
+        stmt += " WHERE " + " AND ".join(rest)
+    if m["tail"]:
+        stmt += " " + m["tail"]
+    return stmt
 
 
 def _rel_sql(spark: SparkSession, m: re.Match) -> DataFrame:

@@ -483,3 +483,62 @@ def test_sql_derived_table_subqueries(spark):
     leftovers = [t.name for t in spark.catalog.listTables()
                  if t.name.startswith("__sd_subq_")]
     assert leftovers == []
+
+
+def test_sql_comma_join_where_predicate(spark):
+    """Round-8: the implicit comma join `FROM a, b WHERE ST_Pred(a.g,
+    b.g)` plans through operators.spatial_join — the reference's rewrite
+    reaches it as a Filter over a CrossJoin (optimizer.rs:161-218).  The
+    predicate may sit anywhere in the WHERE's top-level AND chain; other
+    conjuncts survive as filters; same-side predicates and top-level OR
+    shapes are NOT rewritten."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(60, seed=81)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(25, seed=82)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("cj_pts")
+    pls.createOrReplaceTempView("cj_polys")
+    api = spatial_join(pls, pts, "contains", "inner")
+    want = {(r["id"], r["id_r"]) for r in api.collect()}
+
+    got = sd_sql(spark,
+                 "SELECT p.id AS pid, q.id AS qid FROM cj_polys p, "
+                 "cj_pts q WHERE ST_Contains(p.geom, q.geom)")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert {(r["pid"], r["qid"]) for r in got.collect()} == want
+
+    # predicate mid-AND-chain + extra conjuncts stay filters; AS aliases
+    got2 = sd_sql(spark,
+                  "SELECT p.id AS pid, q.id AS qid FROM cj_polys AS p, "
+                  "cj_pts AS q WHERE q.id < 40 AND "
+                  "ST_Contains(p.geom, q.geom) AND p.id >= 1 "
+                  "ORDER BY pid, qid")
+    want2 = {(a, b) for a, b in want if b < 40 and a >= 1}
+    assert {(r["pid"], r["qid"]) for r in got2.collect()} == want2
+
+    # unaliased table names work too
+    got3 = sd_sql(spark,
+                  "SELECT cj_polys.id AS pid, cj_pts.id AS qid "
+                  "FROM cj_polys, cj_pts "
+                  "WHERE ST_Contains(cj_polys.geom, cj_pts.geom)")
+    assert {(r["pid"], r["qid"]) for r in got3.collect()} == want
+
+    # same-side predicate is a plain filter over the cross join — must
+    # NOT be rewritten into a join (and must still answer correctly)
+    from sedona_db_spark.sql_frontend import _comma_rewrite
+    assert _comma_rewrite(
+        "SELECT a.id FROM t a, u b "
+        "WHERE ST_DWithin(a.geom, a.geom2, 5.0)") is None
+    # top-level OR around the predicate: not a join condition
+    assert _comma_rewrite(
+        "SELECT a.id FROM t a, u b "
+        "WHERE ST_Intersects(a.geom, b.geom) OR a.id = 3") is None
+    # three-table comma lists fall through untouched
+    assert _comma_rewrite(
+        "SELECT a.id FROM t a, u b, v c "
+        "WHERE ST_Intersects(a.geom, b.geom)") is None
