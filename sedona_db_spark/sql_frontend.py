@@ -256,6 +256,84 @@ def _lift_subqueries(spark: SparkSession, query: str):
             spark.catalog.dropTempView(v)
         raise
 
+_WITH_RE = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
+_CTE_HEAD_RE = re.compile(r"\s*(\w+)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _lift_ctes(spark: SparkSession, query: str):
+    """Expand a ``WITH name AS ( SELECT ... )[, ...] <body>`` statement:
+    each CTE is evaluated through :func:`sql` recursively (so spatial
+    joins inside it plan) and registered under a unique temp view; the
+    later CTE bodies and the main body get their table-position
+    references (``FROM/JOIN <name>``, comma lists) rewritten to the
+    view.  Returns ``(body, views)`` or ``(None, [])`` when the
+    statement is not this shape (e.g. WITH RECURSIVE)."""
+    m0 = _WITH_RE.match(query)
+    if m0 is None or re.match(r"^\s*WITH\s+RECURSIVE\b", query,
+                              re.IGNORECASE):
+        return None, []
+    pos = m0.end()
+    views: list = []
+    subs: list = []            # (cte_name, view_name)
+
+    def _apply(text: str) -> str:
+        # rewrite ONLY table positions — a projection/filter identifier
+        # that happens to share a CTE's name must stay untouched
+        for name, view in subs:
+            text = re.sub(
+                rf"\b(FROM|JOIN)\s+{re.escape(name)}\b(?!\s*\()",
+                lambda g, v=view: f"{g.group(1)} {v}", text,
+                flags=re.IGNORECASE)
+        return text
+
+    def _leftover(text: str) -> bool:
+        # any surviving unquoted mention of a CTE name is ambiguous (a
+        # comma-list table ref, a correlated name, a same-named column):
+        # the caller must fall back to spark.sql on the ORIGINAL text
+        spans = _quoted_spans(text)
+        for name, _ in subs:
+            for mm in re.finditer(rf"\b{re.escape(name)}\b", text,
+                                  re.IGNORECASE):
+                if not any(s <= mm.start() < e for s, e in spans):
+                    return True
+        return False
+
+    def _bail():
+        for v in views:
+            spark.catalog.dropTempView(v)
+        return None, []
+
+    try:
+        while True:
+            mh = _CTE_HEAD_RE.match(query, pos)
+            if mh is None:
+                return _bail()
+            open_idx = mh.end() - 1
+            close = _balanced_close(query, open_idx)
+            if close < 0:
+                return _bail()
+            body = _apply(query[open_idx + 1:close])
+            if _leftover(body):
+                return _bail()
+            view = f"__sd_cte_{uuid.uuid4().hex[:12]}"
+            sql(spark, body).createOrReplaceTempView(view)
+            views.append(view)
+            subs.append((mh.group(1), view))
+            pos = close + 1
+            mn = re.match(r"\s*,", query[pos:])
+            if mn is None:
+                break
+            pos += mn.end()
+        out_body = _apply(query[pos:])
+        if _leftover(out_body):
+            return _bail()
+        return out_body, views
+    except Exception:
+        for v in views:
+            spark.catalog.dropTempView(v)
+        raise
+
+
 # SQL join-type word -> spatial_join's `how` (the operator implements the
 # full set the reference plans, exec.rs:235-240 / stream.rs:981-984)
 _HOW = {"": "inner", "INNER": "inner", "LEFT": "left", "RIGHT": "right",
@@ -276,6 +354,16 @@ def _contains_rel_join(query: str) -> bool:
     pat = "|".join(p for p in _REL_PREDICATES) + "|dwithin"
     return re.search(rf"\bON\s+ST_(?:{pat})\s*\(", query,
                      re.IGNORECASE) is not None
+
+
+def _maybe_comma_spatial(query: str) -> bool:
+    """Coarse gate: a WHERE clause plus a join-capable ST_ predicate
+    anywhere — enough to justify CTE/subquery lifting so the comma-join
+    rewrite can see the flattened statement."""
+    pat = "|".join(p for p in _REL_PREDICATES) + "|dwithin"
+    return (re.search(r"\bWHERE\b", query, re.IGNORECASE) is not None
+            and re.search(rf"\bST_(?:{pat})\s*\(\s*\w+\.\w+\s*,", query,
+                          re.IGNORECASE) is not None)
 
 
 def _sub_outside_strings(text: str, la: str, ra: str,
@@ -355,7 +443,20 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
     cell join, not a cartesian plan.  Everything else delegates to
     ``spark.sql``.
     """
-    if _contains_knn_join(query) or _contains_rel_join(query):
+    if _contains_knn_join(query) or _contains_rel_join(query) \
+            or _maybe_comma_spatial(query):
+        # WITH-clause CTEs: evaluate each through sql() recursively into
+        # a temp view, rewrite table-position references, re-dispatch
+        # the body (falls through untouched when any reference is
+        # ambiguous — see _lift_ctes)
+        if _WITH_RE.match(query) is not None:
+            body, views = _lift_ctes(spark, query)
+            if body is not None:
+                try:
+                    return sql(spark, body, include_ties)
+                finally:
+                    for v in views:
+                        spark.catalog.dropTempView(v)
         # derived tables: lift each FROM/JOIN ( SELECT ... ) into a temp
         # view first (evaluated through sql() recursively, so spatial
         # joins INSIDE the subquery plan too), then re-dispatch the

@@ -542,3 +542,66 @@ def test_sql_comma_join_where_predicate(spark):
     assert _comma_rewrite(
         "SELECT a.id FROM t a, u b, v c "
         "WHERE ST_Intersects(a.geom, b.geom)") is None
+
+
+def test_sql_with_cte_spatial_joins(spark):
+    """Round-8: WITH-clause CTEs lift into temp views so spatial joins
+    over (and inside) CTE bodies plan through operators.spatial_join;
+    ambiguous name reuse falls back to spark.sql on the original text."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(60, seed=91)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(25, seed=92)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("ct_pts")
+    pls.createOrReplaceTempView("ct_polys")
+    api = spatial_join(pls, pts, "contains", "inner")
+    want = {(r["id"], r["id_r"]) for r in api.collect()}
+
+    # CTE as the left operand of an explicit spatial join
+    got = sd_sql(spark,
+                 "WITH big AS (SELECT * FROM ct_polys WHERE id >= 0) "
+                 "SELECT p.id AS pid, q.id AS qid FROM big p "
+                 "JOIN ct_pts q ON ST_Contains(p.geom, q.geom)")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert {(r["pid"], r["qid"]) for r in got.collect()} == want
+
+    # spatial join INSIDE the CTE; second CTE references the first;
+    # main body aggregates
+    got2 = sd_sql(spark,
+                  "WITH pairs AS (SELECT p.id AS pid, q.id AS qid "
+                  "FROM ct_polys p JOIN ct_pts q "
+                  "ON ST_Contains(p.geom, q.geom)), "
+                  "low AS (SELECT * FROM pairs WHERE qid < 40) "
+                  "SELECT pid, count(*) AS n FROM low GROUP BY pid")
+    exp = {}
+    for a, b in want:
+        if b < 40:
+            exp[a] = exp.get(a, 0) + 1
+    assert {(r["pid"], r["n"]) for r in got2.collect()} \
+        == {(k, v) for k, v in exp.items()}
+
+    # comma join over a CTE
+    got3 = sd_sql(spark,
+                  "WITH big AS (SELECT * FROM ct_polys) "
+                  "SELECT p.id AS pid, q.id AS qid FROM big p, ct_pts q "
+                  "WHERE ST_Contains(p.geom, q.geom)")
+    assert {(r["pid"], r["qid"]) for r in got3.collect()} == want
+
+    # ambiguous reuse: a projection column named like the CTE — must
+    # fall back to spark.sql on the ORIGINAL statement (correct rows,
+    # theta plan) rather than misrewrite
+    got4 = sd_sql(spark,
+                  "WITH big AS (SELECT id, geom, id AS big FROM ct_polys) "
+                  "SELECT p.big AS pid, q.id AS qid FROM big p "
+                  "JOIN ct_pts q ON ST_Contains(p.geom, q.geom)")
+    assert {(r["pid"], r["qid"]) for r in got4.collect()} == want
+
+    # scratch CTE views are dropped
+    leftovers = [t.name for t in spark.catalog.listTables()
+                 if t.name.startswith("__sd_cte_")]
+    assert leftovers == []
