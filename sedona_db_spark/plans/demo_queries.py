@@ -2215,6 +2215,47 @@ def q_sql_pip_pairs(spark, sf_dir):
         "JOIN __sd_q_rects r ON ST_CoveredBy(d.geom, r.geom)")
 
 
+def q_sql_pip_comma(spark, sf_dir):
+    """Same join through the implicit comma form — ``FROM a, b WHERE
+    ST_Pred(a.g, b.g) AND <filter>`` — which the reference's rewrite
+    reaches as a Filter over a CrossJoin (optimizer.rs:161-218; round-8
+    _comma_rewrite).  The extra TRUE-ish conjunct exercises the
+    top-level AND split."""
+    from sedona_db_spark import sql_frontend
+    doc_points(spark, sf_dir).createOrReplaceTempView("__sd_q_docs")
+    nation_rects(spark, sf_dir).createOrReplaceTempView("__sd_q_rects")
+    return sql_frontend.sql(
+        spark,
+        "SELECT d.doc_id, r.n_nationkey FROM __sd_q_docs d, __sd_q_rects r "
+        "WHERE ST_CoveredBy(d.geom, r.geom) AND d.doc_id >= 0")
+
+
+def q_sql_pip_cte(spark, sf_dir):
+    """Same join with the point side wrapped in a WITH-clause CTE
+    (round-8 _lift_ctes): the CTE body evaluates recursively, the main
+    body's spatial join still plans through operators.spatial_join."""
+    from sedona_db_spark import sql_frontend
+    doc_points(spark, sf_dir).createOrReplaceTempView("__sd_q_docs")
+    nation_rects(spark, sf_dir).createOrReplaceTempView("__sd_q_rects")
+    return sql_frontend.sql(
+        spark,
+        "WITH pts AS (SELECT doc_id, geom FROM __sd_q_docs) "
+        "SELECT d.doc_id, r.n_nationkey FROM pts d "
+        "JOIN __sd_q_rects r ON ST_CoveredBy(d.geom, r.geom)")
+
+
+def q_sql_pip_shapes(spark, sf_dir):
+    """The three SQL entry shapes of the SAME spatial join in one driver
+    slot: 'join' = explicit JOIN..ON (round 7), 'comma' = implicit comma
+    join with the predicate in WHERE, 'cte' = WITH-clause CTE operand
+    (both round 8).  All three must plan through operators.spatial_join
+    and hash-match the identical oracle."""
+    return _tagged_union("shape", [
+        ("join", q_sql_pip_pairs(spark, sf_dir)),
+        ("comma", q_sql_pip_comma(spark, sf_dir)),
+        ("cte", q_sql_pip_cte(spark, sf_dir))])
+
+
 # ---------------------------------------------------------------------------
 # registry — KEEP AT MOST 50 ENTRIES: the driver's correctness gate
 # records only the first 50 in dict order; a 51st entry silently loses
@@ -2225,7 +2266,7 @@ def q_sql_pip_pairs(spark, sf_dir):
 QUERIES = {
     "geocode_cells": q_geocode_cells,
     "pip_pairs": q_pip_pairs,
-    "sql_pip_pairs": q_sql_pip_pairs,
+    "sql_pip_pairs": q_sql_pip_shapes,
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_meta": q_multimodal_meta,
     "pip_hex_pairs": q_pip_hex_pairs,
@@ -2306,7 +2347,9 @@ ORACLE_SQL = {
     "minhash_lsh_pairs": _oracle_minhash_pairs(),
     "ngram_jaccard_pairs": _ORACLE_JACCARD,
     "ann_topk": ORACLE_ANN,
-    "sql_pip_pairs": ORACLE_PIP_PAIRS,
+    "sql_pip_pairs": _tagged_union_sql("shape", [
+        ("join", ORACLE_PIP_PAIRS), ("comma", ORACLE_PIP_PAIRS),
+        ("cte", ORACLE_PIP_PAIRS)]),
     "transform_utm": _tagged_union_sql("path", [
         ("epsg", _oracle_transform_utm()),
         ("proj4", _oracle_transform_utm())]),
