@@ -206,3 +206,164 @@ def test_sql_vs_api_seeded_sweep(spark):
                             for r in got.collect()), key=_k)
                     == sorted(((r["id"], r["id_r"])
                                for r in api.collect()), key=_k)), stmt
+
+
+# ---------------------------------------------------------------------------
+# round-8 additions: top-level AND splitting, comma rewrite, CTE lifting
+# ---------------------------------------------------------------------------
+
+def _ref_split_and(text):
+    """Reference splitter: explicit char-scan state machine."""
+    parts, cur = [], []
+    i, n, depth, in_q = 0, len(text), 0, None
+    while i < n:
+        ch = text[i]
+        if in_q is not None:
+            cur.append(ch)
+            if ch == in_q:
+                if i + 1 < n and text[i + 1] == in_q:
+                    cur.append(text[i + 1])
+                    i += 2
+                    continue
+                in_q = None
+            i += 1
+            continue
+        if ch in ("'", "`"):
+            in_q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif (depth == 0 and text[i:i + 3].upper() == "AND"
+              and (i == 0 or not (text[i - 1].isalnum()
+                                  or text[i - 1] == "_"))
+              and (i + 3 >= n or not (text[i + 3].isalnum()
+                                      or text[i + 3] == "_"))):
+            parts.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def test_split_top_and_property():
+    from sedona_db_spark.sql_frontend import _split_top_and
+    rng = random.Random(77)
+    atoms = ["a.id < 3", "band = 4", "ANDY = 'x'", "f(a AND b)",
+             "(x AND y)", "'it''s AND'", "`a AND b`", "t.x = 1",
+             "g((1), (2 AND 3))", "x", "NOT a"]
+    for _ in range(2000):
+        k = rng.randint(1, 6)
+        parts = [rng.choice(atoms) for _ in range(k)]
+        text = " AND ".join(parts)
+        got = _split_top_and(text)
+        ref = _ref_split_and(text)
+        assert got == ref, text
+        # every top-level AND was split: rejoining reproduces the text
+        assert "AND".join(got) == "AND".join(ref)
+
+
+def test_comma_rewrite_property():
+    """Generated comma statements rewrite into a statement the rel regex
+    parses back with the same pieces; non-join shapes return None."""
+    from sedona_db_spark.sql_frontend import _comma_rewrite, _REL_JOIN_RE
+    rng = random.Random(31)
+    preds = ["Intersects", "Contains", "DWithin"]
+    for _ in range(2000):
+        la = rng.choice([None, "a"])
+        ra = rng.choice([None, "b"])
+        laa = la or "t"
+        raa = ra or "u"
+        pred = rng.choice(preds)
+        dist = ", 5.0" if pred == "DWithin" else ""
+        sp = f"ST_{pred}({laa}.geom, {raa}.geom{dist})"
+        conj = [sp]
+        if rng.random() < 0.7:
+            conj.append(f"{laa}.id > 2")
+        if rng.random() < 0.5:
+            conj.append(f"{raa}.name = 'x AND y'")
+        rng.shuffle(conj)
+        tail = rng.choice(["", " ORDER BY 1 LIMIT 3", " GROUP BY 1"])
+        stmt = (f"SELECT {laa}.id FROM t"
+                + (f" {la}" if la else "") + ", u"
+                + (f" AS {ra}" if ra else "")
+                + " WHERE " + " AND ".join(conj) + tail)
+        got = _comma_rewrite(stmt)
+        assert got is not None, stmt
+        m = _REL_JOIN_RE.match(got)
+        assert m is not None, got
+        assert m["pred"] == pred and m["ltab"] == "t" \
+            and m["rtab"] == "u", got
+        # remainder conjuncts survive in the WHERE (as the tail)
+        for c in conj[1:] if conj[0] == sp else conj:
+            if c != sp:
+                assert c in got, (stmt, got)
+
+
+def test_cte_lift_ambiguity_bails(spark):
+    """A CTE name surviving as any unquoted identifier (column reuse,
+    comma-list ref the lift doesn't rewrite) must fall back to
+    spark.sql on the ORIGINAL statement — never a partial rewrite."""
+    from sedona_db_spark.sql_frontend import _lift_ctes
+    # name reused as a column in the main body
+    body, views = _lift_ctes(
+        spark,
+        "WITH c AS (SELECT 1 AS x) SELECT c FROM t "
+        "JOIN u ON ST_Intersects(t.g, u.g)")
+    assert body is None and views == []
+    # WITH RECURSIVE refuses
+    body, views = _lift_ctes(
+        spark, "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r")
+    assert body is None and views == []
+    # quoted mention does NOT bail
+    spark.range(1).selectExpr("id AS x").createOrReplaceTempView("fzc_t")
+    body, views = _lift_ctes(
+        spark, "WITH c AS (SELECT x FROM fzc_t) "
+               "SELECT x, 'c' AS tag FROM c")
+    try:
+        assert body is not None and len(views) == 1
+        assert "__sd_cte_" in body
+    finally:
+        for v in views:
+            spark.catalog.dropTempView(v)
+
+
+@pytest.mark.usefixtures("spark")
+def test_comma_and_cte_vs_api_seeded_sweep(spark):
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+
+    pts = spark.createDataFrame(FX.random_points(40, seed=23)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(15, seed=24)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("fzk_pts")
+    pls.createOrReplaceTempView("fzk_polys")
+    api = spatial_join(pls, pts, "intersects", "inner")
+    base = {(r["id"], r["id_r"]) for r in api.collect()}
+
+    rng = random.Random(9)
+    for trial in range(6):
+        rem = rng.choice([None, "q.id < 20", "p.id >= 1"])
+        wrap_cte = rng.random() < 0.5
+        conj = ["ST_Intersects(p.geom, q.geom)"] + ([rem] if rem else [])
+        rng.shuffle(conj)
+        core = (f"SELECT p.id AS pid, q.id AS qid FROM fzk_polys p, "
+                f"fzk_pts q WHERE " + " AND ".join(conj))
+        stmt = (f"WITH fzk AS ({core}) SELECT pid, qid FROM fzk"
+                if wrap_cte else core)
+        got = {(r["pid"], r["qid"]) for r in sd_sql(spark, stmt).collect()}
+        want = base
+        if rem == "q.id < 20":
+            want = {(a, b) for a, b in base if b < 20}
+        elif rem == "p.id >= 1":
+            want = {(a, b) for a, b in base if a >= 1}
+        assert got == want, stmt
