@@ -489,7 +489,101 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
     comma = _comma_rewrite(query)
     if comma is not None:
         return sql(spark, comma, include_ties)
+    ex = _exists_rewrite(query)
+    if ex is not None:
+        return sql(spark, ex, include_ties)
     return spark.sql(query)
+
+
+# the single-table outer shape a correlated EXISTS decorrelates from
+_EXISTS_OUTER_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+(?P<select>.*?)\s+
+    FROM\s+(?P<ltab>[\w.]+)
+    (?:\s+(?:AS\s+)?(?!WHERE\b)(?P<la>\w+))?\s+
+    WHERE\s+(?P<where>.+?)\s*
+    (?P<tail>(?:(?:GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING)\b.*)?)
+    \s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_EXISTS_CONJ_RE = re.compile(r"^\s*(?P<neg>NOT\s+)?EXISTS\s*\(",
+                             re.IGNORECASE)
+
+_EXISTS_INNER_RE = re.compile(
+    r"""
+    ^\s*SELECT\s+.*?\s+
+    FROM\s+(?P<rtab>[\w.]+)
+    (?:\s+(?:AS\s+)?(?!WHERE\b)(?P<ra>\w+))?\s+
+    WHERE\s+(?P<where>.+?)\s*;?\s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _exists_rewrite(query: str):
+    """Decorrelate ``SELECT ... FROM t d WHERE [NOT] EXISTS (SELECT ...
+    FROM u r WHERE ST_Pred(d.g, r.g) [AND <rem>]) [AND <outer>]`` into
+    the SEMI/ANTI join grammar (the planner-standard subquery
+    decorrelation; the reference's rewrite then plans the join —
+    exec.rs:235-240 carries both join types).  Correlated remainder
+    conjuncts ride in the ON clause; outer conjuncts stay WHERE.
+    Returns None when the statement is not this shape."""
+    m = _EXISTS_OUTER_RE.match(query)
+    if m is None:
+        return None
+    la = m["la"] or m["ltab"].split(".")[-1]
+    conj = _split_top_and(m["where"])
+    ex_idx = None
+    for i, c in enumerate(conj):
+        me = _EXISTS_CONJ_RE.match(c)
+        if me is None:
+            continue
+        open_idx = me.end() - 1
+        close = _balanced_close(c, open_idx)
+        # the EXISTS(...) must BE the whole conjunct (a trailing OR
+        # would have kept it off the top-level AND chain anyway)
+        if close < 0 or c[close + 1:].strip():
+            continue
+        ex_idx = i
+        neg = me["neg"] is not None
+        inner = c[open_idx + 1:close]
+        break
+    if ex_idx is None:
+        return None
+    mi = _EXISTS_INNER_RE.match(inner)
+    if mi is None:
+        return None
+    ra = mi["ra"] or mi["rtab"].split(".")[-1]
+    if ra == la:
+        return None
+    iconj = _split_top_and(mi["where"])
+    sp_idx = None
+    for i, c in enumerate(iconj):
+        pm = _WHERE_PRED_RE.match(c)
+        if pm is None:
+            continue
+        s1 = pm["g1"].split(".", 1)[0]
+        s2 = pm["g2"].split(".", 1)[0]
+        if {s1, s2} == {la, ra} and s1 != s2:
+            sp_idx = i
+            break
+    if sp_idx is None:
+        return None
+    # a nested EXISTS inside the subquery's remainder is out of scope
+    rem = [c.strip() for j, c in enumerate(iconj) if j != sp_idx]
+    if any(_EXISTS_CONJ_RE.match(c) for c in rem):
+        return None
+    outer = [c.strip() for j, c in enumerate(conj) if j != ex_idx]
+    on = " AND ".join([iconj[sp_idx].strip()] + rem)
+    stmt = (f"SELECT {m['select']} FROM {m['ltab']} {la} "
+            f"{'ANTI' if neg else 'SEMI'} JOIN {mi['rtab']} {ra} ON {on}")
+    if outer:
+        stmt += " WHERE " + " AND ".join(outer)
+    if m["tail"]:
+        stmt += " " + m["tail"]
+    return stmt
 
 
 def _comma_rewrite(query: str):

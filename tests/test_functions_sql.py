@@ -605,3 +605,67 @@ def test_sql_with_cte_spatial_joins(spark):
     leftovers = [t.name for t in spark.catalog.listTables()
                  if t.name.startswith("__sd_cte_")]
     assert leftovers == []
+
+
+def test_sql_exists_decorrelation(spark):
+    """Round-8: correlated [NOT] EXISTS with a spatial predicate
+    decorrelates into the SEMI/ANTI spatial join (planner-standard
+    subquery decorrelation; the reference plans both join types,
+    exec.rs:235-240) — no cartesian plan, rows identical to the
+    DataFrame-API mark join split."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(60, seed=61)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(25, seed=62)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("ex_pts")
+    pls.createOrReplaceTempView("ex_polys")
+    semi = spatial_join(pts, pls, "within", "left_semi")
+    want_in = {r["id"] for r in semi.collect()}
+    all_ids = {r["id"] for r in pts.collect()}
+
+    got = sd_sql(spark,
+                 "SELECT q.id AS qid FROM ex_pts q WHERE EXISTS ("
+                 "SELECT 1 FROM ex_polys p "
+                 "WHERE ST_Within(q.geom, p.geom))")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert {r["qid"] for r in got.collect()} == want_in
+
+    got2 = sd_sql(spark,
+                  "SELECT q.id AS qid FROM ex_pts q WHERE NOT EXISTS ("
+                  "SELECT 1 FROM ex_polys p "
+                  "WHERE ST_Within(q.geom, p.geom))")
+    assert {r["qid"] for r in got2.collect()} == all_ids - want_in
+
+    # correlated remainder inside EXISTS rides the ON clause; outer
+    # conjuncts stay filters; trailing clauses survive
+    got3 = sd_sql(spark,
+                  "SELECT q.id AS qid FROM ex_pts q WHERE q.id >= 5 AND "
+                  "EXISTS (SELECT 1 FROM ex_polys p WHERE "
+                  "ST_Within(q.geom, p.geom) AND p.id < 20) "
+                  "ORDER BY qid LIMIT 100")
+    semi3 = spatial_join(pts, pls.filter("id < 20"), "within", "left_semi")
+    want3 = {r["id"] for r in semi3.collect() if r["id"] >= 5}
+    assert {r["qid"] for r in got3.collect()} == want3
+
+    # NOT EXISTS with a correlated remainder: anti join over the FULL ON
+    got4 = sd_sql(spark,
+                  "SELECT q.id AS qid FROM ex_pts q WHERE NOT EXISTS ("
+                  "SELECT 1 FROM ex_polys p WHERE "
+                  "ST_Within(q.geom, p.geom) AND p.id < 20)")
+    want4 = all_ids - {r["id"] for r in semi3.collect()}
+    assert {r["qid"] for r in got4.collect()} == want4
+
+    # out-of-scope shapes fall through (no partial rewrite): EXISTS
+    # without a cross-alias predicate, and same-alias reuse
+    from sedona_db_spark.sql_frontend import _exists_rewrite
+    assert _exists_rewrite(
+        "SELECT q.id FROM ex_pts q WHERE EXISTS ("
+        "SELECT 1 FROM ex_polys p WHERE p.id = 3)") is None
+    assert _exists_rewrite(
+        "SELECT q.id FROM ex_pts q WHERE EXISTS ("
+        "SELECT 1 FROM ex_other q WHERE ST_Within(q.geom, q.geom))") is None
