@@ -295,7 +295,10 @@ def geom_distance(g1, g2) -> float:
 def _ring_area2(ring: np.ndarray) -> float:
     """Twice the signed shoelace area of a closed ring."""
     x, y = ring[:, 0], ring[:, 1]
-    return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    # concatenate is the cheap single-axis np.roll(..., -1): identical
+    # value sequence, so the dot products are bitwise unchanged
+    return float(np.dot(x, np.concatenate([y[1:], y[:1]]))
+                 - np.dot(y, np.concatenate([x[1:], x[:1]])))
 
 
 def geom_area(g) -> float:

@@ -1005,20 +1005,27 @@ def _union_rings_chunk(rows: list) -> list:
         need_row[rrow[q_big]] = True
         cut_cnt = np.where(need_row, np.maximum(nbins - 1, 0), 0)
         cut_base = np.concatenate([[0], np.cumsum(cut_cnt)[:-1]])
-        CUTS = np.empty(int(cut_cnt.sum()))
-        for r in np.flatnonzero((subs_in_row > 0) & (cut_cnt > 0)):
-            a, z = int(row_sub[r]), int(row_sub[r + 1])
-            k = int(cut_cnt[r])
-            ys = np.sort(yc[sub_ord[a:z]])
-            idx = np.minimum((np.arange(1, k + 1) * (z - a)) // (k + 1),
-                             z - a - 1)
-            CUTS[cut_base[r]:cut_base[r] + k] = ys[idx]
+        # quantile cut VALUES via one global (row, yc) sort — positional
+        # selection from each row's sorted slice, identical values to the
+        # former per-row np.sort loop (same multiset, same indices)
+        K_tot = int(cut_cnt.sum())
+        o_glob = np.lexsort((yc, srow_s))
+        ys_sorted = yc[o_glob]
+        rrep_c = np.repeat(np.arange(n_rows), cut_cnt)
+        jq = np.arange(K_tot) - np.repeat(cut_base, cut_cnt) + 1
+        cnt_r = (row_sub[rrep_c + 1] - row_sub[rrep_c])
+        CUTS = ys_sorted[row_sub[rrep_c]
+                         + np.minimum((jq * cnt_r) // (cut_cnt[rrep_c] + 1),
+                                      cnt_r - 1)]
+        cut_rows_flat = rrep_c
 
         def _row_bins(sub_rows, *yvals_list):
             """Bin index of each y value within its row's quantile cuts —
             accepts several y arrays over the SAME rows so one grouping
             sort serves all of them (the sub-edge lo/hi occupancy
-            pair)."""
+            pair).  (A merge-count lexsort formulation was measured ~10%
+            SLOWER end-to-end: the rows are small, so the per-row
+            searchsorted loop beats a global 3-key sort.)"""
             res_list = [np.zeros(len(yv), dtype=np.int64)
                         for yv in yvals_list]
             o = np.argsort(sub_rows, kind="stable")
