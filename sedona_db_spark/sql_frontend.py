@@ -24,16 +24,25 @@ predicate in the ON clause still works via the registered UDFs as a
 guarded cross+filter theta join, mirroring the reference's own
 ``NestedLoopJoinExec`` fallback.
 
-Supported shape (spatial joins over table names, views, or derived-table
-subqueries — ``FROM/JOIN ( SELECT ... ) alias`` operands are lifted into
-temp views first, with spatial joins inside the subquery planned
-recursively; join chains consume one join per step)::
+Supported shapes (all planned through the real operators):
 
-    SELECT <projection>
-    FROM <left_table> [AS] <la>
-    [INNER] JOIN <right_table> [AS] <ra>
-      ON ST_Pred(<a>.<geom>, <b>.<geom> [, <literal args>])
-    [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT ...]
+* explicit joins — ``FROM <l> [AS] a [INNER|LEFT|RIGHT|FULL|SEMI|ANTI]
+  JOIN <r> [AS] b ON ST_Pred(a.g, b.g [, lit]) [AND <remainder>]`` with
+  multi-join chains consuming one join per step;
+* kNN joins — ``ON ST_KNN(a.g, b.g, k [, use_spheroid])``;
+* implicit comma joins — ``FROM a, b WHERE ... ST_Pred(a.g, b.g) ...``
+  with the predicate anywhere in the WHERE's top-level AND chain (the
+  Filter-over-CrossJoin shape the reference's rewrite fires on);
+* derived-table subqueries — ``FROM/JOIN ( SELECT ... ) alias`` operands
+  lift into temp views, spatial joins inside them planning recursively;
+* WITH-clause CTEs — bodies evaluate recursively into temp views; any
+  ambiguous surviving name reference bails to ``spark.sql`` untouched;
+* correlated ``[NOT] EXISTS (SELECT ... WHERE ST_Pred(outer.g, inner.g)
+  [AND rem])`` — decorrelated into the SEMI/ANTI join grammar.
+
+Trailing ``WHERE / GROUP BY / ORDER BY / LIMIT / HAVING`` clauses
+evaluate over the join result (kNN keeps WHERE after neighbor
+selection — see below).
 
 Qualified references ``<la>.<col>`` / ``<ra>.<col>`` in the projection and
 trailing clauses resolve against the join result (right-side duplicates
