@@ -94,7 +94,8 @@ _REL_JOIN_RE = re.compile(
     ON\s+ST_(?P<pred>Intersects|Contains|Within|Covers|CoveredBy|Touches
              |Crosses|Overlaps|Equals|DWithin)\s*
     \(\s*(?P<g1>\w+\.\w+)\s*,\s*(?P<g2>\w+\.\w+)\s*
-    (?:,\s*(?P<dist>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*)?\)\s*
+    (?:,\s*(?P<dist>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?
+           |\w+\.\w+)\s*)?\)\s*
     (?:AND\s+(?P<rem>.+?))?\s*
     (?P<tail>(?:(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING
                 |(?:(?:INNER|LEFT|RIGHT|FULL|SEMI|ANTI)(?:\s+OUTER)?\s+
@@ -134,7 +135,8 @@ _WHERE_PRED_RE = re.compile(
     ^\s*ST_(?P<pred>Intersects|Contains|Within|Covers|CoveredBy|Touches
             |Crosses|Overlaps|Equals|DWithin)\s*
     \(\s*(?P<g1>\w+\.\w+)\s*,\s*(?P<g2>\w+\.\w+)\s*
-    (?:,\s*(?P<dist>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*)?\)\s*$
+    (?:,\s*(?P<dist>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?
+           |\w+\.\w+)\s*)?\)\s*$
     """,
     re.IGNORECASE | re.VERBOSE,
 )
@@ -657,10 +659,25 @@ def _rel_sql(spark: SparkSession, m: re.Match) -> DataFrame:
         pred = _PRED_SWAP.get(pred, pred)
         c1, c2 = c2, c1
     distance = None
+    distance_side = "build"
     if pred == "dwithin":
         if m["dist"] is None:
-            raise ValueError("ST_DWithin join needs a literal distance")
-        distance = float(m["dist"])
+            raise ValueError(
+                "ST_DWithin join needs a distance (literal or qualified "
+                "column)")
+        ds = m["dist"]
+        if re.fullmatch(r"[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?", ds):
+            distance = float(ds)
+        else:
+            # per-row column distance on EITHER side (the reference's
+            # distance join accepts both, spatial_predicate.rs:44-110)
+            dal, dcol = ds.split(".", 1)
+            if dal not in (la, ra):
+                # a foreign alias (join chains) — not representable in
+                # one operator call: keep the guarded theta fallback
+                return spark.sql(m.string)
+            distance = dcol
+            distance_side = "probe" if dal == la else "build"
     elif m["dist"] is not None:
         raise ValueError(f"ST_{m['pred']} takes exactly two geometries")
 
@@ -679,6 +696,7 @@ def _rel_sql(spark: SparkSession, m: re.Match) -> DataFrame:
         # left rows instead of silently becoming a WHERE
         extra = F.expr(_sub_outside_strings(m["rem"], la, ra, rmap))
     joined = spatial_join(ldf, rdf, pred, how, distance=distance,
+                          distance_side=distance_side,
                           left_geom=c1, right_geom=c2,
                           extra_condition=extra)
     tail = m["tail"] or ""

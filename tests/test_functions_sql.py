@@ -669,3 +669,45 @@ def test_sql_exists_decorrelation(spark):
     assert _exists_rewrite(
         "SELECT q.id FROM ex_pts q WHERE EXISTS ("
         "SELECT 1 FROM ex_other q WHERE ST_Within(q.geom, q.geom))") is None
+
+
+def test_sql_dwithin_column_distance(spark):
+    """Round-8: qualified-column distances in SQL ST_DWithin joins plan
+    through spatial_join's per-row distance path on either side (the
+    reference's distance join accepts both,
+    spatial_predicate.rs:44-110)."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    a = spark.createDataFrame(FX.random_points(40, seed=51)) \
+        .withColumnRenamed("geometry", "geom")
+    b = spark.createDataFrame(FX.random_points(40, seed=52)) \
+        .withColumnRenamed("geometry", "geom")
+    a.createOrReplaceTempView("cd_a")
+    b.createOrReplaceTempView("cd_b")
+
+    # probe-side (left) column distance
+    got = sd_sql(spark,
+                 "SELECT a.id AS aid, b.id AS bid FROM cd_a a "
+                 "JOIN cd_b b ON ST_DWithin(a.geom, b.geom, a.dist)")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    api = spatial_join(a, b, "dwithin", "inner", distance="dist",
+                       distance_side="probe")
+    want = {(r["id"], r["id_r"]) for r in api.collect()}
+    assert {(r["aid"], r["bid"]) for r in got.collect()} == want
+
+    # build-side (right) column distance
+    got2 = sd_sql(spark,
+                  "SELECT a.id AS aid, b.id AS bid FROM cd_a a "
+                  "JOIN cd_b b ON ST_DWithin(a.geom, b.geom, b.dist)")
+    api2 = spatial_join(a, b, "dwithin", "inner", distance="dist",
+                        distance_side="build")
+    want2 = {(r["id"], r["id_r"]) for r in api2.collect()}
+    assert {(r["aid"], r["bid"]) for r in got2.collect()} == want2
+
+    # swapped geometry order keeps side resolution on the FROM binding
+    got3 = sd_sql(spark,
+                  "SELECT a.id AS aid, b.id AS bid FROM cd_a a "
+                  "JOIN cd_b b ON ST_DWithin(b.geom, a.geom, a.dist)")
+    assert {(r["aid"], r["bid"]) for r in got3.collect()} == want

@@ -137,11 +137,15 @@ def test_unsupported_shapes_do_not_mismatch():
         # disjunctive ON
         "SELECT a.id FROM t a JOIN u b "
         "ON ST_Intersects(a.g, b.g) OR a.id = b.id",
-        # non-literal distance
-        "SELECT a.id FROM t a JOIN u b ON ST_DWithin(a.g, b.g, a.d)",
+        # expression distance (only literals and qualified columns plan)
+        "SELECT a.id FROM t a JOIN u b ON ST_DWithin(a.g, b.g, a.d * 2)",
     ]
     for stmt in bad:
         assert _REL_JOIN_RE.match(stmt) is None, stmt
+    # a QUALIFIED column distance is a supported shape since round 8
+    m = _REL_JOIN_RE.match(
+        "SELECT a.id FROM t a JOIN u b ON ST_DWithin(a.g, b.g, a.d)")
+    assert m is not None and m["dist"] == "a.d"
     # join CHAINS are a supported shape since round 8: the first join
     # parses and the rest rides in `tail` for the recursive planner
     m = _REL_JOIN_RE.match(
