@@ -119,7 +119,8 @@ _COMMA_FROM_RE = re.compile(
     r"""
     ^\s*SELECT\s+(?P<select>.*?)\s+
     FROM\s+(?P<ltab>[\w.]+)
-    (?:\s+(?:AS\s+)?(?!WHERE\b)(?P<la>\w+))?\s*,\s*
+    (?:\s+(?:AS\s+)?(?!WHERE\b|CROSS\b)(?P<la>\w+))?\s*
+    (?:,|CROSS\s+JOIN)\s*
     (?P<rtab>[\w.]+)
     (?:\s+(?:AS\s+)?(?!WHERE\b)(?P<ra>\w+))?\s+
     WHERE\s+(?P<where>.+?)\s*

@@ -711,3 +711,25 @@ def test_sql_dwithin_column_distance(spark):
                   "SELECT a.id AS aid, b.id AS bid FROM cd_a a "
                   "JOIN cd_b b ON ST_DWithin(b.geom, a.geom, a.dist)")
     assert {(r["aid"], r["bid"]) for r in got3.collect()} == want
+
+
+def test_sql_cross_join_where_predicate(spark):
+    """CROSS JOIN is the keyword spelling of the comma join — same
+    rewrite, same spatial plan."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(60, seed=81)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(25, seed=82)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("xj_pts")
+    pls.createOrReplaceTempView("xj_polys")
+    api = spatial_join(pls, pts, "contains", "inner")
+    want = {(r["id"], r["id_r"]) for r in api.collect()}
+    got = sd_sql(spark,
+                 "SELECT p.id AS pid, q.id AS qid FROM xj_polys p "
+                 "CROSS JOIN xj_pts q WHERE ST_Contains(p.geom, q.geom)")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert {(r["pid"], r["qid"]) for r in got.collect()} == want
