@@ -1017,7 +1017,6 @@ def _union_rings_chunk(rows: list) -> list:
         CUTS = ys_sorted[row_sub[rrep_c]
                          + np.minimum((jq * cnt_r) // (cut_cnt[rrep_c] + 1),
                                       cnt_r - 1)]
-        cut_rows_flat = rrep_c
 
         def _row_bins(sub_rows, *yvals_list):
             """Bin index of each y value within its row's quantile cuts —

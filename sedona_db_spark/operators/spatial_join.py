@@ -509,23 +509,23 @@ def _spatial_join_impl(
 
     # ---- handedness: non-inner joins preserve the outer side ---------------
     if how == "right":
-        if dist_col is not None:
-            raise NotImplementedError(
-                "dwithin with a build-side column distance is not supported "
-                "for right joins; use distance_side='probe' on the flipped "
-                "call instead")
         inv = {"contains": "within", "within": "contains",
                "covers": "coveredby", "coveredby": "covers"}
         # DE-9IM matrix transposes under argument swap
         flip_pattern = (None if pattern is None else
                         "".join(pattern[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8)))
-        # a probe-side distance column becomes a build-side one after flip
+        # a probe-side distance column becomes a build-side one after the
+        # flip, and a build-side one becomes probe-side (its name is the
+        # RENAMED dist_col — `right` is the suffixed frame by now)
+        flip_dist, flip_side = distance, "build"
+        if dist_col is not None:
+            flip_dist, flip_side = dist_col, "probe"
         flipped = spatial_join(
             right, left, inv.get(predicate, predicate), "left",
-            distance=distance, left_geom=rgeom, right_geom=left_geom,
+            distance=flip_dist, left_geom=rgeom, right_geom=left_geom,
             res=res, broadcast_threshold=broadcast_threshold, salt=salt,
             extra_condition=extra_condition, pattern=flip_pattern,
-            distance_side="build")
+            distance_side=flip_side)
         return flipped.select(*lcols, *rcols)
 
     pad = 0.0

@@ -143,39 +143,91 @@ _WHERE_PRED_RE = re.compile(
 )
 
 
-def _split_top_and(text: str) -> list:
-    """Split ``text`` on top-level AND tokens (outside parentheses,
-    single-quoted literals, and backquoted identifiers)."""
+def _skip_quote(text: str, i: int) -> int:
+    """``text[i]`` opens a single-quoted literal or backquoted
+    identifier: return the index just past its closing quote, honoring
+    doubled-quote escapes (``len(text)`` when unterminated).  The one
+    quote scanner every text-level helper below builds on."""
+    ch = text[i]
+    j, n = i + 1, len(text)
+    while j < n:
+        if text[j] == ch:
+            if j + 1 < n and text[j + 1] == ch:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _split_top_bool(text: str):
+    """Split ``text`` on top-level AND tokens (outside parentheses and
+    quotes) and report whether any top-level OR was seen.  A top-level
+    OR means the AND fragments are NOT all conjuncts of the whole
+    expression (AND binds tighter than OR), so callers must not treat
+    them as such."""
     parts, depth, start, i, n = [], 0, 0, 0, len(text)
+    has_or = False
+
+    def _kw(k: int, w: str) -> bool:
+        return (text[k:k + len(w)].upper() == w
+                and (k == 0 or not (text[k - 1].isalnum()
+                                    or text[k - 1] == "_"))
+                and (k + len(w) >= n
+                     or not (text[k + len(w)].isalnum()
+                             or text[k + len(w)] == "_")))
+
     while i < n:
         ch = text[i]
         if ch in ("'", "`"):
-            j = i + 1
-            while j < n:
-                if text[j] == ch:
-                    if j + 1 < n and text[j + 1] == ch:
-                        j += 2
-                        continue
-                    break
-                j += 1
-            i = j + 1
+            i = _skip_quote(text, i)
             continue
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and text[i:i + 3].upper() == "AND" \
-                and (i == 0 or not (text[i - 1].isalnum()
-                                    or text[i - 1] == "_")) \
-                and (i + 3 >= n or not (text[i + 3].isalnum()
-                                        or text[i + 3] == "_")):
+        elif depth == 0 and _kw(i, "AND"):
             parts.append(text[start:i])
             start = i + 3
             i += 3
             continue
+        elif depth == 0 and _kw(i, "OR"):
+            has_or = True
         i += 1
     parts.append(text[start:])
-    return parts
+    return parts, has_or
+
+
+def _split_top_and(text: str) -> list:
+    """Split ``text`` on top-level AND tokens (outside parentheses,
+    single-quoted literals, and backquoted identifiers)."""
+    return _split_top_bool(text)[0]
+
+
+def _quotes_balanced(text: str) -> bool:
+    """False when ``text`` ends inside an unterminated quote — the sign
+    that a regex boundary (WHERE/tail) landed INSIDE a string literal,
+    so any rewrite would resect the literal."""
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", "`"):
+            j = i + 1
+            closed = False
+            while j < n:
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:
+                        j += 2
+                        continue
+                    closed = True
+                    break
+                j += 1
+            if not closed:
+                return False
+            i = j + 1
+            continue
+        i += 1
+    return True
 
 
 def _balanced_close(text: str, open_idx: int) -> int:
@@ -187,15 +239,7 @@ def _balanced_close(text: str, open_idx: int) -> int:
     while i < n:
         ch = text[i]
         if ch in ("'", "`"):
-            j = i + 1
-            while j < n:
-                if text[j] == ch:
-                    if j + 1 < n and text[j + 1] == ch:
-                        j += 2
-                        continue
-                    break
-                j += 1
-            i = j + 1
+            i = _skip_quote(text, i)
             continue
         if ch == "(":
             depth += 1
@@ -212,24 +256,30 @@ def _quoted_spans(text: str) -> list:
     backquoted identifiers, honoring doubled-quote escapes."""
     spans, i, n = [], 0, len(text)
     while i < n:
-        ch = text[i]
-        if ch in ("'", "`"):
-            j = i + 1
-            while j < n:
-                if text[j] == ch:
-                    if j + 1 < n and text[j + 1] == ch:
-                        j += 2
-                        continue
-                    break
-                j += 1
-            spans.append((i, min(j + 1, n)))
-            i = j + 1
+        if text[i] in ("'", "`"):
+            j = _skip_quote(text, i)
+            spans.append((i, j))
+            i = j
             continue
         i += 1
     return spans
 
 
-def _lift_subqueries(spark: SparkSession, query: str):
+def _sub_outside_spans(text: str, pattern, repl) -> str:
+    """``re.sub`` applied only to the unquoted segments of ``text``."""
+    spans = _quoted_spans(text)
+    out, pos = [], 0
+    for s, e in spans:
+        out.append(re.sub(pattern, repl, text[pos:s],
+                          flags=re.IGNORECASE))
+        out.append(text[s:e])
+        pos = e
+    out.append(re.sub(pattern, repl, text[pos:], flags=re.IGNORECASE))
+    return "".join(out)
+
+
+def _lift_subqueries(spark: SparkSession, query: str,
+                     include_ties: bool = False):
     """Replace every ``FROM ( SELECT ... )`` / ``JOIN ( SELECT ... )``
     derived table with a temp view of its result and return
     ``(rewritten_query, views_to_drop)``.  Each subquery is evaluated
@@ -240,12 +290,12 @@ def _lift_subqueries(spark: SparkSession, query: str):
     failing inner statement are dropped before the error propagates."""
     views: list = []
     pos = 0
+    spans = _quoted_spans(query)     # recomputed only on a rewrite below
     try:
         while True:
             m2 = _SUBQ_RE.search(query, pos)
             if m2 is None:
                 return query, views
-            spans = _quoted_spans(query)
             if any(s <= m2.start() < e for s, e in spans):
                 pos = m2.end()
                 continue
@@ -258,10 +308,11 @@ def _lift_subqueries(spark: SparkSession, query: str):
                 pos = m2.end()
                 continue
             view = f"__sd_subq_{uuid.uuid4().hex[:12]}"
-            sql(spark, inner).createOrReplaceTempView(view)
+            sql(spark, inner, include_ties).createOrReplaceTempView(view)
             views.append(view)
             query = (query[:m2.start()] + m2.group(1) + " " + view
                      + query[close + 1:])
+            spans = _quoted_spans(query)
             pos = m2.start() + len(m2.group(1)) + 1 + len(view)
     except Exception:
         for v in views:
@@ -272,7 +323,8 @@ _WITH_RE = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
 _CTE_HEAD_RE = re.compile(r"\s*(\w+)\s+AS\s*\(", re.IGNORECASE)
 
 
-def _lift_ctes(spark: SparkSession, query: str):
+def _lift_ctes(spark: SparkSession, query: str,
+               include_ties: bool = False):
     """Expand a ``WITH name AS ( SELECT ... )[, ...] <body>`` statement:
     each CTE is evaluated through :func:`sql` recursively (so spatial
     joins inside it plan) and registered under a unique temp view; the
@@ -289,13 +341,13 @@ def _lift_ctes(spark: SparkSession, query: str):
     subs: list = []            # (cte_name, view_name)
 
     def _apply(text: str) -> str:
-        # rewrite ONLY table positions — a projection/filter identifier
-        # that happens to share a CTE's name must stay untouched
+        # rewrite ONLY table positions, and only OUTSIDE quotes — a
+        # projection/filter identifier or a string literal that happens
+        # to contain a CTE's name must stay untouched
         for name, view in subs:
-            text = re.sub(
-                rf"\b(FROM|JOIN)\s+{re.escape(name)}\b(?!\s*\()",
-                lambda g, v=view: f"{g.group(1)} {v}", text,
-                flags=re.IGNORECASE)
+            text = _sub_outside_spans(
+                text, rf"\b(FROM|JOIN)\s+{re.escape(name)}\b(?!\s*\()",
+                lambda g, v=view: f"{g.group(1)} {v}")
         return text
 
     def _leftover(text: str) -> bool:
@@ -328,7 +380,7 @@ def _lift_ctes(spark: SparkSession, query: str):
             if _leftover(body):
                 return _bail()
             view = f"__sd_cte_{uuid.uuid4().hex[:12]}"
-            sql(spark, body).createOrReplaceTempView(view)
+            sql(spark, body, include_ties).createOrReplaceTempView(view)
             views.append(view)
             subs.append((mh.group(1), view))
             pos = close + 1
@@ -462,7 +514,7 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
         # the body (falls through untouched when any reference is
         # ambiguous — see _lift_ctes)
         if _WITH_RE.match(query) is not None:
-            body, views = _lift_ctes(spark, query)
+            body, views = _lift_ctes(spark, query, include_ties)
             if body is not None:
                 try:
                     return sql(spark, body, include_ties)
@@ -474,7 +526,7 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
         # joins INSIDE the subquery plan too), then re-dispatch the
         # rewritten statement — which now matches the table-name shapes
         if _SUBQ_RE.search(query) is not None:
-            q2, views = _lift_subqueries(spark, query)
+            q2, views = _lift_subqueries(spark, query, include_ties)
             if views:
                 try:
                     return sql(spark, q2, include_ties)
@@ -490,6 +542,11 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
         m = _REL_JOIN_RE.match(query)
         if m is not None:
             return _rel_sql(spark, m)
+        if _WITH_RE.match(query) is not None:
+            # a WITH statement _lift_ctes bailed on (RECURSIVE,
+            # column-list CTE, ambiguous name reuse): the documented
+            # contract is the spark.sql fallback, not a shape error
+            return spark.sql(query)
         return _knn_sql(spark, query, include_ties)   # loud shape error
     if _contains_rel_join(query):
         m = _REL_JOIN_RE.match(query)
@@ -546,7 +603,14 @@ def _exists_rewrite(query: str):
     if m is None:
         return None
     la = m["la"] or m["ltab"].split(".")[-1]
-    conj = _split_top_and(m["where"])
+    if not _quotes_balanced(m["where"]):
+        return None          # WHERE/tail boundary landed inside a literal
+    conj, has_or = _split_top_bool(m["where"])
+    if has_or:
+        # AND binds tighter than OR: with a top-level OR the fragments
+        # are NOT all conjuncts of the whole expression — extracting the
+        # EXISTS would silently change results
+        return None
     ex_idx = None
     for i, c in enumerate(conj):
         me = _EXISTS_CONJ_RE.match(c)
@@ -570,7 +634,9 @@ def _exists_rewrite(query: str):
     ra = mi["ra"] or mi["rtab"].split(".")[-1]
     if ra == la:
         return None
-    iconj = _split_top_and(mi["where"])
+    iconj, ihas_or = _split_top_bool(mi["where"])
+    if ihas_or:
+        return None          # same precedence hazard inside the subquery
     sp_idx = None
     for i, c in enumerate(iconj):
         pm = _WHERE_PRED_RE.match(c)
@@ -611,7 +677,14 @@ def _comma_rewrite(query: str):
         return None
     la_name = m["la"] or m["ltab"].split(".")[-1]
     ra_name = m["ra"] or m["rtab"].split(".")[-1]
-    conj = _split_top_and(m["where"])
+    if not _quotes_balanced(m["where"]):
+        return None          # WHERE/tail boundary landed inside a literal
+    conj, has_or = _split_top_bool(m["where"])
+    if has_or:
+        # AND binds tighter than OR: with a top-level OR the AND
+        # fragments are not conjuncts of the whole expression, so the
+        # predicate cannot be extracted as a join condition
+        return None
     sp_idx = None
     for i, c in enumerate(conj):
         pm = _WHERE_PRED_RE.match(c)

@@ -733,3 +733,87 @@ def test_sql_cross_join_where_predicate(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert {(r["pid"], r["qid"]) for r in got.collect()} == want
+
+
+def test_sql_rewrite_guards_round8_review(spark):
+    """Round-8 review regressions: (1) a top-level OR in the WHERE makes
+    the AND fragments non-conjuncts (AND binds tighter) — the comma and
+    EXISTS rewrites must bail to spark.sql, not silently drop the OR's
+    cross-product rows; (2) RIGHT JOIN with a build-side column distance
+    keeps the theta fallback instead of crashing in the operator; (3) a
+    CTE name inside a string literal survives lifting untouched."""
+    import pyspark.sql.functions as F
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.sql_frontend import _comma_rewrite, _exists_rewrite
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(30, seed=55)) \
+        .withColumnRenamed("geometry", "geom") \
+        .withColumn("flag", (F.col("id") % 7 == 0).cast("int"))
+    pls = spark.createDataFrame(FX.random_polygons(12, seed=56)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("rg_pts")
+    pls.createOrReplaceTempView("rg_polys")
+
+    # (1) OR-precedence: flag=1 rows pair with EVERY polygon
+    stmt = ("SELECT q.id AS qid, p.id AS pid FROM rg_pts q, rg_polys p "
+            "WHERE q.flag = 1 OR q.id < 5 AND ST_Contains(p.geom, q.geom)")
+    assert _comma_rewrite(stmt) is None
+    got = {(r["qid"], r["pid"]) for r in sd_sql(spark, stmt).collect()}
+    want = {(r["qid"], r["pid"]) for r in spark.sql(stmt).collect()}
+    assert got == want and any(True for _ in want)
+    assert _exists_rewrite(
+        "SELECT q.id FROM rg_pts q WHERE q.flag = 1 OR q.id < 5 AND "
+        "EXISTS (SELECT 1 FROM rg_polys p "
+        "WHERE ST_Contains(p.geom, q.geom))") is None
+
+    # (2) RIGHT JOIN + build-side column distance: plans through the
+    # operator's flip (Spark cannot even run the UDF theta form for
+    # outer joins) — brute-force oracle over the decoded points
+    import math
+    from sedona_db_spark.geometry import wkb as W
+    a = spark.createDataFrame(FX.random_points(25, seed=57)) \
+        .withColumnRenamed("geometry", "geom")
+    b = spark.createDataFrame(FX.random_points(25, seed=58)) \
+        .withColumnRenamed("geometry", "geom")
+    a.createOrReplaceTempView("rg_a")
+    b.createOrReplaceTempView("rg_b")
+    stmt2 = ("SELECT a.id AS aid, b.id AS bid FROM rg_a a RIGHT JOIN "
+             "rg_b b ON ST_DWithin(a.geom, b.geom, b.dist)")
+    got2 = {(r["aid"], r["bid"]) for r in sd_sql(spark, stmt2).collect()}
+    A = {r["id"]: W.decode(bytes(r["geom"]))[1] for r in a.collect()}
+    B = {r["id"]: (W.decode(bytes(r["geom"]))[1], r["dist"])
+         for r in b.collect()}
+    want2 = set()
+    for bid, (bp, bd) in B.items():
+        hits = [aid for aid, ap in A.items()
+                if math.hypot(ap[0] - bp[0], ap[1] - bp[1]) <= bd]
+        want2 |= {(aid, bid) for aid in hits} if hits else {(None, bid)}
+    assert got2 == want2
+
+    # (3) CTE name inside a string literal is not rewritten
+    got3 = sd_sql(spark,
+                  "WITH big AS (SELECT * FROM rg_polys) "
+                  "SELECT 'see FROM big' AS note, p.id AS pid FROM big p "
+                  "JOIN rg_pts q ON ST_Contains(p.geom, q.geom) LIMIT 4")
+    rows = got3.collect()
+    assert rows and all(r["note"] == "see FROM big" for r in rows)
+
+
+def test_sql_include_ties_through_cte(spark):
+    """include_ties must reach a kNN join INSIDE a lifted CTE body."""
+    import numpy as np
+    import pandas as pd
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.geometry import wkb as W
+    # one query at the center of a 4-point tie ring
+    q = pd.DataFrame({"id": [0], "geom": W.points_to_wkb(
+        np.array([0.0]), np.array([0.0]))})
+    t = pd.DataFrame({"id": np.arange(4), "geom": W.points_to_wkb(
+        np.array([1.0, -1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0, -1.0]))})
+    spark.createDataFrame(q).createOrReplaceTempView("tie_q")
+    spark.createDataFrame(t).createOrReplaceTempView("tie_t")
+    stmt = ("WITH nn AS (SELECT a.id AS qid, b.id AS tid FROM tie_q a "
+            "JOIN tie_t b ON ST_KNN(a.geom, b.geom, 2)) "
+            "SELECT * FROM nn")
+    assert sd_sql(spark, stmt).count() == 2
+    assert sd_sql(spark, stmt, include_ties=True).count() == 4
