@@ -27,18 +27,23 @@ guarded cross+filter theta join, mirroring the reference's own
 Supported shapes (all planned through the real operators):
 
 * explicit joins — ``FROM <l> [AS] a [INNER|LEFT|RIGHT|FULL|SEMI|ANTI]
-  JOIN <r> [AS] b ON ST_Pred(a.g, b.g [, lit]) [AND <remainder>]`` with
-  multi-join chains consuming one join per step;
+  JOIN <r> [AS] b ON ST_Pred(a.g, b.g [, dist])`` (``dist`` a literal or
+  an either-side qualified column) ``[AND <remainder>]`` with multi-join
+  chains consuming one join per step;
 * kNN joins — ``ON ST_KNN(a.g, b.g, k [, use_spheroid])``;
-* implicit comma joins — ``FROM a, b WHERE ... ST_Pred(a.g, b.g) ...``
-  with the predicate anywhere in the WHERE's top-level AND chain (the
-  Filter-over-CrossJoin shape the reference's rewrite fires on);
+* implicit comma joins (and the ``CROSS JOIN`` spelling) — ``FROM a, b
+  WHERE ... ST_Pred(a.g, b.g) ...`` with the predicate anywhere in the
+  WHERE's top-level AND chain (the Filter-over-CrossJoin shape the
+  reference's rewrite fires on); a top-level OR bails to ``spark.sql``;
 * derived-table subqueries — ``FROM/JOIN ( SELECT ... ) alias`` operands
   lift into temp views, spatial joins inside them planning recursively;
 * WITH-clause CTEs — bodies evaluate recursively into temp views; any
   ambiguous surviving name reference bails to ``spark.sql`` untouched;
 * correlated ``[NOT] EXISTS (SELECT ... WHERE ST_Pred(outer.g, inner.g)
-  [AND rem])`` — decorrelated into the SEMI/ANTI join grammar.
+  [AND rem])`` — decorrelated into the SEMI/ANTI join grammar;
+* top-level ``UNION [ALL] / INTERSECT / EXCEPT`` chains — each SELECT
+  evaluates through :func:`sql`, combined with the positional DataFrame
+  set operators (a trailing whole-chain ORDER BY/LIMIT bails).
 
 Trailing ``WHERE / GROUP BY / ORDER BY / LIMIT / HAVING`` clauses
 evaluate over the join result (kNN keeps WHERE after neighbor
@@ -319,6 +324,91 @@ def _lift_subqueries(spark: SparkSession, query: str,
             spark.catalog.dropTempView(v)
         raise
 
+_SETOP_WORD = re.compile(r"(UNION(?:\s+ALL)?|INTERSECT|EXCEPT)\b",
+                         re.IGNORECASE)
+
+
+def _split_setops(query: str):
+    """Split ``query`` on top-level UNION [ALL] / INTERSECT / EXCEPT
+    (outside parentheses and quotes).  Returns ``(parts, ops)`` with
+    ``len(ops) == len(parts) - 1``; a single-part result means no
+    top-level set operation."""
+    parts, ops = [], []
+    depth, start, i, n = 0, 0, 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch in ("'", "`"):
+            i = _skip_quote(query, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.upper() in ("U", "I", "E") \
+                and (i == 0 or not (query[i - 1].isalnum()
+                                    or query[i - 1] == "_")):
+            mm = _SETOP_WORD.match(query, i)
+            if mm is not None:
+                parts.append(query[start:i])
+                ops.append(" ".join(mm.group(1).upper().split()))
+                start = i = mm.end()
+                continue
+        i += 1
+    parts.append(query[start:])
+    return parts, ops
+
+
+def _setop_sql(spark: SparkSession, query: str,
+               include_ties: bool):
+    """Evaluate a top-level set-operation chain part by part through
+    :func:`sql` (so each SELECT's spatial join plans) and combine with
+    the DataFrame set operators (left-associative, UNION/INTERSECT/
+    EXCEPT distinct per ANSI, UNION ALL bag).  Returns None when the
+    statement has no top-level set op, or when the final part carries a
+    trailing top-level ORDER BY/LIMIT (it would bind to the WHOLE chain,
+    which the per-part evaluation cannot represent)."""
+    parts, ops = _split_setops(query)
+    if not ops:
+        return None
+    tail_kw = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+    depth, i, n = 0, 0, len(parts[-1])
+    last = parts[-1]
+    while i < n:
+        ch = last[i]
+        if ch in ("'", "`"):
+            i = _skip_quote(last, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and tail_kw.match(last, i) is not None:
+            return None
+        i += 1
+    def _eval(part: str):
+        # strip a redundant whole-part paren wrap so the join regexes
+        # still see the ^SELECT anchor
+        t = part.strip()
+        while t.startswith("(") and _balanced_close(t, 0) == len(t) - 1:
+            t = t[1:-1].strip()
+        return sql(spark, t, include_ties)
+
+    out = _eval(parts[0])
+    for op, part in zip(ops, parts[1:]):
+        nxt = _eval(part)
+        # ANSI set ops are POSITIONAL (column names come from the first
+        # operand) — DataFrame.union matches that; unionByName does not
+        if op == "UNION ALL":
+            out = out.union(nxt)
+        elif op == "UNION":
+            out = out.union(nxt).distinct()
+        elif op == "INTERSECT":
+            out = out.intersect(nxt)
+        else:                              # EXCEPT (distinct per ANSI)
+            out = out.subtract(nxt)
+    return out
+
+
 _WITH_RE = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
 _CTE_HEAD_RE = re.compile(r"\s*(\w+)\s+AS\s*\(", re.IGNORECASE)
 
@@ -533,6 +623,14 @@ def sql(spark: SparkSession, query: str, include_ties: bool = False,
                 finally:
                     for v in views:
                         spark.catalog.dropTempView(v)
+    if _contains_knn_join(query) or _contains_rel_join(query) \
+            or _maybe_comma_spatial(query):
+        # top-level UNION [ALL]/INTERSECT/EXCEPT chains: evaluate each
+        # SELECT through sql() so its spatial join plans, then combine
+        # with the positional DataFrame set ops
+        su = _setop_sql(spark, query, include_ties)
+        if su is not None:
+            return su
     if _contains_knn_join(query):
         if _KNN_JOIN_RE.match(query) is not None:
             return _knn_sql(spark, query, include_ties)

@@ -817,3 +817,63 @@ def test_sql_include_ties_through_cte(spark):
             "SELECT * FROM nn")
     assert sd_sql(spark, stmt).count() == 2
     assert sd_sql(spark, stmt, include_ties=True).count() == 4
+
+
+def test_sql_setops_between_spatial_selects(spark):
+    """Round-8: top-level UNION [ALL]/INTERSECT/EXCEPT chains evaluate
+    each SELECT through sql() (spatial joins plan) and combine with the
+    positional DataFrame set ops; a trailing top-level ORDER BY/LIMIT
+    (which binds to the whole chain) bails to spark.sql."""
+    from sedona_db_spark import sql as sd_sql
+    from sedona_db_spark.operators import spatial_join
+    from sedona_db_spark.sql_frontend import _setop_sql
+    from sedona_db_spark.sources import fixtures as FX
+    pts = spark.createDataFrame(FX.random_points(50, seed=41)) \
+        .withColumnRenamed("geometry", "geom")
+    pls = spark.createDataFrame(FX.random_polygons(20, seed=42)) \
+        .withColumnRenamed("geometry", "geom")
+    pts.createOrReplaceTempView("su_pts")
+    pls.createOrReplaceTempView("su_polys")
+    contains = spatial_join(pls, pts, "contains", "inner")
+    dwithin = spatial_join(pls, pts, "dwithin", "inner", distance=3.0)
+    c_pairs = [(r["id"], r["id_r"]) for r in contains.collect()]
+    d_pairs = [(r["id"], r["id_r"]) for r in dwithin.collect()]
+
+    base = ("SELECT p.id AS pid, q.id AS qid FROM su_polys p "
+            "JOIN su_pts q ON ST_{pred}(p.geom, q.geom{arg})")
+    c_sql = base.format(pred="Contains", arg="")
+    d_sql = base.format(pred="DWithin", arg=", 3.0")
+
+    got = sd_sql(spark, f"{c_sql} UNION ALL {d_sql}")
+    assert sorted((r["pid"], r["qid"]) for r in got.collect()) \
+        == sorted(c_pairs + d_pairs)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    got2 = sd_sql(spark, f"{c_sql} UNION {d_sql}")
+    assert {(r["pid"], r["qid"]) for r in got2.collect()} \
+        == set(c_pairs) | set(d_pairs)
+    assert got2.count() == len(set(c_pairs) | set(d_pairs))
+
+    got3 = sd_sql(spark, f"{c_sql} INTERSECT {d_sql}")
+    assert {(r["pid"], r["qid"]) for r in got3.collect()} \
+        == set(c_pairs) & set(d_pairs)
+
+    got4 = sd_sql(spark, f"{d_sql} EXCEPT {c_sql}")
+    assert {(r["pid"], r["qid"]) for r in got4.collect()} \
+        == set(d_pairs) - set(c_pairs)
+
+    # trailing whole-chain ORDER BY/LIMIT: bail (results still correct
+    # via spark.sql; just not operator-planned)
+    assert _setop_sql(
+        spark, f"{c_sql} UNION ALL {d_sql} ORDER BY pid LIMIT 3",
+        False) is None
+    # ... but a PARENTHESIZED part with its own LIMIT still plans
+    got5 = sd_sql(spark, f"({c_sql} LIMIT 5) UNION ALL {d_sql}")
+    assert got5.count() == 5 + len(d_pairs)
+    # quoted text containing a set-op word stays data
+    got6 = sd_sql(spark,
+                  "SELECT p.id AS pid, 'UNION ALL x' AS tag "
+                  "FROM su_polys p JOIN su_pts q "
+                  "ON ST_Contains(p.geom, q.geom) LIMIT 3")
+    assert all(r["tag"] == "UNION ALL x" for r in got6.collect())
