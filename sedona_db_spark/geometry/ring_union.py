@@ -39,11 +39,29 @@ tests/test_ring_union.py).
 from __future__ import annotations
 
 import math
+import os
+import time
 
 import numpy as np
 
 __all__ = ["union_rings_batch", "rings_of_parts", "rings_from_edges",
            "ENABLED"]
+
+# env-gated phase wall-time accumulator (SD_RU_PROFILE=1): zero overhead
+# when off; tools/bench_buffer_shapes.py prints it after a profiled run
+PROFILE = os.environ.get("SD_RU_PROFILE", "") == "1"
+PHASE_T: dict = {}
+PHASE_N: dict = {}
+
+
+def _count(name: str, v: int) -> None:
+    PHASE_N[name] = PHASE_N.get(name, 0) + int(v)
+
+
+def _tick(t0: float, name: str) -> float:
+    t1 = time.perf_counter()
+    PHASE_T[name] = PHASE_T.get(name, 0.0) + (t1 - t0)
+    return t1
 
 # kill switch for A/B and for the byte-parity tests of the slab sweep
 # (tests/test_buffer_batch.py flips it off to pin batch==per-row bytes)
@@ -316,6 +334,7 @@ def _union_rings_chunk(rows: list) -> list:
     n_rows = len(rows)
     out: list = [None] * n_rows
     bad = np.zeros(n_rows, dtype=bool)
+    _pt = time.perf_counter() if PROFILE else 0.0
 
     # ---- phase 0: flatten rings -> edge table ---------------------------
     # one flat pass over the concatenated vertex soup of the chunk (the
@@ -422,6 +441,8 @@ def _union_rings_chunk(rows: list) -> list:
 
     xmin = np.minimum(X1, X2); xmax = np.maximum(X1, X2)
     ymin = np.minimum(Y1, Y2); ymax = np.maximum(Y1, Y2)
+    if PROFILE:
+        _pt = _tick(_pt, "p0_flatten")
 
     # ---- phase 1+2: candidate pairs -> transversal crossings -------------
     # Runs up to twice.  Exactly-collinear overlapping edge runs — the
@@ -440,6 +461,8 @@ def _union_rings_chunk(rows: list) -> list:
     fin_J = np.empty(0, dtype=np.int64)
     redo = np.zeros(n_rows, dtype=bool)
     for attempt in range(2):
+        if PROFILE:
+            _pt = _tick(_pt, "p12_pre")
         xmin = np.minimum(X1, X2); xmax = np.maximum(X1, X2)
         ymin = np.minimum(Y1, Y2); ymax = np.maximum(Y1, Y2)
         if attempt == 0:
@@ -475,17 +498,27 @@ def _union_rings_chunk(rows: list) -> list:
             bad |= over
             cnt = np.where(bad[srow], 0, cnt)
         P = int(cnt.sum())
+        if PROFILE:
+            _pt = _tick(_pt, "p12_sweep")
         pi = np.repeat(np.arange(Es), cnt)
         starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
         pj = np.arange(P) - np.repeat(starts, cnt) + np.repeat(base, cnt)
         gI = eidx[order_s[pi]]
         gJ = eidx[order_s[pj]]
+        if PROFILE:
+            _pt = _tick(_pt, "p12_expand")
         m = (ymin[gI] <= ymax[gJ]) & (ymin[gJ] <= ymax[gI])
         gI, gJ = gI[m], gJ[m]
+        if PROFILE:
+            _count("pairs_x", P)
+            _count("pairs_xy", len(gI))
+            _pt = _tick(_pt, "p12_ymask")
         samering = ERING[gI] == ERING[gJ]
         dpos = np.abs(EPOS[gI] - EPOS[gJ])
         adj = samering & ((dpos == 1) | (dpos == ELEN[gI] - 1))
         gI, gJ = gI[~adj], gJ[~adj]
+        if PROFILE:
+            _pt = _tick(_pt, "p12_adj")
 
         d1x = X2[gI] - X1[gI]; d1y = Y2[gI] - Y1[gI]
         d2x = X2[gJ] - X1[gJ]; d2y = Y2[gJ] - Y1[gJ]
@@ -516,6 +549,8 @@ def _union_rings_chunk(rows: list) -> list:
             hi_s = np.maximum(t0j, t1j)
             ov = par & cw & (np.maximum(lo, 0.0) + eps_p * L1
                              < np.minimum(hi_s, d1x * d1x + d1y * d1y))
+        if PROFILE:
+            _pt = _tick(_pt, "p12_ovdetect")
         if not bool(ov.any()):
             fin_I = np.concatenate([fin_I, gI])
             fin_J = np.concatenate([fin_J, gJ])
@@ -544,6 +579,8 @@ def _union_rings_chunk(rows: list) -> list:
         if E == 0:
             return out
     I, J = fin_I, fin_J
+    if PROFILE:
+        _pt = _tick(_pt, "p12_pairs_cross")
 
     # ---- chain re-stitch of cancelled rows ------------------------------
     # Cancellation replaces collinear bundles with net-current interval
@@ -657,6 +694,8 @@ def _union_rings_chunk(rows: list) -> list:
             ELEN = np.concatenate([ELEN[~sel], clen[rid_new]])
             if len(I):
                 I, J = imap[I], imap[J]
+    if PROFILE:
+        _pt = _tick(_pt, "p2b_restitch_only")
 
     d1x = X2[I] - X1[I]; d1y = Y2[I] - Y1[I]
     d2x = X2[J] - X1[J]; d2y = Y2[J] - Y1[J]
@@ -700,6 +739,9 @@ def _union_rings_chunk(rows: list) -> list:
         if bool(vv_mism.any()):
             bad[np.unique(EROW[I[vv[vv_mism]]])] = True
     hit = inside & ~sn_t & ~sn_u
+    if PROFILE:
+        _count("pairs_fin", len(I))
+        _count("hits", int(hit.sum()))
     Ih, Jh = I[hit], J[hit]
     th, uh = t[hit], u[hit]
     px = X1[Ih] + th * d1x[hit]
@@ -721,6 +763,8 @@ def _union_rings_chunk(rows: list) -> list:
     sx_pairs = inside & (ERING[I] == ERING[J])
     if bool(sx_pairs.any()):
         selfx_row[np.unique(EROW[I[sx_pairs]])] = True
+    if PROFILE:
+        _pt = _tick(_pt, "p2b_restitch")
 
     # ---- phase 3: split edges at crossings ------------------------------
     ce = np.concatenate([Ih, Jh, Jv, Iv])
@@ -818,6 +862,8 @@ def _union_rings_chunk(rows: list) -> list:
     srow_s = EROW[sparent]
     sring = ERING[sparent]
     sw = EW[sparent]
+    if PROFILE:
+        _pt = _tick(_pt, "p3_split")
 
     # ---- phase 4: segments (maximal runs between crossings) -------------
     # sub-edges are in chain order within each ring (edges by ring pos,
@@ -885,6 +931,8 @@ def _union_rings_chunk(rows: list) -> list:
         & ~chain_brk[fsub] & ~node3[fsub]
     seed = ~prop_ok
     seed_idx = np.flatnonzero(seed)
+    if PROFILE:
+        _pt = _tick(_pt, "p4a_segs")
 
     # representative sub-edge per segment: the longest NON-horizontal one
     # (any sub-edge of the run works — winding is constant along it — and
@@ -952,6 +1000,8 @@ def _union_rings_chunk(rows: list) -> list:
     # so srow_s is NOT row-sorted in general — group via stable argsort
     sub_ord = np.argsort(srow_s, kind="stable")
     row_sub = np.searchsorted(srow_s[sub_ord], np.arange(n_rows + 1))
+    if PROFILE:
+        _pt = _tick(_pt, "p4b_binsetup")
 
     def _vert_stab(q_rep, q_cand, own):
         """Vertical-ray classification of (query rep, candidate sub)
@@ -998,6 +1048,8 @@ def _union_rings_chunk(rows: list) -> list:
                          + np.repeat(row_sub[rrow[q_small]], scnt)]
         w_rest += _vert_stab(s_rep, s_cand,
                              np.repeat(rep[q_small], scnt))
+    if PROFILE:
+        _pt = _tick(_pt, "p4c_smallstab")
     if len(q_big):
         # quantile cuts + needed-bin occupancy, built ONLY over the rows
         # that actually carry a big-row query
@@ -1086,6 +1138,8 @@ def _union_rings_chunk(rows: list) -> list:
                               + np.repeat(bin_off[qbin], qcnt)]
             w_rest += _vert_stab(q_rep, q_cand,
                                  np.repeat(rep[q_big], qcnt))
+    if PROFILE:
+        _pt = _tick(_pt, "p4d_bigstab")
 
     # horizontal representatives: transposed (+y ray) full-row scan
     hz = np.flatnonzero(rhoriz & seed)
@@ -1165,6 +1219,8 @@ def _union_rings_chunk(rows: list) -> list:
         alive = ~bad[srow_s[fsub]]
         keep_fwd &= alive
         keep_rev &= alive
+    if PROFILE:
+        _pt = _tick(_pt, "p4_classify")
 
     # ---- phase 5/6: chain kept SEGMENTS per row -------------------------
     seg_row = srow_s[seg_first]
@@ -1295,6 +1351,8 @@ def _union_rings_chunk(rows: list) -> list:
         out[r] = _assemble(rings_out, rows[r],
                            float(eps_row[r]) * float(scale[r]),
                            bool(selfx_row[r]))
+    if PROFILE:
+        _tick(_pt, "p56_chain")
     return out
 
 
