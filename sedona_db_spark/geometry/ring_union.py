@@ -1101,22 +1101,33 @@ def _union_rings_chunk(rows: list) -> list:
         gb = bin_base[srow_s[nh]]
         b0 += gb
         b1 += gb
-        hit_need = (ncum[b1 + 1] - ncum[b0]) > 0
-        nh, b0, b1 = nh[hit_need], b0[hit_need], b1[hit_need]
+        nspan = ncum[b1 + 1] - ncum[b0]   # NEEDED bins per edge span
+        hit_need = nspan > 0
+        nh, b0, b1, nspan = nh[hit_need], b0[hit_need], b1[hit_need], \
+            nspan[hit_need]
+        # work guard stays on the FULL bin span (not just needed bins) so
+        # the refusal set is identical to the pre-compression formulation
         span = b1 - b0 + 1
         occ_row = np.zeros(n_rows, dtype=np.int64)
         np.add.at(occ_row, srow_s[nh], span)
         if bool((occ_row > MAX_ROW_WORK).any()):
             bad |= occ_row > MAX_ROW_WORK
             nh_keep = ~bad[srow_s[nh]]
-            nh, b0, b1, span = nh[nh_keep], b0[nh_keep], b1[nh_keep], \
-                span[nh_keep]
-        occ_edge = np.repeat(nh, span)
-        ostart = np.concatenate([[0], np.cumsum(span)[:-1]])
-        occ_bin = (np.arange(int(span.sum())) - np.repeat(ostart, span)
-                   + np.repeat(b0, span))
-        omask = needed_b[occ_bin]
-        occ_edge, occ_bin = occ_edge[omask], occ_bin[omask]
+            nh, b0, nspan = nh[nh_keep], b0[nh_keep], nspan[nh_keep]
+            span = span[nh_keep]
+        # expand each edge DIRECTLY over its needed bins: positions
+        # ncum[b0]..ncum[b1+1] index the compressed needed-bin list, so
+        # the dead-bin entries the old full-span expansion masked away
+        # (~60% on the benchmark collections) are never materialized
+        nb_list = np.flatnonzero(needed_b)
+        occ_edge = np.repeat(nh, nspan)
+        ostart = np.concatenate([[0], np.cumsum(nspan)[:-1]])
+        occ_bin = nb_list[np.arange(int(nspan.sum()))
+                          - np.repeat(ostart, nspan)
+                          + np.repeat(ncum[b0], nspan)]
+        if PROFILE:
+            _count("occ_raw", int(span.sum()))
+            _count("occ_needed", len(occ_bin))
         oo = np.argsort(occ_bin, kind="stable")
         occ_edge = occ_edge[oo]
         occ_bin = occ_bin[oo]
@@ -1131,6 +1142,10 @@ def _union_rings_chunk(rows: list) -> list:
             qm = ~bad[rrow[q_big]]
             q_big, qbin, qcnt = q_big[qm], qbin[qm], qcnt[qm]
         QP = int(qcnt.sum()) if len(q_big) else 0
+        if PROFILE:
+            _count("stab_qp", QP)
+            _count("seeds_big", len(q_big))
+            _count("seeds_small", len(q_small))
         if QP:
             q_rep = np.repeat(q_big, qcnt)
             qstart = np.concatenate([[0], np.cumsum(qcnt)[:-1]])
