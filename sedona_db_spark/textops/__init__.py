@@ -1,1 +1,2 @@
-from sedona_db_spark.textops import dedup, analysis  # noqa: F401
+from sedona_db_spark.textops import (  # noqa: F401
+    dedup, analysis, repetition, substring)

@@ -1,0 +1,173 @@
+"""Gopher-style intra-document repetition metrics for quality filtering.
+
+Implements the repetition signals of Rae et al. 2021 ("Scaling Language
+Models: Methods, Analysis & Insights from Training Gopher", table A1)
+used by large-scale training-data pipelines to drop boilerplate-heavy
+documents: duplicate line / paragraph fractions (count- and
+character-weighted), the character fraction covered by the single most
+frequent word n-gram (n = 2..4), and the character fraction covered by
+duplicated word n-grams (n = 5..10).
+
+The reference engine has no text pipeline; this extends the
+LLM-data-pipeline operator surface mandated alongside SURVEY §2 (same
+tier as textops.analysis / textops.dedup).
+
+Exact metric definitions (deterministic, engine-portable — the pytest
+oracle replays them in DuckDB and compares bit-exactly):
+
+- unit extraction: lines split on ``\\n``, paragraphs on ``\\n{2,}``,
+  both dropping whitespace-only units; words split on ``\\s+`` of the
+  trimmed text; an n-gram is ``n`` consecutive words joined by one
+  space.
+- ``dup_{line,para}_frac``: instances beyond the first occurrence of a
+  unit value, over total instances — ``Σ (cnt-1) / Σ cnt``.
+- ``dup_{line,para}_char_frac``: the same, weighted by unit length —
+  ``Σ (cnt-1)·len / Σ cnt·len``.
+- ``top_{n}gram_char_frac``: ``cnt·len(gram) / length(text)`` of the
+  most frequent n-gram (ties broken by lexicographically smallest
+  gram), capped at 1.0.  Occurrences may overlap in the original text,
+  so this is the standard counting approximation of Gopher's character
+  coverage, not an exact positional cover.
+- ``dup_{n}gram_char_frac``: ``Σ_{cnt≥2} cnt·len(gram) / length(text)``
+  capped at 1.0 — an upper bound on the covered-character fraction
+  (overlapping occurrences are counted per occurrence).
+
+Scale design (the 100 TB shape): ONE generated union of (doc, kind,
+unit) rows feeds ONE ``groupBy(doc, kind, unit)`` count (map-side
+combinable; the heaviest key family is n-grams, whose cardinality is
+bounded by words-per-doc, not vocabulary²), then one
+``groupBy(doc, kind)`` roll-up and a conditional-aggregation pivot back
+to one row per document.  No per-row Python anywhere; every expression
+is JVM whole-stage-codegen.  Fractions are emitted as one integer÷
+integer division so engines agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty when fewer than n words)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _units(df: DataFrame, text_col: str, id_col: str,
+           top_ns: tuple, dup_ns: tuple) -> DataFrame:
+    """(id, kind, unit) exploded rows for every metric family at once."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    nonblank = lambda a: F.filter(a, lambda u: F.length(F.trim(u)) > 0)  # noqa: E731
+    words = F.split(F.trim(t), r"\s+")
+    fams = [
+        (F.lit("line"), nonblank(F.split(t, r"\n"))),
+        (F.lit("para"), nonblank(F.split(t, r"\n{2,}"))),
+    ]
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        fams.append((F.lit(f"{n}gram"), _word_ngrams(words, n)))
+    def _tagger(kind: Column):
+        # NOTE: F.transform dispatches on lambda arity — a default arg
+        # would make this look like the (element, index) form
+        return lambda u: F.struct(kind.alias("kind"), u.alias("unit"))
+
+    unioned = F.flatten(F.array(*[F.transform(arr, _tagger(kind))
+                                  for kind, arr in fams]))
+    return (df.select(F.col(id_col).alias("_id"),
+                      F.explode(unioned).alias("ku"))
+              .select("_id", F.col("ku.kind").alias("kind"),
+                      F.col("ku.unit").alias("unit")))
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      top_ns: tuple = TOP_NS,
+                      dup_ns: tuple = DUP_NS) -> DataFrame:
+    """One row per document with every repetition metric (see module doc).
+
+    Documents whose text yields no units for a family (no lines, fewer
+    than n words) report 0.0 for that family's metrics.
+    """
+    units = _units(df, text_col, id_col, top_ns, dup_ns)
+    per_unit = (units.groupBy("_id", "kind", "unit")
+                     .agg(F.count(F.lit(1)).alias("cnt"))
+                     .withColumn("ulen", F.length("unit")))
+    per_kind = (per_unit.groupBy("_id", "kind").agg(
+        F.sum("cnt").alias("n_units"),
+        F.sum(F.col("cnt") - 1).alias("n_dup"),
+        F.sum(F.col("cnt") * F.col("ulen")).alias("chars"),
+        F.sum((F.col("cnt") - 1) * F.col("ulen")).alias("dup_chars"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("ulen"))
+               .otherwise(F.lit(0))).alias("rep_chars"),
+        # max count, ties to the lexicographically smallest gram: the
+        # struct min orders by (-cnt, unit)
+        F.min(F.struct((-F.col("cnt")).alias("neg"),
+                       F.col("unit").alias("unit"))).alias("top"),
+    ))
+
+    def _kind(name: str, col: str) -> Column:
+        return F.max(F.when(F.col("kind") == name, F.col(col)))
+
+    agg = [
+        _kind("line", "n_units").alias("line_units"),
+        _kind("line", "n_dup").alias("line_dup"),
+        _kind("line", "chars").alias("line_chars"),
+        _kind("line", "dup_chars").alias("line_dup_chars"),
+        _kind("para", "n_units").alias("para_units"),
+        _kind("para", "n_dup").alias("para_dup"),
+        _kind("para", "chars").alias("para_chars"),
+        _kind("para", "dup_chars").alias("para_dup_chars"),
+    ]
+    for n in sorted(set(top_ns)):
+        agg.append(_kind(f"{n}gram", "top").alias(f"top{n}"))
+    for n in sorted(set(dup_ns)):
+        agg.append(_kind(f"{n}gram", "rep_chars").alias(f"rep{n}"))
+    rolled = per_kind.groupBy("_id").agg(*agg)
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.length(F.coalesce(F.col(text_col), F.lit("")))
+                      .alias("n_chars"))
+    j = base.join(rolled, "_id", "left")
+
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.when(F.coalesce(den, F.lit(0)) > 0,
+                      num.cast("double") / den.cast("double")
+                      ).otherwise(F.lit(0.0))
+
+    def _capped(num: Column, den: Column) -> Column:
+        return F.least(_ratio(num, den), F.lit(1.0))
+
+    sel = [F.col("_id").alias(id_col),
+           _ratio(F.col("line_dup"), F.col("line_units"))
+           .alias("dup_line_frac"),
+           _ratio(F.col("line_dup_chars"), F.col("line_chars"))
+           .alias("dup_line_char_frac"),
+           _ratio(F.col("para_dup"), F.col("para_units"))
+           .alias("dup_para_frac"),
+           _ratio(F.col("para_dup_chars"), F.col("para_chars"))
+           .alias("dup_para_char_frac")]
+    for n in sorted(set(top_ns)):
+        top = F.col(f"top{n}")
+        chars = F.when(top.isNotNull(),
+                       (-top["neg"]) * F.length(top["unit"])
+                       ).otherwise(F.lit(0))
+        sel.append(_capped(chars, F.col("n_chars"))
+                   .alias(f"top_{n}gram_char_frac"))
+    for n in sorted(set(dup_ns)):
+        sel.append(_capped(F.coalesce(F.col(f"rep{n}"), F.lit(0)),
+                           F.col("n_chars"))
+                   .alias(f"dup_{n}gram_char_frac"))
+    return j.select(*sel)
+
+
+def with_repetition(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Join the repetition metrics back onto the input rows."""
+    return df.join(repetition_scores(df, text_col, id_col), id_col, "left")
