@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from sedona_db_spark import grid
 from sedona_db_spark.textops import analysis as TA
 from sedona_db_spark.textops import dedup as TD
+from sedona_db_spark.textops import repetition as TR
 
 
 # ---------------------------------------------------------------------------
@@ -844,6 +845,140 @@ comp AS (
 SELECT doc_id,
        len_component * 0.3 + alpha_ratio * 0.4 + stop_component * 0.3 AS quality
 FROM comp"""
+
+
+# ---------------------------------------------------------------------------
+# 15b. Gopher-style repetition metrics (textops.repetition), merged into
+# the quality slot as a melted tagged union (metric name = the tag).
+# The flat word-soup documents have no newlines, so both engines derive
+# the SAME multi-line text deterministically: break words -> paragraph
+# breaks, every remaining space -> a line break (strong duplicate-line /
+# nonzero duplicate-paragraph signal at sf0.01).
+# ---------------------------------------------------------------------------
+
+_REP_BREAK = " (the|a|table|value|row|key|data|part) "
+
+
+def _docs_multiline(d):
+    t = F.replace(F.regexp_replace(F.col("text"), _REP_BREAK, "\n\n"),
+                  F.lit(" "), F.lit("\n"))
+    return d.select("doc_id", t.alias("text"))
+
+
+def q_quality_rep(spark, sf_dir):
+    """Quality + all 13 repetition metrics in one melted driver slot:
+    (doc_id, metric, value), 'quality' rows from textops.analysis, the
+    rest from textops.repetition over the derived multi-line text."""
+    d = _t(spark, sf_dir, "documents")
+    quality = d.select("doc_id", F.lit("quality").alias("metric"),
+                       TA.quality_score(F.col("text")).alias("value"))
+    rep = TR.repetition_scores(_docs_multiline(d))
+    mcols = [c for c in rep.columns if c != "doc_id"]
+    stack = "stack({}, {}) AS (metric, value)".format(
+        len(mcols), ", ".join(f"'{c}', {c}" for c in mcols))
+    return quality.unionByName(rep.selectExpr("doc_id", stack))
+
+
+def _oracle_repetition_melted() -> str:
+    """DuckDB replay of textops.repetition over the derived multi-line
+    text, melted to (doc_id, metric, value) — mirrors every engine
+    division as CAST(int AS DOUBLE)/CAST(int AS DOUBLE) so hashes are
+    bit-exact."""
+    gram_selects = []
+    for n in sorted(set(TR.TOP_NS) | set(TR.DUP_NS)):
+        gram_selects.append(
+            f"SELECT doc_id, '{n}gram' AS kind, "
+            f"array_to_string(l[i:i+{n - 1}], ' ') AS unit "
+            f"FROM rep_base, unnest(range(1, len(l) - {n} + 2)) AS s(i)")
+    grams = "\n  UNION ALL\n  ".join(gram_selects)
+
+    pk_cols, top_cols = [], []
+    for fam in ("line", "para"):
+        for src, dst in (("n_dup", "dup"), ("n_units", "units"),
+                         ("dup_chars", "dup_chars"), ("chars", "chars")):
+            pk_cols.append(f"max(CASE WHEN kind = '{fam}' THEN {src} END) "
+                           f"AS {fam}_{dst}")
+    for n in sorted(set(TR.DUP_NS)):
+        pk_cols.append(f"max(CASE WHEN kind = '{n}gram' THEN rep_chars END) "
+                       f"AS rep{n}")
+    for n in sorted(set(TR.TOP_NS)):
+        top_cols.append(f"max(CASE WHEN kind = '{n}gram' THEN top_chars END) "
+                        f"AS top{n}")
+
+    def ratio(num, den):
+        return (f"CASE WHEN coalesce({den}, 0) > 0 THEN "
+                f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) "
+                f"ELSE 0.0 END")
+
+    def capped(num, den):
+        return f"least({ratio(num, den)}, 1.0)"
+
+    melted = []
+    for fam in ("line", "para"):
+        melted.append(f"SELECT doc_id, 'dup_{fam}_frac' AS metric, "
+                      f"{ratio(f'{fam}_dup', f'{fam}_units')} AS value "
+                      "FROM rep_final")
+        melted.append(f"SELECT doc_id, 'dup_{fam}_char_frac' AS metric, "
+                      f"{ratio(f'{fam}_dup_chars', f'{fam}_chars')} AS value "
+                      "FROM rep_final")
+    for n in sorted(set(TR.TOP_NS)):
+        melted.append(f"SELECT doc_id, 'top_{n}gram_char_frac' AS metric, "
+                      f"{capped(f'coalesce(top{n}, 0)', 'n_chars')} AS value "
+                      "FROM rep_final")
+    for n in sorted(set(TR.DUP_NS)):
+        melted.append(f"SELECT doc_id, 'dup_{n}gram_char_frac' AS metric, "
+                      f"{capped(f'coalesce(rep{n}, 0)', 'n_chars')} AS value "
+                      "FROM rep_final")
+    union = "\nUNION ALL\n".join(melted)
+
+    return rf"""
+WITH rep_docs AS (
+  SELECT doc_id,
+         coalesce(replace(regexp_replace(text, '{_REP_BREAK}',
+                                         chr(10) || chr(10), 'g'),
+                          ' ', chr(10)), '') AS t
+  FROM documents),
+rep_base AS (
+  SELECT doc_id, string_split_regex(trim(t), '\s+') AS l FROM rep_docs),
+rep_units AS (
+  SELECT doc_id, 'line' AS kind, u AS unit
+  FROM rep_docs, unnest(string_split(t, chr(10))) AS s(u)
+  WHERE length(trim(u)) > 0
+  UNION ALL
+  SELECT doc_id, 'para' AS kind, u AS unit
+  FROM rep_docs, unnest(string_split_regex(t, '\n{{2,}}')) AS s(u)
+  WHERE length(trim(u)) > 0
+  UNION ALL
+  {grams}),
+rep_pu AS (
+  SELECT doc_id, kind, unit, count(*) AS cnt, length(unit) AS ulen
+  FROM rep_units GROUP BY doc_id, kind, unit),
+rep_pk AS (
+  SELECT doc_id, kind, sum(cnt) AS n_units, sum(cnt - 1) AS n_dup,
+         sum(cnt * ulen) AS chars, sum((cnt - 1) * ulen) AS dup_chars,
+         sum(CASE WHEN cnt >= 2 THEN cnt * ulen ELSE 0 END) AS rep_chars
+  FROM rep_pu GROUP BY doc_id, kind),
+rep_top AS (
+  SELECT doc_id, kind, cnt * length(unit) AS top_chars FROM (
+    SELECT doc_id, kind, cnt, unit,
+           row_number() OVER (PARTITION BY doc_id, kind
+                              ORDER BY cnt DESC, unit ASC) AS rn
+    FROM rep_pu) WHERE rn = 1),
+rep_pk_w AS (SELECT doc_id, {", ".join(pk_cols)} FROM rep_pk GROUP BY doc_id),
+rep_top_w AS (SELECT doc_id, {", ".join(top_cols)} FROM rep_top GROUP BY doc_id),
+rep_final AS (
+  SELECT n.doc_id, length(n.t) AS n_chars, pk.* EXCLUDE (doc_id),
+         tp.* EXCLUDE (doc_id)
+  FROM rep_docs n
+  LEFT JOIN rep_pk_w pk USING (doc_id)
+  LEFT JOIN rep_top_w tp USING (doc_id))
+{union}"""
+
+
+def _oracle_quality_rep() -> str:
+    return (f"SELECT doc_id, 'quality' AS metric, quality AS value "
+            f"FROM ({_oracle_quality()})\nUNION ALL\n"
+            f"SELECT * FROM ({_oracle_repetition_melted()})")
 
 
 # ---------------------------------------------------------------------------
@@ -2291,7 +2426,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
-    "quality_scores": q_quality,
+    "quality_scores": q_quality_rep,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -2342,7 +2477,7 @@ ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "lang_id": _oracle_lang_id(),
-    "quality_scores": _oracle_quality(),
+    "quality_scores": _oracle_quality_rep(),
     "minhash_signatures": _ORACLE_MINHASH_SIG,
     "minhash_lsh_pairs": _oracle_minhash_pairs(),
     "ngram_jaccard_pairs": _ORACLE_JACCARD,
