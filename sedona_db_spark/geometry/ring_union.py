@@ -72,6 +72,11 @@ ENABLED = True
 # instead of allocating quadratic temporaries
 MAX_ROW_WORK = 4_000_000
 
+# seed ray casts: rows whose full-scan volume (seeds x subs) is at or
+# under this take the one-shot full-row scan instead of building
+# quantile stab bins (see the routing comment in phase 4)
+FULLSCAN_WORK = 8_192
+
 # batch chunking budget, in input edges: rows are processed in
 # consecutive chunks of at most this many edges so every phase's
 # temporaries stay small enough for malloc free-list reuse (fresh
@@ -932,6 +937,14 @@ def _union_rings_chunk(rows: list) -> list:
     seed = ~prop_ok
     seed_idx = np.flatnonzero(seed)
     if PROFILE:
+        _count("seed_ring_first", int(ring_first_sub[fsub][seed].sum()))
+        _count("seed_chain_brk", int((chain_brk[fsub] & ~ring_first_sub[fsub])[seed].sum()))
+        _count("seed_node3", int((node3[fsub] & ~chain_brk[fsub]
+                                  & ~ring_first_sub[fsub])[seed].sum()))
+        _count("seed_invalid", int((~sub_bvalid[fsub] & ~node3[fsub]
+                                    & ~chain_brk[fsub]
+                                    & ~ring_first_sub[fsub])[seed].sum()))
+        _count("segs_total", NSEG)
         _pt = _tick(_pt, "p4a_segs")
 
     # representative sub-edge per segment: the longest NON-horizontal one
@@ -1025,11 +1038,19 @@ def _union_rings_chunk(rows: list) -> list:
         return np.bincount(q_rep[hs], weights=sgn[hs], minlength=NSEG)
 
     qv = np.flatnonzero(~rhoriz & seed)   # vertical-ray SEED reps only
-    # TINY rows answer their seed queries with one full-row scan —
-    # cheaper than quantile cuts + bin occupancy when the whole sub-edge
-    # list is a few cache lines (seeds per row run ~30 on the benchmark
-    # collections, so anything larger is better served by the bins)
-    small_row = subs_in_row <= 64
+    # Routing between the two stab tiers is WORK-based: a full-row scan
+    # costs seeds_r x subs_r straddle tests, while the binned path pays
+    # at least one global sort share + occupancy insertion per sub-edge
+    # (O(subs_r log subs_r)) before the first query is answered.  Rows
+    # with few seeds — the 500-vertex complex collections run ~3 seeds
+    # over ~1.5k subs — are strictly cheaper to full-scan, and tiny rows
+    # always are (the whole sub-edge list is a few cache lines).  Only
+    # rows where the scan volume exceeds FULLSCAN_WORK (seed-dense AND
+    # sub-dense, e.g. the simple collections' ~15 x ~500) amortize the
+    # bin build.
+    seed_per_row = np.bincount(rrow[qv], minlength=n_rows)
+    small_row = ((subs_in_row <= 64)
+                 | (seed_per_row * subs_in_row <= FULLSCAN_WORK))
     q_small = qv[small_row[rrow[qv]]]
     q_big = qv[~small_row[rrow[qv]]]
     w_rest = np.zeros(NSEG)
