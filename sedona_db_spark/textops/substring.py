@@ -203,3 +203,59 @@ def substring_dup_spans(df: DataFrame, k: int = 16, w: int = 32,
                   F.count(F.lit(1)).alias("n_fps")))
     return spans.select("doc_a", "doc_b", "start_a", "start_b",
                         "span_len", "n_fps")
+
+
+def substring_dup_stats(df: DataFrame, k: int = 16, w: int = 32,
+                        max_df: int | None = 64,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated-byte statistics from the cross-document
+    spans — the drop signal corpus pipelines threshold on (e.g. "remove
+    documents with > X% bytes shared verbatim with another document").
+
+    Returns (id, n_bytes, dup_bytes, dup_frac) for EVERY input document
+    (zero for documents with no detected spans).  A document's spans
+    from different partners may overlap; intervals are union-merged per
+    document before counting, so a byte region duplicated against ten
+    partners counts once.
+
+    Scale design: the span table is tiny relative to the corpus (only
+    documents sharing >= w + k - 1 verbatim bytes appear); the interval
+    merge is one window function partitioned by document, and the final
+    join back to the corpus is on the document key.
+    """
+    spans = substring_dup_spans(df, k, w, max_df, text_col, id_col)
+    iv = (spans.select(F.col("doc_a").alias("_id"),
+                       F.col("start_a").alias("s"),
+                       (F.col("start_a") + F.col("span_len")).alias("e"))
+          .unionByName(
+              spans.select(F.col("doc_b").alias("_id"),
+                           F.col("start_b").alias("s"),
+                           (F.col("start_b") + F.col("span_len")).alias("e"))))
+    win = Window.partitionBy("_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        win.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (iv
+              .withColumn("_new", F.when(prev_max_e.isNull()
+                                         | (F.col("s") > prev_max_e), 1)
+                                   .otherwise(0))
+              .withColumn("_gid", F.sum("_new").over(
+                  win.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy("_id", "_gid")
+              .agg((F.max("e") - F.min("s")).alias("mlen"))
+              .groupBy("_id")
+              .agg(F.sum("mlen").alias("dup_bytes")))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
+                 ).cast("long").alias("n_bytes"))
+    out = (base.join(merged, "_id", "left")
+               .withColumn("dup_bytes",
+                           F.coalesce(F.col("dup_bytes"), F.lit(0)))
+               .withColumn("dup_frac",
+                           F.when(F.col("n_bytes") > 0,
+                                  F.col("dup_bytes").cast("double")
+                                  / F.col("n_bytes").cast("double"))
+                            .otherwise(F.lit(0.0))))
+    return out.select(F.col("_id").alias(id_col), "n_bytes",
+                      "dup_bytes", "dup_frac")

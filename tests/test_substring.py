@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from sedona_db_spark.textops.substring import (
     _P, _window_hashes, _winnow_positions,
-    winnow_fingerprints, substring_dup_spans,
+    winnow_fingerprints, substring_dup_spans, substring_dup_stats,
 )
 
 
@@ -187,6 +187,42 @@ def test_join_is_exact_on_gram_not_just_hash(spark):
             [(0, "x")], "doc_id long, text string")).count() == 0
     finally:
         S.winnow_fingerprints = orig
+
+
+def test_dup_stats_planted_corpus(corpus):
+    df, (a0, b0, plen), (c0, d0) = corpus
+    stats = {r["doc_id"]: r for r in
+             substring_dup_stats(df, k=16, w=32).collect()}
+    # every doc is reported; soup docs have zero duplication
+    assert len(stats) == df.count()
+    for i, r in stats.items():
+        if i not in (0, 1, 2, 3):
+            assert r["dup_bytes"] == 0 and r["dup_frac"] == 0.0
+    # docs 0/1 share a 300-byte passage: the detected core is within the
+    # winnowing localization bound of the true extent, never beyond it
+    for i in (0, 1):
+        assert plen - 2 * (32 + 16 - 2) <= stats[i]["dup_bytes"] <= plen
+        assert stats[i]["dup_frac"] == (
+            stats[i]["dup_bytes"] / stats[i]["n_bytes"])
+    # docs 2/3 share the minimal w+k-1 passage
+    assert stats[2]["dup_bytes"] >= 16 and stats[3]["dup_bytes"] >= 16
+
+
+def test_dup_stats_merges_overlapping_intervals(spark):
+    """One region duplicated against MANY partners counts once."""
+    rng = random.Random(17)
+    core = "".join(rng.choice("0123456789abcdef") for _ in range(150))
+    rows = [(0, core)]
+    for i in range(1, 6):   # five partners all sharing doc 0's whole text
+        pad = "".join(rng.choice("0123456789abcdef") for _ in range(60))
+        rows.append((i, pad + core))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r["doc_id"]: r for r in
+          substring_dup_stats(df, k=16, w=32, max_df=None).collect()}
+    # doc 0 is duplicated against 5 partners but holds only 150 bytes
+    assert st[0]["dup_bytes"] <= 150
+    assert st[0]["dup_frac"] <= 1.0
+    assert st[0]["dup_bytes"] >= 150 - (32 + 16 - 2)
 
 
 def test_unicode_positions_are_byte_offsets(spark):
