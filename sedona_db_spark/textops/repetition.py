@@ -63,27 +63,53 @@ def _word_ngrams(words: Column, n: int) -> Column:
 
 def _units(df: DataFrame, text_col: str, id_col: str,
            top_ns: tuple, dup_ns: tuple) -> DataFrame:
-    """(id, kind, unit) exploded rows for every metric family at once."""
+    """(id, kind, unit) exploded rows for every metric family.
+
+    Performance shape: Spark's array higher-order functions
+    (``transform``/``slice`` building each gram) evaluate INTERPRETED
+    per element (~70k grams/s measured) — they never enter whole-stage
+    codegen.  The n-gram families are instead derived from ONE
+    ``posexplode`` of the word array and a single window pass of
+    ``lead(word, j)`` columns: every per-row expression is then a plain
+    ``concat_ws``/``when`` that codegen compiles, and all 9 gram sizes
+    share the one sort-shuffle by document.  A gram exists iff its last
+    word ``lead(n-1)`` is non-null (split never yields null elements,
+    so null means past-end) — identical unit multiset to the slice
+    formulation, including empty-string words from separator runs.
+    Line/paragraph families stay as two cheap explode branches."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     nonblank = lambda a: F.filter(a, lambda u: F.length(F.trim(u)) > 0)  # noqa: E731
-    words = F.split(F.trim(t), r"\s+")
-    fams = [
-        (F.lit("line"), nonblank(F.split(t, r"\n"))),
-        (F.lit("para"), nonblank(F.split(t, r"\n{2,}"))),
-    ]
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        fams.append((F.lit(f"{n}gram"), _word_ngrams(words, n)))
-    def _tagger(kind: Column):
-        # NOTE: F.transform dispatches on lambda arity — a default arg
-        # would make this look like the (element, index) form
-        return lambda u: F.struct(kind.alias("kind"), u.alias("unit"))
+    out = None
+    for kind, arr in (("line", nonblank(F.split(t, r"\n"))),
+                      ("para", nonblank(F.split(t, r"\n{2,}")))):
+        b = df.select(F.col(id_col).alias("_id"),
+                      F.lit(kind).alias("kind"),
+                      F.explode(arr).alias("unit"))
+        out = b if out is None else out.unionByName(b)
 
-    unioned = F.flatten(F.array(*[F.transform(arr, _tagger(kind))
-                                  for kind, arr in fams]))
-    return (df.select(F.col(id_col).alias("_id"),
-                      F.explode(unioned).alias("ku"))
-              .select("_id", F.col("ku.kind").alias("kind"),
-                      F.col("ku.unit").alias("unit")))
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if ns:
+        from pyspark.sql import Window
+        words = F.split(F.trim(t), r"\s+")
+        W = df.select(F.col(id_col).alias("_id"),
+                      F.posexplode(words).alias("pos", "w"))
+        win = Window.partitionBy("_id").orderBy("pos")
+        # window exprs are not allowed inside a generator — materialize
+        # the lead columns first, explode from plain column refs after
+        L = W.select("_id", F.col("w").alias("w0"),
+                     *[F.lead("w", j).over(win).alias(f"w{j}")
+                       for j in range(1, max(ns))])
+        cols = [F.col(f"w{j}") for j in range(max(ns))]
+        grams = [F.when(cols[n - 1].isNotNull(),
+                        F.concat_ws(" ", *cols[:n])) for n in ns]
+        kinds = F.array(*[F.lit(f"{n}gram") for n in ns])
+        g = (L.select("_id", F.posexplode(F.array(*grams))
+                             .alias("ki", "unit"))
+              .where(F.col("unit").isNotNull())
+              .select("_id", F.element_at(kinds, F.col("ki") + 1)
+                             .alias("kind"), "unit"))
+        out = g if out is None else out.unionByName(g)
+    return out
 
 
 def repetition_scores(df: DataFrame, text_col: str = "text",
