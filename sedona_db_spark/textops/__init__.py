@@ -1,2 +1,2 @@
 from sedona_db_spark.textops import (  # noqa: F401
-    dedup, analysis, repetition, substring)
+    dedup, analysis, repetition, substring, scrub, decontam)
