@@ -115,6 +115,57 @@ def _winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
     return np.unique(sel)
 
 
+def _winnow_batch(raws: list, k: int, w: int):
+    """Winnowed selections for MANY byte strings in one numpy pass.
+
+    The rolling hash is content-determined (position-independent), so
+    hashing the CONCATENATION of all documents yields, for every window
+    fully inside a document, the exact per-document hash — one
+    prefix-product pass replaces len(raws) small ones (the per-doc
+    formulation was numpy-call-bound at web-page sizes).  The global
+    sliding argmin is likewise computed once; only rows whose window
+    lies fully inside one document are kept, which is precisely the
+    per-document winnowing row set.  Documents with fewer than w + 1
+    windows take the cheap per-doc path (their whole-slice rightmost
+    min isn't a full-width window of the global view).
+
+    Returns (doc_index, global_sel, H, starts): selection positions are
+    into the concatenated buffer; callers translate via starts.
+    Bitwise-identical to _window_hashes + _winnow_positions per doc
+    (pinned by tests/test_substring.py::test_batch_matches_per_doc).
+    """
+    lens = np.array([len(r) for r in raws], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    buf = np.frombuffer(b"".join(raws), dtype=np.uint8)
+    H = _window_hashes(buf, k)
+    m = np.maximum(lens - k + 1, 0)          # windows per doc
+    sel_doc, sel_pos = [], []
+    big = np.flatnonzero(m > w)
+    if len(big) and len(H):
+        view = np.lib.stride_tricks.sliding_window_view(H, w)
+        am = np.argmin(view[:, ::-1], axis=1)
+        # valid global window starts per big doc: [s, s + m - w]
+        gmask = np.zeros(len(view) + 1, dtype=np.int64)
+        np.add.at(gmask, starts[big], 1)
+        np.add.at(gmask, starts[big] + m[big] - w + 1, -1)
+        rows = np.flatnonzero(np.cumsum(gmask[:-1]) > 0)
+        sel = np.unique(rows + (w - 1) - am[rows])
+        sel_doc.append(np.searchsorted(starts, sel, side="right") - 1)
+        sel_pos.append(sel)
+    for d in np.flatnonzero((m >= 1) & (m <= w)):
+        h = H[starts[d]:starts[d] + m[d]]
+        p = np.array([m[d] - 1 - int(np.argmin(h[::-1]))], dtype=np.int64)
+        sel_doc.append(np.full(1, d, dtype=np.int64))
+        sel_pos.append(p + starts[d])
+    if not sel_doc:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                H, starts)
+    dd = np.concatenate(sel_doc)
+    ss = np.concatenate(sel_pos)
+    o = np.lexsort((ss, dd))
+    return dd[o], ss[o], H, starts
+
+
 def winnow_fingerprints(df: DataFrame, k: int = 16, w: int = 32,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
@@ -133,26 +184,24 @@ def winnow_fingerprints(df: DataFrame, k: int = 16, w: int = 32,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, poss, fps, grams = [], [], [], []
-            for did, txt in zip(b[id_col].to_numpy(),
-                                b[text_col].to_numpy(dtype=object)):
-                raw = ("" if txt is None else txt).encode("utf-8")
-                data = np.frombuffer(raw, dtype=np.uint8)
-                h = _window_hashes(data, k)
-                if not len(h):
-                    continue
-                pos = _winnow_positions(h, w)
-                ids.append(np.full(len(pos), did, dtype=np.int64))
-                poss.append(pos)
-                fps.append(h[pos].view(np.int64))
-                grams.extend(raw[p:p + k].decode("latin-1") for p in pos)
-            if ids:
-                yield pd.DataFrame({
-                    id_col: np.concatenate(ids),
-                    "pos": np.concatenate(poss),
-                    "fp": np.concatenate(fps),
-                    "gram": grams,
-                })
+            dids = b[id_col].to_numpy()
+            raws = [("" if t is None else t).encode("utf-8")
+                    for t in b[text_col].to_numpy(dtype=object)]
+            dd, sel, H, starts = _winnow_batch(raws, k, w)
+            if not len(sel):
+                continue
+            buf = np.frombuffer(b"".join(raws), dtype=np.uint8)
+            gb = buf[sel[:, None] + np.arange(k)]     # (n_sel, k) bytes
+            # one whole-buffer latin-1 decode + slicing (an S{k} numpy
+            # view would silently strip trailing NUL bytes per item)
+            gs = gb.tobytes().decode("latin-1")
+            grams = [gs[i * k:(i + 1) * k] for i in range(len(sel))]
+            yield pd.DataFrame({
+                id_col: dids[dd],
+                "pos": sel - starts[dd],
+                "fp": H[sel].view(np.int64),
+                "gram": grams,
+            })
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 

@@ -74,6 +74,35 @@ def test_winnow_positions_match_naive():
     assert _winnow_positions(h, 32).tolist() == naive_winnow(h, 32)
 
 
+def test_batch_matches_per_doc():
+    """_winnow_batch is bitwise-identical to the per-document kernels,
+    across doc-size mixes, NUL bytes, and empty/short docs."""
+    from sedona_db_spark.textops.substring import _winnow_batch
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        k, w = (8, 16) if trial % 2 else (16, 32)
+        raws = []
+        for _ in range(rng.integers(1, 12)):
+            n = int(rng.choice([0, 3, k - 1, k, k + 1, w + k - 2,
+                                w + k, 200, 700]))
+            raws.append(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+        raws.append(b"\x00" * (k + 5))          # NUL-heavy doc
+        dd, sel, H, starts = _winnow_batch(raws, k, w)
+        got = {}
+        for d, s in zip(dd, sel):
+            got.setdefault(int(d), []).append(
+                (int(s - starts[d]), int(H[s])))
+        for d, raw in enumerate(raws):
+            data = np.frombuffer(raw, dtype=np.uint8)
+            h = _window_hashes(data, k)
+            if not len(h):
+                assert d not in got
+                continue
+            pos = _winnow_positions(h, w)
+            want = [(int(p), int(h[p])) for p in pos]
+            assert got.get(d, []) == want, (trial, d)
+
+
 def test_winnowing_guarantee():
     """Two byte strings sharing >= w + k - 1 bytes both select at least
     one identical-content k-gram inside the shared region."""
