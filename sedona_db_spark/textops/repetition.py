@@ -50,17 +50,6 @@ TOP_NS = (2, 3, 4)
 DUP_NS = (5, 6, 7, 8, 9, 10)
 
 
-def _word_ngrams(words: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (empty when fewer than n words)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def _units(df: DataFrame, text_col: str, id_col: str,
            top_ns: tuple, dup_ns: tuple) -> DataFrame:
     """(id, kind, unit) exploded rows for every metric family.
