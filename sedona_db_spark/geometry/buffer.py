@@ -390,15 +390,16 @@ def buffer_input_simplify(pts: np.ndarray, tol: float,
         if not bool(kill.any()):
             return cur
         # delete an independent subset (no two adjacent in one pass —
-        # a deletion changes its neighbors' chords)
+        # a deletion changes its neighbors' chords).  The sequential
+        # greedy "skip i == last+1" keeps exactly the EVEN offsets of
+        # each consecutive kill run, which vectorizes per run.
+        ki = np.flatnonzero(kill)
+        run_start = np.concatenate([[True], np.diff(ki) > 1])
+        first_of_run = ki[run_start][np.cumsum(run_start) - 1]
+        di = ki[((ki - first_of_run) & 1) == 0]
         keep = np.ones(n, dtype=bool)
-        last = -2
-        for i in np.flatnonzero(kill).tolist():
-            if i == last + 1:
-                continue
-            keep[i if closed else i + 1] = False
-            last = i
-        if closed and not keep[0] and kill[n - 1] and last == n - 1:
+        keep[di if closed else di + 1] = False
+        if closed and not keep[0] and not keep[n - 1]:
             # wraparound adjacency: vertex 0 and n-1 are neighbors
             keep[n - 1] = True
         if closed:

@@ -951,3 +951,67 @@ def test_offset_batch_clipped_builder_bitwise_matches_per_row():
         assert (ref is None) == (g is None)
         if ref is not None:
             assert np.array_equal(ref, g)
+
+
+def test_simplify_subset_vectorization_matches_sequential():
+    """The vectorized even-offset-per-run deletion subset equals the
+    original sequential greedy ("skip i == last+1") bit for bit."""
+    def reference(pts, tol, closed, concave_only):
+        cur = np.asarray(pts, dtype=np.float64)
+        while True:
+            n = len(cur)
+            if n < (4 if closed else 3):
+                return cur
+            if closed:
+                a = np.roll(cur, 1, axis=0); b = cur
+                c = np.roll(cur, -1, axis=0)
+            else:
+                a, b, c = cur[:-2], cur[1:-1], cur[2:]
+            cross = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                     - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+            chord = np.hypot(c[:, 0] - a[:, 0], c[:, 1] - a[:, 1])
+            ok = chord > 0.0
+            dev = np.abs(cross) / np.where(ok, chord, 1.0)
+            kill = ok & (dev < tol)
+            if concave_only:
+                kill &= cross < 0.0
+            if not bool(kill.any()):
+                return cur
+            keep = np.ones(n, dtype=bool)
+            last = -2
+            for i in np.flatnonzero(kill).tolist():
+                if i == last + 1:
+                    continue
+                keep[i if closed else i + 1] = False
+                last = i
+            if closed and not keep[0] and kill[n - 1] and last == n - 1:
+                keep[n - 1] = True
+            if closed:
+                excess = 3 - int(keep.sum())
+                if excess > 0:
+                    keep[np.flatnonzero(~keep)[-excess:]] = True
+            nxt = cur[keep]
+            if len(nxt) == len(cur):
+                return cur
+            cur = nxt
+
+    rng = np.random.default_rng(91)
+    for closed in (False, True):
+        for co in (False, True):
+            for trial in range(60):
+                k = int(rng.integers(65, 300))
+                # near-collinear chains with jitter force dense kill runs
+                t = np.sort(rng.uniform(0, 1, k))
+                if closed:
+                    th = t * 2 * np.pi
+                    rad = 3.0 + rng.normal(0, 0.002, k)
+                    pts = np.column_stack([np.cos(th) * rad,
+                                           np.sin(th) * rad])
+                else:
+                    pts = np.column_stack(
+                        [t * 10, rng.normal(0, 0.002, k)])
+                tol = float(rng.choice([0.001, 0.01, 0.05]))
+                got = B.buffer_input_simplify(pts, tol, closed=closed,
+                                              concave_only=co)
+                want = reference(pts, tol, closed, co)
+                assert np.array_equal(got, want), (closed, co, trial)
