@@ -416,6 +416,93 @@ def buffer_input_simplify(pts: np.ndarray, tol: float,
         cur = nxt
 
 
+def buffer_input_simplify_batch(arrs: list, tols, closed: bool = False,
+                                concave_only: bool = False) -> list:
+    """``buffer_input_simplify`` over MANY inputs in lockstep passes —
+    one concatenated numpy pass per iteration instead of ~10 small
+    calls per child (the per-child form is call-count-bound on
+    collection soups).  Items iterate independently in the scalar
+    function, and passes are order-free across items, so running every
+    still-active item's pass simultaneously yields bit-identical
+    results (pinned by test_simplify_batch_matches_scalar).  Gated
+    items (tol <= 0 or at/below the vertex floor) pass through as the
+    ORIGINAL objects, like the scalar early return."""
+    out = list(arrs)
+    tols = np.asarray(tols, dtype=np.float64)
+    min_n = 4 if closed else 3
+    act = [i for i in range(len(out))
+           if tols[i] > 0.0 and len(out[i]) > _SIMPLIFY_MIN_VERTICES]
+    for i in act:
+        out[i] = np.asarray(out[i], dtype=np.float64)
+    while act:
+        act = [i for i in act if len(out[i]) >= min_n]
+        if not act:
+            break
+        lens = np.array([len(out[i]) for i in act], dtype=np.int64)
+        cur = np.concatenate([out[i] for i in act])
+        N = len(cur)
+        off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        lastv = off + lens - 1
+        rid = np.repeat(np.arange(len(act)), lens)
+        if closed:
+            g = np.arange(N)
+            prv = g - 1
+            prv[off] = lastv
+            nx = g + 1
+            nx[lastv] = off
+            a, b, c = cur[prv], cur, cur[nx]
+            vpos = g                      # deletion target per kill slot
+            tol_v = np.repeat(tols[np.asarray(act)], lens)
+        else:
+            mask = np.ones(N, dtype=bool)
+            mask[off] = False
+            mask[lastv] = False
+            ii = np.flatnonzero(mask)
+            a, b, c = cur[ii - 1], cur[ii], cur[ii + 1]
+            vpos = ii
+            tol_v = np.repeat(tols[np.asarray(act)], lens - 2)
+        cross = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                 - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+        chord = np.hypot(c[:, 0] - a[:, 0], c[:, 1] - a[:, 1])
+        ok = chord > 0.0
+        dev = np.abs(cross) / np.where(ok, chord, 1.0)
+        kill = ok & (dev < tol_v)
+        if concave_only:
+            kill &= cross < 0.0
+        kj = np.flatnonzero(kill)
+        keep = np.ones(N, dtype=bool)
+        if len(kj):
+            ki = vpos[kj]                 # global deletion candidates
+            brk = np.concatenate([[True], (np.diff(ki) != 1)
+                                  | (rid[ki][1:] != rid[ki][:-1])])
+            first_of_run = ki[brk][np.cumsum(brk) - 1]
+            di = ki[((ki - first_of_run) & 1) == 0]
+            keep[di] = False
+            if closed:
+                # wraparound adjacency per ring: if both the first and
+                # the last vertex were deleted, re-keep the last
+                wrap = ~keep[off] & ~keep[lastv]
+                keep[lastv[wrap]] = True
+                # never collapse a closed ring below 3 vertices in one
+                # pass: re-keep that ring's LAST planned deletions
+                kcnt = np.bincount(rid[~keep], minlength=len(act))
+                low = np.flatnonzero(lens - kcnt < 3)
+                for r in low:             # rare: tiny rings only
+                    seg = np.flatnonzero(
+                        ~keep[off[r]:off[r] + lens[r]]) + off[r]
+                    excess = 3 - int(lens[r] - len(seg))
+                    keep[seg[-excess:]] = True
+        nact = []
+        for r, i in enumerate(act):
+            km = keep[off[r]:off[r] + lens[r]]
+            if bool(km.all()):
+                continue                  # no deletion -> item done
+            out[i] = cur[off[r]:off[r] + lens[r]][km]
+            nact.append(i)
+        act = nact
+    return out
+
+
 def _normalized_rings(rings_sets: list) -> list:
     """Clean + orient the rings of a Polygon/MultiPolygon payload exactly
     as ``overlay._directed_edges_of`` will (dedupe, drop closing dup,

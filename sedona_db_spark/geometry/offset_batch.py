@@ -34,7 +34,7 @@ import numpy as np
 
 from sedona_db_spark.geometry.buffer import (_SIMPLIFY_FACTOR,
                                              BufferParams,
-                                             buffer_input_simplify)
+                                             buffer_input_simplify_batch)
 
 __all__ = ["batch_ring_curves", "batch_polyline_curves"]
 
@@ -141,10 +141,9 @@ def batch_ring_curves(rings: list, dists, p: BufferParams) -> list:
         raise ValueError("batched builder is round-join only")
     R = len(rings)
     dists = np.asarray(dists, dtype=np.float64)
-    simp = [buffer_input_simplify(rr, abs(float(dists[i]))
-                                  / _SIMPLIFY_FACTOR,
-                                  closed=True, concave_only=True)
-            for i, rr in enumerate(rings)]
+    simp = buffer_input_simplify_batch(
+        rings, np.abs(dists) / _SIMPLIFY_FACTOR,
+        closed=True, concave_only=True)
     lens = np.array([len(rr) for rr in simp], dtype=np.int64)
     if not len(lens) or int(lens.sum()) == 0:
         return [None] * R
@@ -327,9 +326,9 @@ def batch_polyline_curves(lines: list, dists, p: BufferParams,
         raise ValueError("batched builder is round-join only")
     L = len(lines)
     dists = np.asarray(dists, dtype=np.float64)
-    simp = [buffer_input_simplify(np.asarray(l, dtype=np.float64),
-                                  abs(float(dists[i])) / _SIMPLIFY_FACTOR)
-            for i, l in enumerate(lines)]
+    simp = buffer_input_simplify_batch(
+        [np.asarray(l, dtype=np.float64) for l in lines],
+        np.abs(dists) / _SIMPLIFY_FACTOR)
     ok0 = np.array([len(l) >= 2 for l in simp])
     work = np.flatnonzero(ok0)
     out: list = [None] * L

@@ -1015,3 +1015,35 @@ def test_simplify_subset_vectorization_matches_sequential():
                                               concave_only=co)
                 want = reference(pts, tol, closed, co)
                 assert np.array_equal(got, want), (closed, co, trial)
+
+
+def test_simplify_batch_matches_scalar():
+    """buffer_input_simplify_batch is element-for-element identical to
+    per-item buffer_input_simplify calls, including gated pass-through
+    identity and mixed sizes/tolerances."""
+    rng = np.random.default_rng(7)
+    for closed in (False, True):
+        for co in ((True,) if closed else (False,)):
+            for trial in range(25):
+                items, tols = [], []
+                for _ in range(int(rng.integers(1, 10))):
+                    k = int(rng.choice([3, 5, 64, 65, 80, 200, 500]))
+                    if closed:
+                        th = np.sort(rng.uniform(0, 2 * np.pi, k))
+                        rad = 3.0 + rng.normal(0, 0.01, k)
+                        pts = np.column_stack([np.cos(th) * rad,
+                                               np.sin(th) * rad])
+                    else:
+                        t = np.sort(rng.uniform(0, 1, k))
+                        pts = np.column_stack(
+                            [t * 10, rng.normal(0, 0.01, k)])
+                    items.append(pts)
+                    tols.append(float(rng.choice([0.0, 0.005, 0.05])))
+                got = B.buffer_input_simplify_batch(
+                    items, tols, closed=closed, concave_only=co)
+                for pts, tol, g in zip(items, tols, got):
+                    want = B.buffer_input_simplify(
+                        pts, tol, closed=closed, concave_only=co)
+                    assert np.array_equal(g, want), (closed, co, trial)
+                    if tol <= 0.0 or len(pts) <= 64:
+                        assert g is pts      # gated identity
