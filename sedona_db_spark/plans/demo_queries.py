@@ -1052,6 +1052,64 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= """ + repr(JACCARD_
 
 
 # ---------------------------------------------------------------------------
+# 17b. benchmark decontamination (textops.decontam), tag-unioned into the
+# n-gram slot: both branches are word-n-gram joins over documents, melted
+# onto one (kind, id_a, id_b, score) schema.  The synthetic "eval set" is
+# doc_id < 10 — every eval doc is also in the corpus, so self-hits pin the
+# gram pipeline numerically, and the datagen's planted duplicate docs add
+# genuine cross-document contamination rows.
+# ---------------------------------------------------------------------------
+
+DECONTAM_N = 8
+DECONTAM_BENCH_IDS = 10
+
+
+def q_ngram_contam(spark, sf_dir):
+    from sedona_db_spark.textops import decontam as TDC
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < DECONTAM_BENCH_IDS)
+    rep = TDC.contamination_report(d, bench, n=DECONTAM_N, max_df=None)
+    return rep.select(F.col("doc_id").alias("id_a"),
+                      F.col("bench_id").alias("id_b"),
+                      F.col("n_shared").cast("double").alias("score"))
+
+
+def q_ngram_jaccard_contam(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs ('jaccard') and GPT-3-style
+    eval-set contamination hits ('contam', textops.decontam) in one
+    driver slot."""
+    return _tagged_union("kind", [
+        ("jaccard", q_ngram_jaccard(spark, sf_dir)
+         .withColumnRenamed("jaccard", "score")),
+        ("contam", q_ngram_contam(spark, sf_dir))])
+
+
+def _oracle_ngram_contam() -> str:
+    n = DECONTAM_N
+    return rf"""
+WITH cwords AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS l
+  FROM documents),
+cgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+{n - 1}], ' ') AS gram
+  FROM cwords CROSS JOIN unnest(range(1, len(l) - {n} + 2)) AS s(i)),
+bgrams AS (
+  SELECT doc_id AS bench_id, gram FROM cgrams
+  WHERE doc_id < {DECONTAM_BENCH_IDS})
+SELECT c.doc_id AS id_a, b.bench_id AS id_b,
+       CAST(count(*) AS DOUBLE) AS score
+FROM cgrams c JOIN bgrams b USING (gram)
+GROUP BY c.doc_id, b.bench_id"""
+
+
+def _oracle_jaccard_contam() -> str:
+    return _tagged_union_sql("kind", [
+        ("jaccard", f"SELECT id_a, id_b, jaccard AS score "
+                    f"FROM ({_ORACLE_JACCARD})"),
+        ("contam", _oracle_ngram_contam())])
+
+
+# ---------------------------------------------------------------------------
 # 18. embedding similarity (exact top-k, integer-exact arithmetic)
 # ---------------------------------------------------------------------------
 
@@ -2429,7 +2487,7 @@ QUERIES = {
     "quality_scores": q_quality_rep,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "ngram_jaccard_pairs": q_ngram_jaccard_contam,
     "ann_topk": q_ann_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
     "simhash_neardup": q_simhash_neardup,
@@ -2480,7 +2538,7 @@ ORACLE_SQL = {
     "quality_scores": _oracle_quality_rep(),
     "minhash_signatures": _ORACLE_MINHASH_SIG,
     "minhash_lsh_pairs": _oracle_minhash_pairs(),
-    "ngram_jaccard_pairs": _ORACLE_JACCARD,
+    "ngram_jaccard_pairs": _oracle_jaccard_contam(),
     "ann_topk": ORACLE_ANN,
     "sql_pip_pairs": _tagged_union_sql("shape", [
         ("join", ORACLE_PIP_PAIRS), ("comma", ORACLE_PIP_PAIRS),
