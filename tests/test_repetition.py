@@ -138,6 +138,27 @@ def test_random_docs_match_oracle(spark):
             assert got[i][kcol] == v, (i, kcol, got[i][kcol], v, t)
 
 
+def test_random_whitespace_zoo_matches_oracle(spark):
+    """ASCII whitespace zoo (tabs, CR, FF, VT, runs of mixed separators)
+    — the \\s mirroring and space-only trim edges."""
+    rng = random.Random(4242)
+    seps = [" ", "  ", "\t", "\r", "\x0b", "\x0c", " \t ", "\r\n", "\n"]
+    vocab = ["aa", "bb", "cc", ""]
+    docs = []
+    for i in range(50):
+        parts = []
+        for _ in range(rng.randrange(0, 25)):
+            parts.append(rng.choice(vocab))
+            parts.append(rng.choice(seps))
+        docs.append((i, "".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
+    for i, t in docs:
+        want = oracle(t)
+        for kcol, v in want.items():
+            assert got[i][kcol] == v, (i, kcol, got[i][kcol], v, repr(t))
+
+
 def test_with_repetition_joins_back(spark):
     df = spark.createDataFrame(
         [(1, "a a\na a", "keep")], "doc_id long, text string, extra string")
