@@ -49,8 +49,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-# same polynomial base as textops.analysis._FP_P (shared convention);
-# windows hash to h = sum (byte+1) * P^(k-1-t) mod 2^64
+# odd polynomial base (invertible mod 2^64 for the prefix-product
+# form); same hash FAMILY as textops.analysis's fingerprint but a
+# distinct base — windows hash to h = sum (byte+1) * P^(k-1-t) mod 2^64
 _P = np.uint64(1_000_003)
 
 
