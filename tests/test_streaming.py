@@ -243,3 +243,27 @@ def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
     exp = {(r["id_a"], r["id_b"]) for r in cand.collect()
            if abs((ts[r["id_a"]] - ts[r["id_b"]]).total_seconds()) <= 7200}
     assert got == exp and len(exp) >= 40
+
+
+def test_streaming_scrub_matches_batch(spark, tmp_path):
+    """PII scrubbing is a stateless projection, so it runs unchanged on
+    a stream in append mode — rows must equal the batch scrub."""
+    from sedona_db_spark.textops.scrub import scrub_documents
+
+    rows = [(1, "mail a@b.co now"), (2, "ip 10.0.0.1 and 8.8.8.8"),
+            (3, "clean"), (4, "ssn 123-45-6789 call 555-867-5309")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "scrub_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (scrub_documents(stream).writeStream.format("memory")
+         .queryName("scrub_out").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["text"], r["pii_total"])
+               for r in spark.sql("SELECT * FROM scrub_out").collect()}
+    finally:
+        q.stop()
+    want = {r["doc_id"]: (r["text"], r["pii_total"])
+            for r in scrub_documents(df).collect()}
+    assert got == want and got[4][1] == 2
