@@ -182,11 +182,14 @@ def _broadcast_brute_knn(queries: DataFrame, targets: DataFrame, k: int,
     (query row, __tidx, knn_dist); target payloads re-join JVM-side."""
     from pyspark.sql.types import StructField, StructType
 
-    # localCheckpoint (eager) pins the mono-id assignment: a persist() can
-    # be evicted and a recompute of a nondeterministically ordered upstream
-    # would reassign ids, attaching wrong payload rows to matches
+    # the LAZY localCheckpoint pins the mono-id assignment at its first
+    # materialization — the collect job right below — so the driver arrays
+    # and the JVM payload join read identical ids in one job instead of an
+    # eager-checkpoint job plus a collect job (a bare persist() can be
+    # evicted and a recompute of a nondeterministically ordered upstream
+    # would reassign ids, attaching wrong payload rows to matches)
     targets_i = (targets.withColumn("__tidx", F.monotonically_increasing_id())
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     # NULL geometries can never be a nearest neighbor; drop them from the
     # collected arrays (bytes(None) would raise) — they stay in targets_i
     # but no match row ever references their __tidx
@@ -402,9 +405,11 @@ def _broadcast_brute_knn_spheroid(queries: DataFrame, targets: DataFrame,
     from sedona_db_spark.geometry.algos import vincenty_inverse_m
     from pyspark.sql.types import StructField, StructType
 
+    # lazy checkpoint: materialized by the collect below (one job, same
+    # id-pinning guarantee — see _broadcast_brute_knn)
     targets_i = (targets.withColumn("__tidx",
                                     F.monotonically_increasing_id())
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     rows = (targets_i.where(F.col(tgeom).isNotNull())
             .select("__tidx", tgeom, tid).collect())
     tidx = np.array([int(r["__tidx"]) for r in rows], dtype=np.int64)
@@ -524,14 +529,23 @@ def knn_join(
     # aggregate — one Spark job per side instead of two (round-3 VERDICT
     # perf nit: knn_join's fixed driver-job count halves).
     def _side_stats(df, col):
-        stats = df.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(F.col(col)).alias("n"),
-            F.min(F.length(F.col(col))).alias("lo"),
-            F.max(F.length(F.col(col))).alias("hi")).collect()[0]
-        is_point = bool(stats["n"] and stats["lo"] == W.POINT_WKB_SIZE
-                        and stats["hi"] == W.POINT_WKB_SIZE)
-        return int(stats["n_rows"]), is_point
+        # memoized on the canonicalized plan (spatial_join._sem_cached):
+        # the length() aggregate evaluates the python-UDF geometry column,
+        # so repeated knn_joins over identical frames would otherwise pay
+        # an ArrowEvalPython stats job per side per call
+        from sedona_db_spark.operators.spatial_join import (
+            _SEM_STATS_CACHE, _sem_cached)
+
+        def compute():
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.col(col)).alias("n"),
+                F.min(F.length(F.col(col))).alias("lo"),
+                F.max(F.length(F.col(col))).alias("hi")).collect()[0]
+            is_point = bool(stats["n"] and stats["lo"] == W.POINT_WKB_SIZE
+                            and stats["hi"] == W.POINT_WKB_SIZE)
+            return int(stats["n_rows"]), is_point
+        return _sem_cached(_SEM_STATS_CACHE, df, ("knn_side", col), compute)
 
     n_t, t_points = _side_stats(targets, tgeom)
     n_q, q_points = _side_stats(queries, query_geom)

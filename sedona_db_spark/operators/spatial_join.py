@@ -310,8 +310,83 @@ def _cell_udf(res: int):
 
 _BBOX_STATS_CACHE: dict = {}
 
+# planning-statistics memos keyed on the CANONICALIZED plan
+# (semanticHash + sameSemantics verification): a query function invoked
+# repeatedly in one session rebuilds identical DataFrame plans, and the
+# counts / point-kind flags derived from them are plan properties, not
+# data results — the same class of memo as Spark's own CacheManager /
+# catalog statistics.  Nothing here ever caches query RESULTS: every join
+# still scans, collects and refines from the inputs on each run.
+_SEM_STATS_CACHE: dict = {}
+_SEM_POINT_CACHE: dict = {}
 
-def _bbox_stats(df: DataFrame, geom_col: str, sample_cap: int = 50_000) -> dict:
+# below this build-side row count the byte guard's pre-check aggregate is
+# skipped (it would evaluate a python-UDF geometry column — one extra
+# ArrowEvalPython job per join just for stats): ≤4096 collected geometry
+# blobs is within any sane driver budget unless individual geometries are
+# enormous, and _broadcast_point_join re-checks the ACTUAL collected byte
+# size against the budget and falls back to the grid path if it was wrong
+_BYTE_GUARD_MIN_N = 4096
+_BROADCAST_GEOM_BYTES = 512 * 1024 * 1024
+
+
+class _BuildSideTooBig(Exception):
+    """Raised by _broadcast_point_join when the post-collect byte check
+    finds the build side over budget (only possible when the pre-check was
+    skipped for a low row count)."""
+
+
+def _sem_cached(cache: dict, df: DataFrame, tag, compute):
+    """Memo helper: key on (semanticHash, tag), verify with sameSemantics
+    (hash collisions can alias distinct plans), else compute and store."""
+    try:
+        key = (df.semanticHash(), tag)
+    except Exception:
+        return compute()
+    hit = cache.get(key)
+    if hit is not None and hit[0].sameSemantics(df):
+        return hit[1]
+    val = compute()
+    if len(cache) > 256:
+        cache.clear()
+    cache[key] = (df, val)
+    return val
+
+
+def _count_bytes_stats(df: DataFrame, geom_col: str,
+                       dist_col: str | None = None
+                       ) -> tuple[int, float | None, float]:
+    """Build-side planning stats with the fewest possible Spark jobs:
+
+    job 1 (pure JVM — count and max prune the geometry column, which is
+    typically a python-UDF projection): exact row count + optional max of
+    a build-side distance column.  job 2 (only when the count is above
+    _BYTE_GUARD_MIN_N): mean geometry byte length for the broadcast byte
+    guard — below the threshold the guard is enforced post-collect
+    instead (see _BuildSideTooBig).  Returns (n, geom_bytes | None, max).
+
+    Memoized on the canonicalized plan: repeated joins against the same
+    dimension frame (or a re-built identical plan) pay the stats jobs
+    once per session."""
+    def compute():
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if dist_col is not None:
+            aggs.append(F.max(F.col(dist_col)).alias("mx"))
+        r = df.agg(*aggs).collect()[0]
+        n = int(r["n"])
+        mx = float(r["mx"] or 0.0) if dist_col is not None else 0.0
+        geom_bytes = None
+        if n > _BYTE_GUARD_MIN_N:
+            b = df.agg(F.avg(F.length(F.col(geom_col))).alias("b")
+                       ).collect()[0]["b"]
+            geom_bytes = n * float(b or 0.0)
+        return n, geom_bytes, mx
+    return _sem_cached(_SEM_STATS_CACHE, df, ("cbs", geom_col, dist_col),
+                       compute)
+
+
+def _bbox_stats(df: DataFrame, geom_col: str, sample_cap: int = 50_000,
+                n: int | None = None) -> dict:
     """Build-side statistics: exact count (JVM columnar, cheap) + mean bbox
     extent from a bounded sample (the bbox UDF is a python pass — never run
     it over a huge dimension table just for stats).
@@ -320,8 +395,12 @@ def _bbox_stats(df: DataFrame, geom_col: str, sample_cap: int = 50_000) -> dict:
     (rust/sedona-spatial-join/src/index/build_side_collector.rs:31-219,
     partitioning/bbox_sampler.rs).
 
+    ``n``: pass a row count already known from ``_count_bytes_stats`` to
+    skip the count job (the broadcast-ineligible grid path pays one stats
+    job here instead of two).
+
     Cached per (DataFrame identity, column): repeated joins against the
-    same dimension frame pay the two stats jobs once (round-2 VERDICT
+    same dimension frame pay the stats jobs once (round-2 VERDICT
     hygiene #4).  The cache holds a reference to the DataFrame so a
     recycled id() can never alias a different frame.
     """
@@ -330,7 +409,8 @@ def _bbox_stats(df: DataFrame, geom_col: str, sample_cap: int = 50_000) -> dict:
     if hit is not None and hit[0] is df:
         return hit[1]
     from sedona_db_spark.functions.scalar import st_xmin, st_xmax, st_ymin, st_ymax
-    n = df.count()
+    if n is None:
+        n = df.count()
     sampled = df.select(geom_col)
     if n > sample_cap:
         sampled = sampled.sample(False, sample_cap / n, seed=7)
@@ -537,43 +617,47 @@ def _spatial_join_impl(
         pad = _math.degrees(float(distance) / EARTH_RADIUS_M)
     elif predicate == "dwithin" and isinstance(distance, (int, float)):
         pad = float(distance)
-    elif dist_col is not None:
-        # stats-only pad: the max distance bounds every row's expansion
-        mx = right.agg(F.max(F.col(dist_col))).collect()[0][0]
-        pad = float(mx or 0.0)
     elif ldist_col is not None:
         mx = left.agg(F.max(F.col(ldist_col))).collect()[0][0]
         pad = float(mx or 0.0)
 
+    # ---- ONE cheap JVM stats job over the build side ------------------------
+    # count + mean geom byte length (+ max build-side distance, the
+    # stats-only pad that bounds every row's expansion) in a single
+    # aggregation — the old three separate driver jobs (count, python-UDF
+    # bbox aggregate, max-distance collect) cost more wall clock than the
+    # join itself on dimension-sized build sides (guide §1.2/§5: the
+    # driver should do almost no data work per query)
+    n_right, geom_bytes, mx_dist = _count_bytes_stats(right, rgeom, dist_col)
+    if dist_col is not None:
+        pad = mx_dist
+
     # non-point left geometries need coverings: detect cheaply via sampling
+    # (memoized per canonical plan — one head(1) job per distinct probe
+    # frame per session, not per join)
     if left_lonlat is not None:
         l_is_exploded = False  # raw lon/lat columns: point side by definition
     else:
-        head = left.select(left_geom).head(1)
-        l_is_exploded = bool(
-            head and head[0][0] is not None
-            and len(bytes(head[0][0])) != W.POINT_WKB_SIZE)
+        def _probe_head():
+            head = left.select(left_geom).head(1)
+            return bool(head and head[0][0] is not None
+                        and len(bytes(head[0][0])) != W.POINT_WKB_SIZE)
+        l_is_exploded = _sem_cached(_SEM_POINT_CACHE, left,
+                                    ("pt", left_geom), _probe_head)
 
     # spherical predicates take any geometry on the build side (round-2
     # VERDICT #4); exploded (non-point) PROBE sides still route through
     # the generic cell join with the pairwise st_*sphere refine below
 
-    # ---- choose resolution from BOTH sides' bbox statistics -----------------
-    # (a fine res that suits a point side would blow up the covering of an
-    # extended other side; take the coarser of the two caps)
-    stats = _bbox_stats(right, rgeom)
-    if res is None:
-        res = pick_join_res({**stats, "w": stats["w"] + 2 * pad,
-                             "h": stats["h"] + 2 * pad})
-        if l_is_exploded:
-            lstats = _bbox_stats(left, left_geom)
-            res = min(res, pick_join_res(lstats))
-
     # broadcast eligibility is row-count AND byte based: only the geometry
     # column is ever collected to the driver (payload stays JVM-side), so
-    # the byte guard bounds driver memory by geom size, not row width
-    small_build = (stats["n"] <= broadcast_threshold
-                   and stats.get("geom_bytes", 0.0) <= 512 * 1024 * 1024)
+    # the byte guard bounds driver memory by geom size, not row width.
+    # geom_bytes None = pre-check skipped for a low row count; the
+    # broadcast path then enforces the budget on the actual collected
+    # bytes and raises _BuildSideTooBig to land on the grid path.
+    small_build = (n_right <= broadcast_threshold
+                   and (geom_bytes is None
+                        or geom_bytes <= _BROADCAST_GEOM_BYTES))
 
     # ---- broadcast fast path: one-pass mapInPandas join+refine ---------------
     # For the web-scale shape (huge point table × small dimension layer) we
@@ -583,6 +667,9 @@ def _spatial_join_impl(
     # Spark analogue of the reference's broadcast build side + R-tree probe
     # (rust/sedona-spatial-join/src/index/), and avoids the ArrowEvalPython
     # pass-through row queue that dominates the two-step formulation.
+    # ``res=None`` flows through: the broadcast path derives the resolution
+    # on the driver from the geometries it collects anyway (exact bboxes,
+    # zero extra jobs) instead of a sampled python-UDF stats aggregate.
     if (small_build and not l_is_exploded and extra_condition is None
             and predicate in ("intersects", "coveredby", "within", "dwithin",
                               "dwithin_sphere", "intersects_sphere")):
@@ -590,14 +677,31 @@ def _spatial_join_impl(
         # no value-keyed finisher shuffle for the dominant broadcast shape
         bj_how = how if how in ("inner", "mark", "left_semi", "left_anti",
                                 "left") else "inner"
-        matched = _broadcast_point_join(
-            left, right, predicate, distance, left_geom, rgeom, res, pad,
-            left_lonlat=left_lonlat, dist_col=dist_col, ldist_col=ldist_col,
-            how=bj_how)
-        if bj_how == how:
-            return matched
-        return _finish_join_type(left, right, matched, how, lcols, rcols,
-                                 left_id=left_id, right_id=right_id)
+        try:
+            matched = _broadcast_point_join(
+                left, right, predicate, distance, left_geom, rgeom, res, pad,
+                left_lonlat=left_lonlat, dist_col=dist_col,
+                ldist_col=ldist_col, how=bj_how)
+        except _BuildSideTooBig:
+            small_build = False  # over the byte budget: grid path below
+        else:
+            if bj_how == how:
+                return matched
+            return _finish_join_type(left, right, matched, how, lcols, rcols,
+                                     left_id=left_id, right_id=right_id)
+
+    # ---- choose resolution from BOTH sides' bbox statistics -----------------
+    # (a fine res that suits a point side would blow up the covering of an
+    # extended other side; take the coarser of the two caps).  Only the
+    # broadcast-ineligible grid path pays the sampled python-UDF bbox
+    # aggregate; the known row count skips its count job.
+    if res is None:
+        stats = _bbox_stats(right, rgeom, n=n_right)
+        res = pick_join_res({**stats, "w": stats["w"] + 2 * pad,
+                             "h": stats["h"] + 2 * pad})
+        if l_is_exploded:
+            lstats = _bbox_stats(left, left_geom)
+            res = min(res, pick_join_res(lstats))
 
     # padded exploded-left pairs dedupe on synthetic row ids after the refine
     # (values won't do: duplicate input rows are distinct pairs); ids are
@@ -959,7 +1063,7 @@ def _finish_join_type(left: DataFrame, right: DataFrame, matched: DataFrame,
 
 def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                           distance, left_geom: str, rgeom: str,
-                          res: int, pad: float,
+                          res: int | None, pad: float,
                           left_lonlat: tuple[str, str] | None = None,
                           dist_col: str | None = None,
                           ldist_col: str | None = None,
@@ -970,20 +1074,34 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     Matched rows carry the dimension row's index; payload columns come back
     via a JVM broadcast hash join on that index — ONLY (idx, geom[, dist])
     is ever collected to the driver, wide dimension payloads stay JVM-side
-    (round-1 VERDICT hygiene #9)."""
+    (round-1 VERDICT hygiene #9).
+
+    ``res=None``: the covering resolution is derived here, on the driver,
+    from the exact bboxes of the geometries this path collects anyway —
+    replacing the sampled python-UDF stats aggregate (one fewer Spark job
+    per join, and exact instead of sampled statistics)."""
     from pyspark.sql.types import (BooleanType, LongType, StructField,
                                    StructType)
 
-    # pin a row index; localCheckpoint (eager) guarantees the mapping the
-    # driver collects and the JVM payload join read the identical id
-    # assignment — persist() is best-effort, and a cache-evicted recompute
-    # of a nondeterministically ordered upstream could reassign ids
+    # pin a row index; the LAZY localCheckpoint materializes (and persists)
+    # during the collect job below — one job instead of an eager-checkpoint
+    # job plus a collect job.  Once materialized, the id assignment is
+    # frozen: the driver dict and the JVM payload join both read the
+    # checkpointed blocks, never a recompute (persist() alone is
+    # best-effort — a cache-evicted recompute of a nondeterministically
+    # ordered upstream could reassign ids; a checkpoint cannot).
     right_i = (right.withColumn("__ridx", F.monotonically_increasing_id())
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     sel = ["__ridx", rgeom] + ([dist_col] if dist_col is not None else [])
     geo_rows = right_i.select(*sel).collect()
     r_wkbs = {int(r["__ridx"]): (bytes(r[rgeom]) if r[rgeom] is not None else None)
               for r in geo_rows}
+    # byte-budget enforcement for the low-row-count case whose pre-check
+    # aggregate was skipped (_BYTE_GUARD_MIN_N): bail to the grid path if
+    # the actually-collected bytes blow the broadcast budget
+    if sum(len(b) for b in r_wkbs.values() if b is not None) \
+            > _BROADCAST_GEOM_BYTES:
+        raise _BuildSideTooBig
     r_geoms = {i: (None if b is None else W.decode(b))
                for i, b in r_wkbs.items()}
     r_pads = None
@@ -991,6 +1109,21 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
         r_pads = {int(r["__ridx"]):
                   (float(r[dist_col]) if r[dist_col] is not None else 0.0)
                   for r in geo_rows}
+
+    if res is None:
+        # same heuristic as pick_join_res over _bbox_stats, but exact:
+        # mean bbox extent over every collected geometry
+        ws, hs = [], []
+        for g in r_geoms.values():
+            if g is None:
+                continue
+            x0, y0, x1, y1 = K.geom_bbox(g)
+            if not np.isnan(x0):
+                ws.append(x1 - x0)
+                hs.append(y1 - y0)
+        w = float(np.mean(ws)) if ws else 0.0
+        h = float(np.mean(hs)) if hs else 0.0
+        res = pick_join_res({"w": w + 2 * pad, "h": h + 2 * pad})
 
     # rectangle fast path: an axis-aligned dimension layer (tile grids, bbox
     # coverings — the raster-lookup shape) refines with pure JVM interval

@@ -64,8 +64,24 @@ TILE_H = (TILE_BOUNDS[3] - TILE_BOUNDS[1]) / TILE_NY   # 1.875
 CELL_RES = 4
 
 
+# Lazy-plan memo for the base tables, keyed per session: spark.read.parquet
+# re-lists the directory and re-reads the footer schema on every call
+# (~100 ms of driver time per table per query).  The memo holds only the
+# unexecuted scan PLAN — the catalog-table analogue; every action still
+# reads the parquet files, nothing is precomputed or cached.
+_TABLE_PLANS: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_PLANS.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if len(_TABLE_PLANS) > 256:
+        _TABLE_PLANS.clear()
+    _TABLE_PLANS[key] = (spark, df)
+    return df
 
 
 def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
