@@ -35,6 +35,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
     """Distinct n-word shingles per doc, all JVM-side (split + posexplode)."""
+    from sedona_db_spark.partition import spread_small_input
+    # parallelize the explode + partial aggregates over a one-file input
+    # (no-op at scale — see partition.py)
+    df = spread_small_input(df, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     out = df.select(F.col(id_col), toks.alias("__toks"))
     out = out.select(

@@ -78,17 +78,23 @@ def _units(df: DataFrame, text_col: str, id_col: str,
 
     ns = sorted(set(top_ns) | set(dup_ns))
     if ns:
-        from pyspark.sql import Window
+        # grams straight off the kept word ARRAY: one posexplode keeps the
+        # per-document array in the row, and word j of the gram starting
+        # at ``pos`` is a codegen O(1) ``get(toks, pos + j)`` (null past
+        # the end — ANSI-safe, unlike element_at).  This replaced the
+        # round-8 window-``lead`` formulation: identical unit multiset (a
+        # gram exists iff its last word is non-null; split never yields
+        # null elements), but ZERO extra shuffle — the old window pass
+        # forced an Exchange(_id) + two sorts over every word row before
+        # the gram aggregation's own exchange (guide §2.4: the cell
+        # values were already available without re-partitioning).
         words = F.split(F.trim(t), r"\s+")
-        W = df.select(F.col(id_col).alias("_id"),
-                      F.posexplode(words).alias("pos", "w"))
-        win = Window.partitionBy("_id").orderBy("pos")
-        # window exprs are not allowed inside a generator — materialize
-        # the lead columns first, explode from plain column refs after
-        L = W.select("_id", F.col("w").alias("w0"),
-                     *[F.lead("w", j).over(win).alias(f"w{j}")
-                       for j in range(1, max(ns))])
-        cols = [F.col(f"w{j}") for j in range(max(ns))]
+        L = df.select(F.col(id_col).alias("_id"),
+                      words.alias("__toks")) \
+              .select("_id", "__toks",
+                      F.posexplode("__toks").alias("pos", "w0"))
+        cols = [F.col("w0")] + [F.get("__toks", F.col("pos") + j)
+                                for j in range(1, max(ns))]
         grams = [F.when(cols[n - 1].isNotNull(),
                         F.concat_ws(" ", *cols[:n])) for n in ns]
         kinds = F.array(*[F.lit(f"{n}gram") for n in ns])
@@ -110,41 +116,45 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
     Documents whose text yields no units for a family (no lines, fewer
     than n words) report 0.0 for that family's metrics.
     """
+    from sedona_db_spark.partition import spread_small_input
+    # small inputs (one parquet file = one scan partition) would otherwise
+    # run the whole 9x gram fan-out + partial aggregation on ONE core —
+    # no-op at scale where scans already split (see partition.py)
+    df = spread_small_input(df, id_col)
     units = _units(df, text_col, id_col, top_ns, dup_ns)
     per_unit = (units.groupBy("_id", "kind", "unit")
                      .agg(F.count(F.lit(1)).alias("cnt"))
                      .withColumn("ulen", F.length("unit")))
-    per_kind = (per_unit.groupBy("_id", "kind").agg(
-        F.sum("cnt").alias("n_units"),
-        F.sum(F.col("cnt") - 1).alias("n_dup"),
-        F.sum(F.col("cnt") * F.col("ulen")).alias("chars"),
-        F.sum((F.col("cnt") - 1) * F.col("ulen")).alias("dup_chars"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("ulen"))
-               .otherwise(F.lit(0))).alias("rep_chars"),
+
+    # ONE kind-conditional roll-up straight to the per-document row: the
+    # old per-(id, kind) intermediate groupBy added a full exchange round
+    # for nothing — every per-kind aggregate distributes over a filter on
+    # ``kind``, so sum/min(when(kind = k, ...)) on per_unit computes the
+    # identical values (null when the kind is absent, exactly like the
+    # old max(when(...)) pivot) with one shuffle instead of two.
+    def _k(name: str, expr: Column, agg=F.sum) -> Column:
+        return agg(F.when(F.col("kind") == name, expr))
+
+    cnt, ulen = F.col("cnt"), F.col("ulen")
+    agg = []
+    for fam in ("line", "para"):
+        agg += [
+            _k(fam, cnt).alias(f"{fam}_units"),
+            _k(fam, cnt - 1).alias(f"{fam}_dup"),
+            _k(fam, cnt * ulen).alias(f"{fam}_chars"),
+            _k(fam, (cnt - 1) * ulen).alias(f"{fam}_dup_chars"),
+        ]
+    for n in sorted(set(top_ns)):
         # max count, ties to the lexicographically smallest gram: the
         # struct min orders by (-cnt, unit)
-        F.min(F.struct((-F.col("cnt")).alias("neg"),
-                       F.col("unit").alias("unit"))).alias("top"),
-    ))
-
-    def _kind(name: str, col: str) -> Column:
-        return F.max(F.when(F.col("kind") == name, F.col(col)))
-
-    agg = [
-        _kind("line", "n_units").alias("line_units"),
-        _kind("line", "n_dup").alias("line_dup"),
-        _kind("line", "chars").alias("line_chars"),
-        _kind("line", "dup_chars").alias("line_dup_chars"),
-        _kind("para", "n_units").alias("para_units"),
-        _kind("para", "n_dup").alias("para_dup"),
-        _kind("para", "chars").alias("para_chars"),
-        _kind("para", "dup_chars").alias("para_dup_chars"),
-    ]
-    for n in sorted(set(top_ns)):
-        agg.append(_kind(f"{n}gram", "top").alias(f"top{n}"))
+        agg.append(_k(f"{n}gram",
+                      F.struct((-cnt).alias("neg"),
+                               F.col("unit").alias("unit")),
+                      agg=F.min).alias(f"top{n}"))
     for n in sorted(set(dup_ns)):
-        agg.append(_kind(f"{n}gram", "rep_chars").alias(f"rep{n}"))
-    rolled = per_kind.groupBy("_id").agg(*agg)
+        agg.append(F.sum(F.when((F.col("kind") == f"{n}gram") & (cnt >= 2),
+                                cnt * ulen)).alias(f"rep{n}"))
+    rolled = per_unit.groupBy("_id").agg(*agg)
 
     base = df.select(F.col(id_col).alias("_id"),
                      F.length(F.coalesce(F.col(text_col), F.lit("")))
