@@ -1137,6 +1137,42 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                               rcols=right.columns, ldist_col=ldist_col,
                               how=how)
 
+    # MIXED rect + polygon layers (the web-geocode shape: an admin grid
+    # plus a few irregular metro polygons): route each inner-join pair
+    # through the cheapest exact refine for ITS build geometry — interval
+    # codegen for the axis rects, the per-edge HOF only for the true
+    # polygons — instead of paying the O(edges) HOF lambda for every
+    # candidate against every rectangle.  The build rows partition by
+    # __ridx, so the two joins' pair sets are disjoint and their union is
+    # exactly the single-path result (inner only: semi/anti/mark/left
+    # would need cross-branch row reconciliation).
+    if (how == "inner"
+            and left_lonlat is not None
+            and dist_col is None
+            and not predicate.endswith("_sphere")
+            and predicate in ("intersects", "coveredby", "within")):
+        rects = {i: g for i, g in r_geoms.items()
+                 if g is not None and _is_axis_rect(g)}
+        polys = {i: g for i, g in r_geoms.items()
+                 if g is not None and not _is_axis_rect(g)}
+        _poly_types = (("Polygon", "MultiPolygon") if predicate == "within"
+                       else ("Point", "MultiPoint", "LineString",
+                             "MultiLineString", "Polygon", "MultiPolygon"))
+        if (rects and polys
+                and all(g[0] in _poly_types for g in polys.values())
+                and max((_edge_count(g) for g in polys.values()), default=0)
+                <= MAX_JVM_POLY_EDGES):
+            r_part = _rect_jvm_join(left, right_i, rects, predicate,
+                                    distance, left_geom, res, pad,
+                                    left_lonlat, rcols=right.columns,
+                                    ldist_col=ldist_col, how="inner")
+            p_part = _poly_jvm_join(left, right_i, polys, predicate,
+                                    left_geom, res, left_lonlat,
+                                    rcols=right.columns, how="inner",
+                                    distance=distance, pad=pad,
+                                    ldist_col=ldist_col)
+            return r_part.unionByName(p_part)
+
     # general-geometry JVM fast path: the even-odd crossing-number /
     # on-edge / point-to-segment refine is a pure SQL higher-order-function
     # expression over per-geometry edge arrays — zero Python anywhere,

@@ -22,19 +22,23 @@ from pyspark.sql import DataFrame, functions as F
 
 def _word_grams(df: DataFrame, text_col: str, id_col: str, n: int,
                 out_id: str) -> DataFrame:
-    """Distinct (id, gram) word n-grams via posexplode + window leads
-    (same codegen-friendly shape as textops.repetition)."""
-    from pyspark.sql import Window
+    """Distinct (id, gram) word n-grams via posexplode + ``get`` on the
+    kept word array (same codegen shape as textops.repetition): word j of
+    the gram starting at ``pos`` is an O(1) array access, so there is no
+    window pass — the round-8 ``lead`` formulation forced an exchange on
+    the id plus two sorts over every word row for values that were
+    already sitting in the row's own array."""
+    from sedona_db_spark.partition import spread_small_input
+    df = spread_small_input(df, id_col)
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(t), r"\s+")
-    W = df.select(F.col(id_col).alias(out_id),
-                  F.posexplode(words).alias("pos", "w"))
-    win = Window.partitionBy(out_id).orderBy("pos")
-    L = W.select(out_id, F.col("w").alias("w0"),
-                 *[F.lead("w", j).over(win).alias(f"w{j}")
-                   for j in range(1, n)])
-    gram = F.concat_ws(" ", *[F.col(f"w{j}") for j in range(n)])
-    return (L.where(F.col(f"w{n - 1}").isNotNull())
+    L = (df.select(F.col(id_col).alias(out_id), words.alias("__toks"))
+           .select(out_id, "__toks",
+                   F.posexplode("__toks").alias("pos", "w0")))
+    cols = [F.col("w0")] + [F.get("__toks", F.col("pos") + j)
+                            for j in range(1, n)]
+    gram = F.concat_ws(" ", *cols)
+    return (L.where(cols[n - 1].isNotNull())
              .select(out_id, gram.alias("gram"))
              .distinct())
 

@@ -19,7 +19,15 @@ Designed for the 100 TB case: every stage is a shuffle-on-key DataFrame op
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
+
+# LRU window of persisted shingle intermediates (see ngram_jaccard_pairs);
+# mirrors spatial_join's covering cache hygiene
+_PERSISTED_SHINGLES: list = []
+_MAX_CACHED_SHINGLES = 4
+_PERSISTED_LOCK = threading.Lock()
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -33,12 +41,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per doc, all JVM-side (split + posexplode)."""
+                  n: int = 3, cluster_key: str | None = None) -> DataFrame:
+    """Distinct n-word shingles per doc, all JVM-side (split + posexplode).
+
+    ``cluster_key`` ("id" | "shingle" | None): hash-partition the raw
+    shingle rows on that column and dedupe IN partition (dropDuplicates
+    under a satisfied ClusteredDistribution — partitioning on a subset of
+    the distinct keys co-locates every duplicate) instead of paying
+    ``.distinct()``'s own exchange.  Callers pick the key their NEXT
+    operation needs — per-doc aggregation ("id") or a shingle-keyed join
+    ("shingle") — so the dedup exchange is the only one the chain pays
+    (guide §2.4: two operations keyed the same way share one exchange).
+    """
     from sedona_db_spark.partition import spread_small_input
     # parallelize the explode + partial aggregates over a one-file input
     # (no-op at scale — see partition.py)
-    df = spread_small_input(df, id_col)
+    spread = spread_small_input(df, id_col)
+    spread_fired = spread is not df
+    df = spread
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     out = df.select(F.col(id_col), toks.alias("__toks"))
     out = out.select(
@@ -49,14 +69,29 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col("__toks"))
     shingle = F.concat_ws(" ", *[
         F.element_at(F.col("__toks"), F.col("__pos") + 1 + i) for i in range(n)])
-    return out.select(id_col, shingle.alias("shingle")).distinct()
+    raw = out.select(id_col, shingle.alias("shingle"))
+    if cluster_key is None:
+        return raw.distinct()
+    if cluster_key == "id":
+        # the spread exchange already hash-partitioned rows by id — reuse
+        # it rather than exchanging the (much wider) shingle rows again
+        if not spread_fired:
+            raw = raw.repartition(F.col(id_col))
+    elif cluster_key == "shingle":
+        raw = raw.repartition(F.col("shingle"))
+    else:
+        raise ValueError(f"cluster_key must be 'id'/'shingle'/None, "
+                         f"got {cluster_key!r}")
+    return raw.dropDuplicates([id_col, "shingle"])
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_perm: int = 8) -> DataFrame:
     """MinHash signature: per 'permutation' p, min(md5(p || shingle))."""
-    sh = word_shingles(df, text_col, id_col, n)
+    # dedupe clustered by id: the per-doc signature groupBy right below
+    # then needs NO further exchange (one shuffle for the whole pipeline)
+    sh = word_shingles(df, text_col, id_col, n, cluster_key="id")
     aggs = [F.min(F.md5(F.concat(F.lit(f"perm{p}|"), F.col("shingle"))
                         .cast("binary"))).alias(f"mh_{p}")
             for p in range(num_perm)]
@@ -120,16 +155,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Jaccard for near-dup pairs — raise max_df only for small corpora where
     exactness over the full shingle universe matters.
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    # dedupe clustered by shingle: the df-cap window AND the inverted-index
+    # self-join below are both keyed on shingle, so the dedup exchange is
+    # the only shingle-keyed shuffle in the whole chain
+    sh = word_shingles(df, text_col, id_col, n, cluster_key="shingle")
     if max_df is not None:
-        # window count over the shingle key, not a groupBy+join: the window
-        # exchange hash-partitions by shingle — exactly the partitioning the
-        # inverted-index self-join below needs, so Catalyst reuses it (one
-        # shuffle saved; measured 40% faster at sf0.1)
+        # window count over the shingle key, not a groupBy+join: it runs on
+        # the dedup exchange's partitioning with no shuffle of its own
+        # (measured 40% faster at sf0.1 than groupBy+join in round 2)
         from pyspark.sql import Window
         w = Window.partitionBy("shingle")
         sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
               .where(F.col("__df") <= max_df).drop("__df"))
+    # persist the capped shingle set: THREE consumers read it (sizes, both
+    # self-join sides); without a materialization point Catalyst plans the
+    # full scan→explode→dedupe→window chain once per consumer (guide §3.3:
+    # materialize an intermediate that fans out).  Within-query reuse only —
+    # every invocation recomputes from the inputs; an LRU window unpersists
+    # older shingle caches from long sessions.
+    from pyspark import StorageLevel
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    with _PERSISTED_LOCK:
+        _PERSISTED_SHINGLES.append(sh)
+        while len(_PERSISTED_SHINGLES) > _MAX_CACHED_SHINGLES:
+            stale = _PERSISTED_SHINGLES.pop(0)
+            try:
+                stale.unpersist()
+            except Exception:
+                pass
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -726,3 +726,40 @@ def test_validate_id_keys_flag(spark):
         assert len(ok) == 3
     finally:
         spark.conf.set("spark.sedona_db_spark.validateIdKeys", "false")
+
+
+def test_mixed_rect_poly_split_vs_brute(spark):
+    """Round-9 optimization: a mixed axis-rect + polygon build layer with a
+    lon/lat probe splits into an interval-refine join (rects) unioned with
+    the HOF refine join (true polygons).  Pair set must equal brute force,
+    and the plan must stay JVM-only (no Python operators)."""
+    import pandas as pd
+    from sedona_db_spark.sources.fixtures import regions_grid
+
+    regions = spark.createDataFrame(
+        regions_grid(n_side=5, bounds=(-20.0, -20.0, 20.0, 20.0),
+                     metro_hotspots=4))
+    R = {r["region_id"]: W.decode(bytes(r["geom"])) for r in regions.collect()}
+    kinds = {W.decode(bytes(r["geom"]))[0] for r in regions.collect()}
+    rng = np.random.default_rng(11)
+    n = 400
+    pts = spark.createDataFrame(pd.DataFrame({
+        "id": range(n),
+        "lon": rng.uniform(-22, 22, n),
+        "lat": rng.uniform(-22, 22, n)}))
+    lons = {r["id"]: (r["lon"], r["lat"]) for r in pts.collect()}
+    for pred, fn in (("coveredby", K.geom_covered_by),
+                     ("intersects", K.geom_intersects)):
+        j = spatial_join(pts, regions, pred,
+                         left_lonlat=("lon", "lat"), right_geom="geom")
+        plan = j._jdf.queryExecution().toString()
+        assert "MapInPandas" not in plan and "EvalPython" not in plan
+        # both refine tiers must actually appear (union of two joins)
+        got = {(r["id"], r["region_id"]) for r in j.collect()}
+        exp = set()
+        for i, (x, y) in lons.items():
+            p = ("Point", np.array([x, y]))
+            for rid, g in R.items():
+                if fn(p, g):
+                    exp.add((i, rid))
+        assert got == exp, pred
