@@ -1128,9 +1128,22 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
     # rectangle fast path: an axis-aligned dimension layer (tile grids, bbox
     # coverings — the raster-lookup shape) refines with pure JVM interval
     # arithmetic: the whole join is codegen, zero Python anywhere.
+    # POINT build geometries are degenerate boxes ([x,x]×[y,y]: the clamp
+    # distance IS the point distance, the closed-box test IS coordinate
+    # equality), so point layers with a lon/lat probe take this path too —
+    # flat (cell, ridx, bounds) rows instead of the per-edge HOF struct
+    # table whose nested createDataFrame dominated dwithin construction.
+    # "within" needs areal interiors — points stay off (open box ≠ the
+    # point-within-point DE-9IM case); WKB probes keep the fused
+    # mapInPandas tier (the measured-faster python-broadcast path).
+    def _rect_like(g):
+        if _is_axis_rect(g):
+            return True
+        return (g[0] == "Point" and left_lonlat is not None
+                and predicate != "within")
     if (dist_col is None
             and not predicate.endswith("_sphere")  # rect path is planar math
-            and all(g is None or _is_axis_rect(g) for g in r_geoms.values())
+            and all(g is None or _rect_like(g) for g in r_geoms.values())
             and any(r_geoms.values())):
         return _rect_jvm_join(left, right_i, r_geoms, predicate,
                               distance, left_geom, res, pad, left_lonlat,
@@ -1152,9 +1165,9 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
             and not predicate.endswith("_sphere")
             and predicate in ("intersects", "coveredby", "within")):
         rects = {i: g for i, g in r_geoms.items()
-                 if g is not None and _is_axis_rect(g)}
+                 if g is not None and _rect_like(g)}
         polys = {i: g for i, g in r_geoms.items()
-                 if g is not None and not _is_axis_rect(g)}
+                 if g is not None and not _rect_like(g)}
         _poly_types = (("Polygon", "MultiPolygon") if predicate == "within"
                        else ("Point", "MultiPoint", "LineString",
                              "MultiLineString", "Polygon", "MultiPolygon"))

@@ -24,13 +24,22 @@ from pyspark.sql import DataFrame, functions as F
 
 def spread_small_input(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism when (and
-    only when) its plan yields fewer input partitions than that."""
+    only when) its plan yields fewer input partitions than that.
+
+    The partition count probe (``df.rdd`` plan translation, driver-only,
+    no job) is memoized on the canonicalized plan — repeated calls over
+    an identical frame pay it once per session."""
+    from sedona_db_spark.operators.spatial_join import (
+        _SEM_STATS_CACHE, _sem_cached)
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
+
+    def _nparts():
+        try:
+            return df.rdd.getNumPartitions()
+        except Exception:
+            return target  # unknown layout: leave the frame alone
+    n = _sem_cached(_SEM_STATS_CACHE, df, ("nparts",), _nparts)
     if n >= target:
         return df
     return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -168,11 +168,20 @@ def raster_vector_join(tiles: DataFrame, vectors: DataFrame,
     # resolution: finest grid where a typical tile covers ≤ ~4 cells, capped
     # so the widest vector bbox covering stays bounded
     if res is None:
-        stats = t.select(
-            F.max(F.col("__tx1") - F.col("__tx0")).alias("w"),
-            F.max(F.col("__ty1") - F.col("__ty0")).alias("h")).collect()[0]
-        res = grid.pick_covering_res(0.0, 0.0, float(stats["w"] or 1.0),
-                                     float(stats["h"] or 1.0), max_cells=4)
+        # tile-extent stats memoized on the canonicalized plan (see
+        # spatial_join._sem_cached): repeated joins over the same tile
+        # frame skip the stats job entirely
+        from sedona_db_spark.operators.spatial_join import (
+            _SEM_STATS_CACHE, _sem_cached)
+
+        def _tile_stats():
+            r = t.select(
+                F.max(F.col("__tx1") - F.col("__tx0")).alias("w"),
+                F.max(F.col("__ty1") - F.col("__ty0")).alias("h")).collect()[0]
+            return float(r["w"] or 1.0), float(r["h"] or 1.0)
+        w_max, h_max = _sem_cached(_SEM_STATS_CACHE, t, ("tiles",),
+                                   _tile_stats)
+        res = grid.pick_covering_res(0.0, 0.0, w_max, h_max, max_cells=4)
         for g in r_geoms.values():
             if g is None:
                 continue

@@ -86,6 +86,13 @@ def make_tile(tile_id: int, ulx: float, uly: float, scale_x: float,
     }
 
 
+# deterministic-fixture plan memo: repeated make_tiles_df calls with the
+# same arguments return the SAME local-relation DataFrame, so downstream
+# plan-keyed statistics memos hit and the tile rows ship to the JVM once
+# per session (the rows are a pure function of the arguments)
+_TILES_MEMO: dict = {}
+
+
 def make_tiles_df(spark: SparkSession, nx: int = 16, ny: int = 16,
                   tile_px: int = 64,
                   bounds=(-120.0, 20.0, -60.0, 50.0),
@@ -96,6 +103,10 @@ def make_tiles_df(spark: SparkSession, nx: int = 16, ny: int = 16,
     ymax − j·th]; upper-left anchored, scale_y negative (north-up
     convention, matching the reference's geotransform model).
     """
+    key = (id(spark), nx, ny, tile_px, tuple(bounds), with_pixels)
+    hit = _TILES_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     xmin, ymin, xmax, ymax = bounds
     tw = (xmax - xmin) / nx
     th = (ymax - ymin) / ny
@@ -107,4 +118,8 @@ def make_tiles_df(spark: SparkSession, nx: int = 16, ny: int = 16,
                 tid, xmin + i * tw, ymax - j * th,
                 tw / tile_px, -th / tile_px, tile_px, tile_px,
                 with_pixels=with_pixels))
-    return spark.createDataFrame(rows, schema=TILE_SCHEMA)
+    df = spark.createDataFrame(rows, schema=TILE_SCHEMA)
+    if len(_TILES_MEMO) > 64:
+        _TILES_MEMO.clear()
+    _TILES_MEMO[key] = (spark, df)
+    return df
