@@ -30,6 +30,24 @@ def get_spark(app_name: str = "sedona_db_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE coalescing targets BYTES (parallelismFirst floors at
+        # minPartitionSize=1m), which under-parallelizes CPU-bound string
+        # aggregation/join stages whose per-byte cost is high (measured:
+        # the shingle pipeline lost half its cores to coalescing at bench
+        # scale).  64k keeps such stages at the session's width while
+        # still merging genuinely tiny partitions; deployments with
+        # thousands of shuffle partitions should raise this back toward
+        # Spark's 1m default via SPARK_GRAFT_MIN_PART_SIZE.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
+        # guide §3.1: allow shuffled-hash joins where a build partition
+        # fits comfortably (no sort); the AQE local-map threshold bounds
+        # the per-partition build side so the OOM risk stays capped
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP",
+                               str(64 * 1024 * 1024)))
         # Arrow everywhere: pandas UDFs are the kernel substrate
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

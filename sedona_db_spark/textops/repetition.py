@@ -44,7 +44,7 @@ integer division so engines agree bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 TOP_NS = (2, 3, 4)
 DUP_NS = (5, 6, 7, 8, 9, 10)
@@ -66,14 +66,18 @@ def _units(df: DataFrame, text_col: str, id_col: str,
     so null means past-end) — identical unit multiset to the slice
     formulation, including empty-string words from separator runs.
     Line/paragraph families stay as two cheap explode branches."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    nonblank = lambda a: F.filter(a, lambda u: F.length(F.trim(u)) > 0)  # noqa: E731
+    # Expressions are built as SQL strings (one py4j round-trip per
+    # selectExpr instead of one per Column operation): plan construction
+    # for the 13-metric family was ~0.7 s of driver-side py4j chatter
+    # (guide §1.2 step 2 — per-"task" work here is the driver itself).
+    t = f"coalesce(`{text_col}`, '')"
     out = None
-    for kind, arr in (("line", nonblank(F.split(t, r"\n"))),
-                      ("para", nonblank(F.split(t, r"\n{2,}")))):
-        b = df.select(F.col(id_col).alias("_id"),
-                      F.lit(kind).alias("kind"),
-                      F.explode(arr).alias("unit"))
+    for kind, pat in (("line", r"\\n"), ("para", r"\\n{2,}")):
+        b = df.selectExpr(
+            f"`{id_col}` AS _id",
+            f"'{kind}' AS kind",
+            f"explode(filter(split({t}, '{pat}'), "
+            f"u -> length(trim(u)) > 0)) AS unit")
         out = b if out is None else out.unionByName(b)
 
     ns = sorted(set(top_ns) | set(dup_ns))
@@ -88,21 +92,23 @@ def _units(df: DataFrame, text_col: str, id_col: str,
         # forced an Exchange(_id) + two sorts over every word row before
         # the gram aggregation's own exchange (guide §2.4: the cell
         # values were already available without re-partitioning).
-        words = F.split(F.trim(t), r"\s+")
-        L = df.select(F.col(id_col).alias("_id"),
-                      words.alias("__toks")) \
-              .select("_id", "__toks",
-                      F.posexplode("__toks").alias("pos", "w0"))
-        cols = [F.col("w0")] + [F.get("__toks", F.col("pos") + j)
-                                for j in range(1, max(ns))]
-        grams = [F.when(cols[n - 1].isNotNull(),
-                        F.concat_ws(" ", *cols[:n])) for n in ns]
-        kinds = F.array(*[F.lit(f"{n}gram") for n in ns])
-        g = (L.select("_id", F.posexplode(F.array(*grams))
-                             .alias("ki", "unit"))
-              .where(F.col("unit").isNotNull())
-              .select("_id", F.element_at(kinds, F.col("ki") + 1)
-                             .alias("kind"), "unit"))
+        def tok(j):
+            return "w0" if j == 0 else f"get(__toks, pos + {j})"
+        grams = ", ".join(
+            "CASE WHEN {last} IS NOT NULL THEN concat_ws(' ', {ws}) END"
+            .format(last=tok(n - 1), ws=", ".join(tok(j) for j in range(n)))
+            for n in ns)
+        kinds = ", ".join(f"'{n}gram'" for n in ns)
+        g = (df.selectExpr(f"`{id_col}` AS _id",
+                           f"split(trim({t}), '\\\\s+') AS __toks")
+               .selectExpr("_id", "__toks",
+                           "posexplode(__toks) AS (pos, w0)")
+               .selectExpr("_id",
+                           f"posexplode(array({grams})) AS (ki, unit)")
+               .where(F.col("unit").isNotNull())
+               .selectExpr("_id",
+                           f"element_at(array({kinds}), ki + 1) AS kind",
+                           "unit"))
         out = g if out is None else out.unionByName(g)
     return out
 
@@ -123,73 +129,64 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
     df = spread_small_input(df, id_col)
     units = _units(df, text_col, id_col, top_ns, dup_ns)
     per_unit = (units.groupBy("_id", "kind", "unit")
-                     .agg(F.count(F.lit(1)).alias("cnt"))
-                     .withColumn("ulen", F.length("unit")))
+                     .agg(F.expr("count(1)").alias("cnt"))
+                     .withColumn("ulen", F.expr("length(unit)")))
 
     # ONE kind-conditional roll-up straight to the per-document row: the
     # old per-(id, kind) intermediate groupBy added a full exchange round
     # for nothing — every per-kind aggregate distributes over a filter on
-    # ``kind``, so sum/min(when(kind = k, ...)) on per_unit computes the
-    # identical values (null when the kind is absent, exactly like the
-    # old max(when(...)) pivot) with one shuffle instead of two.
-    def _k(name: str, expr: Column, agg=F.sum) -> Column:
-        return agg(F.when(F.col("kind") == name, expr))
+    # ``kind``, so sum/min(CASE WHEN kind = k ...) on per_unit computes
+    # the identical values (null when the kind is absent, exactly like
+    # the old max(when(...)) pivot) with one shuffle instead of two.
+    def _k(name: str, expr: str, agg: str = "sum") -> str:
+        return f"{agg}(CASE WHEN kind = '{name}' THEN {expr} END)"
 
-    cnt, ulen = F.col("cnt"), F.col("ulen")
     agg = []
     for fam in ("line", "para"):
         agg += [
-            _k(fam, cnt).alias(f"{fam}_units"),
-            _k(fam, cnt - 1).alias(f"{fam}_dup"),
-            _k(fam, cnt * ulen).alias(f"{fam}_chars"),
-            _k(fam, (cnt - 1) * ulen).alias(f"{fam}_dup_chars"),
+            f"{_k(fam, 'cnt')} AS {fam}_units",
+            f"{_k(fam, 'cnt - 1')} AS {fam}_dup",
+            f"{_k(fam, 'cnt * ulen')} AS {fam}_chars",
+            f"{_k(fam, '(cnt - 1) * ulen')} AS {fam}_dup_chars",
         ]
     for n in sorted(set(top_ns)):
         # max count, ties to the lexicographically smallest gram: the
         # struct min orders by (-cnt, unit)
-        agg.append(_k(f"{n}gram",
-                      F.struct((-cnt).alias("neg"),
-                               F.col("unit").alias("unit")),
-                      agg=F.min).alias(f"top{n}"))
+        agg.append(_k(f"{n}gram", "struct(-cnt AS neg, unit AS unit)",
+                      "min") + f" AS top{n}")
     for n in sorted(set(dup_ns)):
-        agg.append(F.sum(F.when((F.col("kind") == f"{n}gram") & (cnt >= 2),
-                                cnt * ulen)).alias(f"rep{n}"))
-    rolled = per_unit.groupBy("_id").agg(*agg)
+        agg.append(f"sum(CASE WHEN kind = '{n}gram' AND cnt >= 2 "
+                   f"THEN cnt * ulen END) AS rep{n}")
+    rolled = per_unit.groupBy("_id").agg(*[F.expr(a) for a in agg])
 
-    base = df.select(F.col(id_col).alias("_id"),
-                     F.length(F.coalesce(F.col(text_col), F.lit("")))
-                      .alias("n_chars"))
+    base = df.selectExpr(
+        f"`{id_col}` AS _id",
+        f"length(coalesce(`{text_col}`, '')) AS n_chars")
     j = base.join(rolled, "_id", "left")
 
-    def _ratio(num: Column, den: Column) -> Column:
-        return F.when(F.coalesce(den, F.lit(0)) > 0,
-                      num.cast("double") / den.cast("double")
-                      ).otherwise(F.lit(0.0))
+    def _ratio(num: str, den: str) -> str:
+        return (f"CASE WHEN coalesce({den}, 0) > 0 THEN "
+                f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) "
+                f"ELSE CAST(0.0 AS DOUBLE) END")
 
-    def _capped(num: Column, den: Column) -> Column:
-        return F.least(_ratio(num, den), F.lit(1.0))
+    def _capped(num: str, den: str) -> str:
+        return f"least({_ratio(num, den)}, CAST(1.0 AS DOUBLE))"
 
-    sel = [F.col("_id").alias(id_col),
-           _ratio(F.col("line_dup"), F.col("line_units"))
-           .alias("dup_line_frac"),
-           _ratio(F.col("line_dup_chars"), F.col("line_chars"))
-           .alias("dup_line_char_frac"),
-           _ratio(F.col("para_dup"), F.col("para_units"))
-           .alias("dup_para_frac"),
-           _ratio(F.col("para_dup_chars"), F.col("para_chars"))
-           .alias("dup_para_char_frac")]
+    sel = [f"_id AS `{id_col}`"]
+    for fam in ("line", "para"):
+        sel.append(_ratio(f"{fam}_dup", f"{fam}_units")
+                   + f" AS dup_{fam}_frac")
+        sel.append(_ratio(f"{fam}_dup_chars", f"{fam}_chars")
+                   + f" AS dup_{fam}_char_frac")
     for n in sorted(set(top_ns)):
-        top = F.col(f"top{n}")
-        chars = F.when(top.isNotNull(),
-                       (-top["neg"]) * F.length(top["unit"])
-                       ).otherwise(F.lit(0))
-        sel.append(_capped(chars, F.col("n_chars"))
-                   .alias(f"top_{n}gram_char_frac"))
+        chars = (f"CASE WHEN top{n} IS NOT NULL THEN "
+                 f"(-top{n}.neg) * length(top{n}.unit) ELSE 0 END")
+        sel.append(_capped(chars, "n_chars")
+                   + f" AS top_{n}gram_char_frac")
     for n in sorted(set(dup_ns)):
-        sel.append(_capped(F.coalesce(F.col(f"rep{n}"), F.lit(0)),
-                           F.col("n_chars"))
-                   .alias(f"dup_{n}gram_char_frac"))
-    return j.select(*sel)
+        sel.append(_capped(f"coalesce(rep{n}, 0)", "n_chars")
+                   + f" AS dup_{n}gram_char_frac")
+    return j.selectExpr(*sel)
 
 
 def with_repetition(df: DataFrame, text_col: str = "text",
