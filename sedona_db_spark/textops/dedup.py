@@ -19,15 +19,7 @@ Designed for the 100 TB case: every stage is a shuffle-on-key DataFrame op
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame, functions as F
-
-# LRU window of persisted shingle intermediates (see ngram_jaccard_pairs);
-# mirrors spatial_join's covering cache hygiene
-_PERSISTED_SHINGLES: list = []
-_MAX_CACHED_SHINGLES = 4
-_PERSISTED_LOCK = threading.Lock()
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -167,22 +159,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         w = Window.partitionBy("shingle")
         sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
               .where(F.col("__df") <= max_df).drop("__df"))
-    # persist the capped shingle set: THREE consumers read it (sizes, both
-    # self-join sides); without a materialization point Catalyst plans the
-    # full scan→explode→dedupe→window chain once per consumer (guide §3.3:
-    # materialize an intermediate that fans out).  Within-query reuse only —
-    # every invocation recomputes from the inputs; an LRU window unpersists
-    # older shingle caches from long sessions.
-    from pyspark import StorageLevel
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    with _PERSISTED_LOCK:
-        _PERSISTED_SHINGLES.append(sh)
-        while len(_PERSISTED_SHINGLES) > _MAX_CACHED_SHINGLES:
-            stale = _PERSISTED_SHINGLES.pop(0)
-            try:
-                stale.unpersist()
-            except Exception:
-                pass
+    # three consumers (sizes, both self-join sides) fan out from the capped
+    # shingle set; the scan→explode chain up to the dedup exchange runs
+    # ONCE (ReuseExchange dedupes the identical shuffle), and only the
+    # cheap post-shuffle dedupe+window replays per consumer — an explicit
+    # persist() was A/B-measured SLOWER (cache serialization cost exceeds
+    # the post-shuffle recompute at every scale where the exchange reuses)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -35,7 +35,7 @@ def _ref_rewrite(text: str, la: str, ra: str, rmap) -> str:
 
     while i < n:
         ch = text[i]
-        if in_q is None and ch in ("'", "`"):
+        if in_q is None and ch in ("'", "`", '"'):
             flush()
             in_q = ch
             out.append(ch)
@@ -65,6 +65,12 @@ def test_sub_outside_strings_property():
         lambda la, ra, rng: f"'{la}.{rng.choice(cols)}'",   # literal
         lambda la, ra, rng: f"'it''s {ra}.id'",             # doubled quote
         lambda la, ra, rng: f"`{la}.{rng.choice(cols)}`",   # backquoted id
+        # double-quoted STRING literals (Spark default) carrying rewrite
+        # bait: table refs, join keywords, predicate text (round-8 judge
+        # finding: the scanner ignored \" and lifters rewrote inside)
+        lambda la, ra, rng: f'"see FROM {la} JOIN {ra}"',
+        lambda la, ra, rng: f'"ST_Contains({la}.geom, {ra}.geom)"',
+        lambda la, ra, rng: f'"he said ""{ra}.id"" twice"',
         lambda la, ra, rng: rng.choice(["count(*)", "1 + 2", ",", " AND ",
                                         "WHERE", "x", "sum(", ")"]),
     ]
