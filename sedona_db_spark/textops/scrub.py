@@ -52,7 +52,13 @@ def redact_pii(text: Column, kinds: tuple = _KINDS,
 
 
 def pii_counts(text: Column, kinds: tuple = _KINDS) -> Column:
-    """Map kind -> match count (audit signal; cheap to aggregate)."""
+    """Map kind -> match count (audit signal; cheap to aggregate).
+
+    Counts run each pattern on the ORIGINAL text, so overlapping classes
+    can double-count relative to redact_pii (which rewrites in order —
+    phone-like digits inside an email local part count for PHONE here
+    but are consumed by the EMAIL redaction there).  Audit totals are an
+    upper bound on redactions, not an exact ledger."""
     pairs = []
     for kind, pat in PII_PATTERNS:
         if kind in kinds:

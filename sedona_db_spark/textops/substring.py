@@ -130,8 +130,10 @@ def _winnow_batch(raws: list, k: int, w: int):
     windows take the cheap per-doc path (their whole-slice rightmost
     min isn't a full-width window of the global view).
 
-    Returns (doc_index, global_sel, H, starts): selection positions are
-    into the concatenated buffer; callers translate via starts.
+    Returns (doc_index, global_sel, H, starts, buf): selection positions
+    are into the concatenated buffer ``buf`` (returned so callers slice
+    grams without re-concatenating the batch — the largest per-batch
+    allocation happens once, round-8 ADVICE).
     Bitwise-identical to _window_hashes + _winnow_positions per doc
     (pinned by tests/test_substring.py::test_batch_matches_per_doc).
     """
@@ -164,7 +166,7 @@ def _winnow_batch(raws: list, k: int, w: int):
     dd = np.concatenate(sel_doc)
     ss = np.concatenate(sel_pos)
     o = np.lexsort((ss, dd))
-    return dd[o], ss[o], H, starts
+    return dd[o], ss[o], H, starts, buf
 
 
 def winnow_fingerprints(df: DataFrame, k: int = 16, w: int = 32,
@@ -179,19 +181,25 @@ def winnow_fingerprints(df: DataFrame, k: int = 16, w: int = 32,
     """
     if k < 2 or w < 1:
         raise ValueError("winnow_fingerprints requires k >= 2, w >= 1")
-    out_schema = ("doc_id long, pos long, fp long, gram string"
-                  if id_col == "doc_id" else
-                  f"{id_col} long, pos long, fp long, gram string")
+    # id field typed from the input schema: a string/other id would
+    # otherwise silently miscast through the hardcoded long (round-8
+    # ADVICE)
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("pos", LongType()),
+        StructField("fp", LongType()),
+        StructField("gram", StringType())])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             dids = b[id_col].to_numpy()
             raws = [("" if t is None else t).encode("utf-8")
                     for t in b[text_col].to_numpy(dtype=object)]
-            dd, sel, H, starts = _winnow_batch(raws, k, w)
+            dd, sel, H, starts, buf = _winnow_batch(raws, k, w)
             if not len(sel):
                 continue
-            buf = np.frombuffer(b"".join(raws), dtype=np.uint8)
             gb = buf[sel[:, None] + np.arange(k)]     # (n_sel, k) bytes
             # one whole-buffer latin-1 decode + slicing (an S{k} numpy
             # view would silently strip trailing NUL bytes per item)

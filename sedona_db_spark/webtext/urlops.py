@@ -33,10 +33,14 @@ TWO_LEVEL_SUFFIXES = (
 
 
 def canonicalize_url(url: Column) -> Column:
-    """Canonical form for exact-URL keys: lowercase scheme+host, strip
-    the fragment, drop default ports (:80 http / :443 https), remove
-    trailing slash on a bare path, keep query as-is (order-preserving —
-    reordering params changes semantics on some sites)."""
+    """Canonical form for exact-URL keys: lowercase the scheme and the
+    whole authority (including any userinfo — credentials are treated
+    case-insensitively by this key, a deliberate collapse), strip the
+    fragment, drop default ports (:80 http / :443 https), remove ANY
+    trailing slash that follows a non-slash character (https://h/a/ and
+    https://h/a share one key — near-dup keying semantics, not RFC 3986
+    equivalence), keep query as-is (order-preserving — reordering params
+    changes semantics on some sites)."""
     u = F.trim(url)
     # lowercase scheme://host[:port] prefix only (path/query stay exact)
     head = F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1)

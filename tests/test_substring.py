@@ -87,7 +87,7 @@ def test_batch_matches_per_doc():
                                 w + k, 200, 700]))
             raws.append(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
         raws.append(b"\x00" * (k + 5))          # NUL-heavy doc
-        dd, sel, H, starts = _winnow_batch(raws, k, w)
+        dd, sel, H, starts, _buf = _winnow_batch(raws, k, w)
         got = {}
         for d, s in zip(dd, sel):
             got.setdefault(int(d), []).append(
