@@ -1175,16 +1175,9 @@ def _broadcast_point_join(left: DataFrame, right: DataFrame, predicate: str,
                 and all(g[0] in _poly_types for g in polys.values())
                 and max((_edge_count(g) for g in polys.values()), default=0)
                 <= MAX_JVM_POLY_EDGES):
-            r_part = _rect_jvm_join(left, right_i, rects, predicate,
-                                    distance, left_geom, res, pad,
-                                    left_lonlat, rcols=right.columns,
-                                    ldist_col=ldist_col, how="inner")
-            p_part = _poly_jvm_join(left, right_i, polys, predicate,
-                                    left_geom, res, left_lonlat,
-                                    rcols=right.columns, how="inner",
-                                    distance=distance, pad=pad,
-                                    ldist_col=ldist_col)
-            return r_part.unionByName(p_part)
+            return _mixed_jvm_join(left, right_i, rects, polys, predicate,
+                                   left_geom, res, pad, left_lonlat,
+                                   rcols=right.columns)
 
     # general-geometry JVM fast path: the even-odd crossing-number /
     # on-edge / point-to-segment refine is a pure SQL higher-order-function
@@ -1604,6 +1597,73 @@ def _poly_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
     matched = cand.where(cond)
     return (matched.join(F.broadcast(right_i), on="__ridx")
                    .select(*left.columns, *rcols))
+
+
+def _mixed_jvm_join(left: DataFrame, right_i: DataFrame, rects: dict,
+                    polys: dict, predicate: str, left_geom: str, res: int,
+                    pad: float, left_lonlat, rcols: list) -> DataFrame:
+    """All-JVM broadcast join for a MIXED axis-rect + polygon dimension
+    layer (inner, lon/lat probe): ONE broadcast cell table carries the
+    rects' interval bounds and the polygons' edge arrays side by side
+    (``__parts`` NULL on rect rows), and the refine is a single CASE
+    expression — interval arithmetic when ``__parts`` is NULL, the
+    crossing-number HOF otherwise.  One probe-side pass and one
+    broadcast join total, versus the two-join union formulation that
+    re-generated / re-scanned the probe side once per tier (the HOF
+    lambda still only evaluates on true-polygon candidate rows: CASE
+    branches are lazy in codegen)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    spark = left.sparkSession
+    edge_t = StructType([
+        StructField("ax", DoubleType()), StructField("ay", DoubleType()),
+        StructField("bx", DoubleType()), StructField("by", DoubleType())])
+    part_t = StructType([
+        StructField("shell", ArrayType(edge_t)),
+        StructField("holes", ArrayType(ArrayType(edge_t))),
+        StructField("edges", ArrayType(edge_t))])
+    schema = StructType([
+        StructField("__cell", LongType()), StructField("__ridx", LongType()),
+        StructField("__x0", DoubleType()), StructField("__y0", DoubleType()),
+        StructField("__x1", DoubleType()), StructField("__y1", DoubleType()),
+        StructField("__parts", ArrayType(part_t))])
+
+    cell_rows = []
+    for i, g in rects.items():
+        x0, y0, x1, y1 = K.geom_bbox(g)
+        if np.isnan(x0):
+            continue
+        for c in grid.covering_cells(x0 - pad, y0 - pad, x1 + pad,
+                                     y1 + pad, res):
+            cell_rows.append((int(c), int(i), x0, y0, x1, y1, None))
+    for i, g in polys.items():
+        x0, y0, x1, y1 = K.geom_bbox(g)
+        if np.isnan(x0):
+            continue
+        parts = _geom_edge_parts(g)
+        for c in grid.covering_cells(x0 - pad, y0 - pad, x1 + pad,
+                                     y1 + pad, res):
+            cell_rows.append((int(c), int(i), None, None, None, None,
+                              parts))
+    rcells = spark.createDataFrame(cell_rows, schema)
+
+    lon_c, lat_c = left_lonlat
+    l_cells = left.withColumn(
+        "__cell", F.expr(grid.cell_expr_sql(lon_c, lat_c, res)))
+    plon, plat = F.col(lon_c), F.col(lat_c)
+    if predicate == "within":
+        rect_cond = ((plon > F.col("__x0")) & (plon < F.col("__x1"))
+                     & (plat > F.col("__y0")) & (plat < F.col("__y1")))
+    else:
+        rect_cond = ((plon >= F.col("__x0")) & (plon <= F.col("__x1"))
+                     & (plat >= F.col("__y0")) & (plat <= F.col("__y1")))
+    hof_cond = F.expr(_pip_refine_sql(lon_c, lat_c, "__parts",
+                                      boundary=predicate != "within"))
+    cond = F.when(F.col("__parts").isNull(), rect_cond).otherwise(hof_cond)
+    cand = l_cells.join(F.broadcast(rcells), on="__cell")
+    return (cand.where(cond).join(F.broadcast(right_i), on="__ridx")
+                .select(*left.columns, *rcols))
 
 
 def _rect_jvm_join(left: DataFrame, right_i: DataFrame, r_geoms: dict,
