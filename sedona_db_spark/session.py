@@ -58,7 +58,12 @@ def get_spark(app_name: str = "sedona_db_spark",
         # JVM default 240m code cache fills and later queries silently drop
         # to the interpreter (observed 3-5x slowdowns late in bench suites)
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=512m")
+                "-XX:ReservedCodeCacheSize=1g")
+        # Spark's compiled-class cache holds only 100 generated classes
+        # (LRU): a mixed workload with more distinct codegen units than
+        # that re-Janino-compiles every plan on every repeat (measured
+        # ~0.5s per heavy text query per pass at bench scale)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
