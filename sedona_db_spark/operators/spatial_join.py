@@ -344,8 +344,13 @@ def _sem_cached(cache: dict, df: DataFrame, tag, compute):
     except Exception:
         return compute()
     hit = cache.get(key)
-    if hit is not None and hit[0].sameSemantics(df):
-        return hit[1]
+    try:
+        if hit is not None and hit[0].sameSemantics(df):
+            return hit[1]
+    except Exception:
+        # a cached frame from a stopped session can refuse comparison —
+        # treat as a miss and overwrite below
+        pass
     val = compute()
     if len(cache) > 256:
         cache.clear()
