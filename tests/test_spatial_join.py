@@ -763,3 +763,20 @@ def test_mixed_rect_poly_split_vs_brute(spark):
                 if fn(p, g):
                     exp.add((i, rid))
         assert got == exp, pred
+
+
+def test_byte_guard_post_collect_fallback(data, spark, monkeypatch):
+    """Round-9: the broadcast byte-guard pre-check is skipped below 4096
+    build rows; the post-collect check must then route an over-budget
+    build side to the grid path with identical results."""
+    import importlib
+    SJ = importlib.import_module(
+        "sedona_db_spark.operators.spatial_join")
+    pdf, gdf, P, G = data
+    base = brute(P, G, K.geom_intersects)
+    monkeypatch.setattr(SJ, "_BROADCAST_GEOM_BYTES", 64)  # force the raise
+    j = spatial_join(pdf, gdf, "intersects")
+    plan = j._jdf.queryExecution().toString()
+    assert "__cell" in plan  # grid path, not the collected-index path
+    got = {(r["id"], r["id_r"]) for r in j.collect()}
+    assert got == base
